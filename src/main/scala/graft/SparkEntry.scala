@@ -1,13 +1,351 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2
+  * (relational surface delegated-to-Athena in the reference → native Spark
+  * SQL here) plus the training-data extensions (dedup / similarity / text).
+  * `oracleSql` holds the DuckDB-equivalent SQL for each query; every
+  * computed column is aliased identically in both (the driver's compare
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-way broadcast join + aggregate — the shape the engine is built
+    * around. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q2JoinAgg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ——— relational surface (SURVEY.md §2.4) ———
+    "q1_agg"            -> (Relational.q1Agg _),
+    "q2_join_agg"       -> (Relational.q2JoinAgg _),
+    "q3_topk"           -> (Relational.q3Topk _),
+    "q4_window"         -> (Relational.q4Window _),
+    "q5_semi_join"      -> (Relational.q5Semi _),
+    "q6_anti_join"      -> (Relational.q6Anti _),
+    "q7_rollup"         -> (Relational.q7Rollup _),
+    "q8_cube"           -> (Relational.q8Cube _),
+    "q9_grouping_sets"  -> (Relational.q9GroupingSets _),
+    "q10_set_ops"       -> (Relational.q10SetOps _),
+    "q11_distinct_agg"  -> (Relational.q11DistinctAgg _),
+    "q12_scalar_fns"    -> (Relational.q12ScalarFns _),
+    "q13_word_count"    -> (Relational.q13WordCount _),
+    "q14_tumbling_window" -> (Relational.q14Tumbling _),
+    "q15_sessionize"    -> (Relational.q15Sessionize _),
+    "q16_subquery"      -> (Relational.q16Subquery _),
+    // ——— dedup extensions ———
+    "dedup_exact"         -> (Dedup.exact _),
+    "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+    "dedup_simhash"       -> (Dedup.simhash _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_embed_cosine"  -> (Dedup.embedCosine _),
+    // ——— similarity search ———
+    "sim_topk_brute"      -> (Similarity.topkBrute _),
+    "sim_ann_lsh"         -> (Similarity.annLsh _),
+    "sim_label_centroids" -> (Similarity.labelCentroids _),
+    // ——— text analysis ———
+    "text_langid"      -> (TextAnalysis.langid _),
+    "text_quality"     -> (TextAnalysis.quality _),
+    "text_tokens"      -> (TextAnalysis.tokens _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join_agg" ->
+      """SELECT r_name, n_name,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, run_qty FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(row_number() OVER w AS INT) AS rn,
+        |    round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |coalesce(l_linestatus, 'ALL') AS linestatus,
+        |round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q8_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+
+    "q9_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+        |round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+        |ORDER BY orderstatus, order_year""".stripMargin,
+
+    "q10_set_ops" ->
+      """SELECT c_custkey FROM (
+        |  (SELECT c_custkey FROM (
+        |     SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |     UNION
+        |     SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |   INTERSECT SELECT c_custkey FROM customer)
+        |  EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_distinct_agg" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status,
+        |count(*) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q12_scalar_fns" ->
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |upper(substring(o_orderpriority, 1, 8)) AS prio_upper,
+        |CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+        |round(abs(o_totalprice - 100000.0), 2) AS price_dist,
+        |o_orderkey % 7 AS key_mod,
+        |o_orderstatus || '-' || o_orderpriority AS status_prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q13_word_count" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE len(word) > 0 GROUP BY word
+        |ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
+    "q14_tumbling_window" ->
+      """SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket,
+        |event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q15_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ns(ts) AS ets,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL OR ets - prev > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q16_subquery" ->
+      """WITH a AS (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
+        |           FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders JOIN a ON o_custkey = ck
+        |WHERE o_totalprice > avg_price * 1.5 ORDER BY o_orderkey""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
+        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
+        |sig AS (SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS mh
+        |        FROM perms GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 2 AS band,
+        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
+        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+        |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM tok),
+        |hb AS (SELECT doc_id, h, unnest(range(60)) AS b FROM h),
+        |bits AS (SELECT doc_id, b,
+        |  CAST(sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS balance
+        |  FROM hb GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN balance >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH g0 AS (SELECT doc_id, text, unnest(range(len(text) - 4)) AS i
+        |            FROM documents WHERE len(text) >= 5),
+        |grams AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT) + 1, 5) AS gram FROM g0),
+        |rare AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM grams GROUP BY 1) WHERE df <= 20),
+        |cand AS (SELECT DISTINCT ga.doc_id AS doc_a, gb.doc_id AS doc_b
+        |  FROM grams ga JOIN rare USING (gram)
+        |  JOIN grams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand JOIN grams sa ON doc_a = sa.doc_id
+        |  JOIN grams sb ON doc_b = sb.doc_id AND sa.gram = sb.gram
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n_g + cb.n_g - n_inter), 4) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_topk_brute" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
+        |FROM n, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ann_lsh" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |bt AS (SELECT vec_id, emb, nrm,
+        |  list_transform(range(24), p ->
+        |    CASE WHEN list_dot_product(emb, list_transform(range(64), j ->
+        |      (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2000)
+        |        / 1000.0 - 1.0)) >= 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM n),
+        |bk AS (SELECT vec_id, emb, nrm,
+        |  list_transform(range(4), t ->
+        |    bits[CAST(t*6 AS INT) + 1] + bits[CAST(t*6 AS INT) + 2] * 2 + bits[CAST(t*6 AS INT) + 3] * 4 +
+        |    bits[CAST(t*6 AS INT) + 4] * 8 + bits[CAST(t*6 AS INT) + 5] * 16 + bits[CAST(t*6 AS INT) + 6] * 32) AS buckets
+        |  FROM bt),
+        |tabs AS (SELECT vec_id, emb, nrm, t, buckets[t + 1] AS bucket
+        |  FROM (SELECT vec_id, emb, nrm, buckets, unnest(range(4)) AS t FROM bk)),
+        |q AS (SELECT t AS q_t, bucket AS q_bucket, emb AS q_emb, nrm AS q_nrm
+        |      FROM tabs WHERE vec_id = 0)
+        |SELECT DISTINCT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
+        |FROM tabs JOIN q ON t = q_t AND bucket = q_bucket
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT label, emb, unnest(range(len(emb))) AS dim FROM e),
+        |bydim AS (SELECT label, dim, round(avg(emb[CAST(dim AS INT) + 1]), 8) AS m
+        |          FROM p GROUP BY 1, 2)
+        |SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm, count(*) AS n_dims
+        |FROM bydim GROUP BY label ORDER BY label""".stripMargin,
+
+    "text_langid" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','in','a','is'))) AS BIGINT) AS n_en,
+        |  CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un'))) AS BIGINT) AS n_es,
+        |  CAST(len(list_filter(tk, x -> x IN ('der','die','und','ist','das','nicht','ein'))) AS BIGINT) AS n_de
+        |  FROM tk)
+        |SELECT doc_id, n_en, n_es, n_de,
+        |  CASE WHEN n_en + n_es + n_de = 0 THEN 'und'
+        |       WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+        |       WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS pred_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk), 4) AS mean_tok_len,
+        |  round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / len(text), 4) AS punct_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / len(text), 4) AS alpha_ratio,
+        |  round(CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','in','a','is'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio
+        |  FROM tk)
+        |SELECT doc_id, n_chars, n_tokens, mean_tok_len, punct_ratio, alpha_ratio, stopword_ratio,
+        |  CAST(CASE WHEN n_tokens >= 10 AND mean_tok_len >= 2.0 AND mean_tok_len <= 15.0
+        |            AND punct_ratio <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        |CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_fields
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH g0 AS (SELECT doc_id, text, unnest(range(len(text) - 7)) AS i
+        |            FROM documents WHERE len(text) >= 8),
+        |g AS (SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 8)) AS g FROM g0)
+        |SELECT doc_id, min(g) AS fingerprint, count(*) AS n_grams
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline extension
+  * (SURVEY.md §7.1 step 6 / BASELINE.json north star).
+  *
+  * All hashes are md5-derived so the DuckDB oracle can reproduce them
+  * bit-for-bit: a 60-bit integer hash is `conv(substr(md5(x),1,15),16,10)`
+  * in Spark and `('0x' || substr(md5(x),1,15))::BIGINT` in DuckDB —
+  * 15 hex digits = 60 bits, always inside a signed 64-bit range.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = single hash-shuffle on the digest, map-side partial agg;
+  *  - MinHash/LSH = linear-cost signature pass, then a shuffle keyed on
+  *    (band, band_hash) — candidate pairs only, never O(n²);
+  *  - SimHash = linear signature pass, duplicate clusters found by equality
+  *    on the 60-bit signature (hash-shuffle, no pairwise compare);
+  *  - n-gram Jaccard restricts the pair join to RARE shingles (document
+  *    frequency ≤ cap), the standard trick that bounds the join fan-out;
+  *  - embedding near-dup does the exact O(n²) form here as the small-side
+  *    baseline; the LSH-bucketed scale path is in [[Similarity]].
+  */
+object Dedup {
+
+  /** 60-bit portable hash of a string column expression (SQL fragment). */
+  private def h60(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: group documents by content digest; keep the lowest
+    * doc_id of each group. Output IS the deduplicated keep-set (plus the
+    * collapsed copy count) — one hash-shuffle, map-side partial agg. */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .groupBy(md5($"text").as("text_hash"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"text_hash")
+  }
+
+  /** Word 3-shingles per document, distinct: (doc_id, shingle). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
+      .filter(size($"tk") >= 3)
+      .select($"doc_id",
+        explode(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash (8 permutations) + LSH banding (4 bands × 2 rows) + exact
+    * Jaccard verification on candidate pairs. Output: near-dup pairs with
+    * their true shingle-Jaccard ≥ 0.5.
+    *
+    * The "permutation" family is min over md5(i || '|' || shingle) as a
+    * *string* min — portable, uniform, and order-free. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+
+    // signature: 8 string-minhashes per doc
+    val sig = sh
+      .select($"doc_id", explode(expr("sequence(0, 7)")).as("perm"), $"shingle")
+      .groupBy($"doc_id", $"perm")
+      .agg(min(md5(concat($"perm".cast("string"), lit("|"), $"shingle"))).as("mh"))
+
+    // 4 bands of 2 rows: band b covers perms {2b, 2b+1}
+    val bands = sig
+      .withColumn("band", ($"perm" / 2).cast("int"))
+      .groupBy($"doc_id", $"band")
+      .agg(md5(concat_ws("|", sort_array(collect_list(concat($"perm".cast("string"), lit(":"), $"mh"))))).as("band_hash"))
+
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+
+    // exact Jaccard verification over the distinct shingle sets
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(counts.as("cb"), $"doc_b" === $"cb.doc_id")
+      .select($"doc_a", $"doc_b",
+        round($"n_inter".cast("double") /
+          ($"ca.n_sh" + $"cb.n_sh" - $"n_inter"), 4).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash: 60-bit signature from token hashes; duplicate clusters are
+    * signature-equality groups (no pairwise compare → scales linearly). */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = docs(s, dir)
+      .select($"doc_id", explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      .withColumn("h", expr(h60("word")))
+    tok
+      .select($"doc_id", $"h", explode(expr("sequence(0, 59)")).as("b"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1L).otherwise(-1L)).as("balance"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"balance" >= 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Character 5-gram Jaccard near-dup: candidate pairs must share a RARE
+    * gram (df ≤ 20), then exact Jaccard over full distinct gram sets. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = docs(s, dir)
+      .filter(length($"text") >= 5)
+      .select($"doc_id",
+        explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("gram"))
+      .distinct()
+      .cache()
+    val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" <= 20)
+    val cand = grams.as("ga").join(rare, Seq("gram"))
+      .join(grams.as("gb"), $"ga.gram" === $"gb.gram" && $"ga.doc_id" < $"gb.doc_id")
+      .select($"ga.doc_id".as("doc_a"), $"gb.doc_id".as("doc_b"))
+      .distinct()
+    val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_g"))
+    cand
+      .join(grams.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(grams.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.gram" === $"sb.gram")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(counts.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(counts.as("cb"), $"doc_b" === $"cb.doc_id")
+      .select($"doc_a", $"doc_b",
+        round($"n_inter".cast("double") /
+          ($"ca.n_g" + $"cb.n_g" - $"n_inter"), 4).as("jaccard"))
+      .filter($"jaccard" >= 0.7)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Embedding cosine near-duplicates — exact O(n²) baseline form.
+    * Norms are precomputed once per side; the dot product is a
+    * deterministic sequential fold (zip_with + aggregate) so the fp result
+    * is bit-identical to DuckDB's sequential list_cosine_similarity. */
+  def embedCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding",
+        expr("sqrt(aggregate(embedding, cast(0 as double), (s, x) -> s + cast(x as double) * cast(x as double)))").as("nrm"))
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        expr("""round(
+          aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)),
+                    cast(0 as double), (s, v) -> s + v) / (a.nrm * b.nrm), 4)""").as("cos_sim"))
+      .filter($"cos_sim" >= 0.45)
+      .orderBy($"vec_a", $"vec_b")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline extension:
+  * language ID (stopword-hit heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting (min-hash of
+  * rolling character grams).
+  *
+  * Everything is a single narrow pass over `documents` (no shuffle except
+  * the final deterministic ORDER BY, which exists only for oracle
+  * stability) — at 100 TB these are embarrassingly parallel scans.
+  * Regexes use only character classes whose semantics agree between Java
+  * regex (Spark) and RE2-ish engines (DuckDB).
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val En = Seq("the", "and", "of", "to", "in", "a", "is")
+  private val Es = Seq("el", "la", "de", "que", "y", "en", "un")
+  private val De = Seq("der", "die", "und", "ist", "das", "nicht", "ein")
+
+  private def hitCount(words: Seq[String]): org.apache.spark.sql.Column = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    expr(s"cast(size(filter(tk, x -> x in ($list))) as bigint)")
+  }
+
+  /** Language ID: argmax of stopword hits across EN/ES/DE lists, ties
+    * broken in EN > ES > DE order (>=); 'und' (undetermined) when no list
+    * hits at all. */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+      .select($"doc_id",
+        hitCount(En).as("n_en"), hitCount(Es).as("n_es"), hitCount(De).as("n_de"))
+      .select($"doc_id", $"n_en", $"n_es", $"n_de",
+        when($"n_en" + $"n_es" + $"n_de" === 0, "und")
+          .when($"n_en" >= $"n_es" && $"n_en" >= $"n_de", "en")
+          .when($"n_es" >= $"n_de", "es")
+          .otherwise("de").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length, token stats, punctuation / alpha / stopword
+    * ratios, plus a composite keep/drop heuristic (the C4-style filter
+    * shape: enough tokens, sane mean token length, low punctuation). */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enList = En.map(w => s"'$w'").mkString(", ")
+    docs(s, dir)
+      .select($"doc_id", $"text",
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        size($"tk").cast("long").as("n_tokens"),
+        round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4).as("mean_tok_len"),
+        round(size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+          length($"text"), 4).as("punct_ratio"),
+        round(size(regexp_extract_all($"text", lit("[a-zA-Z]"), lit(0))).cast("double") /
+          length($"text"), 4).as("alpha_ratio"),
+        round(expr(s"cast(size(filter(tk, x -> x in ($enList))) as double) / size(tk)"), 4).as("stopword_ratio"))
+      .withColumn("keep",
+        when($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 && $"mean_tok_len" <= 15.0 &&
+             $"punct_ratio" <= 0.2, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token stream
+    * (letter runs / digit runs / single non-alphanumeric marks). */
+  def tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(
+        $"doc_id",
+        expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as bigint)").as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        (length($"text") - length(regexp_replace($"text", lit(" "), lit(""))) + 1)
+          .cast("long").as("n_fields"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: minimum md5 over rolling character 8-grams
+    * (winnowing-style min-sampling). Equal fingerprints ⇒ high overlap
+    * candidates; linear cost, no shuffle beyond the per-doc aggregate. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(length($"text") >= 8)
+      .select($"doc_id",
+        explode(expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))")).as("g"))
+      .groupBy($"doc_id")
+      .agg(min($"g").as("fingerprint"), count(lit(1)).as("n_grams"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational SQL surface (SURVEY.md §2.4).
+  *
+  * The reference delegates its entire query surface to Athena over the
+  * Glue table (`deploy/serverless.yml:509-567`, `README.md:100-114`);
+  * capability parity for us means exposing the full Spark SQL surface.
+  * Each query here is declared via the DataFrame API so Catalyst plans
+  * it (predicate pushdown, column pruning, broadcast joins, partial
+  * aggregation); the paired DuckDB oracle in [[graft.SparkEntry.oracleSql]]
+  * pins cross-engine correctness.
+  *
+  * Scale notes (100 TB design intent):
+  *  - dimension tables (region/nation/supplier/part/customer) are
+  *    broadcast explicitly — no shuffle of the fact table for those joins;
+  *  - aggregates are expressed with built-in functions only → map-side
+  *    partial aggregation + whole-stage codegen;
+  *  - floating-point aggregates are rounded in BOTH engines so results
+  *    are insensitive to partition-order of the summation;
+  *  - every query output is deterministically ordered (or orderless-
+  *    hashable) with explicit tiebreaks, so results are stable under any
+  *    degree of parallelism.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1 shape: scan + filter (pushed to parquet) + hash aggregate. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Multi-way join with broadcast dims: revenue per nation.
+    * lineitem (fact) never shuffles for the dimension joins. */
+  def q2JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    val c  = t(s, dir, "customer")
+    val n  = t(s, dir, "nation")
+    val r  = t(s, dir, "region")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Top-k: join + aggregate + global ordered limit (TopK via takeOrdered plan). */
+  def q3Topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Window functions: row_number + running sum per supplier. */
+  def q4Window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_qty",
+        round(sum($"l_quantity").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .filter($"rn" <= 3)
+      .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber", $"run_qty")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  /** Left-semi join (EXISTS). */
+  def q5Semi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no open ('P') orders —
+    * restricted right side so the result is non-trivial at every sf. */
+  def q6Anti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter($"o_orderstatus" === "P"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** ROLLUP aggregate; grouping keys coalesced so no cross-engine NULL
+    * ordering ambiguity. */
+  def q7Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_extendedprice"), 2).as("sum_price"),
+           count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+              coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+              $"sum_price", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  /** CUBE aggregate over orders. */
+  def q8Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("sum_price"),
+           count(lit(1)).as("n"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as(("orderstatus")),
+              coalesce($"o_orderpriority", lit("ALL")).as("orderpriority"),
+              $"sum_price", $"n")
+      .orderBy($"orderstatus", $"orderpriority")
+  }
+
+  /** GROUPING SETS via Spark SQL text (parser surface). */
+  def q9GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+             coalesce(cast(year(o_orderdate) AS STRING), 'ALL') AS order_year,
+             round(sum(o_totalprice), 2) AS sum_price,
+             count(1) AS n
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+      ORDER BY orderstatus, order_year
+    """)
+  }
+
+  /** Set operations: UNION / INTERSECT / EXCEPT with distinct semantics. */
+  def q10SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val auto = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val rich = c.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+    val nat  = c.filter($"c_nationkey" < 5).select($"c_custkey")
+    auto.union(rich).distinct()
+      .intersect(c.select($"c_custkey"))
+      .except(nat)
+      .orderBy($"c_custkey")
+  }
+
+  /** Distinct aggregation per group. */
+  def q11DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+           countDistinct($"l_returnflag", $"l_linestatus").as("n_flag_status"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** Scalar function surface: date / string / math builtins. */
+  def q12ScalarFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("order_year"),
+        month($"o_orderdate").cast("long").as("order_month"),
+        upper(substring($"o_orderpriority", 1, 8)).as("prio_upper"),
+        length($"o_orderstatus").cast("long").as("status_len"),
+        round(abs($"o_totalprice" - 100000.0), 2).as("price_dist"),
+        ($"o_orderkey" % 7).as("key_mod"),
+        concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("status_prio"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Array surface: split + explode + aggregate (word count). */
+  def q13WordCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(50)
+  }
+
+  /** events.parquet carries TIMESTAMP(NANOS); Spark reads it as a long
+    * (ns since epoch) under `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in Verify/Bench sessions). Normalize either representation to
+    * an exact bigint of epoch-nanoseconds — integer arithmetic only, so
+    * results are bit-identical to DuckDB's epoch_ns(ts). */
+  private def eventsNs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val tsNs = e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts")) * lit(1000L)
+    }
+    e.withColumn("ts_ns", tsNs)
+  }
+
+  /** Event-time tumbling window (5 min) over the events table, expressed
+    * with portable exact epoch-ns bucket arithmetic (identical in DuckDB). */
+  def q14Tumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsNs(s, dir)
+      .groupBy((expr("ts_ns div 300000000000") * 300).as("bucket"),
+               $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"bucket", $"event_type")
+  }
+
+  /** Sessionization: gap > 30 min starts a new session (lag + windowed
+    * cumulative sum) — the classic streaming-shaped window query. */
+  def q15Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    eventsNs(s, dir)
+      .withColumn("prev_ts", lag($"ts_ns", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || ($"ts_ns" - $"prev_ts" > 1800000000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id")
+      .agg(max($"session_id").as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** Correlated scalar subquery shape: orders above their customer's
+    * average order value. Expressed as join against a pre-aggregate
+    * (decorrelated form — what Catalyst would plan anyway). */
+  def q16Subquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val avgPer = o.groupBy($"o_custkey".as("ck")).agg(avg($"o_totalprice").as("avg_price"))
+    o.join(broadcast(avgPer), $"o_custkey" === $"ck")
+      .filter($"o_totalprice" > $"avg_price" * 1.5)
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+}
