@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{DicomQueries, Relational}
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,6 +54,13 @@ object SparkEntry {
     "text_quality"     -> (TextAnalysis.quality _),
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
+    "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
+    "dicom_errors"         -> (DicomQueries.errors _),
+    "dicom_partitioned_sql" -> (DicomQueries.partitionedSql _),
+    "dicom_crawl_schema"   -> (DicomQueries.crawlSchema _),
+    "dicom_parse_da_fn"    -> (DicomQueries.parseDaFn _),
+    "dicom_parse_pn_fn"    -> (DicomQueries.parsePnFn _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -347,5 +354,16 @@ object SparkEntry {
         |g AS (SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 8)) AS g FROM g0)
         |SELECT doc_id, min(g) AS fingerprint, count(*) AS n_grams
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dicom_parse_da_fn" ->
+      """SELECT o_orderkey,
+        |strftime(CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE), '%Y-%m-%d') AS parsed_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "dicom_parse_pn_fn" ->
+      """SELECT c_custkey,
+        |string_split(c_name || '^' || c_mktsegment, '^')[1] AS family_name,
+        |string_split(c_name || '^' || c_mktsegment, '^')[2] AS given_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -1,0 +1,227 @@
+package graft.dicom
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.Charset
+
+/** Binary DICOM (PS3.10 file / PS3.5 data-set) parser.
+  *
+  * Scope mirrors the reference's `pydicom.dcmread(stop_before_pixels=True)`
+  * + `remove_private_tags()` usage (`src/app.py:75-76`):
+  *  - 128-byte preamble + `DICM` magic required (no-force dcmread
+  *    semantics: anything else raises → error sink);
+  *  - file-meta group (0002) is always explicit-VR little-endian; the
+  *    transfer syntax it declares drives the main data set (implicit LE,
+  *    explicit LE, explicit BE, deflated explicit LE supported);
+  *  - parsing STOPS at pixel data (7FE0,0008/0009/0010) — the scan never
+  *    materializes pixels (column pruning at the source);
+  *  - odd-group (private) elements are dropped during the scan;
+  *  - SQ sequences (defined and undefined length) parse recursively.
+  *
+  * Pure Scala; no Spark imports — unit-testable without a session.
+  */
+object DicomParser {
+
+  final case class DicomElement(
+      group: Int,
+      elem: Int,
+      vr: String,
+      /** raw value bytes (empty for SQ) */
+      bytes: Array[Byte],
+      /** SQ item data sets */
+      items: Seq[Seq[DicomElement]] = Nil) {
+    def tagKey: Int = Tags.key(group, elem)
+    def keyword: String = Tags.lookup(group, elem).map(_.keyword).getOrElse("")
+    def isEmpty: Boolean = bytes.isEmpty && items.isEmpty
+  }
+
+  final case class DicomFile(
+      meta: Seq[DicomElement],
+      elements: Seq[DicomElement],
+      transferSyntax: String,
+      charset: Charset)
+
+  final class InvalidDicomException(msg: String) extends RuntimeException(msg)
+
+  private val ExplicitLE = "1.2.840.10008.1.2.1"
+  private val ImplicitLE = "1.2.840.10008.1.2"
+  private val ExplicitBE = "1.2.840.10008.1.2.2"
+  private val DeflatedLE = "1.2.840.10008.1.2.1.99"
+
+  /** VRs using the 4-byte length form (2 reserved bytes after the VR). */
+  private val longFormVRs = Set("OB", "OW", "OF", "OD", "OL", "OV", "SQ",
+                                "UC", "UR", "UT", "UN", "SV", "UV")
+
+  private val pixelDataTags = Set(Tags.key(0x7fe0, 0x0008),
+    Tags.key(0x7fe0, 0x0009), Tags.key(0x7fe0, 0x0010))
+
+  /** DICM magic check: bytes 128..132 == "DICM"
+    * (`src/utils/utils.py:51-58` semantics). */
+  def isDicom(bytes: Array[Byte]): Boolean =
+    bytes.length >= 132 &&
+      bytes(128) == 'D' && bytes(129) == 'I' && bytes(130) == 'C' && bytes(131) == 'M'
+
+  def parse(bytes: Array[Byte]): DicomFile = {
+    if (!isDicom(bytes))
+      throw new InvalidDicomException(
+        "File is missing DICOM File Meta Information header or the 'DICM' prefix is missing from the header")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(132)
+
+    // --- file meta: always explicit VR LE; bounded by (0002,0000) UL ---
+    val meta = Vector.newBuilder[DicomElement]
+    var transferSyntax = ExplicitLE
+    var metaEnd = -1L
+    var done = false
+    while (!done && buf.remaining() >= 8) {
+      if (metaEnd >= 0 && buf.position() >= metaEnd) done = true
+      else {
+        val mark = buf.position()
+        val group = buf.getShort() & 0xffff
+        if (group != 0x0002) { buf.position(mark); done = true }
+        else {
+          val elem = buf.getShort() & 0xffff
+          val e = readExplicitElement(buf, group, elem, implicitVR = false, bigEndian = false)
+          meta += e
+          if (elem == 0x0000 && e.bytes.length >= 4)
+            metaEnd = buf.position().toLong +
+              (ByteBuffer.wrap(e.bytes).order(ByteOrder.LITTLE_ENDIAN).getInt() & 0xffffffffL)
+          if (elem == 0x0010)
+            transferSyntax = asciiTrim(e.bytes)
+        }
+      }
+    }
+
+    // --- main data set ---
+    val (dataBuf, implicitVR, bigEndian) = transferSyntax match {
+      case ImplicitLE => (buf, true, false)
+      case ExplicitBE =>
+        (buf.order(ByteOrder.BIG_ENDIAN), false, true)
+      case DeflatedLE =>
+        val inflater = new java.util.zip.Inflater(true)
+        inflater.setInput(bytes, buf.position(), bytes.length - buf.position())
+        val out = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](65536)
+        while (!inflater.finished() && !inflater.needsInput()) {
+          val n = inflater.inflate(chunk)
+          if (n > 0) out.write(chunk, 0, n)
+        }
+        (ByteBuffer.wrap(out.toByteArray).order(ByteOrder.LITTLE_ENDIAN), false, false)
+      case _ => (buf, false, false) // explicit LE (default) and private syntaxes
+    }
+
+    val elems = parseDataSet(dataBuf, implicitVR, bigEndian, stopAtPixels = true)
+    val charset = elems.find(_.tagKey == Tags.key(0x0008, 0x0005))
+      .map(e => charsetFor(asciiTrim(e.bytes))).getOrElse(Charset.forName("UTF-8"))
+    DicomFile(meta.result(), elems, transferSyntax, charset)
+  }
+
+  /** Parse data-set elements until EOF, pixel data, or a delimiter tag.
+    * Odd-group (private) elements are consumed but not emitted. */
+  private def parseDataSet(buf: ByteBuffer, implicitVR: Boolean, bigEndian: Boolean,
+                           stopAtPixels: Boolean, insideItem: Boolean = false): Vector[DicomElement] = {
+    val out = Vector.newBuilder[DicomElement]
+    var done = false
+    while (!done && buf.remaining() >= 8) {
+      val mark = buf.position()
+      val group = buf.getShort() & 0xffff
+      val elem = buf.getShort() & 0xffff
+      val tagKey = Tags.key(group, elem)
+      if (group == 0xfffe && (elem == 0xe00d || elem == 0xe0dd)) {
+        buf.getInt() // zero length of the delimiter
+        if (insideItem) done = true
+        else () // stray delimiter at top level: skip
+      } else if (stopAtPixels && pixelDataTags.contains(tagKey)) {
+        buf.position(mark)
+        done = true
+      } else {
+        val e =
+          if (implicitVR) readImplicitElement(buf, group, elem, bigEndian)
+          else readExplicitElement(buf, group, elem, implicitVR = false, bigEndian)
+        if (group % 2 == 0) out += e // drop private (odd-group) tags
+      }
+    }
+    out.result()
+  }
+
+  private def readExplicitElement(buf: ByteBuffer, group: Int, elem: Int,
+                                  implicitVR: Boolean, bigEndian: Boolean): DicomElement = {
+    val vr = new String(Array(buf.get(), buf.get()).map(_.toChar))
+    val len: Long =
+      if (longFormVRs.contains(vr)) { buf.getShort(); buf.getInt() & 0xffffffffL }
+      else buf.getShort() & 0xffffL
+    readValue(buf, group, elem, vr, len, implicitVR = false, bigEndian)
+  }
+
+  private def readImplicitElement(buf: ByteBuffer, group: Int, elem: Int,
+                                  bigEndian: Boolean): DicomElement = {
+    val len = buf.getInt() & 0xffffffffL
+    val vr = Tags.lookup(group, elem).map(_.vr).getOrElse("UN")
+    readValue(buf, group, elem, vr, len, implicitVR = true, bigEndian)
+  }
+
+  private def readValue(buf: ByteBuffer, group: Int, elem: Int, vr: String,
+                        len: Long, implicitVR: Boolean, bigEndian: Boolean): DicomElement = {
+    val undefined = len == 0xffffffffL
+    if (vr == "SQ" || (undefined && vr == "UN")) {
+      val items = readSequenceItems(buf, len, implicitVR, bigEndian)
+      DicomElement(group, elem, "SQ", Array.emptyByteArray, items)
+    } else if (undefined) {
+      // undefined-length non-SQ (encapsulated pixel data shape): skip items
+      val items = readSequenceItems(buf, len, implicitVR, bigEndian)
+      DicomElement(group, elem, vr, Array.emptyByteArray, Nil)
+    } else {
+      if (len > buf.remaining())
+        throw new InvalidDicomException(
+          s"Element (${f"$group%04x"},${f"$elem%04x"}) length $len exceeds remaining ${buf.remaining()} bytes")
+      val v = new Array[Byte](len.toInt)
+      buf.get(v)
+      DicomElement(group, elem, vr, v)
+    }
+  }
+
+  /** Read SQ items: (FFFE,E000)* terminated by defined length or
+    * (FFFE,E0DD). Each item is a nested data set. */
+  private def readSequenceItems(buf: ByteBuffer, seqLen: Long,
+                                implicitVR: Boolean, bigEndian: Boolean): Seq[Seq[DicomElement]] = {
+    val items = Vector.newBuilder[Seq[DicomElement]]
+    val undefined = seqLen == 0xffffffffL
+    val end = if (undefined) Long.MaxValue else buf.position() + seqLen
+    var done = false
+    while (!done && buf.remaining() >= 8 && buf.position() < end) {
+      val group = buf.getShort() & 0xffff
+      val elem = buf.getShort() & 0xffff
+      val itemLen = buf.getInt() & 0xffffffffL
+      if (group == 0xfffe && elem == 0xe0dd) done = true
+      else if (group == 0xfffe && elem == 0xe000) {
+        if (itemLen == 0xffffffffL) {
+          items += parseDataSet(buf, implicitVR, bigEndian, stopAtPixels = false, insideItem = true)
+        } else {
+          val itemEnd = buf.position() + itemLen
+          val slice = buf.duplicate().order(buf.order())
+          slice.limit(itemEnd.toInt)
+          items += parseDataSet(slice, implicitVR, bigEndian, stopAtPixels = false, insideItem = true)
+          buf.position(itemEnd.toInt)
+        }
+      } else {
+        throw new InvalidDicomException(
+          s"Unexpected tag (${f"$group%04x"},${f"$elem%04x"}) inside sequence")
+      }
+    }
+    items.result()
+  }
+
+  private[dicom] def asciiTrim(bytes: Array[Byte]): String =
+    new String(bytes, Charset.forName("ISO-8859-1"))
+      .reverse.dropWhile(c => c == ' ' || c == 0).reverse
+
+  /** DICOM Specific Character Set → JVM charset (common defined terms). */
+  def charsetFor(term: String): Charset = term.trim match {
+    case "ISO_IR 192" => Charset.forName("UTF-8")
+    case "ISO_IR 100" => Charset.forName("ISO-8859-1")
+    case "ISO_IR 101" => Charset.forName("ISO-8859-2")
+    case "ISO_IR 144" => Charset.forName("ISO-8859-5")
+    case "ISO_IR 126" => Charset.forName("ISO-8859-7")
+    case ""           => Charset.forName("US-ASCII")
+    case _            => Charset.forName("UTF-8")
+  }
+}

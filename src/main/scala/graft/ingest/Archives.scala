@@ -1,0 +1,135 @@
+package graft.ingest
+
+import java.io.{ByteArrayInputStream, InputStream}
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream}
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
+import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
+import graft.dicom.DicomParser
+
+/** Extension routing + archive expansion, reproducing
+  * `s3wrapper.eval_ext/set_file_ext/get` (`src/s3wrapper.py:38-44,76-127`)
+  * and the member filters in `src/utils/utils.py:6-58`:
+  *
+  *  - extension = `os.path.splitext` of the key; empty or ≥10 chars →
+  *    default `.dcm`;
+  *  - `.json/.txt/.csv` → ignored ("No file found" success, no error);
+  *  - `.dcm` → single member, FIRST 10,000,001 BYTES ONLY (the ranged-GET
+  *    cap, `src/s3wrapper.py:55-63`; `Range: bytes=0-10000000` is
+  *    inclusive);
+  *  - `.zip` → entries that are files, don't contain "DICOMDIR"
+  *    (case-insensitive), and carry the DICM magic at offset 128;
+  *  - `.tar/.gz/.bz2/.xz` → same filters; compression is detected from
+  *    MAGIC BYTES (like `tarfile.open('r')`), so a mislabeled extension
+  *    still expands;
+  *  - anything else → error ("<ext> file extension not supported").
+  */
+object Archives {
+
+  val IgnoreExts: Set[String] = Set(".json", ".txt", ".csv")
+  val DcmRangeBytes: Int = 10000001
+  val DefaultExt = ".dcm"
+
+  sealed trait Expansion
+  /** Ignored extension — "No file found" success. */
+  case object Ignored extends Expansion
+  /** (archive member name or basename) → bytes. */
+  final case class Entries(entries: Seq[(String, Array[Byte])]) extends Expansion
+
+  final class UnsupportedExtensionException(ext: String)
+    extends RuntimeException(s"$ext file extension not supported")
+  final class InvalidArchiveException(msg: String) extends RuntimeException(msg)
+
+  /** `os.path.splitext`-equivalent extension of the key's basename
+    * (leading-dot-only names have no extension). */
+  def splitExt(key: String): String = {
+    val base = key.substring(key.lastIndexOf('/') + 1)
+    val idx = base.lastIndexOf('.')
+    if (idx <= 0) "" else base.substring(idx)
+  }
+
+  /** `set_file_ext` rule: non-empty and < 10 chars → lowered ext, else
+    * the default `.dcm`. */
+  def evalExt(key: String): String = {
+    val ext = splitExt(key)
+    if (ext.nonEmpty && ext.length < 10) ext.toLowerCase else DefaultExt
+  }
+
+  private def basename(key: String): String =
+    key.substring(key.lastIndexOf('/') + 1)
+
+  def expand(key: String, content: Array[Byte]): Expansion = {
+    val ext = evalExt(key)
+    if (IgnoreExts.contains(ext)) Ignored
+    else ext match {
+      case ".dcm" =>
+        Entries(Seq(basename(key) -> content.take(DcmRangeBytes)))
+      case ".zip" => expandZip(key, content)
+      case ".tar" | ".gz" | ".bz2" | ".xz" => expandTar(key, content)
+      case other => throw new UnsupportedExtensionException(other)
+    }
+  }
+
+  /** Archive member filter (`src/utils/utils.py:6-48`): regular files
+    * only, no "DICOMDIR" in the name, DICM magic present. */
+  private def keepMember(name: String, bytes: Array[Byte]): Boolean =
+    !name.toUpperCase.contains("DICOMDIR") && DicomParser.isDicom(bytes)
+
+  private def expandZip(key: String, content: Array[Byte]): Entries = {
+    if (content.length < 4 || content(0) != 'P' || content(1) != 'K')
+      throw new InvalidArchiveException(s"Invalid ZipFile $key")
+    val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(content))
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    var entry = zin.getNextEntry
+    while (entry != null) {
+      if (!entry.isDirectory) {
+        val bytes = readAll(zin)
+        if (keepMember(entry.getName, bytes)) out += entry.getName -> bytes
+      }
+      entry = zin.getNextEntry
+    }
+    zin.close()
+    Entries(out.result())
+  }
+
+  /** tar / tar.gz / tar.bz2 / tar.xz — compression chosen by magic bytes
+    * (tarfile.open('r') auto-detect semantics). */
+  private def expandTar(key: String, content: Array[Byte]): Entries = {
+    val raw: InputStream = new ByteArrayInputStream(content)
+    val decompressed: InputStream =
+      if (content.length >= 2 && (content(0) & 0xff) == 0x1f && (content(1) & 0xff) == 0x8b)
+        new GzipCompressorInputStream(raw, true)
+      else if (content.length >= 3 && content(0) == 'B' && content(1) == 'Z' && content(2) == 'h')
+        new BZip2CompressorInputStream(raw, true)
+      else if (content.length >= 6 && (content(0) & 0xff) == 0xfd && content(1) == '7' &&
+               content(2) == 'z' && content(3) == 'X' && content(4) == 'Z' && content(5) == 0)
+        new XZCompressorInputStream(raw)
+      else raw
+    val tin = new TarArchiveInputStream(decompressed)
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    try {
+      var entry: TarArchiveEntry = tin.getNextEntry
+      if (entry == null)
+        throw new InvalidArchiveException(s"Invalid TarFile $key")
+      while (entry != null) {
+        if (entry.isFile) {
+          val bytes = readAll(tin)
+          if (keepMember(entry.getName, bytes)) out += entry.getName -> bytes
+        }
+        entry = tin.getNextEntry
+      }
+    } catch {
+      case e: java.io.IOException =>
+        throw new InvalidArchiveException(s"Invalid TarFile $key: ${e.getMessage}")
+    } finally tin.close()
+    Entries(out.result())
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+import graft.dicom.{DicomParser, Flatten, Tags, VrConvert}
+import graft.ingest.Archives
+
+/** The end-to-end metadata-extraction job (SURVEY.md §3 E1/E2 collapsed
+  * into one Spark job):
+  *
+  *   binaryFile scan → flatMap(route ∘ expand ∘ parse ∘ flatten)
+  *     → observed-schema finalize → snake_case rename
+  *     → write.partitionBy(study_date) snappy parquet
+  *   + error side-channel (the DLQ analog, SURVEY §2.1 S10).
+  *
+  * Failure granularity matches the reference: ANY entry failing fails the
+  * whole source object (one Lambda invocation = one object = one DLQ
+  * message); a failed object contributes zero rows and one error record.
+  *
+  * Scale design:
+  *  - the parse/flatten runs entirely in executors (one task per file
+  *    slice of the binaryFile scan — at 100 TB this is the linear,
+  *    embarrassingly-parallel stage);
+  *  - the only driver interaction is collecting the OBSERVED KEY SET
+  *    (bounded by the static tag dictionary, ~130 keywords — a few KB —
+  *    never row data) to build the batch schema, mirroring the
+  *    reference's per-batch drop-all-null dynamic schema
+  *    (`src/app.py:39-41`);
+  *  - the parsed intermediate is persisted (MEMORY_AND_DISK_SER) so the
+  *    key-scan and the row materialization don't re-parse binaries;
+  *  - the partitioned write uses Hive-style `study_date=` layout →
+  *    partition-pruned reads for free (Catalyst
+  *    `PruneFileSourcePartitions`).
+  */
+object DicomPipeline {
+
+  /** DLQ-analog error record (stage ∈ route|expand|parse|transform). */
+  final case class DicomError(source_s3_key: String, stage: String, error: String)
+
+  /** Parsed image: lineage + keyword-keyed typed values. */
+  final case class ImageRow(values: Map[String, VrConvert.DicomValue])
+    extends Serializable
+
+  final case class Extracted(rows: RDD[ImageRow], errors: RDD[DicomError])
+
+  /** Process ONE source object end-to-end (pure; runs on executors). */
+  def processObject(bucket: String, region: String, key: String,
+                    content: Array[Byte]): Either[DicomError, Seq[ImageRow]] = {
+    try {
+      Archives.expand(key, content) match {
+        case Archives.Ignored => Right(Nil)
+        case Archives.Entries(entries) =>
+          Right(entries.map { case (name, bytes) =>
+            val parsed = DicomParser.parse(bytes)
+            ImageRow(Flatten.flatten(parsed, bucket, region, key, name))
+          })
+      }
+    } catch {
+      case e: DicomParser.InvalidDicomException =>
+        Left(DicomError(key, "parse", e.getMessage))
+      case e: Archives.UnsupportedExtensionException =>
+        Left(DicomError(key, "route", e.getMessage))
+      case e: Archives.InvalidArchiveException =>
+        Left(DicomError(key, "expand", e.getMessage))
+      case scala.util.control.NonFatal(e) =>
+        Left(DicomError(key, "transform", s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+  }
+
+  /** Zero-length files never produce scan splits (Spark file-source
+    * planning skips them), yet the reference's canonical failure fixture
+    * is an EMPTY `DICOMDIR` whose error record we must emit
+    * (README.md:116). List them explicitly — listing only the empties is
+    * driver-cheap (the source lists the directory anyway). */
+  private def emptyFiles(spark: SparkSession, inputPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(inputPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      val it = fs.listFiles(p, true)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getLen == 0) out += s.getPath.toString
+      }
+      out.result()
+    }
+  }
+
+  /** Read binaries and run the extraction flatMap. `bucket`/`region` are
+    * lineage constants (the storage coordinates of `inputPath`). */
+  def extract(spark: SparkSession, inputPath: String,
+              bucket: String = "local", region: String = "local"): Extracted = {
+    val bin = spark.read.format("binaryFile").load(inputPath)
+      .select("path", "content")
+    val base = extractFromBinary(bin, bucket, region)
+    val empties = emptyFiles(spark, inputPath)
+    if (empties.isEmpty) base
+    else {
+      val extra = spark.sparkContext.parallelize(empties, 1)
+        .map(p => processObject(bucket, region, p, Array.emptyByteArray))
+      Extracted(
+        rows = base.rows ++ extra.flatMap { case Right(rs) => rs; case Left(_) => Nil },
+        errors = base.errors ++ extra.flatMap { case Left(e) => Some(e); case Right(_) => None })
+    }
+  }
+
+  /** Same extraction over an already-loaded (path, content) DataFrame —
+    * shared by the batch entry point and the streaming foreachBatch. */
+  def extractFromBinary(bin: DataFrame, bucket: String, region: String): Extracted = {
+    val parsed = bin.rdd
+      .map { r => processObject(bucket, region, r.getString(0), r.getAs[Array[Byte]](1)) }
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    Extracted(
+      rows = parsed.flatMap { case Right(rs) => rs; case Left(_) => Nil },
+      errors = parsed.flatMap { case Left(e) => Some(e); case Right(_) => None })
+  }
+
+  /** The PN struct type (7 string fields, `tags.py:56-65` order). */
+  val pnStruct: StructType = StructType(Seq(
+    "FamilyName", "GivenName", "Ideographic", "MiddleName",
+    "NamePrefix", "NameSuffix", "Phonetic")
+    .map(f => StructField(Tags.snakeCase(f), StringType)))
+
+  /** Spark type of a column, decided by the static dictionary VR + max VM
+    * (SURVEY §1.3 table). Lineage columns are plain strings. */
+  def sparkTypeFor(keyword: String): DataType =
+    Tags.byKeyword.get(keyword) match {
+      case None => StringType // lineage keys
+      case Some(info) => (info.vr, info.vmMax > 1) match {
+        case ("DA", false) => DateType
+        case ("DA", true)  => ArrayType(DateType)
+        case ("PN", false) => pnStruct
+        case ("PN", true)  => ArrayType(pnStruct)
+        case ("SQ", _)     => MapType(StringType, StringType)
+        case (_, true)     => ArrayType(StringType)
+        case (_, false)    => StringType
+      }
+    }
+
+  private def toExternal(v: VrConvert.DicomValue): Any = v match {
+    case VrConvert.DStr(s)       => s
+    case VrConvert.DStrList(xs)  => xs
+    case VrConvert.DDate(d)      => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))
+    case VrConvert.DDateList(xs) => xs.map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)))
+    case VrConvert.DPersonName(c)      => Row.fromSeq(c)
+    case VrConvert.DPersonNameList(xs) => xs.map(Row.fromSeq)
+    case VrConvert.DMap(m)       => m
+    case VrConvert.DNull         => null
+  }
+
+  /** Finalize the batch DataFrame: union of observed NON-NULL keys →
+    * columns (this IS the reference's per-batch drop-all-null,
+    * `src/app.py:41` — a keyword only becomes a column if some row holds
+    * a value), typed from the static dictionary, snake_case-renamed
+    * (wrangler `sanitize_columns=True` analog). */
+  def toDataFrame(spark: SparkSession, rows: RDD[ImageRow]): DataFrame = {
+    val observed: Array[String] = rows
+      .flatMap(_.values.collect { case (k, v) if v != VrConvert.DNull => k })
+      .distinct().collect()
+    val keywords = observed.sorted
+    val schema = StructType(keywords.map(kw =>
+      StructField(Tags.snakeCase(kw), sparkTypeFor(kw), nullable = true)))
+    val rowRdd = rows.map { ir =>
+      Row.fromSeq(keywords.map(kw => ir.values.get(kw).map(toExternal).orNull))
+    }
+    spark.createDataFrame(rowRdd, schema)
+  }
+
+  /** Full job: extract → finalize → partitioned snappy write (+ errors
+    * parquet). Returns (data, errors) as written. */
+  def run(spark: SparkSession, inputPath: String, outPath: String,
+          errorPath: Option[String] = None,
+          bucket: String = "local", region: String = "local"): (DataFrame, DataFrame) = {
+    val ex = extract(spark, inputPath, bucket, region)
+    val df = toDataFrame(spark, ex.rows)
+    if (df.columns.nonEmpty && !df.isEmpty)
+      df.write.mode("append")
+        .partitionBy(Flatten.PartitionColSnake)
+        .option("compression", "snappy")
+        .parquet(outPath)
+    import spark.implicits._
+    val errDf = spark.createDataFrame(ex.errors)
+    errorPath.foreach { p =>
+      if (!errDf.isEmpty) errDf.write.mode("append").parquet(p)
+    }
+    (df, errDf)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dicom.VrConvert
+import graft.pipeline.{Catalog, DicomPipeline}
+
+/** SparkEntry-facing DICOM queries. The pipeline operators (SURVEY.md
+  * §2.1-2.3) are not expressible as DuckDB SQL over the sf tables, so
+  * these run the engine over the reference fixture set
+  * (/root/reference/sample_dcm, read-only, fully deterministic content)
+  * and return stable, ordered results — the driver records rows-only
+  * checks. The two `*_fn` queries re-expose VR converters as SQL scalar
+  * functions (T1) applied to the sf tables, so they DO carry oracles.
+  */
+object DicomQueries {
+
+  val Fixtures = "/root/reference/sample_dcm"
+
+  private def scratch(): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, "run").toAbsolutePath.toString
+  }
+
+  /** Full extraction (route→expand→parse→flatten→finalize) over all 7
+    * fixture objects: 10 images, deterministic projection. */
+  def extractFlat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = DicomPipeline.toDataFrame(s,
+      DicomPipeline.extract(s, Fixtures, "ref-bucket", "ref-region").rows)
+    df.select(
+        element_at(split($"source_s3_key", "/"), -1).as("source_key"),
+        $"source_s3_archive_path".as("archive_path"),
+        $"modality", $"conversion_type", $"patient_id", $"patient_sex",
+        date_format($"study_date", "yyyy-MM-dd").as("study_date"),
+        $"series_number", $"rows", $"columns",
+        $"photometric_interpretation", $"sopinstance_uid",
+        $"image_type", $"pixel_spacing",
+        $"patient_name.family_name".as("patient_family_name"))
+      .orderBy($"source_key", $"archive_path")
+  }
+
+  /** DLQ-analog error channel: the empty DICOMDIR fixture must fail at
+    * the parse stage (README.md:116 end-to-end expectation). */
+  def errors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = DicomPipeline.extract(s, Fixtures, "ref-bucket", "ref-region")
+    s.createDataFrame(ex.errors)
+      .select(element_at(split($"source_s3_key", "/"), -1).as("source_key"),
+              $"stage", $"error")
+      .orderBy($"source_key")
+  }
+
+  /** E3 path: partitioned write → catalog registration → MSCK → pruned
+    * SQL aggregation by partition. */
+  def partitionedSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch()
+    DicomPipeline.run(s, Fixtures, s"$out/data", Some(s"$out/errors"),
+      "ref-bucket", "ref-region")
+    val table = "dicom_metadata_" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    Catalog.registerTable(s, s"$out/data", "dicom_db", table)
+    s.sql(
+      s"""SELECT date_format(study_date, 'yyyy-MM-dd') AS study_date,
+         |       count(*) AS n_images,
+         |       count(DISTINCT sopinstance_uid) AS n_instances
+         |FROM dicom_db.$table
+         |GROUP BY study_date ORDER BY study_date""".stripMargin)
+  }
+
+  /** Crawler analog: two batches with divergent schemas → merged column
+    * inventory (schema evolution made visible). */
+  def crawlSchema(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch()
+    DicomPipeline.run(s, s"$Fixtures/example-0", s"$out/data")
+    DicomPipeline.run(s, s"$Fixtures/example.zip", s"$out/data")
+    val merged = Catalog.crawl(s, s"$out/data",
+      table = "dicom_crawl_" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8))
+    merged.schema.fields.map(f => (f.name, f.dataType.simpleString))
+      .toSeq.toDF("column_name", "column_type")
+      .orderBy($"column_name")
+  }
+
+  private val parseDaUdf = udf { s: String =>
+    if (s == null || s.isEmpty)
+      java.sql.Date.valueOf("1900-01-01") // convert_DA empty path (tags.py:32)
+    else java.sql.Date.valueOf(
+      java.time.LocalDate.parse(s, java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")))
+  }
+
+  private val parsePnUdf = udf { s: String =>
+    val c = VrConvert.personName(if (s == null) "" else s)
+    (c(0), c(1)) // (FamilyName, GivenName)
+  }
+
+  /** VR converter re-exposed as a SQL scalar function (T1): DICOM DA
+    * string → DATE, round-tripped over orders. Oracle-checked. */
+  def parseDaFn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.udf.register("dicom_parse_da", parseDaUdf)
+    s.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey",
+        date_format(
+          call_udf("dicom_parse_da", date_format($"o_orderdate", "yyyyMMdd")),
+          "yyyy-MM-dd").as("parsed_date"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** PN component split as a SQL scalar function over synthetic PN
+    * strings built from customer rows. Oracle-checked. */
+  def parsePnFn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.udf.register("dicom_parse_pn", parsePnUdf)
+    s.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey",
+        call_udf("dicom_parse_pn",
+          concat($"c_name", lit("^"), $"c_mktsegment")).as("pn"))
+      .select($"c_custkey",
+        $"pn._1".as("family_name"), $"pn._2".as("given_name"))
+      .orderBy($"c_custkey")
+  }
+}

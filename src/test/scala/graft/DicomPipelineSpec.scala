@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.{Catalog, DicomPipeline}
+
+/** End-to-end pipeline over the reference fixture set: extraction counts,
+  * schema shape, error channel (DLQ analog), partitioned write + pruned
+  * SQL read, crawler merge. */
+class DicomPipelineSpec extends AnyFunSuite {
+
+  private val fixtures = "/root/reference/sample_dcm"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("dicom-pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "dicomspec").toAbsolutePath.toString
+
+  private lazy val extracted = DicomPipeline.extract(spark, fixtures, "bkt", "reg")
+  private lazy val df = DicomPipeline.toDataFrame(spark, extracted.rows)
+
+  test("extraction yields 10 images (2 loose + 2/zip + 2/tar + 2/tgz + 2/tbz2)") {
+    assert(df.count() == 10)
+  }
+
+  test("error channel: exactly the DICOMDIR fixture fails (README DLQ test)") {
+    val errs = extracted.errors.collect()
+    assert(errs.length == 1)
+    assert(errs.head.source_s3_key.endsWith("DICOMDIR"))
+    assert(errs.head.stage == "parse")
+  }
+
+  test("schema: snake_case columns, typed partition col, empty cols absent") {
+    val cols = df.columns.toSet
+    assert(cols.contains("study_date"))
+    assert(cols.contains("modality"))
+    assert(cols.contains("sopinstance_uid"))
+    assert(cols.contains("source_s3_archive_path"))
+    // empty-on-every-image elements never become columns (drop-all-null)
+    assert(!cols.contains("accession_number"))
+    assert(!cols.contains("patient_orientation"))
+    import org.apache.spark.sql.types._
+    assert(df.schema("study_date").dataType == DateType)
+    assert(df.schema("image_type").dataType == ArrayType(StringType))
+    assert(df.schema("patient_name").dataType == DicomPipeline.pnStruct)
+    assert(df.schema("rows").dataType == StringType) // US→string quirk
+  }
+
+  test("partitioned write + catalog + pruned SQL read (E3 path)") {
+    val out = tmp()
+    val (_, errDf) = DicomPipeline.run(spark, fixtures, s"$out/data",
+      errorPath = Some(s"$out/errors"), bucket = "bkt", region = "reg")
+    assert(errDf.count() == 1)
+    Catalog.registerTable(spark, s"$out/data", "dicom_db", "dicom_metadata")
+    val total = spark.sql("SELECT count(*) c FROM dicom_db.dicom_metadata").head.getLong(0)
+    assert(total == 10)
+    // partition pruning: filter on study_date must hit only matching dirs
+    val dates = spark.sql(
+      "SELECT study_date, count(*) n FROM dicom_db.dicom_metadata GROUP BY 1").collect()
+    assert(dates.map(_.getLong(1)).sum == 10)
+    val one = dates.head.getDate(0).toString
+    val pruned = spark.sql(
+      s"SELECT * FROM dicom_db.dicom_metadata WHERE study_date = DATE '$one'")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == dates.head.getLong(1))
+    // physical scan must carry the partition filter
+    assert(plan.contains("PartitionFilters") || pruned.count() < total)
+  }
+
+  test("crawler merges divergent per-batch schemas") {
+    val out = tmp()
+    // batch 1: loose files only; batch 2: the zip (different column sets
+    // possible; at minimum merge must union without error)
+    DicomPipeline.run(spark, s"$fixtures/example-0", s"$out/data")
+    DicomPipeline.run(spark, s"$fixtures/example.zip", s"$out/data")
+    val merged = Catalog.crawl(spark, s"$out/data", table = "dicom_merged")
+    assert(merged.count() == 3)
+    assert(spark.sql("SELECT count(*) FROM dicom_db.dicom_merged").head.getLong(0) == 3)
+  }
+
+  test("streaming ingest: exactly-once across restarts") {
+    val out = tmp()
+    val in = s"$out/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    Seq("example-0", "example.zip").foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$fixtures/$f"),
+        java.nio.file.Paths.get(s"$in/$f"))
+    }
+    val q1 = graft.streaming.DicomStream.start(
+      spark, in, s"$out/data", s"$out/errors", s"$out/ckpt")
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$out/data").count() == 3)
+    // restart with no new files: checkpoint prevents reprocessing
+    val q2 = graft.streaming.DicomStream.start(
+      spark, in, s"$out/data", s"$out/errors", s"$out/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$out/data").count() == 3)
+    // new file arrives → only it is processed
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fixtures/example-6"),
+      java.nio.file.Paths.get(s"$in/example-6"))
+    val q3 = graft.streaming.DicomStream.start(
+      spark, in, s"$out/data", s"$out/errors", s"$out/ckpt")
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$out/data").count() == 4)
+  }
+}
