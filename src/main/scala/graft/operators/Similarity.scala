@@ -22,13 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     s.read.parquet(s"$dir/embeddings.parquet")
+  }
 
-  private val normExpr =
-    "sqrt(aggregate(embedding, cast(0 as double), (s, x) -> s + cast(x as double) * cast(x as double)))"
+  private val normExpr = "sqrt(graft_dot(embedding, embedding))"
 
-  /** Exact top-10 cosine neighbors of vec_id = 0 (excluding itself). */
+  /** Exact top-10 cosine neighbors of vec_id = 0 (excluding itself).
+    * One broadcast of the query vector; the scan stays narrow; the final
+    * top-k is a TakeOrdered — no full sort, no shuffle of scores. */
   def topkBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
@@ -37,9 +40,7 @@ object Similarity {
     e.filter($"vec_id" =!= 0)
       .join(broadcast(q))
       .select($"vec_id",
-        expr("""round(
-          aggregate(zip_with(embedding, q_emb, (x, y) -> cast(x as double) * cast(y as double)),
-                    cast(0 as double), (s, v) -> s + v) / (nrm * q_nrm), 6)""").as("cos_sim"))
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)
   }
@@ -59,14 +60,14 @@ object Similarity {
     }
   }
 
-  /** Sign bits of the projections onto the 24 constant hyperplanes
-    * (`planes` is a foldable literal column added by [[annLsh]]).
-    * The dot product is a sequential fold → reproducible fp. */
-  private val bitsExpr =
-    """transform(sequence(0, 23), p ->
-         if(aggregate(zip_with(embedding, planes[p],
-              (x, h) -> cast(x as double) * h),
-            cast(0 as double), (s, v) -> s + v) >= 0, 1, 0))"""
+  /** Sign bits of the projections onto the 24 constant hyperplanes:
+    * one codegen'd [[graft.functions.DotProduct]] against each plane
+    * literal — same left-to-right fp fold as the oracle. */
+  private def bitsCol: org.apache.spark.sql.Column =
+    array((0 until 24).map { p =>
+      when(call_function("graft_dot", col("embedding"),
+             typedlit(planeMatrix(p))) >= 0, 1).otherwise(0)
+    }: _*)
 
   /** 4 LSH tables × 6-bit buckets (OR-amplification): table t's bucket is
     * built from plane bits [6t, 6t+6). A vector is a candidate if it
@@ -83,10 +84,8 @@ object Similarity {
     import s.implicits._
     val e = emb(s, dir)
       .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
-      .withColumn("planes", typedlit(planeMatrix))
-      .withColumn("bits", expr(bitsExpr))
+      .withColumn("bits", bitsCol)
       .withColumn("buckets", expr(bucketsExpr))
-      .drop("planes")
     val tabs = e.select($"vec_id", $"embedding", $"nrm",
       posexplode($"buckets").as(Seq("t", "bucket")))
     val q = tabs.filter($"vec_id" === 0)
@@ -95,9 +94,7 @@ object Similarity {
     tabs.filter($"vec_id" =!= 0)
       .join(broadcast(q), $"t" === $"q_t" && $"bucket" === $"q_bucket")
       .select($"vec_id",
-        expr("""round(
-          aggregate(zip_with(embedding, q_emb, (x, y) -> cast(x as double) * cast(y as double)),
-                    cast(0 as double), (s, v) -> s + v) / (nrm * q_nrm), 6)""").as("cos_sim"))
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
       .distinct()
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)

@@ -1,0 +1,62 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Test-only explicit-VR-little-endian DICOM byte-stream writer, used by
+  * the golden SQ tests and the ScalaCheck round-trip properties
+  * (the Scala analog of the reference's `generate_dcm.py` fixture
+  * generator role). */
+object DicomWriter {
+
+  private val longForm = Set("OB", "OW", "OF", "OD", "OL", "OV", "SQ",
+                             "UC", "UR", "UT", "UN", "SV", "UV")
+
+  def element(group: Int, elem: Int, vr: String, value: Array[Byte]): Array[Byte] = {
+    val padded =
+      if (value.length % 2 == 0) value
+      else value :+ (if (vr == "UI") 0.toByte else ' '.toByte)
+    val out = ByteBuffer.allocate(12 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.putShort(group.toShort).putShort(elem.toShort)
+    out.put(vr.charAt(0).toByte).put(vr.charAt(1).toByte)
+    if (longForm.contains(vr)) { out.putShort(0); out.putInt(padded.length) }
+    else out.putShort(padded.length.toShort)
+    out.put(padded)
+    java.util.Arrays.copyOf(out.array(), out.position())
+  }
+
+  def strElement(group: Int, elem: Int, vr: String, value: String): Array[Byte] =
+    element(group, elem, vr, value.getBytes("UTF-8"))
+
+  def usElement(group: Int, elem: Int, values: Int*): Array[Byte] = {
+    val b = ByteBuffer.allocate(values.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(v => b.putShort(v.toShort))
+    element(group, elem, "US", b.array())
+  }
+
+  /** Defined-length SQ with the given items (each a concatenation of
+    * encoded elements). */
+  def sqElement(group: Int, elem: Int, items: Seq[Array[Byte]]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    items.foreach { item =>
+      val h = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      h.putShort(0xfffe.toShort).putShort(0xe000.toShort).putInt(item.length)
+      body.write(h.array()); body.write(item)
+    }
+    element(group, elem, "SQ", body.toByteArray)
+  }
+
+  /** Full file: preamble + DICM + minimal meta (explicit LE transfer
+    * syntax) + the given data-set elements. */
+  def file(elements: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(new Array[Byte](128))
+    out.write("DICM".getBytes)
+    val ts = strElement(0x0002, 0x0010, "UI", "1.2.840.10008.1.2.1")
+    val groupLen = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(ts.length).array()
+    out.write(element(0x0002, 0x0000, "UL", groupLen))
+    out.write(ts)
+    elements.foreach(out.write)
+    out.toByteArray
+  }
+}
