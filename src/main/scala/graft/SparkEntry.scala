@@ -39,6 +39,8 @@ object SparkEntry {
     "q14_tumbling_window" -> (Relational.q14Tumbling _),
     "q15_sessionize"    -> (Relational.q15Sessionize _),
     "q16_subquery"      -> (Relational.q16Subquery _),
+    "q17_outer_join"    -> (Relational.q17OuterJoin _),
+    "q18_percentiles"   -> (Relational.q18Percentiles _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -196,6 +198,27 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders JOIN a ON o_custkey = ck
         |WHERE o_totalprice > avg_price * 1.5 ORDER BY o_orderkey""".stripMargin,
+
+    "q17_outer_join" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |CASE WHEN c_custkey IS NULL THEN 'right_only'
+        |     WHEN o_custkey IS NULL THEN 'left_only'
+        |     ELSE 'both' END AS side,
+        |coalesce(n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 60) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+        |                 FROM orders WHERE o_custkey <= 120 GROUP BY 1) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q18_percentiles" ->
+      """SELECT c_mktsegment,
+        |round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+        |round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+        |round(stddev_samp(c_acctbal), 4) AS sd,
+        |round(avg(c_acctbal), 4) AS mean,
+        |count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -251,6 +251,38 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Full outer join with null-side classification. */
+  def q17OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer").filter($"c_custkey" <= 60)
+      .select($"c_custkey", $"c_name")
+    val o = t(s, dir, "orders").filter($"o_custkey" <= 120)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        when($"c_custkey".isNull, "right_only")
+          .when($"o_custkey".isNull, "left_only")
+          .otherwise("both").as("side"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .orderBy($"custkey")
+  }
+
+  /** Order statistics: exact interpolated percentiles + sample stddev
+    * per group (sort-based exact `percentile`, not the approx sketch). */
+  def q18Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90"),
+        round(stddev_samp($"c_acctbal"), 4).as("sd"),
+        round(avg($"c_acctbal"), 4).as("mean"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Correlated scalar subquery shape: orders above their customer's
     * average order value. Expressed as join against a pre-aggregate
     * (decorrelated form — what Catalyst would plan anyway). */
