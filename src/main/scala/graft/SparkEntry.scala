@@ -50,6 +50,7 @@ object SparkEntry {
     // ——— similarity search ———
     "sim_topk_brute"      -> (Similarity.topkBrute _),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
+    "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     // ——— text analysis ———
     "text_langid"      -> (TextAnalysis.langid _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "dicom_parse_da_fn"    -> (DicomQueries.parseDaFn _),
     "dicom_parse_pn_fn"    -> (DicomQueries.parsePnFn _),
     "dicom_stream_ingest"  -> (StreamQueries.streamIngest _),
+    "stream_events_window" -> (StreamQueries.streamEventsWindow _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
     "mm_decode_meta"  -> ((s, d) => Multimodal.decodeMeta(s, DicomQueries.Fixtures)),
     "mm_resize_meta"  -> ((s, d) => Multimodal.resizeMeta(s, DicomQueries.Fixtures)),
@@ -330,6 +332,31 @@ object SparkEntry {
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "dedup_embed_lsh" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |bt AS (SELECT vec_id, emb, nrm,
+        |  list_transform(range(24), p ->
+        |    CASE WHEN list_dot_product(emb, list_transform(range(64), j ->
+        |      (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2000)
+        |        / 1000.0 - 1.0)) >= 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM n),
+        |bk AS (SELECT vec_id, emb, nrm,
+        |  list_transform(range(4), t ->
+        |    bits[CAST(t*6 AS INT) + 1] + bits[CAST(t*6 AS INT) + 2] * 2 + bits[CAST(t*6 AS INT) + 3] * 4 +
+        |    bits[CAST(t*6 AS INT) + 4] * 8 + bits[CAST(t*6 AS INT) + 5] * 16 + bits[CAST(t*6 AS INT) + 6] * 32) AS buckets
+        |  FROM bt),
+        |tabs AS (SELECT vec_id, emb, nrm, t, buckets[t + 1] AS bucket
+        |  FROM (SELECT vec_id, emb, nrm, buckets, unnest(range(4)) AS t FROM bk))
+        |SELECT * FROM (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM tabs a JOIN tabs b
+        |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
     "sim_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |p AS (SELECT label, emb, unnest(range(len(emb))) AS dim FROM e),
@@ -383,6 +410,11 @@ object SparkEntry {
         |g AS (SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 8)) AS g FROM g0)
         |SELECT doc_id, min(g) AS fingerprint, count(*) AS n_grams
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "stream_events_window" ->
+      """SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket,
+        |event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     "dicom_parse_da_fn" ->
       """SELECT o_orderkey,

@@ -66,12 +66,19 @@ object Dedup {
     * values, 8× less shuffle volume. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir).cache()
-
-    // signature: 8 string-minhashes per doc, one shuffle
+    // ONE aggregation pass over the shingle stream produces everything
+    // doc-level: 8 minhash signatures, the distinct-shingle set (as a
+    // sorted array for intersection), and its size. The doc-level table
+    // (n_docs rows) is what all later joins touch — the 2.6M-row shingle
+    // relation is shuffled exactly once.
     val mhAggs = (0 to 7).map(p =>
       min(md5(concat(lit(s"$p|"), $"shingle"))).as(s"mh$p"))
-    val sig = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val docsAgg = shingles(s, dir)
+      .groupBy($"doc_id")
+      .agg(mhAggs.head, mhAggs.tail ++ Seq(
+        sort_array(collect_set($"shingle")).as("sh_set"),
+        count(lit(1)).as("n_sh")): _*)
+      .cache()
 
     // band b covers perms {2b, 2b+1}; the "p:mh" strings sort by p (single
     // leading digit), so concat in perm order == the sorted concat
@@ -80,7 +87,7 @@ object Dedup {
         md5(concat(lit(s"${2 * b}:"), col(s"mh${2 * b}"),
                    lit(s"|${2 * b + 1}:"), col(s"mh${2 * b + 1}"))).as("band_hash"))
     }
-    val bands = sig
+    val bands = docsAgg
       .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
 
@@ -91,19 +98,17 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    // exact Jaccard verification over the distinct shingle sets
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.as("ca"), $"doc_a" === $"ca.doc_id")
-      .join(counts.as("cb"), $"doc_b" === $"cb.doc_id")
+    // exact Jaccard via set intersection on the doc-level arrays —
+    // candidate pairs only, never the full shingle relation
+    val slim = docsAgg.select($"doc_id", $"sh_set", $"n_sh")
+    cand
+      .join(slim.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(slim.as("cb"), $"doc_b" === $"cb.doc_id")
       .select($"doc_a", $"doc_b",
-        round($"n_inter".cast("double") /
-          ($"ca.n_sh" + $"cb.n_sh" - $"n_inter"), 4).as("jaccard"))
+        size(array_intersect($"ca.sh_set", $"cb.sh_set")).cast("double").as("n_inter"),
+        ($"ca.n_sh" + $"cb.n_sh").as("n_sum"))
+      .select($"doc_a", $"doc_b",
+        round($"n_inter" / ($"n_sum" - $"n_inter"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -125,7 +130,9 @@ object Dedup {
   }
 
   /** Character 5-gram Jaccard near-dup: candidate pairs must share a RARE
-    * gram (df ≤ 20), then exact Jaccard over full distinct gram sets. */
+    * gram (df ≤ 20), then exact Jaccard via set intersection on doc-level
+    * sorted gram arrays (the gram relation shuffles once for df, once for
+    * the doc aggregate; the pair verification touches only doc rows). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = docs(s, dir)
@@ -139,17 +146,16 @@ object Dedup {
       .join(grams.as("gb"), $"ga.gram" === $"gb.gram" && $"ga.doc_id" < $"gb.doc_id")
       .select($"ga.doc_id".as("doc_a"), $"gb.doc_id".as("doc_b"))
       .distinct()
-    val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_g"))
+    val docSets = grams.groupBy($"doc_id")
+      .agg(sort_array(collect_set($"gram")).as("g_set"), count(lit(1)).as("n_g"))
     cand
-      .join(grams.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(grams.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.gram" === $"sb.gram")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-      .join(counts.as("ca"), $"doc_a" === $"ca.doc_id")
-      .join(counts.as("cb"), $"doc_b" === $"cb.doc_id")
+      .join(docSets.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(docSets.as("cb"), $"doc_b" === $"cb.doc_id")
       .select($"doc_a", $"doc_b",
-        round($"n_inter".cast("double") /
-          ($"ca.n_g" + $"cb.n_g" - $"n_inter"), 4).as("jaccard"))
+        size(array_intersect($"ca.g_set", $"cb.g_set")).cast("double").as("n_inter"),
+        ($"ca.n_g" + $"cb.n_g").as("n_sum"))
+      .select($"doc_a", $"doc_b",
+        round($"n_inter" / ($"n_sum" - $"n_inter"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.7)
       .orderBy($"doc_a", $"doc_b")
   }

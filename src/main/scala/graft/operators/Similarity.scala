@@ -100,6 +100,30 @@ object Similarity {
       .limit(10)
   }
 
+  /** LSH-bucketed embedding NEAR-DUP (the scale path for
+    * [[Dedup.embedCosine]]'s exact O(n²) baseline): only pairs sharing an
+    * LSH bucket in at least one of the 4 tables are scored. At 100 TB
+    * the pair join is keyed on (table, bucket) — candidate volume is
+    * Σ_buckets n_b² instead of n², tunable by bucket bits. */
+  def embedLshNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+      .withColumn("bits", bitsCol)
+      .withColumn("buckets", expr(bucketsExpr))
+    val tabs = e.select($"vec_id", $"embedding", $"nrm",
+      posexplode($"buckets").as(Seq("t", "bucket")))
+    tabs.as("a")
+      .join(tabs.as("b"),
+        $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        expr("round(graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm), 4)").as("cos_sim"))
+      .distinct()
+      .filter($"cos_sim" >= 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** Per-label centroid similarity: average embedding per label (exact,
     * dimension-wise), then cosine of each label centroid against the
     * global centroid. Exercises vector aggregation at scale (one shuffle

@@ -31,4 +31,33 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_images"))
       .orderBy($"source_key")
   }
+
+  /** Event-time tumbling aggregation as a STREAMING query: the events
+    * table drained through `readStream` (AvailableNow) into a complete-
+    * mode in-memory sink. Must produce exactly the batch `q14` result —
+    * and shares its DuckDB oracle, so the streaming engine itself is
+    * correctness-gated. Exact integer ns bucket math as in q14. */
+  def streamEventsWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
+    java.nio.file.Files.createDirectories(base)
+    val in = java.nio.file.Files.createTempDirectory(base, "events").toAbsolutePath
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      in.resolve("events.parquet"))
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_win_" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val q = s.readStream.schema(schema).parquet(in.toString)
+      .groupBy((expr("ts div 300000000000") * 300).as("bucket"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy($"bucket", $"event_type")
+  }
 }
