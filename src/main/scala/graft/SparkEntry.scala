@@ -62,6 +62,7 @@ object SparkEntry {
     "dicom_errors"         -> (DicomQueries.errors _),
     "dicom_partitioned_sql" -> (DicomQueries.partitionedSql _),
     "dicom_crawl_schema"   -> (DicomQueries.crawlSchema _),
+    "dicom_source_sql"     -> (DicomQueries.sourceSql _),
     "dicom_parse_da_fn"    -> (DicomQueries.parseDaFn _),
     "dicom_parse_pn_fn"    -> (DicomQueries.parsePnFn _),
     "dicom_stream_ingest"  -> (StreamQueries.streamIngest _),

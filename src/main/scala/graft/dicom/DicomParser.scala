@@ -110,6 +110,15 @@ object DicomParser {
     }
 
     val elems = parseDataSet(dataBuf, implicitVR, bigEndian, stopAtPixels = true)
+    // a partial element header at EOF is a truncated file, not clean EOF
+    // (pixel-data stops leave >= 8 bytes; clean EOF leaves exactly 0)
+    if (dataBuf.remaining() > 0 && dataBuf.remaining() < 8) {
+      val mark = dataBuf.position()
+      val atPixels = false
+      if (!atPixels)
+        throw new InvalidDicomException(
+          s"Truncated element header: ${dataBuf.remaining()} trailing bytes at offset $mark")
+    }
     val charset = elems.find(_.tagKey == Tags.key(0x0008, 0x0005))
       .map(e => charsetFor(asciiTrim(e.bytes))).getOrElse(Charset.forName("UTF-8"))
     DicomFile(meta.result(), elems, transferSyntax, charset)

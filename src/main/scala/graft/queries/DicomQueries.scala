@@ -85,6 +85,19 @@ object DicomQueries {
       .orderBy($"column_name")
   }
 
+  /** DataSource V2 surface: `spark.read.format("dicom")` with projection
+    * pushdown, queried through SQL. */
+  def sourceSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("dicom").load(Fixtures)
+      .createOrReplaceTempView("dicom_source_v2")
+    s.sql(
+      """SELECT source_s3_archive_path AS archive_path, modality, patient_sex,
+        |       date_format(study_date, 'yyyy-MM-dd') AS study_date
+        |FROM dicom_source_v2
+        |ORDER BY archive_path""".stripMargin)
+  }
+
   private val parseDaUdf = udf { s: String =>
     if (s == null || s.isEmpty)
       java.sql.Date.valueOf("1900-01-01") // convert_DA empty path (tags.py:32)

@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.dicom.{Flatten, Tags, VrConvert}
+import graft.ingest.Archives
+import graft.pipeline.DicomPipeline
+
+/** DataSource V2: `spark.read.format("dicom").load(dir)`.
+  *
+  * The ergonomic face of the engine (SURVEY.md §7.3 "optional
+  * DataSource V2 FileFormat"): schema inferred by a driver-side parse of
+  * the inputs (union of observed keywords, typed from the static VR
+  * dictionary — the same dynamic-schema rule as the batch pipeline), one
+  * input partition per source object, and REQUIRED-COLUMN PUSHDOWN: a
+  * `SELECT modality FROM ...` only *converts* the requested tags (the
+  * binary scan still walks element headers — bounded by the
+  * stop-at-pixel-data rule — but skips value conversion and row
+  * materialization for unreferenced columns).
+  *
+  * Read options: `failOnError` (default false — unparsable objects are
+  * skipped, matching a read-surface's permissive mode; the ETL pipeline
+  * keeps its error side-channel semantics).
+  */
+class DicomDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "dicom"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    p.getOrElse(throw new IllegalArgumentException("dicom source requires a path"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DicomSourceUtil.inferSchema(pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new DicomTable(schema,
+      Option(properties.get("path")).getOrElse(properties.get("paths")))
+}
+
+object DicomSourceUtil {
+
+  /** All regular files under path (non-recursive for a dir; the file
+    * itself otherwise). Empty files are kept — they surface as skipped /
+    * failing objects exactly like the pipeline. */
+  def listFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Nil
+    else if (fs.getFileStatus(p).isFile) Seq(p.toString)
+    else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+  }
+
+  def readBytes(path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Rows of one source object (empty for ignored/failing objects). */
+  def rowsOf(path: String, failOnError: Boolean): Seq[Map[String, VrConvert.DicomValue]] =
+    DicomPipeline.processObject("dicom-source", "local", path, readBytes(path)) match {
+      case Right(rs) => rs.map(_.values)
+      case Left(e) =>
+        if (failOnError) throw new RuntimeException(s"${e.stage}: ${e.error}")
+        else Nil
+    }
+
+  /** Driver-side schema inference: union of observed keywords over all
+    * inputs, typed by the static dictionary, snake_cased, sorted. */
+  def inferSchema(path: String): StructType = {
+    val keys = scala.collection.mutable.SortedSet.empty[String]
+    listFiles(path).foreach { f =>
+      rowsOf(f, failOnError = false).foreach { m =>
+        m.foreach { case (k, v) => if (v != VrConvert.DNull) keys += k }
+      }
+    }
+    StructType(keys.toSeq
+      .map(kw => kw -> Tags.snakeCase(kw)).sortBy(_._2)
+      .map { case (kw, col) =>
+        StructField(col, DicomPipeline.sparkTypeFor(kw), nullable = true)
+      })
+  }
+
+  /** snake_case column name → original keyword (inverse of the sanitize
+    * rename, resolved against the static dictionary + lineage names). */
+  def keywordFor(col: String): String = {
+    val lineage = Seq(Flatten.LineageBucket, Flatten.LineageRegion,
+      Flatten.LineageKey, Flatten.LineageArchivePath)
+    lineage.find(l => Tags.snakeCase(l) == col)
+      .orElse(Tags.byKeyword.keys.find(k => Tags.snakeCase(k) == col))
+      .getOrElse(Tags.camelCase(col))
+  }
+
+  def toCatalyst(v: VrConvert.DicomValue, dt: DataType): Any = (v, dt) match {
+    case (VrConvert.DStr(s), StringType) => UTF8String.fromString(s)
+    case (VrConvert.DStrList(xs), ArrayType(StringType, _)) =>
+      new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    case (VrConvert.DDate(d), DateType) => d.toInt
+    case (VrConvert.DDateList(xs), ArrayType(DateType, _)) =>
+      new GenericArrayData(xs.map(_.toInt).toArray[Any])
+    case (VrConvert.DPersonName(c), _: StructType) =>
+      InternalRow.fromSeq(c.map(UTF8String.fromString))
+    case (VrConvert.DPersonNameList(xs), ArrayType(_: StructType, _)) =>
+      new GenericArrayData(xs.map(c => InternalRow.fromSeq(c.map(UTF8String.fromString))).toArray[Any])
+    case (VrConvert.DMap(m), _: MapType) =>
+      val ks = m.keys.toSeq.sorted
+      ArrayBasedMapData(
+        ks.map(UTF8String.fromString).toArray[Any],
+        ks.map(k => UTF8String.fromString(m(k))).toArray[Any])
+    case (VrConvert.DNull, _) => null
+    case (other, t) => // defensive: stringify on type drift
+      if (t == StringType) UTF8String.fromString(VrConvert.stringify(other)) else null
+  }
+}
+
+class DicomTable(schema: StructType, path: String) extends Table with SupportsRead {
+  override def name(): String = s"dicom:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DicomScanBuilder(schema, path,
+      options.getBoolean("failOnError", false))
+}
+
+class DicomScanBuilder(full: StructType, path: String, failOnError: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new DicomScan(required, path, failOnError)
+}
+
+case class DicomInputPartition(file: String) extends InputPartition
+
+class DicomScan(required: StructType, path: String, failOnError: Boolean)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DicomScan(path=$path, columns=[${required.fieldNames.mkString(",")}])"
+  override def planInputPartitions(): Array[InputPartition] =
+    DicomSourceUtil.listFiles(path).map(DicomInputPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DicomReaderFactory(required, failOnError)
+}
+
+class DicomReaderFactory(required: StructType, failOnError: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DicomPartitionReader(p.asInstanceOf[DicomInputPartition].file, required, failOnError)
+}
+
+class DicomPartitionReader(file: String, required: StructType, failOnError: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  // (snake column, source keyword, spark type) in output order
+  private val cols: Array[(String, DataType)] =
+    required.fields.map(f => (DicomSourceUtil.keywordFor(f.name), f.dataType))
+
+  private lazy val iter: Iterator[InternalRow] =
+    DicomSourceUtil.rowsOf(file, failOnError).iterator.map { m =>
+      InternalRow.fromSeq(cols.toSeq.map { case (kw, dt) =>
+        m.get(kw).map(DicomSourceUtil.toCatalyst(_, dt)).orNull
+      })
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (iter.hasNext) { current = iter.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
