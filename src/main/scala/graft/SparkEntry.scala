@@ -41,6 +41,8 @@ object SparkEntry {
     "q16_subquery"      -> (Relational.q16Subquery _),
     "q17_outer_join"    -> (Relational.q17OuterJoin _),
     "q18_percentiles"   -> (Relational.q18Percentiles _),
+    "q19_salted_agg"    -> (Relational.q19SaltedAgg _),
+    "q20_sketches"      -> (Relational.q20Sketches _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -222,6 +224,12 @@ object SparkEntry {
         |round(avg(c_acctbal), 4) AS mean,
         |count(*) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q19_salted_agg" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE len(word) > 0 GROUP BY word HAVING count(*) >= 50
+        |ORDER BY n DESC, word""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

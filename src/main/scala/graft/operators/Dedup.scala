@@ -141,10 +141,16 @@ object Dedup {
         explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("gram"))
       .distinct()
       .cache()
-    val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" <= 20)
-    val cand = grams.as("ga").join(rare, Seq("gram"))
-      .join(grams.as("gb"), $"ga.gram" === $"gb.gram" && $"ga.doc_id" < $"gb.doc_id")
-      .select($"ga.doc_id".as("doc_a"), $"gb.doc_id".as("doc_b"))
+    // candidate pairs straight out of ONE groupBy over grams: rare grams
+    // (df ≤ 20) carry their doc list; pairs are generated in-place
+    // (≤ df²/2 per gram) — no second join against the 2.7M-row relation
+    val cand = grams.groupBy($"gram")
+      .agg(collect_list($"doc_id").as("ds"))
+      .filter(size($"ds") <= 20)
+      .select(explode(expr(
+        """filter(flatten(transform(ds, a -> transform(ds, b -> struct(a, b)))),
+                  p -> p.a < p.b)""")).as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
     val docSets = grams.groupBy($"doc_id")
       .agg(sort_array(collect_set($"gram")).as("g_set"), count(lit(1)).as("n_g"))

@@ -283,6 +283,40 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Skew-resistant two-stage (salted) aggregation: partial counts keyed
+    * on (word, salt) then re-aggregated by word. The salt bounds any one
+    * reducer's share of a hot key — the standard fix when one token (or
+    * join key) dominates at 100 TB. Oracle = the plain aggregation, which
+    * the salted plan must reproduce exactly. */
+  def q19SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .withColumn("salt", pmod(hash($"doc_id"), lit(16)))
+      .groupBy($"word", $"salt")
+      .agg(count(lit(1)).as("partial_n"))
+      .groupBy($"word")
+      .agg(sum($"partial_n").as("n"))
+      .filter($"n" >= 50)
+      .orderBy($"n".desc, $"word")
+  }
+
+  /** Sketch surface: HLL distinct + approximate percentiles. Approx
+    * results are implementation-specific → deterministic rows-only check
+    * (exact twins are oracle-gated in q11/q18). */
+  def q20Sketches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("approx_p50"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Correlated scalar subquery shape: orders above their customer's
     * average order value. Expressed as join against a pre-aggregate
     * (decorrelated form — what Catalyst would plan anyway). */

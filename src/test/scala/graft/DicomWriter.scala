@@ -46,17 +46,30 @@ object DicomWriter {
     element(group, elem, "SQ", body.toByteArray)
   }
 
-  /** Full file: preamble + DICM + minimal meta (explicit LE transfer
-    * syntax) + the given data-set elements. */
-  def file(elements: Seq[Array[Byte]]): Array[Byte] = {
+  /** Full file: preamble + DICM + minimal meta + the given data-set
+    * elements, under the given transfer syntax UID. */
+  def file(elements: Seq[Array[Byte]],
+           transferSyntax: String = "1.2.840.10008.1.2.1"): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(new Array[Byte](128))
     out.write("DICM".getBytes)
-    val ts = strElement(0x0002, 0x0010, "UI", "1.2.840.10008.1.2.1")
+    val ts = strElement(0x0002, 0x0010, "UI", transferSyntax)
     val groupLen = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(ts.length).array()
     out.write(element(0x0002, 0x0000, "UL", groupLen))
     out.write(ts)
     elements.foreach(out.write)
     out.toByteArray
   }
+
+  /** Implicit-VR-LE encoded element (tag + 4-byte length, no VR). */
+  def implicitElement(group: Int, elem: Int, value: Array[Byte]): Array[Byte] = {
+    val padded = if (value.length % 2 == 0) value else value :+ ' '.toByte
+    val out = ByteBuffer.allocate(8 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.putShort(group.toShort).putShort(elem.toShort).putInt(padded.length)
+    out.put(padded)
+    out.array()
+  }
+
+  def implicitStr(group: Int, elem: Int, value: String): Array[Byte] =
+    implicitElement(group, elem, value.getBytes("UTF-8"))
 }

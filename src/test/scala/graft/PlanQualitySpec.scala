@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality regression guards: the physical plans the engine is
+  * designed around must not silently degrade (pushdown reaching the
+  * scan, broadcast joins for dims, TakeOrdered for top-k, partial
+  * aggregation). These are the properties that decide 100 TB behavior. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-quality-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: filter pushed to parquet scan + pruned read schema") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan must prune unused columns")
+  }
+
+  test("q1: partial+final hash aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("q2: dimension joins broadcast; no shuffle of the fact for dims") {
+    val p = plan("q2_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q3: global top-k plans as TakeOrdered, not full sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner+distinct") {
+    assert(plan("q5_semi_join").contains("LeftSemi"))
+    assert(plan("q6_anti_join").contains("LeftAnti"))
+  }
+
+  test("embed cosine: codegen'd native expression in the join project") {
+    val p = plan("dedup_embed_cosine")
+    assert(p.contains("dotproduct("))
+  }
+
+  test("dicom V2 source scan reports pruned columns") {
+    val pruned = spark.read.format("dicom")
+      .load("/root/reference/sample_dcm").select("modality")
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("columns=[modality]"))
+  }
+}
