@@ -60,22 +60,20 @@ object Similarity {
     }
   }
 
-  /** Sign bits of the projections onto the 24 constant hyperplanes:
-    * one codegen'd [[graft.functions.DotProduct]] against each plane
-    * literal — same left-to-right fp fold as the oracle. */
-  private def bitsCol: org.apache.spark.sql.Column =
-    array((0 until 24).map { p =>
-      when(call_function("graft_dot", col("embedding"),
-             typedlit(planeMatrix(p))) >= 0, 1).otherwise(0)
+  /** 4 LSH tables × 6-bit buckets (OR-amplification): table t's bucket
+    * sums sign-bits of the projections onto constant hyperplanes
+    * [6t, 6t+6), each a codegen'd [[graft.functions.DotProduct]] with the
+    * oracle's left-to-right fp fold. Built so every plane dot appears
+    * EXACTLY ONCE in the expression tree — an intermediate `bits` array
+    * column gets inlined per-reference by CollapseProject, re-evaluating
+    * all 24 dots for each of the 24 bit references (24× blow-up). */
+  private def bucketsCol: org.apache.spark.sql.Column =
+    array((0 until 4).map { t =>
+      (0 until 6).map { i =>
+        when(call_function("graft_dot", col("embedding"),
+               typedlit(planeMatrix(t * 6 + i))) >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
     }: _*)
-
-  /** 4 LSH tables × 6-bit buckets (OR-amplification): table t's bucket is
-    * built from plane bits [6t, 6t+6). A vector is a candidate if it
-    * collides with the query in ANY table — the standard recall knob. */
-  private val bucketsExpr =
-    """transform(sequence(0, 3), t ->
-         bits[t*6] + bits[t*6+1] * 2 + bits[t*6+2] * 4 +
-         bits[t*6+3] * 8 + bits[t*6+4] * 16 + bits[t*6+5] * 32)"""
 
   /** ANN: top-10 cosine neighbors of vec_id = 0 among vectors sharing an
     * LSH bucket with it in at least one of the 4 tables. At scale this
@@ -84,8 +82,7 @@ object Similarity {
     import s.implicits._
     val e = emb(s, dir)
       .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
-      .withColumn("bits", bitsCol)
-      .withColumn("buckets", expr(bucketsExpr))
+      .withColumn("buckets", bucketsCol)
     val tabs = e.select($"vec_id", $"embedding", $"nrm",
       posexplode($"buckets").as(Seq("t", "bucket")))
     val q = tabs.filter($"vec_id" === 0)
@@ -109,8 +106,7 @@ object Similarity {
     import s.implicits._
     val e = emb(s, dir)
       .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
-      .withColumn("bits", bitsCol)
-      .withColumn("buckets", expr(bucketsExpr))
+      .withColumn("buckets", bucketsCol)
     val tabs = e.select($"vec_id", $"embedding", $"nrm",
       posexplode($"buckets").as(Seq("t", "bucket")))
     tabs.as("a")

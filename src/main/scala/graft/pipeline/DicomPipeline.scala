@@ -173,13 +173,18 @@ object DicomPipeline {
     * parquet). Returns (data, errors) as written. */
   def run(spark: SparkSession, inputPath: String, outPath: String,
           errorPath: Option[String] = None,
-          bucket: String = "local", region: String = "local"): (DataFrame, DataFrame) = {
+          bucket: String = "local", region: String = "local",
+          maxRecordsPerFile: Long = 0L): (DataFrame, DataFrame) = {
     val ex = extract(spark, inputPath, bucket, region)
     val df = toDataFrame(spark, ex.rows)
     if (df.columns.nonEmpty && !df.isEmpty)
+      // maxRecordsPerFile bounds output-file size (the reference's known
+      // small-files weakness inverted: one file per invocation there; here
+      // the writer packs rows per partition and splits only past the cap)
       df.write.mode("append")
         .partitionBy(Flatten.PartitionColSnake)
         .option("compression", "snappy")
+        .option("maxRecordsPerFile", if (maxRecordsPerFile > 0) maxRecordsPerFile.toString else "0")
         .parquet(outPath)
     import spark.implicits._
     val errDf = spark.createDataFrame(ex.errors)
