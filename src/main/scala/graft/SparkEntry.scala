@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embed_cosine"  -> (Dedup.embedCosine _),
+    "corpus_clean"        -> (Dedup.corpusClean _),
     // ——— similarity search ———
     "sim_topk_brute"      -> (Similarity.topkBrute _),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
@@ -340,6 +341,47 @@ object SparkEntry {
         |FROM tabs JOIN q ON t = q_t AND bucket = q_bucket
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "corpus_clean" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tkl
+        |  FROM documents),
+        |q AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      CAST(len(tkl) AS BIGINT) AS n_tokens,
+        |      round(CAST(list_sum(list_transform(tkl, x -> len(x))) AS DOUBLE) / len(tkl), 4) AS mean_tok_len,
+        |      round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / len(text), 4) AS punct_ratio
+        |    FROM tk0)
+        |  WHERE n_tokens >= 10 AND mean_tok_len >= 2.0 AND mean_tok_len <= 15.0 AND punct_ratio <= 0.2),
+        |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        |base AS (SELECT q.doc_id, q.text FROM q JOIN ek ON q.doc_id = ek.doc_id),
+        |tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk FROM base),
+        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
+        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
+        |sig AS (SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS mh
+        |        FROM perms GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 2 AS band,
+        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
+        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+        |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+        |SELECT doc_id FROM base
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_embed_lsh" ->
       """WITH n AS (

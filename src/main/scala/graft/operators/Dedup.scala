@@ -43,17 +43,16 @@ object Dedup {
   }
 
   /** Word 3-shingles per document, distinct: (doc_id, shingle). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir)
-      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
-      .filter(size($"tk") >= 3)
-      .select($"doc_id",
+  private[operators] def shinglesOf(d: DataFrame): DataFrame = {
+    d.select(col("doc_id"), expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
           .as("shingle"))
       .distinct()
   }
+
 
   /** MinHash (8 permutations) + LSH banding (4 bands × 2 rows) + exact
     * Jaccard verification on candidate pairs. Output: near-dup pairs with
@@ -64,7 +63,12 @@ object Dedup {
     * are computed in ONE aggregation pass over the shingle set (8 agg
     * functions, single shuffle) instead of exploding 8× rows — same
     * values, 8× less shuffle volume. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, docs(s, dir))
+
+  /** MinHash+LSH near-dup pairs over an arbitrary (doc_id, text) frame —
+    * reused by [[minhashLsh]] and the corpus-clean composition. */
+  def minhashPairs(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
     // ONE aggregation pass over the shingle stream produces everything
     // doc-level: 8 minhash signatures, the distinct-shingle set (as a
@@ -73,7 +77,7 @@ object Dedup {
     // relation is shuffled exactly once.
     val mhAggs = (0 to 7).map(p =>
       min(md5(concat(lit(s"$p|"), $"shingle"))).as(s"mh$p"))
-    val docsAgg = shingles(s, dir)
+    val docsAgg = shinglesOf(d)
       .groupBy($"doc_id")
       .agg(mhAggs.head, mhAggs.tail ++ Seq(
         sort_array(collect_set($"shingle")).as("sh_set"),
@@ -164,6 +168,27 @@ object Dedup {
         round($"n_inter" / ($"n_sum" - $"n_inter"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.7)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** End-to-end corpus cleaning — the composition a training-data
+    * pipeline actually runs: C4-style quality filter → exact dedup
+    * (keep lowest doc_id per digest) → MinHash near-dup removal (drop the
+    * higher id of every pair found among the survivors). Returns the
+    * kept doc_id set. Every stage is one of the already-oracle-gated
+    * operators; the composition itself is oracle-gated too. */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keepIds = TextAnalysis.quality(s, dir)
+      .filter($"keep" === 1L).select($"doc_id")
+    val qdocs = docs(s, dir).join(keepIds, Seq("doc_id")).select($"doc_id", $"text")
+    val exactKeep = qdocs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val base = qdocs.join(exactKeep, Seq("doc_id"))
+    val drop = minhashPairs(s, base)
+      .select($"doc_b".as("doc_id")).distinct()
+    base.select($"doc_id")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
   }
 
   /** Embedding cosine near-duplicates — exact O(n²) baseline form.
