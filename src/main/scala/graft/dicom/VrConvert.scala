@@ -69,11 +69,11 @@ object VrConvert {
     case "FD" => doubles(e.bytes).map(pyFloat)
     case "SV" => longs(e.bytes).map(_.toString)
     case "UV" => longs(e.bytes).map(v => java.lang.Long.toUnsignedString(v))
-    case "AT" => // pydicom renders BaseTag as "(gggg, eeee)"
-      ints(e.bytes).map { v =>
-        val g = (v >>> 16) & 0xffff; val el = v & 0xffff
-        f"($g%04x, $el%04x)"
-      }
+    case "AT" => // (group LE 16-bit, element LE 16-bit) pairs; pydicom
+      // renders BaseTag as "(gggg, eeee)"
+      shorts(e.bytes, signed = false).grouped(2).collect {
+        case Seq(g, el) => f"($g%04x, $el%04x)"
+      }.toSeq
     case "OB" | "OW" | "OF" | "OD" | "OL" | "OV" | "UN" =>
       // rep_string(str(bytes)) analog; hex render, bounded for sanity
       if (e.bytes.isEmpty) Nil
