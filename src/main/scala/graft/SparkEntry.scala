@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "dedup_simhash"       -> (Dedup.simhash _),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embed_cosine"  -> (Dedup.embedCosine _),
     "corpus_clean"        -> (Dedup.corpusClean _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "dicom_parse_pn_fn"    -> (DicomQueries.parsePnFn _),
     "dicom_stream_ingest"  -> (StreamQueries.streamIngest _),
     "stream_events_window" -> (StreamQueries.streamEventsWindow _),
+    "stream_sessionize"    -> (StreamQueries.streamSessionize _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
     "mm_decode_meta"  -> ((s, d) => Multimodal.decodeMeta(s, DicomQueries.Fixtures)),
     "mm_resize_meta"  -> ((s, d) => Multimodal.resizeMeta(s, DicomQueries.Fixtures)),
@@ -277,6 +279,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN balance >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM tok),
+        |hb AS (SELECT doc_id, h, unnest(range(60)) AS b FROM h),
+        |bits AS (SELECT doc_id, b,
+        |  CAST(sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS balance
+        |  FROM hb GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN balance >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, simhash, t, (simhash >> CAST(15*t AS INT)) & 32767 AS bval
+        |  FROM (SELECT doc_id, simhash, unnest(range(4)) AS t FROM sig)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.t = b.t AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        |  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+        |WHERE hamming <= 12 ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH g0 AS (SELECT doc_id, text, unnest(range(len(text) - 4)) AS i
         |            FROM documents WHERE len(text) >= 5),
@@ -466,6 +490,16 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket,
         |event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ns(ts) AS ets,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL OR ets - prev > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "dicom_parse_da_fn" ->
       """SELECT o_orderkey,

@@ -133,6 +133,34 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** SimHash near-dup pairs: the 60-bit signatures from [[simhash]] are
+    * banded into 4 × 15-bit bands; a pair is a candidate iff some band
+    * matches exactly (pigeonhole: hamming ≤ 3 ⇒ guaranteed candidate;
+    * larger distances trade recall, standard LSH semantics), then kept
+    * when XOR-popcount hamming ≤ 12. Linear signature pass + banded
+    * join — never O(n²). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = simhash(s, dir).cache()
+    val bandCols = (0 until 4).map(t =>
+      struct(lit(t).as("t"), expr(s"shiftright(simhash, ${15 * t}) & 32767").as("bval")))
+    val bands = sig
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.t".as("t"), $"bb.bval".as("bval"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.t" === $"b.t" && $"a.bval" === $"b.bval" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sig.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        bit_count(expr("sa.simhash ^ sb.simhash")).cast("long").as("hamming"))
+      .filter($"hamming" <= 12)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Character 5-gram Jaccard near-dup: candidate pairs must share a RARE
     * gram (df ≤ 20), then exact Jaccard via set intersection on doc-level
     * sorted gram arrays (the gram relation shuffles once for df, once for

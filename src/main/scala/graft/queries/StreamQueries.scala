@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Streaming-semantics queries (SURVEY.md §2.5): the event-per-object
   * ingest as a checkpointed Structured Streaming run over a scratch copy
@@ -55,9 +56,68 @@ object StreamQueries {
       .outputMode("complete")
       .format("memory")
       .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     s.table(name).orderBy($"bucket", $"event_type")
+  }
+
+  /** Per-user event shape for the stateful operator (ts is epoch-ns long
+    * under nanosAsLong). */
+  case class UserEvent(event_id: Long, ts: Long, user_id: Long)
+  /** Carried group state: sessions seen so far + last event timestamp. */
+  case class SessionState(nSessions: Long, nEvents: Long, lastTs: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** CUSTOM STATEFUL STREAMING (flatMapGroupsWithState): per-user
+    * sessionization with a 30-minute gap rule, state carried across
+    * micro-batches. Drained with AvailableNow, the final emission must
+    * equal the BATCH q15 result — so the custom-state path shares q15's
+    * DuckDB oracle. Events are sorted (ts, event_id) inside the group,
+    * exactly the batch window's ordering. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
+    java.nio.file.Files.createDirectories(base)
+    val in = java.nio.file.Files.createTempDirectory(base, "sess").toAbsolutePath
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      in.resolve("events.parquet"))
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_sess_" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+
+    def update(uid: Long, events: Iterator[UserEvent],
+               state: GroupState[SessionState]): Iterator[UserSessions] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+      var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+      sorted.foreach { e =>
+        val newSession = st.lastTs == Long.MinValue || e.ts - st.lastTs > 1800000000000L
+        st = SessionState(st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1, e.ts)
+      }
+      state.update(st)
+      Iterator.single(UserSessions(uid, st.nSessions, st.nEvents))
+    }
+
+    val q = s.readStream.schema(schema).parquet(in.toString)
+      .select($"event_id", $"ts", $"user_id").as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update-mode memory sink: keep each user's LAST emission (= final state)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"n_events".desc)
+    s.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"n_sessions", $"n_events")
+      .orderBy($"user_id")
   }
 }
