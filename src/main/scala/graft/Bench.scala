@@ -18,14 +18,21 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     // min of N passes per query: JIT/GC noise on a shared box dwarfs
     // real deltas; the min approximates steady-state executor behavior
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case _: Throwable => None // failures report as -1, never as a time
+      } finally {
+        spark.catalog.clearCache() // per-query caches must not leak across passes
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to passes).map(_ => time(fn)).min
+      val times = (1 to passes).flatMap(_ => time(fn))
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -112,13 +112,9 @@ object DicomParser {
     val elems = parseDataSet(dataBuf, implicitVR, bigEndian, stopAtPixels = true)
     // a partial element header at EOF is a truncated file, not clean EOF
     // (pixel-data stops leave >= 8 bytes; clean EOF leaves exactly 0)
-    if (dataBuf.remaining() > 0 && dataBuf.remaining() < 8) {
-      val mark = dataBuf.position()
-      val atPixels = false
-      if (!atPixels)
-        throw new InvalidDicomException(
-          s"Truncated element header: ${dataBuf.remaining()} trailing bytes at offset $mark")
-    }
+    if (dataBuf.remaining() > 0 && dataBuf.remaining() < 8)
+      throw new InvalidDicomException(
+        s"Truncated element header: ${dataBuf.remaining()} trailing bytes at offset ${dataBuf.position()}")
     val charset = elems.find(_.tagKey == Tags.key(0x0008, 0x0005))
       .map(e => charsetFor(asciiTrim(e.bytes))).getOrElse(Charset.forName("UTF-8"))
     DicomFile(meta.result(), elems, transferSyntax, charset)
@@ -184,9 +180,33 @@ object DicomParser {
           s"Element (${f"$group%04x"},${f"$elem%04x"}) length $len exceeds remaining ${buf.remaining()} bytes")
       val v = new Array[Byte](len.toInt)
       buf.get(v)
+      // normalize to little-endian at parse time so stored value bytes are
+      // endianness-free: explicit-BE numeric values are byte-swapped here
+      // (string VRs are byte-order independent)
+      if (bigEndian) swapToLE(vr, v)
       DicomElement(group, elem, vr, v)
     }
   }
+
+  /** Fixed-width numeric element widths by VR (bytes per value). */
+  private val vrWidth: Map[String, Int] = Map(
+    "US" -> 2, "SS" -> 2, "OW" -> 2, "AT" -> 2, // AT = two 16-bit halves
+    "UL" -> 4, "SL" -> 4, "FL" -> 4, "OF" -> 4, "OL" -> 4,
+    "FD" -> 8, "OD" -> 8, "SV" -> 8, "UV" -> 8, "OV" -> 8)
+
+  /** In-place byte swap of big-endian numeric values to little-endian. */
+  private def swapToLE(vr: String, v: Array[Byte]): Unit =
+    vrWidth.get(vr).foreach { w =>
+      var off = 0
+      while (off + w <= v.length) {
+        var i = 0
+        while (i < w / 2) {
+          val t = v(off + i); v(off + i) = v(off + w - 1 - i); v(off + w - 1 - i) = t
+          i += 1
+        }
+        off += w
+      }
+    }
 
   /** Read SQ items: (FFFE,E000)* terminated by defined length or
     * (FFFE,E0DD). Each item is a nested data set. */

@@ -80,15 +80,19 @@ object Archives {
       throw new InvalidArchiveException(s"Invalid ZipFile $key")
     val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(content))
     val out = Vector.newBuilder[(String, Array[Byte])]
-    var entry = zin.getNextEntry
-    while (entry != null) {
-      if (!entry.isDirectory) {
-        val bytes = readAll(zin)
-        if (keepMember(entry.getName, bytes)) out += entry.getName -> bytes
+    try {
+      var entry = zin.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          val bytes = readAll(zin)
+          if (keepMember(entry.getName, bytes)) out += entry.getName -> bytes
+        }
+        entry = zin.getNextEntry
       }
-      entry = zin.getNextEntry
-    }
-    zin.close()
+    } catch {
+      case e: java.io.IOException => // ZipException included: corrupt past magic
+        throw new InvalidArchiveException(s"Invalid ZipFile $key: ${e.getMessage}")
+    } finally zin.close()
     Entries(out.result())
   }
 

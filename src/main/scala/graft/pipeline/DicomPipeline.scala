@@ -93,7 +93,11 @@ object DicomPipeline {
     * lineage constants (the storage coordinates of `inputPath`). */
   def extract(spark: SparkSession, inputPath: String,
               bucket: String = "local", region: String = "local"): Extracted = {
-    val bin = spark.read.format("binaryFile").load(inputPath)
+    // recursiveFileLookup keeps the scan consistent with emptyFiles'
+    // recursive listing (nested dirs yield rows AND their empties error)
+    val bin = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(inputPath)
       .select("path", "content")
     val base = extractFromBinary(bin, bucket, region)
     val empties = emptyFiles(spark, inputPath)

@@ -39,36 +39,71 @@ class DicomDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "dicom"
   override def supportsExternalMetadata(): Boolean = true
 
-  private def pathOf(options: CaseInsensitiveStringMap): String = {
-    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
-    p.getOrElse(throw new IllegalArgumentException("dicom source requires a path"))
-  }
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DicomSourceUtil.inferSchema(pathOf(options))
+    DicomSourceUtil.inferSchema(
+      DicomSourceUtil.pathsOf(options.get("path"), options.get("paths")),
+      DicomSourceUtil.sessionConf())
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new DicomTable(schema,
-      Option(properties.get("path")).getOrElse(properties.get("paths")))
+      DicomSourceUtil.pathsOf(properties.get("path"), properties.get("paths")))
+}
+
+/** Minimal serializable Hadoop-Configuration carrier (the Spark-internal
+  * SerializableConfiguration is private[spark]). */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
 }
 
 object DicomSourceUtil {
 
-  /** All regular files under path (non-recursive for a dir; the file
-    * itself otherwise). Empty files are kept — they surface as skipped /
-    * failing objects exactly like the pipeline. */
-  def listFiles(path: String): Seq[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) Nil
-    else if (fs.getFileStatus(p).isFile) Seq(p.toString)
-    else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+  /** Resolve the load path(s): Spark passes a single path as `path` and
+    * multiple paths as a JSON-array string under `paths`. */
+  def pathsOf(path: String, paths: String): Seq[String] = {
+    val multi: Seq[String] = Option(paths).toSeq.flatMap { j =>
+      val t = j.trim
+      if (t.startsWith("["))
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(t, classOf[Array[String]]).toSeq
+      else Seq(t)
+    }
+    val all = (Option(path).toSeq ++ multi).distinct
+    if (all.isEmpty)
+      throw new IllegalArgumentException("dicom source requires a path")
+    all
   }
 
-  def readBytes(path: String): Array[Byte] = {
+  /** The active session's Hadoop configuration (driver side). */
+  def sessionConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** All regular files under each path (non-recursive for a dir; the
+    * file itself otherwise). Empty files are kept — they surface as
+    * skipped / failing objects exactly like the pipeline. */
+  def listFiles(paths: Seq[String], conf: Configuration): Seq[String] =
+    paths.flatMap { path =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else if (fs.getFileStatus(p).isFile) Seq(p.toString)
+      else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+    }
+
+  def readBytes(path: String, conf: Configuration): Array[Byte] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -80,8 +115,9 @@ object DicomSourceUtil {
   }
 
   /** Rows of one source object (empty for ignored/failing objects). */
-  def rowsOf(path: String, failOnError: Boolean): Seq[Map[String, VrConvert.DicomValue]] =
-    DicomPipeline.processObject("dicom-source", "local", path, readBytes(path)) match {
+  def rowsOf(path: String, conf: Configuration,
+             failOnError: Boolean): Seq[Map[String, VrConvert.DicomValue]] =
+    DicomPipeline.processObject("dicom-source", "local", path, readBytes(path, conf)) match {
       case Right(rs) => rs.map(_.values)
       case Left(e) =>
         if (failOnError) throw new RuntimeException(s"${e.stage}: ${e.error}")
@@ -90,10 +126,10 @@ object DicomSourceUtil {
 
   /** Driver-side schema inference: union of observed keywords over all
     * inputs, typed by the static dictionary, snake_cased, sorted. */
-  def inferSchema(path: String): StructType = {
+  def inferSchema(paths: Seq[String], conf: Configuration): StructType = {
     val keys = scala.collection.mutable.SortedSet.empty[String]
-    listFiles(path).foreach { f =>
-      rowsOf(f, failOnError = false).foreach { m =>
+    listFiles(paths, conf).foreach { f =>
+      rowsOf(f, conf, failOnError = false).foreach { m =>
         m.foreach { case (k, v) => if (v != VrConvert.DNull) keys += k }
       }
     }
@@ -136,45 +172,50 @@ object DicomSourceUtil {
   }
 }
 
-class DicomTable(schema: StructType, path: String) extends Table with SupportsRead {
-  override def name(): String = s"dicom:$path"
+class DicomTable(schema: StructType, paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"dicom:${paths.mkString(",")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DicomScanBuilder(schema, path,
+    new DicomScanBuilder(schema, paths,
       options.getBoolean("failOnError", false))
 }
 
-class DicomScanBuilder(full: StructType, path: String, failOnError: Boolean)
+class DicomScanBuilder(full: StructType, paths: Seq[String], failOnError: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DicomScan(required, path, failOnError)
+  override def build(): Scan = new DicomScan(required, paths, failOnError)
 }
 
 case class DicomInputPartition(file: String) extends InputPartition
 
-class DicomScan(required: StructType, path: String, failOnError: Boolean)
+class DicomScan(required: StructType, paths: Seq[String], failOnError: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"DicomScan(path=$path, columns=[${required.fieldNames.mkString(",")}])"
+    s"DicomScan(path=${paths.mkString(",")}, columns=[${required.fieldNames.mkString(",")}])"
   override def planInputPartitions(): Array[InputPartition] =
-    DicomSourceUtil.listFiles(path).map(DicomInputPartition.apply).toArray
+    DicomSourceUtil.listFiles(paths, DicomSourceUtil.sessionConf())
+      .map(DicomInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new DicomReaderFactory(required, failOnError)
+    new DicomReaderFactory(required, failOnError,
+      new SerializableHadoopConf(DicomSourceUtil.sessionConf()))
 }
 
-class DicomReaderFactory(required: StructType, failOnError: Boolean)
+class DicomReaderFactory(required: StructType, failOnError: Boolean,
+                         conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DicomPartitionReader(p.asInstanceOf[DicomInputPartition].file, required, failOnError)
+    new DicomPartitionReader(p.asInstanceOf[DicomInputPartition].file,
+      required, failOnError, conf)
 }
 
-class DicomPartitionReader(file: String, required: StructType, failOnError: Boolean)
+class DicomPartitionReader(file: String, required: StructType,
+                           failOnError: Boolean, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   // (snake column, source keyword, spark type) in output order
@@ -182,7 +223,7 @@ class DicomPartitionReader(file: String, required: StructType, failOnError: Bool
     required.fields.map(f => (DicomSourceUtil.keywordFor(f.name), f.dataType))
 
   private lazy val iter: Iterator[InternalRow] =
-    DicomSourceUtil.rowsOf(file, failOnError).iterator.map { m =>
+    DicomSourceUtil.rowsOf(file, conf.value, failOnError).iterator.map { m =>
       InternalRow.fromSeq(cols.toSeq.map { case (kw, dt) =>
         m.get(kw).map(DicomSourceUtil.toCatalyst(_, dt)).orNull
       })

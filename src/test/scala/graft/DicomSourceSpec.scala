@@ -51,6 +51,12 @@ class DicomSourceSpec extends AnyFunSuite {
     assert(n > 0 && n < 10)
   }
 
+  test("multi-path load reads all paths (paths JSON option)") {
+    val two = spark.read.format("dicom")
+      .load(s"$fixtures/example-0", s"$fixtures/example-6")
+    assert(two.count() == 2)
+  }
+
   test("failOnError surfaces parse failures") {
     val strict = spark.read.format("dicom")
       .option("failOnError", "true").load(fixtures)

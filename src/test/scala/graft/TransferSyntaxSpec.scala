@@ -58,6 +58,38 @@ class TransferSyntaxSpec extends AnyFunSuite {
       DDate(java.time.LocalDate.parse("1987-04-03").toEpochDay))
   }
 
+  test("explicit VR big-endian: numeric values decode correctly (byte-swap)") {
+    // hand-encode a BE data set: tags, lengths, and US value all big-endian
+    def beStr(g: Int, e: Int, vr: String, v: String): Array[Byte] = {
+      val padded = if (v.length % 2 == 0) v else v + " "
+      val b = java.nio.ByteBuffer.allocate(8 + padded.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putShort(g.toShort).putShort(e.toShort)
+      b.put(vr.charAt(0).toByte).put(vr.charAt(1).toByte)
+      b.putShort(padded.length.toShort).put(padded.getBytes("UTF-8"))
+      b.array()
+    }
+    def beUs(g: Int, e: Int, v: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putShort(g.toShort).putShort(e.toShort)
+      b.put('U'.toByte).put('S'.toByte).putShort(2).putShort(v.toShort)
+      b.array()
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(new Array[Byte](128)); out.write("DICM".getBytes)
+    val ts = DicomWriter.strElement(0x0002, 0x0010, "UI", "1.2.840.10008.1.2.2")
+    val gl = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(ts.length).array()
+    out.write(DicomWriter.element(0x0002, 0x0000, "UL", gl)) // meta stays LE
+    out.write(ts)
+    out.write(beUs(0x0028, 0x0010, 512))       // Rows = 512
+    out.write(beStr(0x0008 << 0, 0x0060, "CS", "CT"))
+    // note: elements must be tag-ascending for realism but parser is lenient
+    val f = flatten(out.toByteArray)
+    assert(f("Rows") == DStr("512"), "BE US must not byte-swap to 2")
+    assert(f("Modality") == DStr("CT"))
+  }
+
   test("SpecificCharacterSet ISO_IR 100 decodes Latin-1 names") {
     val latin1Name = "Müller^José".getBytes("ISO-8859-1")
     val f = flatten(DicomWriter.file(Seq(
