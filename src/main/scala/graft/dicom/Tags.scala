@@ -130,11 +130,88 @@ object Tags {
     key(0x0028, 0x1052) -> TagInfo("RescaleIntercept", "DS", 1),
     key(0x0028, 0x1053) -> TagInfo("RescaleSlope", "DS", 1),
     key(0x0028, 0x2110) -> TagInfo("LossyImageCompression", "CS", 1),
+    // group 0008 (additional SOP-common / acquisition context)
+    key(0x0008, 0x0000) -> TagInfo("", "UL", 1), // group length, keyword-less
+    key(0x0008, 0x0052) -> TagInfo("QueryRetrieveLevel", "CS", 1),
+    key(0x0008, 0x0061) -> TagInfo("ModalitiesInStudy", "CS", N),
+    key(0x0008, 0x0068) -> TagInfo("PresentationIntentType", "CS", 1),
+    key(0x0008, 0x0201) -> TagInfo("TimezoneOffsetFromUTC", "SH", 1),
+    key(0x0008, 0x1032) -> TagInfo("ProcedureCodeSequence", "SQ", 1),
+    key(0x0008, 0x1111) -> TagInfo("ReferencedPerformedProcedureStepSequence", "SQ", 1),
+    key(0x0008, 0x1120) -> TagInfo("ReferencedPatientSequence", "SQ", 1),
+    key(0x0008, 0x2112) -> TagInfo("SourceImageSequence", "SQ", 1),
+    key(0x0008, 0x0100) -> TagInfo("CodeValue", "SH", 1),
+    key(0x0008, 0x0102) -> TagInfo("CodingSchemeDesignator", "SH", 1),
+    key(0x0008, 0x0104) -> TagInfo("CodeMeaning", "LO", 1),
+    // group 0018 (CT/MR/US acquisition)
+    key(0x0018, 0x0010) -> TagInfo("ContrastBolusAgent", "LO", 1),
+    key(0x0018, 0x0024) -> TagInfo("SequenceName", "SH", 1),
+    key(0x0018, 0x0025) -> TagInfo("AngioFlag", "CS", 1),
+    key(0x0018, 0x0080) -> TagInfo("RepetitionTime", "DS", 1),
+    key(0x0018, 0x0081) -> TagInfo("EchoTime", "DS", 1),
+    key(0x0018, 0x0082) -> TagInfo("InversionTime", "DS", 1),
+    key(0x0018, 0x0083) -> TagInfo("NumberOfAverages", "DS", 1),
+    key(0x0018, 0x0084) -> TagInfo("ImagingFrequency", "DS", 1),
+    key(0x0018, 0x0085) -> TagInfo("ImagedNucleus", "SH", 1),
+    key(0x0018, 0x0086) -> TagInfo("EchoNumbers", "IS", N),
+    key(0x0018, 0x0087) -> TagInfo("MagneticFieldStrength", "DS", 1),
+    key(0x0018, 0x0091) -> TagInfo("EchoTrainLength", "IS", 1),
+    key(0x0018, 0x0095) -> TagInfo("PixelBandwidth", "DS", 1),
+    key(0x0018, 0x1100) -> TagInfo("ReconstructionDiameter", "DS", 1),
+    key(0x0018, 0x1110) -> TagInfo("DistanceSourceToDetector", "DS", 1),
+    key(0x0018, 0x1111) -> TagInfo("DistanceSourceToPatient", "DS", 1),
+    key(0x0018, 0x1120) -> TagInfo("GantryDetectorTilt", "DS", 1),
+    key(0x0018, 0x1130) -> TagInfo("TableHeight", "DS", 1),
+    key(0x0018, 0x1140) -> TagInfo("RotationDirection", "CS", 1),
+    key(0x0018, 0x1150) -> TagInfo("ExposureTime", "IS", 1),
+    key(0x0018, 0x1152) -> TagInfo("Exposure", "IS", 1),
+    key(0x0018, 0x1160) -> TagInfo("FilterType", "SH", 1),
+    key(0x0018, 0x1170) -> TagInfo("GeneratorPower", "IS", 1),
+    key(0x0018, 0x1190) -> TagInfo("FocalSpots", "DS", N),
+    key(0x0018, 0x1200) -> TagInfo("DateOfLastCalibration", "DA", N),
+    key(0x0018, 0x1201) -> TagInfo("TimeOfLastCalibration", "TM", N),
+    key(0x0018, 0x1210) -> TagInfo("ConvolutionKernel", "SH", N),
+    key(0x0018, 0x1310) -> TagInfo("AcquisitionMatrix", "US", 4),
+    key(0x0018, 0x1312) -> TagInfo("InPlanePhaseEncodingDirection", "CS", 1),
+    key(0x0018, 0x1314) -> TagInfo("FlipAngle", "DS", 1),
+    key(0x0018, 0x1315) -> TagInfo("VariableFlipAngleFlag", "CS", 1),
+    key(0x0018, 0x1316) -> TagInfo("SAR", "DS", 1),
+    key(0x0018, 0x5101) -> TagInfo("ViewPosition", "CS", 1),
+    // group 0020 (additional image-plane / relationship)
+    key(0x0020, 0x0021) -> TagInfo("AcquisitionsInStudy", "IS", 1),
+    key(0x0020, 0x0062) -> TagInfo("ImageLaterality", "CS", 1),
+    key(0x0020, 0x0100) -> TagInfo("TemporalPositionIdentifier", "IS", 1),
+    key(0x0020, 0x0105) -> TagInfo("NumberOfTemporalPositions", "IS", 1),
+    key(0x0020, 0x1002) -> TagInfo("ImagesInAcquisition", "IS", 1),
+    key(0x0020, 0x1040) -> TagInfo("PositionReferenceIndicator", "LO", 1),
+    // group 0028 (additional image pixel / VOI LUT)
+    key(0x0028, 0x0034) -> TagInfo("PixelAspectRatio", "IS", 2),
+    key(0x0028, 0x0120) -> TagInfo("PixelPaddingValue", "US", 1),
+    key(0x0028, 0x0301) -> TagInfo("BurnedInAnnotation", "CS", 1),
+    key(0x0028, 0x1054) -> TagInfo("RescaleType", "LO", 1),
+    key(0x0028, 0x1055) -> TagInfo("WindowCenterWidthExplanation", "LO", N),
+    key(0x0028, 0x2112) -> TagInfo("LossyImageCompressionRatio", "DS", N),
+    key(0x0028, 0x2114) -> TagInfo("LossyImageCompressionMethod", "CS", N),
     // group 0032 / 0040 (study/procedure)
+    key(0x0032, 0x000a) -> TagInfo("StudyStatusID", "CS", 1),
+    key(0x0032, 0x1032) -> TagInfo("RequestingPhysician", "PN", 1),
+    key(0x0032, 0x1033) -> TagInfo("RequestingService", "LO", 1),
     key(0x0032, 0x1060) -> TagInfo("RequestedProcedureDescription", "LO", 1),
+    key(0x0040, 0x0241) -> TagInfo("PerformedStationAETitle", "AE", 1),
     key(0x0040, 0x0244) -> TagInfo("PerformedProcedureStepStartDate", "DA", 1),
     key(0x0040, 0x0245) -> TagInfo("PerformedProcedureStepStartTime", "TM", 1),
+    key(0x0040, 0x0250) -> TagInfo("PerformedProcedureStepEndDate", "DA", 1),
+    key(0x0040, 0x0251) -> TagInfo("PerformedProcedureStepEndTime", "TM", 1),
+    key(0x0040, 0x0253) -> TagInfo("PerformedProcedureStepID", "SH", 1),
     key(0x0040, 0x0254) -> TagInfo("PerformedProcedureStepDescription", "LO", 1),
+    key(0x0040, 0x0260) -> TagInfo("PerformedProtocolCodeSequence", "SQ", 1),
+    key(0x0040, 0x0275) -> TagInfo("RequestAttributesSequence", "SQ", 1),
+    key(0x0040, 0x1001) -> TagInfo("RequestedProcedureID", "SH", 1),
+    key(0x0040, 0xa124) -> TagInfo("UID", "UI", 1),
+    // group 0054 (PET / NM)
+    key(0x0054, 0x0081) -> TagInfo("NumberOfSlices", "US", 1),
+    key(0x0054, 0x1000) -> TagInfo("SeriesType", "CS", 2),
+    key(0x0054, 0x1001) -> TagInfo("Units", "CS", 1),
     // pixel data (stop markers; never materialized)
     key(0x7fe0, 0x0008) -> TagInfo("FloatPixelData", "OF", 1),
     key(0x7fe0, 0x0009) -> TagInfo("DoubleFloatPixelData", "OD", 1),
