@@ -42,7 +42,9 @@ object Dedup {
       .orderBy($"text_hash")
   }
 
-  /** Word 3-shingles per document, distinct: (doc_id, shingle). */
+  /** Word 3-shingles per document (NOT deduped — downstream aggregates
+    * use min/collect_set, which are duplicate-insensitive, so the
+    * explicit distinct's extra full shuffle is unnecessary). */
   private[operators] def shinglesOf(d: DataFrame): DataFrame = {
     d.select(col("doc_id"), expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
       .filter(size(col("tk")) >= 3)
@@ -50,7 +52,6 @@ object Dedup {
         explode(expr(
           "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
           .as("shingle"))
-      .distinct()
   }
 
 
@@ -79,9 +80,9 @@ object Dedup {
       min(md5(concat(lit(s"$p|"), $"shingle"))).as(s"mh$p"))
     val docsAgg = shinglesOf(d)
       .groupBy($"doc_id")
-      .agg(mhAggs.head, mhAggs.tail ++ Seq(
-        sort_array(collect_set($"shingle")).as("sh_set"),
-        count(lit(1)).as("n_sh")): _*)
+      .agg(mhAggs.head, mhAggs.tail :+
+        sort_array(collect_set($"shingle")).as("sh_set"): _*)
+      .withColumn("n_sh", size($"sh_set").cast("long"))
       .cache()
 
     // band b covers perms {2b, 2b+1}; the "p:mh" strings sort by p (single
