@@ -13,11 +13,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted managed table (idempotent). */
+  /** Write `df` as a bucketed, sorted managed table (idempotent — also
+    * clears an orphaned managed-table location left by a crashed run,
+    * which otherwise fails creation with LOCATION_ALREADY_EXISTS). */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 8): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
