@@ -167,8 +167,9 @@ object DicomPipeline {
     val keywords = observed.sorted
     val schema = StructType(keywords.map(kw =>
       StructField(Tags.snakeCase(kw), sparkTypeFor(kw), nullable = true)))
+    val kwSeq = keywords.toIndexedSeq // avoid per-row Array→Seq copying
     val rowRdd = rows.map { ir =>
-      Row.fromSeq(keywords.map(kw => ir.values.get(kw).map(toExternal).orNull))
+      Row.fromSeq(kwSeq.map(kw => ir.values.get(kw).map(toExternal).orNull))
     }
     spark.createDataFrame(rowRdd, schema)
   }
