@@ -14,16 +14,26 @@ class BucketingSpec extends AnyFunSuite {
     .appName("bucketing-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("target"), "warehouse").toAbsolutePath.toString)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Force the SMJ path at runtime (session may be shared across suites;
+    * builder configs would be silently ignored) and restore after. */
+  private def withNoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try body
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("bucketed join has no exchange below the join; result is correct") {
-    val df = Bucketing.bucketedOrdersJoin(spark, "/root/testdata/sf0.001")
-    val plan = df.queryExecution.executedPlan.toString
+    // plan resolution AND collection must run under the tuned conf —
+    // queryExecution is lazy, so everything stays inside the wrapper
+    val (plan, got) = withNoBroadcast {
+      val df = Bucketing.bucketedOrdersJoin(spark, "/root/testdata/sf0.001")
+      (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+    }
     val joinIdx = plan.indexOf("SortMergeJoin")
     assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
     // no Exchange may appear AFTER the join operator in the plan tree dump
@@ -41,6 +51,6 @@ class BucketingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n_lines"), round(sum($"l_extendedprice"), 2).as("sum_price"))
       .orderBy($"o_orderstatus")
       .collect().toSeq
-    assert(df.collect().toSeq == expect)
+    assert(got == expect)
   }
 }

@@ -72,4 +72,25 @@ object DicomWriter {
 
   def implicitStr(group: Int, elem: Int, value: String): Array[Byte] =
     implicitElement(group, elem, value.getBytes("UTF-8"))
+
+  /** Implicit-VR SQ with UNDEFINED length and undefined-length items —
+    * the most common real-world sequence encoding. */
+  def implicitSqUndefined(group: Int, elem: Int, items: Seq[Array[Byte]]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    items.foreach { item =>
+      val h = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      h.putShort(0xfffe.toShort).putShort(0xe000.toShort).putInt(0xffffffff)
+      body.write(h.array()); body.write(item)
+      val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      d.putShort(0xfffe.toShort).putShort(0xe00d.toShort).putInt(0)
+      body.write(d.array())
+    }
+    val sd = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    sd.putShort(0xfffe.toShort).putShort(0xe0dd.toShort).putInt(0)
+    body.write(sd.array())
+    val out = ByteBuffer.allocate(8 + body.size()).order(ByteOrder.LITTLE_ENDIAN)
+    out.putShort(group.toShort).putShort(elem.toShort).putInt(0xffffffff)
+    out.put(body.toByteArray)
+    out.array()
+  }
 }

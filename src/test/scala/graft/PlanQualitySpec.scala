@@ -20,8 +20,13 @@ class PlanQualitySpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // the session may be shared with suites that tune join thresholds —
+    // pin the defaults these assertions depend on
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("q1: filter pushed to parquet scan + pruned read schema") {
     val p = plan("q1_agg")

@@ -37,6 +37,19 @@ class TransferSyntaxSpec extends AnyFunSuite {
     })
   }
 
+  test("implicit VR undefined-length SQ (the common real-world encoding)") {
+    val item1 = DicomWriter.implicitStr(0x0008, 0x1150, "1.2.840.10008.5.1.4.1.1.7") ++
+                DicomWriter.implicitStr(0x0008, 0x0060, "OT")
+    val item2 = DicomWriter.implicitStr(0x0008, 0x0060, "MR")
+    val sq = DicomWriter.implicitSqUndefined(0x0008, 0x1140, Seq(item1, item2))
+    val f = flatten(DicomWriter.file(Seq(
+      DicomWriter.implicitStr(0x0008, 0x0020, "19990101"), sq),
+      transferSyntax = "1.2.840.10008.1.2"))
+    val m = f("ReferencedImageSequence").asInstanceOf[DMap].m
+    assert(m("ReferencedSOPClassUID") == "1.2.840.10008.5.1.4.1.1.7")
+    assert(m("Modality") == "MR")
+  }
+
   test("deflated explicit VR LE inflates and parses") {
     // build body (explicit LE elements), deflate raw, wrap with meta
     val body = DicomWriter.strElement(0x0008, 0x0060, "CS", "US") ++
