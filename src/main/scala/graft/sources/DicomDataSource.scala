@@ -101,23 +101,39 @@ object DicomSourceUtil {
       else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
     }
 
-  def readBytes(path: String, conf: Configuration): Array[Byte] = {
+  /** Read a file, optionally bounded to `cap` bytes (cap < 0 = whole
+    * file). The bounded form is the REAL ranged read of the reference's
+    * `Range: bytes=0-10000000` GET (`src/s3wrapper.py:53-63`) — for
+    * loose `.dcm` objects only the header region ever leaves storage. */
+  def readBytes(path: String, conf: Configuration, cap: Long = -1L): Array[Byte] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      var remaining = if (cap < 0) Long.MaxValue else cap
+      var n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+      while (n >= 0 && remaining > 0) {
+        out.write(buf, 0, n)
+        remaining -= n
+        n = if (remaining > 0)
+          in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+        else -1
+      }
       out.toByteArray
     } finally in.close()
   }
 
+  /** Byte cap for one object: loose `.dcm` routes read header-only. */
+  def capFor(path: String): Long =
+    if (Archives.evalExt(path) == ".dcm") Archives.DcmRangeBytes.toLong else -1L
+
   /** Rows of one source object (empty for ignored/failing objects). */
   def rowsOf(path: String, conf: Configuration,
              failOnError: Boolean): Seq[Map[String, VrConvert.DicomValue]] =
-    DicomPipeline.processObject("dicom-source", "local", path, readBytes(path, conf)) match {
+    DicomPipeline.processObject("dicom-source", "local", path,
+      readBytes(path, conf, capFor(path))) match {
       case Right(rs) => rs.map(_.values)
       case Left(e) =>
         if (failOnError) throw new RuntimeException(s"${e.stage}: ${e.error}")
