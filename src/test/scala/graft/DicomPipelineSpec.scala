@@ -85,6 +85,38 @@ class DicomPipelineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM dicom_db.dicom_merged").head.getLong(0) == 3)
   }
 
+  test("per-object trigger isolation (maxFilesPerTrigger=1, S1 parity)") {
+    val out = tmp()
+    val in = s"$out/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    Seq("example-0", "example-6", "example.zip").foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$fixtures/$f"),
+        java.nio.file.Paths.get(s"$in/$f"))
+    }
+    val q = graft.streaming.DicomStream.start(
+      spark, in, s"$out/data", s"$out/errors", s"$out/ckpt",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // three per-object micro-batches, same total as one batch
+    assert(spark.read.parquet(s"$out/data").count() == 4)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+  }
+
+  test("incompatible per-batch schemas FAIL the crawl (SURVEY §1.4 error semantics)") {
+    val out = tmp()
+    import spark.implicits._
+    // batch 1 writes a column as string; batch 2 writes it as a map —
+    // the documented GroupColumnIO/HIVE_PARTITION_SCHEMA_MISMATCH class
+    // of failure must surface as an error, not a silent coercion
+    Seq(("a", "s")).toDF("k", "clash").write.parquet(s"$out/data/p1")
+    Seq(("b", Map("x" -> "y"))).toDF("k", "clash").write.parquet(s"$out/data/p2")
+    intercept[org.apache.spark.SparkException] {
+      spark.read.option("mergeSchema", "true").parquet(s"$out/data/p1", s"$out/data/p2")
+        .collect()
+    }
+  }
+
   test("streaming ingest: exactly-once across restarts") {
     val out = tmp()
     val in = s"$out/in"
