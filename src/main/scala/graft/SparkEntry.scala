@@ -43,6 +43,7 @@ object SparkEntry {
     "q18_percentiles"   -> (Relational.q18Percentiles _),
     "q19_salted_agg"    -> (Relational.q19SaltedAgg _),
     "q20_sketches"      -> (Relational.q20Sketches _),
+    "q21_json_fns"      -> (Relational.q21JsonFns _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -233,6 +234,13 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE len(word) > 0 GROUP BY word HAVING count(*) >= 50
         |ORDER BY n DESC, word""".stripMargin,
+
+    "q21_json_fns" ->
+      """SELECT event_type,
+        |count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |coalesce(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT), 0) AS sum_k,
+        |round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

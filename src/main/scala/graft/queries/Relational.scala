@@ -317,6 +317,20 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** JSON function surface: extract a field from the events.props JSON
+    * column, cast, and aggregate per event type. */
+  def q21JsonFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"),
+           coalesce(sum($"k"), lit(0L)).as("sum_k"),
+           round(avg($"k"), 4).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
   /** Correlated scalar subquery shape: orders above their customer's
     * average order value. Expressed as join against a pre-aggregate
     * (decorrelated form — what Catalyst would plan anyway). */
