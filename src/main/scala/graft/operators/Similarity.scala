@@ -120,6 +120,39 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** IVF (inverted-file) ANN: coarse quantizer = per-label centroids
+    * (exact per-dimension means, rounded so they're reproducible across
+    * engines); the query probes its nearest centroid and searches ONLY
+    * that inverted list. At scale: centroids are tiny (broadcast), the
+    * probed list is 1/k of the data — the classic IVF trade of recall
+    * for a k-fold scan reduction, complementing the hyperplane-LSH path. */
+  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"label", $"embedding", expr(normExpr).as("nrm"))
+    val cent = e
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(round(avg($"v".cast("double")), 8).as("m"))
+      .groupBy($"label")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, m))), x -> x.m)").as("cvec"))
+      .withColumn("cnorm", expr("sqrt(graft_dot(cvec, cvec))"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val best = cent.join(broadcast(q))
+      .select($"label".as("best_label"),
+        expr("round(graft_dot(cvec, q_emb) / (cnorm * q_nrm), 6)").as("c_sim"))
+      .orderBy($"c_sim".desc, $"best_label")
+      .limit(1)
+    e.filter($"vec_id" =!= 0)
+      .join(broadcast(best), $"label" === $"best_label")
+      .join(broadcast(q))
+      .select($"vec_id",
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** Per-label centroid similarity: average embedding per label (exact,
     * dimension-wise), then cosine of each label centroid against the
     * global centroid. Exercises vector aggregation at scale (one shuffle
