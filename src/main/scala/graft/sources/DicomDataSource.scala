@@ -90,16 +90,42 @@ object DicomSourceUtil {
       .getOrElse(new Configuration())
 
   /** All regular files under each path (non-recursive for a dir; the
-    * file itself otherwise). Empty files are kept — they surface as
-    * skipped / failing objects exactly like the pipeline. */
-  def listFiles(paths: Seq[String], conf: Configuration): Seq[String] =
+    * file itself otherwise), with sizes. Empty files are kept — they
+    * surface as skipped / failing objects exactly like the pipeline. */
+  def listFilesWithSize(paths: Seq[String], conf: Configuration): Seq[(String, Long)] =
     paths.flatMap { path =>
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Nil
-      else if (fs.getFileStatus(p).isFile) Seq(p.toString)
-      else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+      else if (fs.getFileStatus(p).isFile)
+        Seq(p.toString -> fs.getFileStatus(p).getLen)
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .map(s => s.getPath.toString -> s.getLen)
     }
+
+  def listFiles(paths: Seq[String], conf: Configuration): Seq[String] =
+    listFilesWithSize(paths, conf).map(_._1)
+
+  /** Pack files into partitions by cumulative size (FilePartition-style
+    * bin packing): one-task-per-file melts the scheduler at millions of
+    * objects; one giant task starves parallelism. Files are sorted
+    * largest-first and greedily assigned under `maxBytes` (with at least
+    * one file per partition). */
+  def packPartitions(files: Seq[(String, Long)],
+                     maxBytes: Long): Seq[Seq[String]] = {
+    val out = Vector.newBuilder[Seq[String]]
+    var current = Vector.empty[String]
+    var bytes = 0L
+    files.sortBy(-_._2).foreach { case (f, len) =>
+      val cost = math.max(len, 1L) // empty files still cost a slot
+      if (current.nonEmpty && bytes + cost > maxBytes) {
+        out += current; current = Vector.empty; bytes = 0L
+      }
+      current :+= f; bytes += cost
+    }
+    if (current.nonEmpty) out += current
+    out.result()
+  }
 
   /** Read a file, optionally bounded to `cap` bytes (cap < 0 = whole
     * file). The bounded form is the REAL ranged read of the reference's
@@ -195,28 +221,34 @@ class DicomTable(schema: StructType, paths: Seq[String]) extends Table with Supp
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DicomScanBuilder(schema, paths,
-      options.getBoolean("failOnError", false))
+      options.getBoolean("failOnError", false),
+      options.getLong("maxPartitionBytes", 128L * 1024 * 1024))
 }
 
-class DicomScanBuilder(full: StructType, paths: Seq[String], failOnError: Boolean)
+class DicomScanBuilder(full: StructType, paths: Seq[String],
+                       failOnError: Boolean, maxPartitionBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DicomScan(required, paths, failOnError)
+  override def build(): Scan =
+    new DicomScan(required, paths, failOnError, maxPartitionBytes)
 }
 
-case class DicomInputPartition(file: String) extends InputPartition
+case class DicomInputPartition(files: Seq[String]) extends InputPartition
 
-class DicomScan(required: StructType, paths: Seq[String], failOnError: Boolean)
+class DicomScan(required: StructType, paths: Seq[String],
+                failOnError: Boolean, maxPartitionBytes: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"DicomScan(path=${paths.mkString(",")}, columns=[${required.fieldNames.mkString(",")}])"
-  override def planInputPartitions(): Array[InputPartition] =
-    DicomSourceUtil.listFiles(paths, DicomSourceUtil.sessionConf())
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = DicomSourceUtil.listFilesWithSize(paths, DicomSourceUtil.sessionConf())
+    DicomSourceUtil.packPartitions(files, maxPartitionBytes)
       .map(DicomInputPartition.apply).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new DicomReaderFactory(required, failOnError,
       new SerializableHadoopConf(DicomSourceUtil.sessionConf()))
@@ -226,11 +258,11 @@ class DicomReaderFactory(required: StructType, failOnError: Boolean,
                          conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DicomPartitionReader(p.asInstanceOf[DicomInputPartition].file,
+    new DicomPartitionReader(p.asInstanceOf[DicomInputPartition].files,
       required, failOnError, conf)
 }
 
-class DicomPartitionReader(file: String, required: StructType,
+class DicomPartitionReader(files: Seq[String], required: StructType,
                            failOnError: Boolean, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
@@ -239,10 +271,12 @@ class DicomPartitionReader(file: String, required: StructType,
     required.fields.map(f => (DicomSourceUtil.keywordFor(f.name), f.dataType))
 
   private lazy val iter: Iterator[InternalRow] =
-    DicomSourceUtil.rowsOf(file, conf.value, failOnError).iterator.map { m =>
-      InternalRow.fromSeq(cols.toSeq.map { case (kw, dt) =>
-        m.get(kw).map(DicomSourceUtil.toCatalyst(_, dt)).orNull
-      })
+    files.iterator.flatMap { file =>
+      DicomSourceUtil.rowsOf(file, conf.value, failOnError).iterator.map { m =>
+        InternalRow.fromSeq(cols.toSeq.map { case (kw, dt) =>
+          m.get(kw).map(DicomSourceUtil.toCatalyst(_, dt)).orNull
+        })
+      }
     }
 
   private var current: InternalRow = _

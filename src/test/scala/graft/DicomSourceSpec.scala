@@ -51,6 +51,26 @@ class DicomSourceSpec extends AnyFunSuite {
     assert(n > 0 && n < 10)
   }
 
+  test("file packing bounds partitions by cumulative size") {
+    import graft.sources.DicomSourceUtil.packPartitions
+    val files = (0 until 10).map(i => (s"f$i", 100L))
+    // 250-byte cap → 2 files per partition
+    val packed = packPartitions(files, 250L)
+    assert(packed.length == 5)
+    assert(packed.forall(_.length == 2))
+    assert(packed.flatten.sorted == files.map(_._1).sorted)
+    // a file larger than the cap still gets its own partition
+    val withBig = packPartitions(Seq(("big", 1000L), ("s1", 10L), ("s2", 10L)), 100L)
+    assert(withBig.exists(_ == Seq("big")))
+    assert(withBig.flatten.length == 3)
+    // empty files cost a slot, never loop forever
+    assert(packPartitions(Seq(("e1", 0L), ("e2", 0L)), 1L).flatten.length == 2)
+  }
+
+  test("small read uses few partitions, not one per file") {
+    assert(df.rdd.getNumPartitions <= 2) // 6 files, ~5 MB total, 128 MB cap
+  }
+
   test("multi-path load reads all paths (paths JSON option)") {
     val two = spark.read.format("dicom")
       .load(s"$fixtures/example-0", s"$fixtures/example-6")
