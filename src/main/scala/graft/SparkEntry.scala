@@ -44,6 +44,9 @@ object SparkEntry {
     "q19_salted_agg"    -> (Relational.q19SaltedAgg _),
     "q20_sketches"      -> (Relational.q20Sketches _),
     "q21_json_fns"      -> (Relational.q21JsonFns _),
+    "q22_window_suite"  -> (Relational.q22WindowSuite _),
+    "q23_string_fns"    -> (Relational.q23StringFns _),
+    "q24_date_fns"      -> (Relational.q24DateFns _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -242,6 +245,40 @@ object SparkEntry {
         |coalesce(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT), 0) AS sum_k,
         |round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q22_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |row_number() OVER w AS rn,
+        |dense_rank() OVER w AS drk,
+        |ntile(4) OVER w AS quartile,
+        |lead(o_orderkey, 1) OVER w AS next_key,
+        |lag(o_orderkey, 1) OVER w AS prev_key,
+        |first_value(o_orderkey) OVER w AS first_key,
+        |round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders WHERE o_custkey <= 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q23_string_fns" ->
+      """SELECT c_custkey,
+        |lpad(c_mktsegment, 12, '*') AS padded,
+        |reverse(c_name) AS rev,
+        |translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat,
+        |repeat(substring(c_mktsegment, 1, 2), 3) AS rep,
+        |CAST(strpos(c_name, '0') AS BIGINT) AS pos0,
+        |CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS lev,
+        |concat_ws('|', upper(c_mktsegment), lower(c_name)) AS joined
+        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+
+    "q24_date_fns" ->
+      """SELECT o_orderkey,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+        |strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+        |strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+        |CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -331,6 +331,61 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Window-function breadth: rank family, lead/lag, ntile, first/last
+    * values, percent_rank — per customer over order history. */
+  def q22WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .filter($"o_custkey" <= 30)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        row_number().over(w).cast("long").as("rn"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lead($"o_orderkey", 1).over(w).as("next_key"),
+        lag($"o_orderkey", 1).over(w).as("prev_key"),
+        first($"o_orderkey").over(w).as("first_key"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** String-function breadth: pad/reverse/translate/repeat/position/
+    * substring arithmetic/edit distance. */
+  def q23StringFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .filter($"c_custkey" <= 100)
+      .select(
+        $"c_custkey",
+        lpad($"c_mktsegment", 12, "*").as("padded"),
+        reverse($"c_name").as("rev"),
+        translate($"c_mktsegment", "AEIOU", "aeiou").as("xlat"),
+        repeat(substring($"c_mktsegment", 1, 2), 3).as("rep"),
+        instr($"c_name", "0").cast("long").as("pos0"),
+        levenshtein($"c_mktsegment", lit("MACHINERY")).cast("long").as("lev"),
+        concat_ws("|", upper($"c_mktsegment"), lower($"c_name")).as("joined"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Date/time-function breadth: diffs, month arithmetic, boundaries,
+    * ISO weekday, quarter, truncation. */
+  def q24DateFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderkey" <= 300)
+      .select(
+        $"o_orderkey",
+        datediff(lit("1998-01-01").cast("date"), $"o_orderdate".cast("date"))
+          .cast("long").as("days_to_98"),
+        date_format(add_months($"o_orderdate", 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"),
+        (((dayofweek($"o_orderdate") + 5) % 7) + 1).cast("long").as("isodow"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Correlated scalar subquery shape: orders above their customer's
     * average order value. Expressed as join against a pre-aggregate
     * (decorrelated form — what Catalyst would plan anyway). */
