@@ -5,20 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (`Array[Float]`, dim 64).
   *
-  * Two paths, per the extension spec:
+  * Three paths, per the extension spec:
   *  - [[topkBrute]]: exact brute-force cosine top-k — the correctness
   *    baseline. One broadcast of the query vector, a single narrow pass
   *    over the table (no shuffle except the final top-k), linear cost.
-  *  - [[annLsh]]: random-hyperplane LSH — the scale path. Hyperplanes are
-  *    derived deterministically from md5 so the DuckDB oracle can rebuild
-  *    them; each vector maps to a 16-bit bucket; search touches only the
-  *    query's bucket. At 100 TB this is the difference between scanning
-  *    everything per query and scanning ~1/2^16 of it (with recall traded
-  *    for the bucket count).
+  *  - [[annLsh]] / [[embedLshNearDup]]: random-hyperplane LSH — 4 tables
+  *    × 6-bit buckets (OR-amplified). Hyperplanes are md5-derived so the
+  *    DuckDB oracle rebuilds them; search touches only colliding buckets.
+  *  - [[ivfTopk]]: IVF — per-label centroid coarse quantizer, probe-1
+  *    inverted-list search (1/k of the data per query).
   *
-  * All dot products are deterministic sequential folds over the array
-  * (`aggregate(zip_with(...))`) — the fp result is reproducible across
-  * engines and parallelism levels, unlike a shuffled SUM of per-dim rows.
+  * All dot products run through the codegen'd native
+  * [[graft.functions.DotProduct]] — a deterministic left-to-right double
+  * fold, so fp results are reproducible across engines and parallelism
+  * levels, unlike a shuffled SUM of per-dimension rows.
   */
 object Similarity {
 
