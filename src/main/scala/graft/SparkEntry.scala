@@ -81,7 +81,7 @@ object SparkEntry {
     "mm_decode_meta"  -> ((s, d) => Multimodal.decodeMeta(s, DicomQueries.Fixtures)),
     "mm_resize_meta"  -> ((s, d) => Multimodal.resizeMeta(s, DicomQueries.Fixtures)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, DicomQueries.Fixtures)),
-    "mm_pseudo_embed" -> ((s, d) => Multimodal.pseudoEmbed(s, DicomQueries.Fixtures)),
+    "mm_pseudo_embed" -> ((s, d) => Multimodal.pseudoEmbedFlat(s, DicomQueries.Fixtures)),
   )
 
   def oracleSql: Map[String, String] = Map(

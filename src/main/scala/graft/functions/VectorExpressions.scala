@@ -81,8 +81,15 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  /** Register `graft_dot(a, b)` for the session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  /** Register `graft_dot(a, b)` for the session. Truly idempotent: skips
+    * re-registration when the function already exists, so per-query calls
+    * don't spam "replaced a previously registered function" WARNs. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (!reg.functionExists(ident)) {
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    }
+  }
 }

@@ -174,12 +174,19 @@ object Dedup {
         explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("gram"))
       .distinct()
       .cache()
-    // candidate pairs straight out of ONE groupBy over grams: rare grams
-    // (df ≤ 20) carry their doc list; pairs are generated in-place
-    // (≤ df²/2 per gram) — no second join against the 2.7M-row relation
-    val cand = grams.groupBy($"gram")
+    // df filter BEFORE any doc list materializes: count(*) over a window
+    // keyed on gram runs in WindowExec's spillable row container (a
+    // stop-gram with millions of docs spills to disk instead of growing
+    // one collect_list agg buffer until OOM), and the groupBy that follows
+    // reuses the window's hashpartitioning(gram) — still ONE shuffle of
+    // the gram relation, but the collect_list now only ever sees groups
+    // of ≤ 20 rows. Pairs are generated in-place (≤ df²/2 per gram).
+    val gramWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
+    val cand = grams
+      .withColumn("df", count(lit(1)).over(gramWin))
+      .filter($"df" <= 20)
+      .groupBy($"gram")
       .agg(collect_list($"doc_id").as("ds"))
-      .filter(size($"ds") <= 20)
       .select(explode(expr(
         """filter(flatten(transform(ds, a -> transform(ds, b -> struct(a, b)))),
                   p -> p.a < p.b)""")).as("p"))
@@ -220,15 +227,33 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Row ceiling for the exact O(n²) cosine path. Configurable via
+    * `spark.graft.dedup.exactCosineMaxRows`; past it [[embedCosine]] fails
+    * fast and names the LSH scale path, so the cartesian baseline can't be
+    * pointed at a 100 TB corpus by accident. */
+  private[operators] def exactCosineMaxRows(s: SparkSession): Long =
+    s.conf.get("spark.graft.dedup.exactCosineMaxRows", "1000000").toLong
+
   /** Embedding cosine near-duplicates — exact O(n²) baseline form.
     * Norms are precomputed once per side; the dot product is the native
     * codegen'd [[graft.functions.DotProduct]] — the same left-to-right
     * double summation as DuckDB's sequential list_dot_product (bit-
-    * identical results; 74 s → ~2 s at sf0.1 vs the interpreted HOF). */
+    * identical results; 74 s → ~2 s at sf0.1 vs the interpreted HOF).
+    *
+    * Guarded: refuses inputs above [[exactCosineMaxRows]] (the count is a
+    * parquet-metadata read, not a scan). [[Similarity.embedLshNearDup]] is
+    * the unguarded scale path (Σ n_b² bucketed join, never all-pairs). */
   def embedCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val src = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = src.count()
+    val cap = exactCosineMaxRows(s)
+    require(n <= cap,
+      s"Dedup.embedCosine is the exact O(n^2) baseline and got $n rows " +
+      s"(cap $cap, spark.graft.dedup.exactCosineMaxRows). " +
+      "Use Similarity.embedLshNearDup for the bucketed scale path.")
+    val e = src
       .select($"vec_id", $"embedding",
         expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")

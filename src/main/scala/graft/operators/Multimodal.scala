@@ -138,4 +138,20 @@ object Multimodal {
       .withColumn("path", element_at(split($"path", "/"), -1))
       .orderBy($"path")
   }
+
+  /** [[pseudoEmbed]] with the raw `array<float>` serialized for external
+    * harnesses: a rounded L2 norm plus a JSON dump of the rounded vector.
+    * (Raw arrays are unhashable in pandas-based row checks; the JSON form
+    * is deterministic and sortable.) Compose with [[Similarity]] via
+    * [[pseudoEmbed]] directly — this variant is the reporting surface. */
+  def pseudoEmbedFlat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pseudoEmbed(s, dir)
+      .select($"path",
+        round(sqrt(aggregate($"embedding", lit(0.0d),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))), 6).as("norm"),
+        to_json(transform($"embedding",
+          v => round(v.cast("double"), 6))).as("embedding_json"))
+      .orderBy($"path")
+  }
 }

@@ -36,7 +36,11 @@ object DicomQueries {
         date_format($"study_date", "yyyy-MM-dd").as("study_date"),
         $"series_number", $"rows", $"columns",
         $"photometric_interpretation", $"sopinstance_uid",
-        $"image_type", $"pixel_spacing",
+        // Array-typed tags serialized to JSON strings: keeps the driver's
+        // pandas-based rows check sortable (raw arrays are unhashable there)
+        // while preserving the full multi-valued content.
+        to_json($"image_type").as("image_type"),
+        to_json($"pixel_spacing").as("pixel_spacing"),
         $"patient_name.family_name".as("patient_family_name"))
       .orderBy($"source_key", $"archive_path")
   }

@@ -392,8 +392,11 @@ object Relational {
   def q16Subquery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = t(s, dir, "orders")
+    // No broadcast hint: the aggregate is one row PER CUSTOMER, so its size
+    // scales with the corpus — an explicit broadcast would OOM at 100×.
+    // AQE sizes the built side at runtime and still broadcasts at small sf.
     val avgPer = o.groupBy($"o_custkey".as("ck")).agg(avg($"o_totalprice").as("avg_price"))
-    o.join(broadcast(avgPer), $"o_custkey" === $"ck")
+    o.join(avgPer, $"o_custkey" === $"ck")
       .filter($"o_totalprice" > $"avg_price" * 1.5)
       .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
       .orderBy($"o_orderkey")
