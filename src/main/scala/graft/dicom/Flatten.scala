@@ -31,14 +31,25 @@ object Flatten {
 
   import VrConvert._
 
-  /** One parsed image → keyword-keyed row. */
+  /** One parsed image → keyword-keyed row.
+    *
+    * `keep = Some(set)` restricts VALUE CONVERSION to the named keywords
+    * (the V2 source's column pruning — a `SELECT modality` converts one
+    * tag, not ~130). The element walk itself is unchanged (bounded by the
+    * stop-at-pixel-data rule). Pruning also narrows failure scope: a
+    * corrupt value in a column the query never references cannot fail the
+    * image — the same semantics as a columnar format's pruned read. The
+    * ETL pipeline always passes `None` (full conversion, reference
+    * fail-the-object semantics preserved). */
   def flatten(file: DicomParser.DicomFile,
               bucket: String, region: String, key: String,
-              archivePath: String): Map[String, DicomValue] = {
+              archivePath: String,
+              keep: Option[Set[String]] = None): Map[String, DicomValue] = {
     var m = Map.empty[String, DicomValue]
     file.elements.foreach { e =>
       val kw = e.keyword
-      if (kw.nonEmpty && !VrConvert.isEmptyValue(e, file.charset))
+      if (kw.nonEmpty && keep.forall(_.contains(kw)) &&
+          !VrConvert.isEmptyValue(e, file.charset))
         m += kw -> VrConvert.convert(e, file.charset)
     }
     m += LineageBucket -> DStr(bucket)

@@ -45,16 +45,19 @@ object DicomPipeline {
 
   final case class Extracted(rows: RDD[ImageRow], errors: RDD[DicomError])
 
-  /** Process ONE source object end-to-end (pure; runs on executors). */
+  /** Process ONE source object end-to-end (pure; runs on executors).
+    * `keep` restricts value conversion to the named keywords (V2 column
+    * pruning); `None` = full conversion, the pipeline's semantics. */
   def processObject(bucket: String, region: String, key: String,
-                    content: Array[Byte]): Either[DicomError, Seq[ImageRow]] = {
+                    content: Array[Byte],
+                    keep: Option[Set[String]] = None): Either[DicomError, Seq[ImageRow]] = {
     try {
       Archives.expand(key, content) match {
         case Archives.Ignored => Right(Nil)
         case Archives.Entries(entries) =>
           Right(entries.map { case (name, bytes) =>
             val parsed = DicomParser.parse(bytes)
-            ImageRow(Flatten.flatten(parsed, bucket, region, key, name))
+            ImageRow(Flatten.flatten(parsed, bucket, region, key, name, keep))
           })
       }
     } catch {

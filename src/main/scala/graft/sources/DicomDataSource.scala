@@ -21,18 +21,24 @@ import graft.pipeline.DicomPipeline
 /** DataSource V2: `spark.read.format("dicom").load(dir)`.
   *
   * The ergonomic face of the engine (SURVEY.md §7.3 "optional
-  * DataSource V2 FileFormat"): schema inferred by a driver-side parse of
-  * the inputs (union of observed keywords, typed from the static VR
-  * dictionary — the same dynamic-schema rule as the batch pipeline), one
-  * input partition per source object, and REQUIRED-COLUMN PUSHDOWN: a
+  * DataSource V2 FileFormat"): recursive listing (any-depth keys, same as
+  * the batch pipeline), schema inferred from a bounded file sample (or
+  * distributed over executors — never a full driver-side corpus parse),
+  * size-packed input partitions, and REQUIRED-COLUMN PUSHDOWN: a
   * `SELECT modality FROM ...` only *converts* the requested tags (the
   * binary scan still walks element headers — bounded by the
   * stop-at-pixel-data rule — but skips value conversion and row
-  * materialization for unreferenced columns).
+  * materialization for unreferenced columns; see
+  * [[graft.dicom.Flatten.flatten]]'s `keep`).
   *
-  * Read options: `failOnError` (default false — unparsable objects are
-  * skipped, matching a read-surface's permissive mode; the ETL pipeline
-  * keeps its error side-channel semantics).
+  * Read options:
+  *  - `failOnError` (default false): unparsable objects are skipped,
+  *    matching a read-surface's permissive mode (the ETL pipeline keeps
+  *    its error side-channel semantics);
+  *  - `inferSampleFiles` (default 64): schema-inference sample bound;
+  *  - `inferMode` (`sample` | `full`): `full` distributes full-corpus
+  *    inference over executors;
+  *  - `maxPartitionBytes` (default 128 MB): input-partition packing bound.
   */
 class DicomDataSource extends TableProvider with DataSourceRegister {
 
@@ -42,7 +48,10 @@ class DicomDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DicomSourceUtil.inferSchema(
       DicomSourceUtil.pathsOf(options.get("path"), options.get("paths")),
-      DicomSourceUtil.sessionConf())
+      DicomSourceUtil.sessionConf(),
+      sampleFiles = options.getInt("inferSampleFiles",
+        DicomSourceUtil.DefaultInferSampleFiles),
+      distributed = "full".equalsIgnoreCase(options.getOrDefault("inferMode", "sample")))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
@@ -89,9 +98,12 @@ object DicomSourceUtil {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  /** All regular files under each path (non-recursive for a dir; the
-    * file itself otherwise), with sizes. Empty files are kept — they
-    * surface as skipped / failing objects exactly like the pipeline. */
+  /** All regular files under each path (RECURSIVE for a dir — the same
+    * any-depth key semantics as the batch pipeline's
+    * `recursiveFileLookup=true`; the reference processes whatever key an
+    * event names regardless of prefix depth), with sizes. Empty files are
+    * kept — they surface as skipped / failing objects exactly like the
+    * pipeline. */
   def listFilesWithSize(paths: Seq[String], conf: Configuration): Seq[(String, Long)] =
     paths.flatMap { path =>
       val p = new Path(path)
@@ -99,8 +111,15 @@ object DicomSourceUtil {
       if (!fs.exists(p)) Nil
       else if (fs.getFileStatus(p).isFile)
         Seq(p.toString -> fs.getFileStatus(p).getLen)
-      else fs.listStatus(p).toSeq.filter(_.isFile)
-        .map(s => s.getPath.toString -> s.getLen)
+      else {
+        val it = fs.listFiles(p, true)
+        val out = Seq.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile) out += s.getPath.toString -> s.getLen
+        }
+        out.result()
+      }
     }
 
   def listFiles(paths: Seq[String], conf: Configuration): Seq[String] =
@@ -155,27 +174,68 @@ object DicomSourceUtil {
   def capFor(path: String): Long =
     if (Archives.evalExt(path) == ".dcm") Archives.DcmRangeBytes.toLong else -1L
 
-  /** Rows of one source object (empty for ignored/failing objects). */
-  def rowsOf(path: String, conf: Configuration,
-             failOnError: Boolean): Seq[Map[String, VrConvert.DicomValue]] =
+  /** Rows of one source object (empty for ignored/failing objects).
+    * `keep` = required-keyword set for pruned conversion (None = all). */
+  def rowsOf(path: String, conf: Configuration, failOnError: Boolean,
+             keep: Option[Set[String]] = None): Seq[Map[String, VrConvert.DicomValue]] =
     DicomPipeline.processObject("dicom-source", "local", path,
-      readBytes(path, conf, capFor(path))) match {
+      readBytes(path, conf, capFor(path)), keep) match {
       case Right(rs) => rs.map(_.values)
       case Left(e) =>
         if (failOnError) throw new RuntimeException(s"${e.stage}: ${e.error}")
         else Nil
     }
 
-  /** Driver-side schema inference: union of observed keywords over all
-    * inputs, typed by the static dictionary, snake_cased, sorted. */
-  def inferSchema(paths: Seq[String], conf: Configuration): StructType = {
-    val keys = scala.collection.mutable.SortedSet.empty[String]
-    listFiles(paths, conf).foreach { f =>
-      rowsOf(f, conf, failOnError = false).foreach { m =>
-        m.foreach { case (k, v) => if (v != VrConvert.DNull) keys += k }
+  /** Default file-sample size for schema inference. */
+  val DefaultInferSampleFiles = 64
+
+  /** Schema inference: union of observed keywords, typed by the static
+    * dictionary, snake_cased, sorted.
+    *
+    * Scale design: the driver NEVER parses the whole corpus. The default
+    * infers from a bounded sample (`inferSampleFiles`, first N by path
+    * order — deterministic); `inferMode=full` distributes full-corpus
+    * inference over executors (one flatMap over the file list, collecting
+    * only the observed KEYWORD set — bounded by the ~130-entry static
+    * dictionary, never row data). A user schema (`.schema(...)`) skips
+    * inference entirely and is the recommended path for repeated reads. */
+  def inferSchema(paths: Seq[String], conf: Configuration,
+                  sampleFiles: Int = DefaultInferSampleFiles,
+                  distributed: Boolean = false): StructType = {
+    val files = listFiles(paths, conf)
+    val keys: Seq[String] =
+      if (distributed && SparkSession.getActiveSession.isDefined) {
+        val sc = SparkSession.active.sparkContext
+        val sconf = new SerializableHadoopConf(conf)
+        val parts = math.max(1, math.min(files.size, sc.defaultParallelism * 4))
+        sc.parallelize(files, parts)
+          .flatMap(f => rowsOf(f, sconf.value, failOnError = false)
+            .iterator.flatMap(_.collect {
+              case (k, v) if v != VrConvert.DNull => k
+            }).toSet)
+          .distinct().collect().toSeq
+      } else {
+        // The bound counts PRODUCTIVE files (≥1 row): a corpus whose first
+        // N paths are non-DICOM clutter (READMEs, empty DICOMDIRs) must
+        // not infer an empty schema. A hard cap on files *examined* keeps
+        // the driver bounded even if nothing parses.
+        val want = math.max(1, sampleFiles)
+        val examineCap = math.max(want * 16, 512)
+        val keySet = scala.collection.mutable.SortedSet.empty[String]
+        var productive = 0
+        var examined = 0
+        val it = files.sorted.iterator
+        while (productive < want && examined < examineCap && it.hasNext) {
+          val rs = rowsOf(it.next(), conf, failOnError = false)
+          examined += 1
+          if (rs.nonEmpty) productive += 1
+          rs.foreach(_.foreach { case (k, v) =>
+            if (v != VrConvert.DNull) keySet += k
+          })
+        }
+        keySet.toSeq
       }
-    }
-    StructType(keys.toSeq
+    StructType(keys
       .map(kw => kw -> Tags.snakeCase(kw)).sortBy(_._2)
       .map { case (kw, col) =>
         StructField(col, DicomPipeline.sparkTypeFor(kw), nullable = true)
@@ -266,17 +326,22 @@ class DicomPartitionReader(files: Seq[String], required: StructType,
                            failOnError: Boolean, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  // (snake column, source keyword, spark type) in output order
+  // (source keyword, spark type) in output order
   private val cols: Array[(String, DataType)] =
     required.fields.map(f => (DicomSourceUtil.keywordFor(f.name), f.dataType))
 
+  // pruned conversion: only the required keywords are VR-converted
+  private val keep: Set[String] = cols.map(_._1).toSet
+
   private lazy val iter: Iterator[InternalRow] =
     files.iterator.flatMap { file =>
-      DicomSourceUtil.rowsOf(file, conf.value, failOnError).iterator.map { m =>
-        InternalRow.fromSeq(cols.toSeq.map { case (kw, dt) =>
-          m.get(kw).map(DicomSourceUtil.toCatalyst(_, dt)).orNull
-        })
-      }
+      DicomSourceUtil.rowsOf(file, conf.value, failOnError, Some(keep))
+        .iterator.map { m =>
+          InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            cols.map { case (kw, dt) =>
+              m.get(kw).map(DicomSourceUtil.toCatalyst(_, dt)).orNull
+            }))
+        }
     }
 
   private var current: InternalRow = _

@@ -85,4 +85,50 @@ class DicomSourceSpec extends AnyFunSuite {
       if (t == null) Nil else t.getMessage +: chain(t.getCause)
     assert(chain(e).exists(m => m != null && m.contains("DICM")))
   }
+
+  test("recursive listing: nested dirs match the pipeline's extraction") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("dicom-nested")
+    Files.createDirectories(tmp.resolve("a/b"))
+    Files.copy(Paths.get(s"$fixtures/example-0"), tmp.resolve("a/example-0"))
+    Files.copy(Paths.get(s"$fixtures/example-6"), tmp.resolve("a/b/example-6"))
+    val v2 = spark.read.format("dicom").load(tmp.toString)
+    val pipeRows = graft.pipeline.DicomPipeline
+      .extract(spark, tmp.toString).rows.count()
+    assert(v2.count() == pipeRows)
+    assert(v2.count() == 2)
+  }
+
+  test("pruned read skips conversion of unreferenced corrupt columns") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("dicom-pruned")
+    Files.write(tmp.resolve("corrupt.dcm"), DicomWriter.file(Seq(
+      DicomWriter.strElement(0x0008, 0x0060, "CS", "CT"),       // Modality
+      DicomWriter.strElement(0x0008, 0x0021, "DA", "NOTADATE")  // SeriesDate: unparsable
+    )))
+    val schema = StructType(Seq(
+      StructField("modality", StringType), StructField("series_date", DateType)))
+    val strict = spark.read.format("dicom").schema(schema)
+      .option("failOnError", "true").load(tmp.toString)
+    // referencing the corrupt column converts it → the image fails
+    intercept[Exception] { strict.select("series_date").collect() }
+    // pruning it away means its converter NEVER runs → the read succeeds
+    assert(strict.select("modality").collect().map(_.getString(0)).toSeq == Seq("CT"))
+  }
+
+  test("schema inference: distributed full pass matches driver sample; sample is bounded") {
+    import graft.sources.DicomSourceUtil
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sampled = DicomSourceUtil.inferSchema(Seq(fixtures), conf)
+    val full = DicomSourceUtil.inferSchema(Seq(fixtures), conf, distributed = true)
+    assert(sampled == full) // fixture set fits in one sample window
+    val one = DicomSourceUtil.inferSchema(Seq(fixtures), conf, sampleFiles = 1)
+    assert(one.fieldNames.nonEmpty)
+    assert(one.fieldNames.toSet.subsetOf(sampled.fieldNames.toSet))
+    // the option path end-to-end
+    val dfFull = spark.read.format("dicom")
+      .option("inferMode", "full").load(fixtures)
+    assert(dfFull.count() == 10)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators.Dedup
+
+/** Pins the scale guards: the exact O(n²) cosine path must refuse
+  * over-threshold inputs (routing users to the LSH scale path), and the
+  * n-gram Jaccard candidate generator must df-filter BEFORE any doc list
+  * materializes (the window-based plan shape), so a stop-gram can never
+  * grow an unbounded collect_list aggregation buffer. */
+class ScaleGuardSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("scale-guard-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("embedCosine fails fast past the configured row cap, naming the scale path") {
+    spark.conf.set("spark.graft.dedup.exactCosineMaxRows", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.embedCosine(spark, sf)
+      }
+      assert(e.getMessage.contains("exactCosineMaxRows"))
+      assert(e.getMessage.contains("embedLshNearDup"),
+        "the error must point at the bucketed scale path")
+    } finally spark.conf.unset("spark.graft.dedup.exactCosineMaxRows")
+  }
+
+  test("embedCosine runs under the default cap") {
+    assert(Dedup.embedCosine(spark, sf).count() >= 0)
+  }
+
+  test("ngramJaccard: df filter precedes doc-list collection, same shuffle") {
+    val p = Dedup.ngramJaccard(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("Window [count(1)"), "df must come from a window count")
+    val agg = p.indexOf("collect_list(doc_id")
+    val win = p.indexOf("Window [count(1)")
+    assert(agg >= 0 && win > agg,
+      "the collect_list aggregate must sit ABOVE the window df filter")
+    val between = p.substring(agg, win)
+    assert(between.contains("df") && between.contains("<= 20"),
+      "the df <= 20 filter must run before doc lists are collected")
+    assert(!between.contains("Exchange"),
+      "window df-count and the collect must share one hashpartitioning(gram) shuffle")
+  }
+}
