@@ -59,6 +59,7 @@ object SparkEntry {
     "sim_topk_brute"      -> (Similarity.topkBrute _),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
     "sim_ivf_topk"        -> (Similarity.ivfTopk _),
+    "sim_ivf_probe2"      -> (Similarity.ivfProbe2 _),
     "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     // ——— text analysis ———
@@ -495,6 +496,25 @@ object SparkEntry {
         |  LIMIT 1)
         |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
         |FROM e, q, best WHERE e.label = best.best_label AND vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ivf_probe2" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT label, emb, unnest(range(len(emb))) AS dim FROM e),
+        |bydim AS (SELECT label, dim, round(avg(emb[CAST(dim AS INT) + 1]), 8) AS m
+        |          FROM p GROUP BY 1, 2),
+        |cent AS (SELECT label, list(m ORDER BY dim) AS cvec FROM bydim GROUP BY label),
+        |cn AS (SELECT label, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM cent),
+        |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |best AS (SELECT label AS best_label
+        |  FROM cn, q
+        |  ORDER BY round(list_dot_product(cvec, q_emb) / (cnorm * q_nrm), 6) DESC, label
+        |  LIMIT 2)
+        |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
+        |FROM e, q WHERE e.label IN (SELECT best_label FROM best) AND vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_label_centroids" ->

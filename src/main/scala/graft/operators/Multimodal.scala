@@ -10,13 +10,14 @@ import graft.dicom.{DicomParser, Tags}
   *
   * The Spark-side plumbing — schemas, batched per-partition execution
   * (the JVM analog of `mapInPandas` batch shape), partitioning, operator
-  * signatures — is real and tested. The PIXEL-level decode is a
-  * deterministic STUB (this container has no imaging libraries): for
-  * DICOM inputs the "decode" reads true header geometry (Rows/Columns/
-  * BitsAllocated/SamplesPerPixel — a genuine metadata decode); for other
-  * binaries it derives deterministic fake geometry from the content
-  * digest. Swap [[decodeOne]]'s stub branch for a real codec when one is
-  * available.
+  * signatures — is real and tested. Geometry decode reads REAL container
+  * bytes wherever the format carries it codec-free: DICOM header tags,
+  * PNG IHDR, JPEG SOF, GIF/BMP headers, ZIP central directory, gzip
+  * ISIZE, TAR headers. Only pixel RESAMPLING (and opaque formats like
+  * bz2) remains a deterministic STUB — this container has no imaging
+  * libraries; swap [[stubOf]] for a real codec when one is available.
+  * The `decoder` column always names the source, so downstream consumers
+  * can filter on provenance.
   *
   * Scale design: every operator is a narrow per-partition pass over the
   * asset table (no shuffle); frame sampling is the explode/UDTF shape;
@@ -30,7 +31,8 @@ object Multimodal {
 
   final case class DecodedAsset(
       path: String, media_type: String, width: Int, height: Int,
-      channels: Int, bits: Int, n_frames: Int, decoder: String)
+      channels: Int, bits: Int, n_frames: Int, decoder: String,
+      payload_bytes: Long)
 
   /** Load a directory of binaries as the asset table: opaque content +
     * typed metadata (media type sniffed from magic bytes, not extension). */
@@ -41,40 +43,138 @@ object Multimodal {
       .withColumn("digest", md5(col("content")))
   }
 
-  private val mediaTypeUdf = udf { content: Array[Byte] =>
-    if (content == null) "empty"
+  /** Magic-byte media-type sniff (never trusts the extension). */
+  def sniffMediaType(content: Array[Byte]): String = {
+    def at(i: Int): Int = content(i) & 0xff
+    if (content == null || content.isEmpty) "empty"
     else if (DicomParser.isDicom(content)) "application/dicom"
+    else if (content.length >= 8 && at(0) == 0x89 && content(1) == 'P' &&
+             content(2) == 'N' && content(3) == 'G') "image/png"
+    else if (content.length >= 3 && at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "image/jpeg"
+    else if (content.length >= 6 && content.startsWith("GIF8".getBytes)) "image/gif"
+    else if (content.length >= 30 && content(0) == 'B' && content(1) == 'M') "image/bmp"
     else if (content.length >= 2 && content(0) == 'P' && content(1) == 'K') "application/zip"
-    else if (content.length >= 2 && (content(0) & 0xff) == 0x1f && (content(1) & 0xff) == 0x8b) "application/gzip"
+    else if (content.length >= 2 && at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
     else if (content.length >= 3 && content(0) == 'B' && content(1) == 'Z' && content(2) == 'h') "application/x-bzip2"
-    else if (content.isEmpty) "empty"
+    else if (content.length >= 262 && content(257) == 'u' && content(258) == 's' &&
+             content(259) == 't' && content(260) == 'a' && content(261) == 'r') "application/x-tar"
     else "application/octet-stream"
   }
 
-  /** Decode ONE asset's geometry. DICOM branch is a true header decode;
-    * everything else is the deterministic stub (md5-derived). */
+  private val mediaTypeUdf = udf(sniffMediaType _)
+
+  // --- byte-order helpers for the container parsers ---
+  private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Decode ONE asset's geometry from REAL container bytes wherever the
+    * format carries it without a codec: DICOM header tags, PNG IHDR,
+    * JPEG SOF, GIF screen descriptor, BMP DIB, ZIP end-of-central-
+    * directory (+ central-dir walk for payload size), gzip ISIZE trailer,
+    * TAR header walk. Only formats whose geometry genuinely needs a pixel
+    * codec (and the opaque-compression bz2) fall back to the
+    * deterministic md5 stub — `decoder` always names the source. */
   def decodeOne(path: String, mediaType: String, content: Array[Byte]): DecodedAsset = {
     def short(kw: String, parsed: DicomParser.DicomFile): Int =
       parsed.elements.find(_.keyword == kw)
         .flatMap(e => graft.dicom.VrConvert.rawStrings(e, parsed.charset).headOption)
         .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
-    if (mediaType == "application/dicom") {
-      val parsed = DicomParser.parse(content)
-      DecodedAsset(path, mediaType,
-        width = short("Columns", parsed), height = short("Rows", parsed),
-        channels = math.max(1, short("SamplesPerPixel", parsed)),
-        bits = math.max(8, short("BitsAllocated", parsed)),
-        n_frames = math.max(1, short("NumberOfFrames", parsed)),
-        decoder = "dicom-header")
-    } else {
-      // STUB: deterministic fake geometry from the content digest
-      val d = java.security.MessageDigest.getInstance("MD5").digest(content)
-      def b(i: Int): Int = d(i) & 0xff
-      DecodedAsset(path, mediaType,
-        width = 64 + (b(0) << 4), height = 64 + (b(1) << 4),
-        channels = 1 + b(2) % 3, bits = 8 << (b(3) % 2),
-        n_frames = 1 + b(4) % 30, decoder = "stub")
+    def asset(w: Int, h: Int, ch: Int, bits: Int, frames: Int,
+              dec: String, payload: Long): DecodedAsset =
+      DecodedAsset(path, mediaType, w, h, ch, bits, frames, dec, payload)
+    mediaType match {
+      case "application/dicom" =>
+        val parsed = DicomParser.parse(content)
+        val (w, h) = (short("Columns", parsed), short("Rows", parsed))
+        val ch = math.max(1, short("SamplesPerPixel", parsed))
+        val bits = math.max(8, short("BitsAllocated", parsed))
+        val frames = math.max(1, short("NumberOfFrames", parsed))
+        asset(w, h, ch, bits, frames, "dicom-header",
+          w.toLong * h * ch * (bits / 8) * frames)
+      case "image/png" =>
+        // 8-byte signature, IHDR length+type, then W/H (BE), bit depth,
+        // color type (channels: grey 1, rgb 3, palette 1, grey+a 2, rgba 4)
+        val ch = (content(25) & 0xff) match {
+          case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
+        }
+        val (w, h, bits) = (be32(content, 16), be32(content, 20), content(24) & 0xff)
+        asset(w, h, ch, bits, 1, "png-ihdr", w.toLong * h * ch * math.max(1, bits / 8))
+      case "image/jpeg" =>
+        // walk markers to the first SOFn (C0-CF minus C4/C8/CC)
+        var i = 2
+        var out: Option[DecodedAsset] = None
+        while (out.isEmpty && i + 9 < content.length && (content(i) & 0xff) == 0xff) {
+          val m = content(i + 1) & 0xff
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            val (bits, h, w, ch) = (content(i + 4) & 0xff,
+              be16(content, i + 5), be16(content, i + 7), content(i + 9) & 0xff)
+            out = Some(asset(w, h, ch, bits, 1, "jpeg-sof",
+              w.toLong * h * ch * math.max(1, bits / 8)))
+          } else i += 2 + (if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) 0 else be16(content, i + 2))
+        }
+        out.getOrElse(stubOf(path, mediaType, content))
+      case "image/gif" =>
+        val (w, h) = (le16(content, 6), le16(content, 8))
+        val bits = ((content(10) & 0x70) >> 4) + 1 // color resolution field
+        asset(w, h, 3, bits, 1, "gif-lsd", w.toLong * h * 3)
+      case "image/bmp" =>
+        val w = le32(content, 18).toInt
+        val h = math.abs(le32(content, 22).toInt)
+        val bpp = le16(content, 28)
+        asset(w, h, if (bpp >= 24) 3 else 1, math.min(bpp, 8), 1, "bmp-dib",
+          w.toLong * h * bpp / 8)
+      case "application/zip" =>
+        // EOCD record scanned from the tail; entry count is REAL metadata,
+        // payload from the central-directory walk (uncompressed sizes)
+        var i = content.length - 22
+        while (i >= 0 && !(content(i) == 'P' && content(i + 1) == 'K' &&
+                (content(i + 2) & 0xff) == 0x05 && (content(i + 3) & 0xff) == 0x06)) i -= 1
+        if (i < 0) stubOf(path, mediaType, content)
+        else {
+          val entries = le16(content, i + 10)
+          var cd = le32(content, i + 16).toInt
+          var payload = 0L
+          while (cd >= 0 && cd + 46 <= content.length &&
+                 content(cd) == 'P' && content(cd + 1) == 'K' &&
+                 (content(cd + 2) & 0xff) == 0x01 && (content(cd + 3) & 0xff) == 0x02) {
+            payload += le32(content, cd + 24)
+            cd += 46 + le16(content, cd + 28) + le16(content, cd + 30) + le16(content, cd + 32)
+          }
+          asset(0, 0, 0, 0, entries, "zip-eocd", payload)
+        }
+      case "application/gzip" =>
+        // ISIZE trailer: uncompressed payload size mod 2^32
+        asset(0, 0, 0, 0, 1, "gzip-trailer", le32(content, content.length - 4))
+      case "application/x-tar" =>
+        // walk 512-byte headers: octal size field, round payload to blocks
+        var off = 0
+        var entries = 0
+        var payload = 0L
+        while (off + 512 <= content.length && content(off) != 0) {
+          val sizeStr = new String(content, off + 124, 12).trim.takeWhile(_ != ' ')
+          val size = scala.util.Try(java.lang.Long.parseLong(sizeStr.trim, 8)).getOrElse(0L)
+          val typeflag = content(off + 156)
+          if (typeflag == '0' || typeflag == 0) { entries += 1; payload += size }
+          off += 512 + (((size + 511) / 512) * 512).toInt
+        }
+        asset(0, 0, 0, 0, math.max(1, entries), "tar-headers", payload)
+      case _ => stubOf(path, mediaType, content)
     }
+  }
+
+  /** Deterministic md5-derived stub geometry — the documented fallback for
+    * formats whose geometry requires an actual pixel codec. */
+  private def stubOf(path: String, mediaType: String, content: Array[Byte]): DecodedAsset = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(content)
+    def b(i: Int): Int = d(i) & 0xff
+    DecodedAsset(path, mediaType,
+      width = 64 + (b(0) << 4), height = 64 + (b(1) << 4),
+      channels = 1 + b(2) % 3, bits = 8 << (b(3) % 2),
+      n_frames = 1 + b(4) % 30, decoder = "stub", payload_bytes = content.length.toLong)
   }
 
   /** Batched decode: one pass per partition over (path, media_type,

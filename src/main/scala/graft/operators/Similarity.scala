@@ -126,7 +126,21 @@ object Similarity {
     * that inverted list. At scale: centroids are tiny (broadcast), the
     * probed list is 1/k of the data — the classic IVF trade of recall
     * for a k-fold scan reduction, complementing the hyperplane-LSH path. */
-  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  def ivfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, nprobe = 1)
+
+  /** Probe-2 IVF twin: searches the union of the TWO nearest inverted
+    * lists — the standard recall/scan-cost dial (`nprobe` of `k` lists ⇒
+    * nprobe/k of the data scanned; recall approaches exact as nprobe→k).
+    * Lists are disjoint (one label per vector), so the union needs no
+    * dedup. */
+  def ivfProbe2(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, nprobe = 2)
+
+  /** Shared IVF search: coarse-quantize the query to its `nprobe` nearest
+    * per-label centroids, scan only those inverted lists. Centroids and
+    * the probe set stay driver-tiny (≤ #labels rows) → broadcast. */
+  private def ivfSearch(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
       .select($"vec_id", $"label", $"embedding", expr(normExpr).as("nrm"))
@@ -143,7 +157,7 @@ object Similarity {
       .select($"label".as("best_label"),
         expr("round(graft_dot(cvec, q_emb) / (cnorm * q_nrm), 6)").as("c_sim"))
       .orderBy($"c_sim".desc, $"best_label")
-      .limit(1)
+      .limit(nprobe)
     e.filter($"vec_id" =!= 0)
       .join(broadcast(best), $"label" === $"best_label")
       .join(broadcast(q))

@@ -37,9 +37,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex0.getAs[Int]("height") == 979)
     assert(ex0.getAs[Int]("channels") == 3)
     assert(ex0.getAs[Int]("bits") == 8)
-    // archives get deterministic stub geometry
-    assert(d("example.zip").getAs[String]("decoder") == "stub")
-    assert(d("example.zip").getAs[Int]("width") >= 64)
+    // archives get REAL container metadata, not stub geometry
+    val zip = d("example.zip")
+    assert(zip.getAs[String]("decoder") == "zip-eocd")
+    assert(zip.getAs[Int]("n_frames") == 3) // central-dir entry count
+    assert(zip.getAs[Long]("payload_bytes") == 2162134L) // Σ uncompressed sizes
+    val gz = d("example.tar") // really gzip
+    assert(gz.getAs[String]("decoder") == "gzip-trailer")
+    assert(gz.getAs[Long]("payload_bytes") == 2168320L) // ISIZE
+    // opaque compression keeps the documented deterministic stub
+    assert(d("example.tar.bz2").getAs[String]("decoder") == "stub")
+  }
+
+  test("image/container headers decode from real bytes") {
+    import Multimodal.{decodeOne, sniffMediaType}
+    // 3×2 RGB PNG IHDR (signature + IHDR chunk only — enough for geometry)
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 3, 0, 0, 0, 2, 8, 2, 0, 0, 0).map(_.toByte)
+    assert(sniffMediaType(png) == "image/png")
+    val p = decodeOne("p.png", "image/png", png)
+    assert((p.width, p.height, p.channels, p.bits, p.decoder) == ((3, 2, 3, 8, "png-ihdr")))
+    // JPEG: SOI + APP0(len 4) + SOF0 5×4, 3 components
+    val jpg = Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0, 0,
+      0xff, 0xc0, 0x00, 0x0b, 8, 0, 4, 0, 5, 3, 0, 0, 0).map(_.toByte)
+    assert(sniffMediaType(jpg) == "image/jpeg")
+    val j = decodeOne("j.jpg", "image/jpeg", jpg)
+    assert((j.width, j.height, j.channels, j.bits, j.decoder) == ((5, 4, 3, 8, "jpeg-sof")))
+    // GIF89a 7×6
+    val gif = "GIF89a".getBytes ++ Array[Int](7, 0, 6, 0, 0x70, 0, 0).map(_.toByte)
+    assert(sniffMediaType(gif) == "image/gif")
+    val g = decodeOne("g.gif", "image/gif", gif)
+    assert((g.width, g.height, g.decoder) == ((7, 6, "gif-lsd")))
+    // TAR: one 600-byte file entry, ustar magic
+    val tar = new Array[Byte](512 * 3)
+    "f.bin".getBytes.copyToArray(tar, 0)
+    "0000001130".getBytes.copyToArray(tar, 124) // 600 in octal
+    tar(156) = '0'
+    "ustar".getBytes.copyToArray(tar, 257)
+    assert(sniffMediaType(tar) == "application/x-tar")
+    val t = decodeOne("t.tar", "application/x-tar", tar)
+    assert((t.n_frames, t.payload_bytes, t.decoder) == ((1, 600L, "tar-headers")))
   }
 
   test("resize scales to max side while keeping aspect") {
