@@ -47,6 +47,10 @@ object SparkEntry {
     "q22_window_suite"  -> (Relational.q22WindowSuite _),
     "q23_string_fns"    -> (Relational.q23StringFns _),
     "q24_date_fns"      -> (Relational.q24DateFns _),
+    "q25_asof_join"     -> (Relational.q25AsofJoin _),
+    "q26_pivot"         -> (Relational.q26Pivot _),
+    "q27_unpivot"       -> (Relational.q27Unpivot _),
+    "q28_range_join"    -> (Relational.q28RangeJoin _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -280,6 +284,53 @@ object SparkEntry {
         |CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
         |strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+
+    "q25_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type
+        |  FROM events WHERE event_type IN ('error', 'click')),
+        |w AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN ts_ns END) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ns
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+        |  FROM e)
+        |SELECT event_id, user_id, ts_ns AS error_ts, click_ts,
+        |       ts_ns - click_ts AS gap_ns
+        |FROM w WHERE event_type = 'error' AND click_ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q26_pivot" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+        |count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
+
+    "q27_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |         round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price,
+        |         round(sum(l_discount), 2) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q28_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS ts_ns
+        |      FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, count(c.user_id) AS n_prior_clicks
+        |FROM e LEFT JOIN c
+        |  ON c.user_id = e.user_id
+        | AND c.ts_ns >= e.ts_ns - 600000000000
+        | AND c.ts_ns < e.ts_ns
+        |GROUP BY 1 ORDER BY event_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

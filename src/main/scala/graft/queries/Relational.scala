@@ -401,4 +401,89 @@ object Relational {
       .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
       .orderBy($"o_orderkey")
   }
+
+  /** AS-OF join: each error event matched to the same user's latest
+    * STRICTLY-PRIOR click. Implemented as the single-shuffle union+window
+    * form — both event streams share one hash-shuffle on user_id, then a
+    * running `max(click ts)` over a RANGE frame ending 1ns before the
+    * current row carries the as-of value forward. At 100 TB this is one
+    * shuffle + sort, no range-join pair explosion, and the range frame
+    * (not a rows frame) makes "prior" mean strictly-earlier-timestamp —
+    * identical to the oracle's windowed form regardless of tie order. */
+  def q25AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ts truncated to µs grain (div/mul 1000): the parquet column is
+    // TIMESTAMP(NANOS) which Spark reads at full ns precision but DuckDB
+    // truncates to µs — emitted values must share the grain.
+    val e = eventsNs(s, dir)
+      .filter($"event_type".isin("error", "click"))
+      .select($"event_id", $"user_id",
+        expr("ts_ns div 1000 * 1000").as("ts_ns"), $"event_type")
+    val priorRange = Window.partitionBy($"user_id").orderBy($"ts_ns")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    e.withColumn("click_ts",
+        max(when($"event_type" === "click", $"ts_ns")).over(priorRange))
+      .filter($"event_type" === "error" && $"click_ts".isNotNull)
+      .select($"event_id", $"user_id", $"ts_ns".as("error_ts"),
+        $"click_ts", ($"ts_ns" - $"click_ts").as("gap_ns"))
+      .orderBy($"event_id")
+  }
+
+  /** PIVOT: hourly event counts spread into one column per event type.
+    * Explicit value list (the API's scalable form — no extra pass to
+    * discover pivot values, deterministic output schema). */
+  def q26Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    eventsNs(s, dir)
+      .groupBy(expr("ts_ns div 3600000000000").as("hour_bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select($"hour_bucket" +:
+        types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+      .orderBy($"hour_bucket")
+  }
+
+  /** UNPIVOT (melt): wide per-flag aggregates back to (flag, measure,
+    * value) long form — the inverse reshape, zero shuffles beyond the
+    * aggregation itself. */
+  def q27Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+           round(sum($"l_extendedprice"), 2).as("sum_price"),
+           round(sum($"l_discount"), 2).as("sum_disc"))
+      .unpivot(Array($"l_returnflag"),
+        Array($"sum_qty", $"sum_price", $"sum_disc"), "measure", "value")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  /** Banded RANGE join: per error event, how many same-user clicks landed
+    * in the strictly-preceding 10 minutes. The range predicate is turned
+    * into an equi-join on (user, 10-min band): each probe row explodes to
+    * its band and the one before, so every true match shares a join key —
+    * candidate volume is bounded by band population, never |A|×|B| per
+    * user. The exact range filter then prunes the candidates. This is the
+    * generic scale recipe for interval/range joins on Spark. */
+  def q28RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 600000000000L // 10 min in ns
+    val ev = eventsNs(s, dir)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts_ns")
+      .withColumn("probe_band",
+        explode(array(expr(s"ts_ns div ${W}L"), expr(s"ts_ns div ${W}L - 1L"))))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts_ns".as("c_ts"))
+      .withColumn("band", expr(s"c_ts div ${W}L"))
+    errors
+      .join(clicks,
+        $"user_id" === $"c_user" && $"probe_band" === $"band" &&
+          $"c_ts" >= $"ts_ns" - W && $"c_ts" < $"ts_ns",
+        "left_outer")
+      .groupBy($"event_id")
+      .agg(count($"c_user").as("n_prior_clicks"))
+      .orderBy($"event_id")
+  }
 }

@@ -67,4 +67,20 @@ class PlanQualitySpec extends AnyFunSuite {
     val leaf = pruned.queryExecution.executedPlan.collectLeaves().head.toString
     assert(leaf.contains("columns=[modality]"))
   }
+
+  test("q25 as-of join: one data shuffle (user_id window), filter pushed") {
+    val p = plan("q25_asof_join")
+    assert(p.contains("PushedFilters: [In(event_type"))
+    assert(p.contains("RangeFrame")) // strictly-prior range window
+    // exactly one hash exchange (the window's); the other is the final sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"))
+  }
+
+  test("q28 range join: banded equi-join, never a nested-loop product") {
+    val p = plan("q28_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("probe_band") && p.contains("band"))
+    assert(p.contains("partial_count")) // map-side partial aggregation
+  }
 }
