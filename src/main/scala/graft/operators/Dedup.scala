@@ -168,19 +168,27 @@ object Dedup {
     * the doc aggregate; the pair verification touches only doc rows). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = docs(s, dir)
+    // Per-doc DISTINCT gram set built NARROWLY in the scan projection
+    // (native one-pass [[graft.functions.CharGrams]] — no interpreted
+    // per-gram lambdas): no shuffle to dedupe (doc_id, gram) pairs and no
+    // collect_set re-aggregation later — the doc-level array is computed
+    // once where the row already lives.
+    graft.functions.VectorExpressions.register(s)
+    val docSets = docs(s, dir)
       .filter(length($"text") >= 5)
       .select($"doc_id",
-        explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("gram"))
-      .distinct()
+        call_function("graft_char_grams", $"text", lit(5)).as("g_set"))
+      .withColumn("n_g", size($"g_set").cast("long"))
       .cache()
+    val grams = docSets.select($"doc_id", explode($"g_set").as("gram"))
     // df filter BEFORE any doc list materializes: count(*) over a window
     // keyed on gram runs in WindowExec's spillable row container (a
     // stop-gram with millions of docs spills to disk instead of growing
     // one collect_list agg buffer until OOM), and the groupBy that follows
-    // reuses the window's hashpartitioning(gram) — still ONE shuffle of
-    // the gram relation, but the collect_list now only ever sees groups
-    // of ≤ 20 rows. Pairs are generated in-place (≤ df²/2 per gram).
+    // reuses the window's hashpartitioning(gram) — the gram relation
+    // shuffles exactly ONCE in the whole query, and the collect_list only
+    // ever sees groups of ≤ 20 rows. Pairs are generated in-place
+    // (≤ df²/2 per gram).
     val gramWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
     val cand = grams
       .withColumn("df", count(lit(1)).over(gramWin))
@@ -192,8 +200,6 @@ object Dedup {
                   p -> p.a < p.b)""")).as("p"))
       .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
-    val docSets = grams.groupBy($"doc_id")
-      .agg(sort_array(collect_set($"gram")).as("g_set"), count(lit(1)).as("n_g"))
     cand
       .join(docSets.as("ca"), $"doc_a" === $"ca.doc_id")
       .join(docSets.as("cb"), $"doc_b" === $"cb.doc_id")
