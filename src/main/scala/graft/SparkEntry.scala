@@ -84,7 +84,8 @@ object SparkEntry {
     "stream_sessionize"    -> (StreamQueries.streamSessionize _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
     "mm_decode_meta"  -> ((s, d) => Multimodal.decodeMeta(s, DicomQueries.Fixtures)),
-    "mm_resize_meta"  -> ((s, d) => Multimodal.resizeMeta(s, DicomQueries.Fixtures)),
+    "mm_resize_meta"  -> ((s, d) => Multimodal.resizeMeta(
+      s, Seq(DicomQueries.Fixtures, Multimodal.ensureImageFixtures()))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, DicomQueries.Fixtures)),
     "mm_pseudo_embed" -> ((s, d) => Multimodal.pseudoEmbedFlat(s, DicomQueries.Fixtures)),
   )

@@ -13,11 +13,13 @@ import graft.dicom.{DicomParser, Tags}
   * signatures — is real and tested. Geometry decode reads REAL container
   * bytes wherever the format carries it codec-free: DICOM header tags,
   * PNG IHDR, JPEG SOF, GIF/BMP headers, ZIP central directory, gzip
-  * ISIZE, TAR headers. Only pixel RESAMPLING (and opaque formats like
-  * bz2) remains a deterministic STUB — this container has no imaging
-  * libraries; swap [[stubOf]] for a real codec when one is available.
-  * The `decoder` column always names the source, so downstream consumers
-  * can filter on provenance.
+  * ISIZE, TAR headers. Pixel decode + resampling is REAL for every
+  * format the JDK's `javax.imageio` ships a codec for (PNG/JPEG/GIF/BMP):
+  * [[resample]] decodes the actual pixels and bilinear-resamples them via
+  * `Graphics2D`, emitting a checksum of the output raster. Only formats
+  * with no JDK codec (DICOM pixel data, bz2 payloads) keep the
+  * deterministic, clearly-labeled stub. The `decoder` column always names
+  * the source, so downstream consumers can filter on provenance.
   *
   * Scale design: every operator is a narrow per-partition pass over the
   * asset table (no shuffle); frame sampling is the explode/UDTF shape;
@@ -34,14 +36,18 @@ object Multimodal {
       channels: Int, bits: Int, n_frames: Int, decoder: String,
       payload_bytes: Long)
 
-  /** Load a directory of binaries as the asset table: opaque content +
-    * typed metadata (media type sniffed from magic bytes, not extension). */
-  def loadAssets(s: SparkSession, dir: String): DataFrame = {
-    s.read.format("binaryFile").load(dir)
+  /** Load one or more directories of binaries as the asset table: opaque
+    * content + typed metadata (media type sniffed from magic bytes, not
+    * extension). */
+  def loadAssets(s: SparkSession, dirs: Seq[String]): DataFrame = {
+    s.read.format("binaryFile").load(dirs: _*)
       .select(col("path"), col("length"), col("content"))
       .withColumn("media_type", mediaTypeUdf(col("content")))
       .withColumn("digest", md5(col("content")))
   }
+
+  def loadAssets(s: SparkSession, dir: String): DataFrame =
+    loadAssets(s, Seq(dir))
 
   /** Magic-byte media-type sniff (never trusts the extension). */
   def sniffMediaType(content: Array[Byte]): String = {
@@ -86,7 +92,10 @@ object Multimodal {
     def asset(w: Int, h: Int, ch: Int, bits: Int, frames: Int,
               dec: String, payload: Long): DecodedAsset =
       DecodedAsset(path, mediaType, w, h, ch, bits, frames, dec, payload)
-    mediaType match {
+    // The sniff thresholds are smaller than the deepest offset each branch
+    // reads (e.g. PNG sniffs on 8 bytes but IHDR decode reads index 25), so
+    // a truncated container must degrade to the stub, not kill the task.
+    scala.util.Try(mediaType match {
       case "application/dicom" =>
         val parsed = DicomParser.parse(content)
         val (w, h) = (short("Columns", parsed), short("Rows", parsed))
@@ -104,17 +113,35 @@ object Multimodal {
         val (w, h, bits) = (be32(content, 16), be32(content, 20), content(24) & 0xff)
         asset(w, h, ch, bits, 1, "png-ihdr", w.toLong * h * ch * math.max(1, bits / 8))
       case "image/jpeg" =>
-        // walk markers to the first SOFn (C0-CF minus C4/C8/CC)
+        // Walk markers to the first SOFn (C0-CF minus C4/C8/CC). Encoders
+        // may pad with 0xff fill bytes before a marker — skip runs of them
+        // rather than treating a fill byte as a marker — and the walk must
+        // stop at SOS (entropy-coded data follows, raw 0xff bytes are not
+        // markers there) or EOI.
         var i = 2
         var out: Option[DecodedAsset] = None
-        while (out.isEmpty && i + 9 < content.length && (content(i) & 0xff) == 0xff) {
-          val m = content(i + 1) & 0xff
-          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-            val (bits, h, w, ch) = (content(i + 4) & 0xff,
-              be16(content, i + 5), be16(content, i + 7), content(i + 9) & 0xff)
-            out = Some(asset(w, h, ch, bits, 1, "jpeg-sof",
-              w.toLong * h * ch * math.max(1, bits / 8)))
-          } else i += 2 + (if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) 0 else be16(content, i + 2))
+        var halt = false
+        while (!halt && out.isEmpty && i + 1 < content.length) {
+          if ((content(i) & 0xff) != 0xff) halt = true
+          else {
+            var mp = i + 1 // marker position; skip 0xff fill-byte padding
+            while (mp < content.length && (content(mp) & 0xff) == 0xff) mp += 1
+            if (mp >= content.length) halt = true
+            else {
+              val m = content(mp) & 0xff
+              if (m == 0xda || m == 0xd9) halt = true // SOS / EOI: no SOF seen
+              else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                if (mp + 8 < content.length) {
+                  val (bits, h, w, ch) = (content(mp + 3) & 0xff,
+                    be16(content, mp + 4), be16(content, mp + 6), content(mp + 8) & 0xff)
+                  out = Some(asset(w, h, ch, bits, 1, "jpeg-sof",
+                    w.toLong * h * ch * math.max(1, bits / 8)))
+                } else halt = true
+              } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i = mp + 1 // standalone
+              else if (mp + 2 < content.length) i = mp + 1 + be16(content, mp + 1)
+              else halt = true
+            }
+          }
         }
         out.getOrElse(stubOf(path, mediaType, content))
       case "image/gif" =>
@@ -163,7 +190,7 @@ object Multimodal {
         }
         asset(0, 0, 0, 0, math.max(1, entries), "tar-headers", payload)
       case _ => stubOf(path, mediaType, content)
-    }
+    }).getOrElse(stubOf(path, mediaType, content))
   }
 
   /** Deterministic md5-derived stub geometry — the documented fallback for
@@ -189,20 +216,105 @@ object Multimodal {
       .orderBy($"path")
   }
 
-  /** Resize (metadata transform; pixel resample stubbed): scales geometry
-    * to fit `maxSide`, carrying the estimated output byte count. */
-  def resizeMeta(s: SparkSession, dir: String, maxSide: Int = 256): DataFrame = {
+  final case class ResizedAsset(
+      path: String, media_type: String, width: Int, height: Int,
+      out_width: Int, out_height: Int, est_bytes: Long, decoder: String,
+      pixel_md5: Option[String])
+
+  /** REAL pixel decode + bilinear resample via the JDK's `javax.imageio`
+    * (PNG/JPEG/GIF/BMP codecs ship with the JVM — no added dependency).
+    * Returns (inW, inH, outW, outH, md5 of the resampled 3-byte-BGR
+    * raster), or None when no JDK codec claims the bytes. The output
+    * raster is a fixed `TYPE_3BYTE_BGR` canvas drawn through `Graphics2D`
+    * with an explicit BILINEAR hint, so the checksum is deterministic for
+    * a given JVM — the provenance a downstream pipeline can verify. */
+  def resample(content: Array[Byte], maxSide: Int): Option[(Int, Int, Int, Int, String)] =
+    scala.util.Try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val scale =
+          if (math.max(w, h) <= maxSide) 1.0 else maxSide.toDouble / math.max(w, h)
+        val ow = math.max(1, math.ceil(w * scale).toInt)
+        val oh = math.max(1, math.ceil(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null)
+        g.dispose()
+        val raster = out.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val d = java.security.MessageDigest.getInstance("MD5").digest(raster)
+        Some((w, h, ow, oh, d.map("%02x".format(_)).mkString))
+      }
+    }.toOption.flatten
+
+  /** Resize: REAL pixel resample (ImageIO + Graphics2D, checksummed) for
+    * every JDK-decodable format; geometry-only scaling from the container
+    * header for the rest (DICOM pixel data needs a codec the JDK lacks).
+    * `decoder` says which path produced each row; `pixel_md5` is non-null
+    * exactly when actual pixels were resampled. One narrow per-partition
+    * pass, no shuffle. */
+  def resizeMeta(s: SparkSession, dirs: Seq[String], maxSide: Int = 256): DataFrame = {
     import s.implicits._
-    decodeMeta(s, dir)
-      .withColumn("scale",
-        when(greatest($"width", $"height") <= maxSide, lit(1.0))
-          .otherwise(lit(maxSide.toDouble) / greatest($"width", $"height")))
-      .withColumn("out_width", ceil($"width" * $"scale").cast("int"))
-      .withColumn("out_height", ceil($"height" * $"scale").cast("int"))
-      .withColumn("est_bytes",
-        ($"out_width" * $"out_height" * $"channels" * ($"bits" / 8)).cast("long"))
-      .select($"path", $"width", $"height", $"out_width", $"out_height", $"est_bytes")
+    loadAssets(s, dirs)
+      .select($"path", $"media_type", $"content").as[(String, String, Array[Byte])]
+      .mapPartitions(_.map { case (p, m, c) =>
+        resample(c, maxSide) match {
+          case Some((w, h, ow, oh, sum)) =>
+            ResizedAsset(p, m, w, h, ow, oh, ow.toLong * oh * 3, "imageio", Some(sum))
+          case None =>
+            val d = decodeOne(p, m, c)
+            val scale = if (math.max(d.width, d.height) <= maxSide) 1.0
+                        else maxSide.toDouble / math.max(d.width, d.height)
+            val ow = math.ceil(d.width * scale).toInt
+            val oh = math.ceil(d.height * scale).toInt
+            ResizedAsset(p, m, d.width, d.height, ow, oh,
+              ow.toLong * oh * d.channels * math.max(1, d.bits / 8), d.decoder, None)
+        }
+      })
+      .toDF()
+      .withColumn("path", element_at(split($"path", "/"), -1))
       .orderBy($"path")
+  }
+
+  def resizeMeta(s: SparkSession, dir: String): DataFrame =
+    resizeMeta(s, Seq(dir))
+
+  /** Deterministic PNG/JPEG/GIF/BMP fixture images (gradient pixels,
+    * fixed dimensions), written once via `ImageIO.write` so the real
+    * codec paths are exercised end-to-end without shipping binaries in
+    * the repo. Returns the fixture directory. */
+  def ensureImageFixtures(): String = synchronized {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-image-fixtures")
+    if (!dir.exists()) {
+      dir.mkdirs()
+      def gradient(w: Int, h: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              ((x * 7 + y * 3) % 256 << 16) | ((x * 5 + y * 11) % 256 << 8) |
+                ((x * 13 + y) % 256))
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      javax.imageio.ImageIO.write(gradient(320, 200), "png", new java.io.File(dir, "gradient.png"))
+      javax.imageio.ImageIO.write(gradient(300, 180), "jpg", new java.io.File(dir, "gradient.jpg"))
+      javax.imageio.ImageIO.write(gradient(64, 40), "gif", new java.io.File(dir, "gradient.gif"))
+      javax.imageio.ImageIO.write(gradient(90, 60), "bmp", new java.io.File(dir, "gradient.bmp"))
+    }
+    dir.getAbsolutePath
   }
 
   /** Frame sampling (video-shaped UDTF): every `step`-th frame index with

@@ -469,7 +469,13 @@ object Relational {
   def q28RangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val W = 600000000000L // 10 min in ns
+    // Same µs-grain truncation as q25AsofJoin: the oracle reads the
+    // TIMESTAMP(NANOS) parquet at µs precision, so the boundary
+    // comparisons (c_ts >= ts_ns - W, c_ts < ts_ns) must be evaluated on
+    // µs-truncated values or a click sharing the error's microsecond
+    // diverges from the oracle.
     val ev = eventsNs(s, dir)
+      .withColumn("ts_ns", expr("ts_ns div 1000 * 1000"))
     val errors = ev.filter($"event_type" === "error")
       .select($"event_id", $"user_id", $"ts_ns")
       .withColumn("probe_band",

@@ -81,11 +81,77 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("resize scales to max side while keeping aspect") {
-    val r = Multimodal.resizeMeta(spark, fixtures, maxSide = 256).collect()
+    val r = Multimodal.resizeMeta(spark, Seq(fixtures), maxSide = 256).collect()
       .map(x => x.getAs[String]("path") -> x).toMap
     val ex0 = r("example-0")
     assert(ex0.getAs[Int]("out_width") == 256) // width 985 is the long side
     assert(ex0.getAs[Int]("out_height") == 255)
+    // DICOM pixel data has no JDK codec: geometry path, no pixel checksum
+    assert(ex0.getAs[String]("decoder") == "dicom-header")
+    assert(ex0.getAs[String]("pixel_md5") == null)
+  }
+
+  test("real ImageIO pixel resample: dims + checksum match ground truth") {
+    val imgDir = Multimodal.ensureImageFixtures()
+    val r = Multimodal.resizeMeta(spark, Seq(imgDir), maxSide = 100).collect()
+      .map(x => x.getAs[String]("path") -> x).toMap
+    assert(Seq("gradient.png", "gradient.jpg", "gradient.gif", "gradient.bmp")
+      .forall(p => r(p).getAs[String]("decoder") == "imageio"))
+    // ground truth computed here, independently of the operator: decode the
+    // PNG fixture with ImageIO, bilinear-resample through Graphics2D onto a
+    // 3-byte-BGR canvas, md5 the raster
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(imgDir, "gradient.png"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 320 && img.getHeight == 200)
+    val (ow, oh) = (100, math.ceil(200 * 100.0 / 320).toInt) // 100×63
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, ow, oh, null)
+    g.dispose()
+    val raster = out.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    val truth = java.security.MessageDigest.getInstance("MD5")
+      .digest(raster).map("%02x".format(_)).mkString
+    val png = r("gradient.png")
+    assert(png.getAs[Int]("out_width") == 100)
+    assert(png.getAs[Int]("out_height") == 63)
+    assert(png.getAs[String]("pixel_md5") == truth)
+    // small image is not upscaled
+    val gif = r("gradient.gif")
+    assert(gif.getAs[Int]("out_width") == 64 && gif.getAs[Int]("out_height") == 40)
+  }
+
+  test("truncated containers degrade to stub instead of throwing") {
+    import Multimodal.{decodeOne, sniffMediaType}
+    // PNG sniff passes on 8 bytes but IHDR decode would read index 25
+    val pngHead = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(sniffMediaType(pngHead) == "image/png")
+    assert(decodeOne("t.png", "image/png", pngHead).decoder == "stub")
+    // gzip sniff passes on 2 bytes but the ISIZE trailer reads length-4
+    val gzHead = Array[Int](0x1f, 0x8b).map(_.toByte)
+    assert(decodeOne("t.gz", "application/gzip", gzHead).decoder == "stub")
+    // GIF sniff passes on 6 bytes but the LSD reads index 10
+    val gifHead = "GIF89a".getBytes
+    assert(decodeOne("t.gif", "image/gif", gifHead).decoder == "stub")
+  }
+
+  test("JPEG marker walk survives 0xff fill-byte padding and stops at SOS") {
+    import Multimodal.decodeOne
+    // SOI + [0xff fill bytes] + SOF0 (5×4, 3 components): the pad bytes
+    // must be skipped, not parsed as a marker with a bogus length
+    val padded = Array[Int](0xff, 0xd8, 0xff, 0xff, 0xff,
+      0xc0, 0x00, 0x0b, 8, 0, 4, 0, 5, 3, 0, 0, 0).map(_.toByte)
+    val j = decodeOne("p.jpg", "image/jpeg", padded)
+    assert((j.width, j.height, j.channels, j.decoder) == ((5, 4, 3, "jpeg-sof")))
+    // SOS before any SOF: the walk must stop (entropy-coded data follows),
+    // falling back to the stub rather than scanning garbage
+    val sosFirst = Array[Int](0xff, 0xd8, 0xff, 0xda, 0x00, 0x02,
+      0x12, 0x34, 0xff, 0xc0, 0x00, 0x0b, 8, 0, 4, 0, 5, 3, 0, 0, 0).map(_.toByte)
+    assert(decodeOne("s.jpg", "image/jpeg", sosFirst).decoder == "stub")
   }
 
   test("frame sampling explodes deterministic (frame, offset) rows") {
