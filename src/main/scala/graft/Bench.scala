@@ -16,9 +16,14 @@ object Bench {
     // measured query doesn't absorb JVM start-up cost
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    // min of N passes per query: JIT/GC noise on a shared box dwarfs
-    // real deltas; the min approximates steady-state executor behavior
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // min of N passes per query: JIT/GC noise on a shared box dwarfs real
+    // deltas; the min approximates steady-state executor behavior. All
+    // pass times are emitted alongside the min so a loaded box shows up
+    // as per-query SPREAD instead of masquerading as a code regression.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // optional comma-separated subset for local iteration on one operator
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
@@ -30,14 +35,29 @@ object Bench {
         spark.catalog.clearCache() // per-query caches must not leak across passes
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to passes).flatMap(_ => time(fn))
-      name -> (if (times.isEmpty) -1.0 else times.min)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = selected.map { case (name, fn) =>
+      name -> (1 to passes).flatMap(_ => time(fn))
+    }
+    def fmt(d: Double) = f"$d%.6f"
+    val mins = results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    val allPasses = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // spread = max-min across passes, summed: the box-noise indicator —
+    // large spread with unchanged mins means a loaded machine, not a
+    // regression
+    val spread = results.values.collect {
+      case ts if ts.nonEmpty => ts.max - ts.min
+    }.sum
+    val total = if (mins.nonEmpty) mins.values.sum else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$passes,"spread":${fmt(spread)},"queries":$qs,"passes":$allPasses,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

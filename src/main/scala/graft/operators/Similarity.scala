@@ -45,44 +45,60 @@ object Similarity {
       .limit(10)
   }
 
-  /** The 24×64 hyperplane matrix: component (p, j) is an md5-derived
+  /** LSH geometry dials — the constants that govern candidate volume at
+    * scale (candidates ≈ Σ_buckets n_b², i.e. ~n²/2^bits per table at
+    * uniform spread; a 10⁹-row corpus wants far more than 6 bits).
+    * Defaults preserve the oracle-pinned geometry (4 tables × 6 bits). */
+  private[operators] def lshTables(s: SparkSession): Int =
+    s.conf.get("spark.graft.lsh.tables", "4").toInt
+  private[operators] def lshBits(s: SparkSession): Int =
+    s.conf.get("spark.graft.lsh.bits", "6").toInt
+
+  /** The n×64 hyperplane matrix: component (p, j) is an md5-derived
     * pseudo-random double in [-1, 1). Computed ONCE on the driver (the
     * planes are constants — recomputing 1536 md5s per row was the
     * difference between 30 s and sub-second at sf0.001) with bit-exact
     * the same arithmetic the DuckDB oracle uses in SQL:
-    * (first-15-hex-digits-of-md5 % 2000) / 1000.0 - 1.0. */
-  private[operators] lazy val planeMatrix: Seq[Seq[Double]] = {
+    * (first-15-hex-digits-of-md5 % 2000) / 1000.0 - 1.0. The plane at
+    * index p is the same for every geometry, so growing tables×bits only
+    * appends planes — bucket assignments at the default geometry are
+    * unchanged. */
+  private[operators] def planeMatrix(nPlanes: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Seq.tabulate(24, 64) { (p, j) =>
+    Seq.tabulate(nPlanes, 64) { (p, j) =>
       val hex = md.digest(s"${p}_$j".getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString.substring(0, 15)
       (java.lang.Long.parseLong(hex, 16) % 2000L).toDouble / 1000.0 - 1.0
     }
   }
 
-  /** 4 LSH tables × 6-bit buckets (OR-amplification): table t's bucket
-    * sums sign-bits of the projections onto constant hyperplanes
-    * [6t, 6t+6), each a codegen'd [[graft.functions.DotProduct]] with the
-    * oracle's left-to-right fp fold. Built so every plane dot appears
-    * EXACTLY ONCE in the expression tree — an intermediate `bits` array
-    * column gets inlined per-reference by CollapseProject, re-evaluating
-    * all 24 dots for each of the 24 bit references (24× blow-up). */
-  private def bucketsCol: org.apache.spark.sql.Column =
-    array((0 until 4).map { t =>
-      (0 until 6).map { i =>
+  /** `tables` LSH tables × `bits`-bit buckets (OR-amplification): table
+    * t's bucket sums sign-bits of the projections onto constant
+    * hyperplanes [bits·t, bits·(t+1)), each a codegen'd
+    * [[graft.functions.DotProduct]] with the oracle's left-to-right fp
+    * fold. Built so every plane dot appears EXACTLY ONCE in the
+    * expression tree — an intermediate `bits` array column gets inlined
+    * per-reference by CollapseProject, re-evaluating every dot for each
+    * bit reference (tables×bits blow-up). */
+  private def bucketsCol(tables: Int, bits: Int): org.apache.spark.sql.Column = {
+    val planes = planeMatrix(tables * bits)
+    array((0 until tables).map { t =>
+      (0 until bits).map { i =>
         when(call_function("graft_dot", col("embedding"),
-               typedlit(planeMatrix(t * 6 + i))) >= 0, lit(1 << i)).otherwise(lit(0))
+               typedlit(planes(t * bits + i))) >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
+  }
 
   /** ANN: top-10 cosine neighbors of vec_id = 0 among vectors sharing an
-    * LSH bucket with it in at least one of the 4 tables. At scale this
-    * reads ~L/2^b of the table per query instead of all of it. */
+    * LSH bucket with it in at least one table. At scale this reads
+    * ~L/2^bits of the table per query instead of all of it; geometry is
+    * tunable via `spark.graft.lsh.{tables,bits}`. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
       .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
-      .withColumn("buckets", bucketsCol)
+      .withColumn("buckets", bucketsCol(lshTables(s), lshBits(s)))
     val tabs = e.select($"vec_id", $"embedding", $"nrm",
       posexplode($"buckets").as(Seq("t", "bucket")))
     val q = tabs.filter($"vec_id" === 0)
@@ -99,14 +115,28 @@ object Similarity {
 
   /** LSH-bucketed embedding NEAR-DUP (the scale path for
     * [[Dedup.embedCosine]]'s exact O(n²) baseline): only pairs sharing an
-    * LSH bucket in at least one of the 4 tables are scored. At 100 TB
-    * the pair join is keyed on (table, bucket) — candidate volume is
-    * Σ_buckets n_b² instead of n², tunable by bucket bits. */
+    * LSH bucket in at least one table are scored. At 100 TB the pair
+    * join is keyed on (table, bucket) — candidate volume is Σ_buckets
+    * n_b² instead of n², governed by `spark.graft.lsh.bits` (more bits →
+    * smaller buckets → fewer candidates, lower recall) and
+    * `spark.graft.lsh.tables` (more tables → more recall, more
+    * candidates). */
   def embedLshNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embedLshCandidates(s, dir)
+      .filter($"cos_sim" >= 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Distinct scored LSH candidate pairs — [[embedLshNearDup]] before its
+    * similarity threshold, exposed so tests (and capacity planning) can
+    * measure how candidate volume responds to the
+    * `spark.graft.lsh.{tables,bits}` dials. */
+  private[graft] def embedLshCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
       .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
-      .withColumn("buckets", bucketsCol)
+      .withColumn("buckets", bucketsCol(lshTables(s), lshBits(s)))
     val tabs = e.select($"vec_id", $"embedding", $"nrm",
       posexplode($"buckets").as(Seq("t", "bucket")))
     tabs.as("a")
@@ -116,8 +146,6 @@ object Similarity {
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         expr("round(graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm), 4)").as("cos_sim"))
       .distinct()
-      .filter($"cos_sim" >= 0.4)
-      .orderBy($"vec_a", $"vec_b")
   }
 
   /** IVF (inverted-file) ANN: coarse quantizer = per-label centroids

@@ -102,6 +102,17 @@ object DicomQueries {
         |ORDER BY archive_path""".stripMargin)
   }
 
+  /** Register a session UDF once — same existence guard as
+    * [[graft.functions.VectorExpressions.register]], so per-query calls
+    * don't spam "replaced a previously registered function" WARNs. */
+  private def registerOnce(
+      s: SparkSession, name: String,
+      u: org.apache.spark.sql.expressions.UserDefinedFunction): Unit = {
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!s.sessionState.functionRegistry.functionExists(ident))
+      s.udf.register(name, u)
+  }
+
   private val parseDaUdf = udf { s: String =>
     if (s == null || s.isEmpty)
       java.sql.Date.valueOf("1900-01-01") // convert_DA empty path (tags.py:32)
@@ -118,7 +129,7 @@ object DicomQueries {
     * string → DATE, round-tripped over orders. Oracle-checked. */
   def parseDaFn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.udf.register("dicom_parse_da", parseDaUdf)
+    registerOnce(s, "dicom_parse_da", parseDaUdf)
     s.read.parquet(s"$dir/orders.parquet")
       .select($"o_orderkey",
         date_format(
@@ -131,7 +142,7 @@ object DicomQueries {
     * strings built from customer rows. Oracle-checked. */
   def parsePnFn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.udf.register("dicom_parse_pn", parsePnUdf)
+    registerOnce(s, "dicom_parse_pn", parsePnUdf)
     s.read.parquet(s"$dir/customer.parquet")
       .select($"c_custkey",
         call_udf("dicom_parse_pn",

@@ -203,6 +203,14 @@ object DicomSourceUtil {
                   sampleFiles: Int = DefaultInferSampleFiles,
                   distributed: Boolean = false): StructType = {
     val files = listFiles(paths, conf)
+    // An explicit full-corpus request must not silently degrade to the
+    // bounded sample: without an active session the distributed pass
+    // cannot run, and a partial schema would look complete.
+    if (distributed && SparkSession.getActiveSession.isEmpty)
+      throw new IllegalStateException(
+        "dicom inferMode=full requires an active SparkSession (the " +
+        "full-corpus pass runs on executors); start a session or drop " +
+        "to the bounded-sample default")
     val keys: Seq[String] =
       if (distributed && SparkSession.getActiveSession.isDefined) {
         val sc = SparkSession.active.sparkContext

@@ -131,4 +131,17 @@ class DicomSourceSpec extends AnyFunSuite {
       .option("inferMode", "full").load(fixtures)
     assert(dfFull.count() == 10)
   }
+
+  test("inferMode=full without an active session fails fast, never silent sample") {
+    import graft.sources.DicomSourceUtil
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val e = intercept[IllegalStateException] {
+        DicomSourceUtil.inferSchema(Seq(fixtures), conf, distributed = true)
+      }
+      assert(e.getMessage.contains("inferMode=full"))
+    } finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+  }
 }

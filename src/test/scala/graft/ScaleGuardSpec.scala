@@ -38,6 +38,51 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(Dedup.embedCosine(spark, sf).count() >= 0)
   }
 
+  test("LSH candidate volume shrinks as spark.graft.lsh.bits rises") {
+    import graft.operators.Similarity
+    def candidates(): Long = Similarity.embedLshCandidates(spark, sf).count()
+    val atDefault = candidates() // 4 tables × 6 bits
+    try {
+      spark.conf.set("spark.graft.lsh.bits", "12")
+      val atTwelve = candidates()
+      assert(atTwelve < atDefault,
+        s"12-bit buckets must collide less than 6-bit ones ($atTwelve vs $atDefault)")
+      // more tables at fixed bits = more OR-amplified recall = more candidates
+      spark.conf.set("spark.graft.lsh.bits", "6")
+      spark.conf.set("spark.graft.lsh.tables", "8")
+      assert(candidates() >= atDefault,
+        "extra tables can only add collision opportunities")
+    } finally {
+      spark.conf.unset("spark.graft.lsh.bits")
+      spark.conf.unset("spark.graft.lsh.tables")
+    }
+  }
+
+  test("simhash candidate volume shrinks with fewer, wider bands") {
+    def pairs(): Long = Dedup.simhashPairs(spark, sf).count()
+    val atDefault = pairs() // 4 × 15-bit bands, hamming ≤ 12 verification
+    try {
+      // 2 × 30-bit bands: only hamming < 2 is guaranteed a collision —
+      // strictly fewer candidates survive to (and through) verification
+      spark.conf.set("spark.graft.simhash.bands", "2")
+      assert(pairs() <= atDefault)
+      spark.conf.set("spark.graft.simhash.bands", "7") // does not divide 60
+      val e = intercept[IllegalArgumentException](pairs())
+      assert(e.getMessage.contains("spark.graft.simhash.bands"))
+    } finally spark.conf.unset("spark.graft.simhash.bands")
+  }
+
+  test("dedup intermediate caches are released by unpersistIntermediates") {
+    spark.catalog.clearCache()
+    Dedup.minhashLsh(spark, sf).count()
+    Dedup.simhashPairs(spark, sf).count()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the operators cache their multi-use intermediates")
+    Dedup.unpersistIntermediates(spark)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no leaked storage after release")
+  }
+
   test("ngramJaccard: df filter precedes doc-list collection, same shuffle") {
     val p = Dedup.ngramJaccard(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("Window [count(1)"), "df must come from a window count")
