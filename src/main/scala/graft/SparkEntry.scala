@@ -64,6 +64,10 @@ object SparkEntry {
     "sim_ann_lsh"         -> (Similarity.annLsh _),
     "sim_ivf_topk"        -> (Similarity.ivfTopk _),
     "sim_ivf_probe2"      -> (Similarity.ivfProbe2 _),
+    // learned-quantizer IVF: Lloyd's k-means coarse quantizer (rows-only —
+    // the fixed-iteration training loop is not SQL-expressible in DuckDB;
+    // SimilarityRecallSpec pins recall@10 >= the per-label probe-2 path)
+    "sim_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopk(s, d)),
     "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     // ——— text analysis ———

@@ -195,6 +195,116 @@ object Similarity {
       .limit(10)
   }
 
+  /** Learned k-means coarse quantizer: Lloyd's algorithm with a FIXED
+    * iteration count and md5-seeded init (the k vectors with the smallest
+    * md5(vec_id) — deterministic, independent of id locality), replacing
+    * [[ivfTopk]]'s per-label means with centroids actually fit to the
+    * data.
+    *
+    * Scale design: each iteration is ONE narrow mapPartitions pass that
+    * accumulates per-partition (cluster → sum, count) partials — k×dim
+    * doubles per partition, never a shuffle of row data — then a k-row
+    * reduce. Centroids live on the driver (k×dim ≪ memory) and ship to
+    * executors as a broadcast. Per-dimension means are rounded to 8
+    * decimals so partial-merge order cannot leak into the result (same
+    * fp-noise-below-the-grain argument as [[labelCentroids]]). */
+  private[graft] def kmeansCentroids(
+      s: SparkSession, dir: String, k: Int = 10, iters: Int = 5): Array[Array[Double]] = {
+    import s.implicits._
+    val data = emb(s, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    var cent: Array[Array[Double]] = data
+      .withColumn("h", md5($"vec_id".cast("string")))
+      .orderBy($"h").limit(k)
+      .select($"embedding").as[Array[Float]]
+      .collect().map(_.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(cent)
+      val partials = data.mapPartitions { rows =>
+        val c = bc.value
+        val dim = if (c.nonEmpty) c(0).length else 0
+        val sums = Array.fill(c.length)(new Array[Double](dim))
+        val counts = new Array[Long](c.length)
+        rows.foreach { case (_, e) =>
+          val ci = nearestCentroid(e, c)
+          val sv = sums(ci)
+          var j = 0
+          while (j < dim) { sv(j) += e(j); j += 1 }
+          counts(ci) += 1
+        }
+        (0 until c.length).iterator
+          .filter(counts(_) > 0).map(i => (i, (sums(i), counts(i))))
+      }
+      val merged = partials.groupByKey(_._1)
+        .reduceGroups { (a: (Int, (Array[Double], Long)), b: (Int, (Array[Double], Long))) =>
+          val (s1, n1) = a._2; val (s2, n2) = b._2
+          var j = 0
+          while (j < s1.length) { s1(j) += s2(j); j += 1 }
+          (a._1, (s1, n1 + n2))
+        }
+        .map(_._2).collect()
+      val next = cent.map(_.clone()) // empty cluster keeps its old centroid
+      merged.foreach { case (i, (sum, n)) =>
+        next(i) = sum.map(v => math.rint(v / n * 1e8) / 1e8)
+      }
+      cent = next
+    }
+    cent
+  }
+
+  /** Nearest centroid by squared L2 — the Lloyd's assignment step,
+    * shared by training and the inverted-list build. */
+  private def nearestCentroid(e: Array[Float], cent: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cent.length) {
+      val c = cent(i)
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = e(j) - c(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** IVF over the LEARNED quantizer: assign every vector to its nearest
+    * k-means centroid (one narrow pass, centroids broadcast), probe the
+    * `nprobe` centroids nearest the query, exact-search only those
+    * inverted lists. The probe set is chosen on the driver — the
+    * centroid table already lives there (k rows), so no extra job. The
+    * one-row query-vector collect is O(1), not a row-data collect. */
+  def ivfKmeansTopk(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    import s.implicits._
+    val cent = kmeansCentroids(s, dir)
+    val bc = s.sparkContext.broadcast(cent)
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+      .as[(Long, Array[Float], Double)]
+    val assigned = e
+      .map { case (id, v, n) => (id, v, n, nearestCentroid(v, bc.value)) }
+      .toDF("vec_id", "embedding", "nrm", "cluster")
+    val qVec = e.filter(_._1 == 0L).head()
+    val probes = cent.indices
+      .sortBy { i =>
+        val c = cent(i)
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = qVec._2(j) - c(j); d += t * t; j += 1 }
+        d
+      }
+      .take(nprobe)
+    val q = s.createDataset(Seq((qVec._2, qVec._3))).toDF("q_emb", "q_nrm")
+    assigned
+      .filter($"vec_id" =!= 0 && $"cluster".isin(probes: _*))
+      .join(broadcast(q))
+      .select($"vec_id",
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** Per-label centroid similarity: average embedding per label (exact,
     * dimension-wise), then cosine of each label centroid against the
     * global centroid. Exercises vector aggregation at scale (one shuffle

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators.Similarity
+
+/** Pins the learned k-means IVF as an honest upgrade over the per-label
+  * coarse quantizer: with `label` assigned randomly in the test data, the
+  * per-label centroids all collapse toward the global mean (probing 2 of
+  * 10 near-identical lists ≈ a 20% random sample), while Lloyd's fits
+  * centroids to the actual vector distribution — recall@10 against exact
+  * brute force must be at least as good. Also pins determinism: two
+  * training runs produce identical centroids (md5-seeded init + rounded
+  * means). */
+class SimilarityRecallSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("similarity-recall-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getAs[Long]("vec_id")).toSet
+
+  test("k-means IVF recall@10 >= per-label probe-2 IVF recall@10") {
+    val truth = ids(Similarity.topkBrute(spark, sf))
+    assert(truth.size == 10)
+    val kmeans = ids(Similarity.ivfKmeansTopk(spark, sf, nprobe = 2))
+    val perLabel = ids(Similarity.ivfProbe2(spark, sf))
+    val rKmeans = (kmeans & truth).size / 10.0
+    val rLabel = (perLabel & truth).size / 10.0
+    assert(rKmeans >= rLabel,
+      s"learned quantizer recall $rKmeans must be >= per-label recall $rLabel")
+  }
+
+  test("k-means training is deterministic across runs") {
+    val a = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 3)
+    val b = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 3)
+    assert(a.length == 8 && a(0).length == 64)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // centroids moved off their seeds: training actually happened
+    val seeds = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 0)
+    assert(a.map(_.toSeq).toSeq != seeds.map(_.toSeq).toSeq)
+  }
+}
