@@ -51,6 +51,8 @@ object SparkEntry {
     "q26_pivot"         -> (Relational.q26Pivot _),
     "q27_unpivot"       -> (Relational.q27Unpivot _),
     "q28_range_join"    -> (Relational.q28RangeJoin _),
+    "q29_recursive_cte" -> (Relational.q29RecursiveCte _),
+    "q30_lateral"       -> (Relational.q30Lateral _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -336,6 +338,32 @@ object SparkEntry {
         | AND c.ts_ns >= e.ts_ns - 600000000000
         | AND c.ts_ns < e.ts_ns
         |GROUP BY 1 ORDER BY event_id""".stripMargin,
+
+    "q29_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT cast(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS date)
+        |  UNION ALL
+        |  SELECT cast(m + INTERVAL 1 MONTH AS date) FROM months
+        |  WHERE m < cast(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS date)
+        |),
+        |per_month AS (
+        |  SELECT cast(date_trunc('month', o_orderdate) AS date) AS m,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT strftime(months.m, '%Y-%m-%d') AS m,
+        |       cast(coalesce(cnt, 0) AS bigint) AS n
+        |FROM months LEFT JOIN per_month ON months.m = per_month.m
+        |ORDER BY m""".stripMargin,
+
+    "q30_lateral" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        |) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -142,18 +142,27 @@ object Dedup {
   }
 
   /** SimHash: 60-bit signature from token hashes; duplicate clusters are
-    * signature-equality groups (no pairwise compare → scales linearly). */
+    * signature-equality groups (no pairwise compare → scales linearly).
+    *
+    * The 60 per-bit balances are 60 aggregate COLUMNS over the token
+    * relation, not a 60× row explode: one hash-shuffle of token rows with
+    * map-side partial aggregation (the earlier (doc_id, bit)-keyed form
+    * shuffled 60× the volume and needed a second shuffle to fold bits
+    * back into a signature). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = docs(s, dir)
       .select($"doc_id", explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
       .withColumn("h", expr(h60("word")))
+    val balances = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1L).otherwise(-1L)).as(s"bal$b"))
     tok
-      .select($"doc_id", $"h", explode(expr("sequence(0, 59)")).as("b"))
-      .groupBy($"doc_id", $"b")
-      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1L).otherwise(-1L)).as("balance"))
       .groupBy($"doc_id")
-      .agg(sum(when($"balance" >= 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+      .agg(balances.head, balances.tail: _*)
+      .select($"doc_id",
+        (0 until 60).map(b =>
+          when(col(s"bal$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy($"doc_id")
   }
 

@@ -492,4 +492,49 @@ object Relational {
       .agg(count($"c_user").as("n_prior_clicks"))
       .orderBy($"event_id")
   }
+
+  /** RECURSIVE CTE (Spark 4 `WITH RECURSIVE`): generate the complete
+    * month spine from the first to the last order date — including
+    * months with zero orders, which no GROUP BY alone can produce — and
+    * join per-month order counts onto it. Scale shape: orders aggregate
+    * FIRST (one map-side-combined shuffle of the fact table keyed on
+    * month), so the recursion and the join only ever touch spine-sized
+    * relations (#months rows); the recursion itself runs on the driver-
+    * tiny anchor + step, never per-row. */
+  def q29RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT cast(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS date)
+        UNION ALL
+        SELECT add_months(m, 1) FROM months
+        WHERE m < cast(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS date)
+      ),
+      per_month AS (
+        SELECT cast(date_trunc('month', o_orderdate) AS date) AS m,
+               count(*) AS cnt
+        FROM orders GROUP BY 1
+      )
+      SELECT date_format(months.m, 'yyyy-MM-dd') AS m,
+             cast(coalesce(cnt, 0) AS bigint) AS n
+      FROM months LEFT JOIN per_month ON months.m = per_month.m
+      ORDER BY m""")
+  }
+
+  /** LATERAL correlated subquery: per-nation top-2 customers by account
+    * balance — the correlated-TVF shape Spark decorrelates into a
+    * window-rank plan (one shuffle of customer keyed on nation, no
+    * nested-loop per outer row; guard in PlanQualitySpec). */
+  def q30Lateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql("""
+      SELECT n_name, c.c_custkey, c.c_acctbal
+      FROM nation JOIN LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+      ) c
+      ORDER BY n_name, c_acctbal DESC, c_custkey""")
+  }
 }

@@ -83,4 +83,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("probe_band") && p.contains("band"))
     assert(p.contains("partial_count")) // map-side partial aggregation
   }
+
+  test("q30 lateral: decorrelated to windowed top-k, no per-row nested loop") {
+    val p = plan("q30_lateral")
+    // the correlated LIMIT becomes WindowGroupLimit — Partial (map-side
+    // top-k pruning before the shuffle) then Final — never a nested loop
+    // over the outer rows
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin")) // nation is the broadcast dim
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q29 recursive CTE: fact table aggregates before the spine join") {
+    val p = plan("q29_recursive_cte")
+    // per_month pre-aggregation: the orders scan feeds a partial count —
+    // the recursion and join only touch spine-sized relations
+    assert(p.contains("partial_count"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
