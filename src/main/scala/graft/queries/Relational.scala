@@ -502,13 +502,23 @@ object Relational {
     * relations (#months rows); the recursion itself runs on the driver-
     * tiny anchor + step, never per-row. */
   def q29RecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql("""
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    // Resolve the spine bounds ONCE (a 2-scalar aggregate job) and inline
+    // them as literals: UnionLoop re-plans the step query every iteration,
+    // so a scalar subquery over orders inside the recursion re-scans the
+    // fact table ~#months times (measured 12 s → 1 s at sf0.1).
+    val bounds = orders
+      .agg(date_format(min($"o_orderdate"), "yyyy-MM-dd").as("lo"),
+           date_format(max($"o_orderdate"), "yyyy-MM-dd").as("hi")).head()
+    val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    s.sql(s"""
       WITH RECURSIVE months(m) AS (
-        SELECT cast(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS date)
+        SELECT cast(date_trunc('month', DATE '$lo') AS date)
         UNION ALL
         SELECT add_months(m, 1) FROM months
-        WHERE m < cast(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS date)
+        WHERE m < cast(date_trunc('month', DATE '$hi') AS date)
       ),
       per_month AS (
         SELECT cast(date_trunc('month', o_orderdate) AS date) AS m,
