@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{DicomQueries, Relational, StreamQueries}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embed_cosine"  -> (Dedup.embedCosine _),
     "corpus_clean"        -> (Dedup.corpusClean _),
+    // ——— dataset curation ———
+    "corpus_split"         -> (Curation.split _),
+    "corpus_sample_strat"  -> (Curation.sampleStratified _),
+    "corpus_pack"          -> ((s, d) => Curation.pack(s, d)),
+    "corpus_contamination" -> (Curation.contamination _),
     // ——— similarity search ———
     "sim_topk_brute"      -> (Similarity.topkBrute _),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
@@ -537,6 +542,50 @@ object SparkEntry {
         |SELECT doc_id FROM base
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_strat" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(lang || ':' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 16 AS shard,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |  COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, shard, n_tok,
+        |  CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
+        |  CAST(cum_before % 2048 AS BIGINT) AS chunk_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "corpus_contamination" ->
+      """WITH g0 AS (SELECT doc_id, text, unnest(range(len(text) - 7)) AS i
+        |            FROM documents WHERE len(text) >= 8),
+        |grams AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT) + 1, 8) AS gram FROM g0),
+        |gn AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |bench AS (SELECT grams.doc_id AS bench_doc, gram, n AS bench_n
+        |          FROM grams JOIN gn USING (doc_id) WHERE grams.doc_id % 199 = 0),
+        |corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id % 199 <> 0)
+        |SELECT c.doc_id, b.bench_doc, CAST(count(*) AS BIGINT) AS n_shared,
+        |       round(count(*) * 1.0 / bench_n, 4) AS bench_frac
+        |FROM corpus c JOIN bench b USING (gram)
+        |GROUP BY c.doc_id, b.bench_doc, bench_n
+        |HAVING round(count(*) * 1.0 / bench_n, 4) >= 0.25
+        |ORDER BY c.doc_id, b.bench_doc""".stripMargin,
 
     "dedup_embed_lsh" ->
       """WITH n AS (

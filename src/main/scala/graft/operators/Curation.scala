@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dataset-curation operators for the training-data pipeline extension:
+  * deterministic train/val/test splitting, stratified sampling, sequence
+  * packing, and benchmark-contamination checks — the steps between "clean
+  * corpus" ([[Dedup.corpusClean]]) and "batches on the trainer".
+  *
+  * Everything is hash-deterministic (md5-derived, like [[Dedup]]) so the
+  * DuckDB oracle reproduces each assignment bit-for-bit and a re-run over
+  * re-partitioned data yields identical splits — the property that makes
+  * dataset versioning possible at 100 TB.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** 60-bit portable md5 hash of a SQL string expression (same fold as
+    * [[Dedup]]: 15 hex digits, always inside signed-64 range). */
+  private def h60(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+
+  /** Deterministic 90/5/5 train/val/test split: bucket = md5(doc_id) mod
+    * 100. Assignment depends only on the document id — never on
+    * partitioning, row order, or cluster size — so the split is stable
+    * across re-runs and engines. One narrow scan, no shuffle except the
+    * oracle-stability sort. */
+  def split(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        expr(s"${h60("cast(doc_id as string)")} % 100").as("bucket"))
+      .select($"doc_id", $"bucket",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Stratified deterministic sample: keep ~1-in-10 documents PER
+    * (lang, source) stratum, selected by md5(lang:source:doc_id) — every
+    * stratum is represented at the sampling rate regardless of its size,
+    * the property plain random sampling loses on skewed corpora. Narrow
+    * scan; the filter pushes into the stratum hash, no shuffle. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("h",
+        expr(s"${h60("concat(lang, ':', source, ':', cast(doc_id as string))")} % 10"))
+      .filter($"h" === 0)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget chunks
+    * (budget 2048 whitespace tokens), packed in doc_id order WITHIN a
+    * shard (`doc_id mod 16`). chunk = floor(tokens-before-this-doc /
+    * budget); offset = position inside the chunk. Sharding keeps the
+    * running sum a per-shard window — one hash-shuffle on shard, each
+    * shard's cumulative sum independent — instead of a global
+    * single-partition prefix sum that cannot scale. Documents longer than
+    * the budget overflow their chunk deterministically (document-
+    * preserving packing). */
+  def pack(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    import s.implicits._
+    val win = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select($"doc_id",
+        expr("doc_id % 16").as("shard"),
+        expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as bigint)").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(win), lit(0L)))
+      .select($"doc_id", $"shard", $"n_tok",
+        ($"cum_before" / budget).cast("long").as("chunk_id"),
+        ($"cum_before" % budget).as("chunk_offset"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark-contamination check: which corpus documents share enough
+    * rolling character 8-grams with a benchmark set (stand-in: doc_id
+    * divisible by 199) to look like eval leakage. The benchmark side is
+    * SMALL by construction (eval sets are thousands of rows, the corpus
+    * is billions) — its distinct-gram relation broadcasts, the corpus
+    * side stays a narrow scan + explode, and the aggregation is map-side
+    * partial. Reports pairs sharing ≥ 25% of the benchmark doc's grams.
+    * Gram sets come from the one-pass native
+    * [[graft.functions.CharGrams]] expression. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val withGrams = docs(s, dir)
+      .filter(length($"text") >= 8)
+      .select($"doc_id",
+        call_function("graft_char_grams", $"text", lit(8)).as("g_set"))
+    val bench = withGrams
+      .filter($"doc_id" % 199 === 0)
+      .select($"doc_id".as("bench_doc"), explode($"g_set").as("gram"),
+        size($"g_set").as("bench_n"))
+    val corpus = withGrams
+      .filter($"doc_id" % 199 =!= 0)
+      .select($"doc_id", explode($"g_set").as("gram"))
+    corpus
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy($"doc_id", $"bench_doc", $"bench_n")
+      .agg(count(lit(1)).as("n_shared"))
+      .select($"doc_id", $"bench_doc", $"n_shared",
+        round($"n_shared".cast("double") / $"bench_n", 4).as("bench_frac"))
+      .filter($"bench_frac" >= 0.25)
+      .orderBy($"doc_id", $"bench_doc")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators.Curation
+
+/** Dataset-curation operators: value invariants (the oracle pins exact
+  * values — these pin the properties that must survive refactors) and the
+  * scale-critical plan shapes. */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("curation-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("split: hash-deterministic, exhaustive, ~90/5/5") {
+    val rows = Curation.split(spark, sf).collect()
+    assert(rows.length == 500)
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    // md5 is uniform: 500 docs land near 450/25/25 (generous tolerance)
+    assert(bySplit("train") > 400 && bySplit("train") < 490)
+    assert(bySplit("val") > 5 && bySplit("test") > 5)
+    // same input → identical assignment (no RNG state anywhere)
+    assert(Curation.split(spark, sf).collect().toSeq == rows.toSeq)
+  }
+
+  test("pack: offsets stay inside the budget and chunks are contiguous per shard") {
+    val rows = Curation.pack(spark, sf, budget = 512L).collect()
+    assert(rows.forall(r => r.getAs[Long]("chunk_offset") >= 0 &&
+      r.getAs[Long]("chunk_offset") < 512L))
+    // within a shard, chunk ids are non-decreasing in doc_id order
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { g =>
+      val ordered = g.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("chunk_id"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("pack plans as a per-shard window, never a single global prefix sum") {
+    val p = Curation.pack(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(shard"),
+      "the running sum must be sharded")
+    assert(!p.contains("SinglePartition"),
+      "a global cumulative sum would serialize the corpus through one partition")
+  }
+
+  test("contamination: benchmark side broadcasts; pairs clear the threshold") {
+    val df = Curation.contamination(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the small benchmark gram set must broadcast, not shuffle the corpus")
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[Double]("bench_frac") >= 0.25))
+    assert(rows.forall(_.getAs[Long]("bench_doc") % 199 == 0))
+    assert(rows.forall(_.getAs[Long]("doc_id") % 199 != 0))
+  }
+
+  test("stratified sample respects the stratum hash, not row order") {
+    val a = Curation.sampleStratified(spark, sf).collect()
+    assert(a.nonEmpty && a.length < 120) // ~10% of 500
+    assert(Curation.sampleStratified(spark, sf).collect().toSeq == a.toSeq)
+  }
+}
