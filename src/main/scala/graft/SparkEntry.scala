@@ -93,6 +93,7 @@ object SparkEntry {
     "dicom_stream_ingest"  -> (StreamQueries.streamIngest _),
     "stream_events_window" -> (StreamQueries.streamEventsWindow _),
     "stream_sessionize"    -> (StreamQueries.streamSessionize _),
+    "stream_dedup"         -> (StreamQueries.streamDedup _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
     "mm_decode_meta"  -> ((s, d) => Multimodal.decodeMeta(s, DicomQueries.Fixtures)),
     "mm_resize_meta"  -> ((s, d) => Multimodal.resizeMeta(
@@ -718,6 +719,10 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev IS NULL OR ets - prev > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS text_hash
+        |FROM documents ORDER BY text_hash""".stripMargin,
 
     "dicom_parse_da_fn" ->
       """SELECT o_orderkey,

@@ -120,4 +120,36 @@ object StreamQueries {
       .select($"user_id", $"n_sessions", $"n_events")
       .orderBy($"user_id")
   }
+
+  /** STREAMING DEDUPLICATION (`dropDuplicates` state store): the
+    * documents table drained through `readStream`, emitting each content
+    * digest the first time it is seen. The final digest SET is
+    * order-independent, so the streamed result must equal batch
+    * `SELECT DISTINCT md5(text)` — the oracle gates the streaming
+    * dedup state machinery itself. (Unbounded keys here because the
+    * drain is finite; a production stream would add a watermark +
+    * `dropDuplicatesWithinWatermark` to bound state.) */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
+    java.nio.file.Files.createDirectories(base)
+    val in = java.nio.file.Files.createTempDirectory(base, "docs").toAbsolutePath
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      in.resolve("documents.parquet"))
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val name = "stream_dedup_" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val q = s.readStream.schema(schema).parquet(in.toString)
+      .select(md5($"text").as("text_hash"))
+      .dropDuplicates("text_hash")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy($"text_hash")
+  }
 }
