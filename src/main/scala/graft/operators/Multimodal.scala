@@ -190,7 +190,13 @@ object Multimodal {
         }
         asset(0, 0, 0, 0, math.max(1, entries), "tar-headers", payload)
       case _ => stubOf(path, mediaType, content)
-    }).getOrElse(stubOf(path, mediaType, content))
+    }).toOption
+      // corrupt containers can also decode to NONSENSE without throwing
+      // (e.g. a random 4-byte IHDR width reads as a negative int) —
+      // negative geometry is as corrupt as an exception
+      .filter(d => d.width >= 0 && d.height >= 0 && d.channels >= 0 &&
+        d.bits >= 0 && d.n_frames >= 0 && d.payload_bytes >= 0)
+      .getOrElse(stubOf(path, mediaType, content))
   }
 
   /** Deterministic md5-derived stub geometry — the documented fallback for

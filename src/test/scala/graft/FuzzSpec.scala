@@ -49,4 +49,28 @@ class FuzzSpec extends AnyFunSuite {
       assert(r.isLeft || r.isRight)
     }
   }
+
+  test("multimodal decode never throws: random bytes under every sniffed type") {
+    import graft.operators.Multimodal.{decodeOne, sniffMediaType, resample}
+    // magic-byte prefixes that pass the sniff but lead into garbage — the
+    // exact class of input that must degrade to the stub, not kill a task
+    val magics: Seq[Array[Byte]] = Seq(
+      Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array[Int](0xff, 0xd8, 0xff).map(_.toByte),
+      "GIF89a".getBytes,
+      Array[Int]('B', 'M').map(_.toByte) ++ new Array[Byte](28),
+      Array[Int]('P', 'K', 0x03, 0x04).map(_.toByte),
+      Array[Int](0x1f, 0x8b).map(_.toByte),
+      "BZh".getBytes,
+      Array.empty[Byte])
+    (0 until 200).foreach { i =>
+      val tail = new Array[Byte](rnd.nextInt(500))
+      rnd.nextBytes(tail)
+      val bytes = magics(i % magics.length) ++ tail
+      val mt = sniffMediaType(bytes)
+      val d = decodeOne(s"fuzz-$i", mt, bytes) // must not throw
+      assert(d.decoder != null && d.width >= 0 && d.height >= 0)
+      assert(resample(bytes, 64).forall(_._5.length == 32)) // None or md5
+    }
+  }
 }
