@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Pins event-time watermark semantics (SURVEY §2.5 ST2/ST5): windowed
+  * aggregation in APPEND mode emits a window only after the watermark
+  * passes its end, and data arriving later than the watermark allows is
+  * DROPPED — never silently merged into an already-emitted window. The
+  * reference has no ordering guarantees at all (each S3 event is an
+  * independent Lambda); this pins the stronger contract our streaming
+  * surface offers in its place. */
+class WatermarkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("watermark-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("append-mode window closes on watermark; late data is dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .select($"w.start".cast("long").as("w_start"), $"n", $"s")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_test").start()
+    try {
+      // batch 1: two events in the [0,5) window — nothing emits (append
+      // mode holds windows open until the watermark passes their end)
+      in.addData((ts(1), 10L), (ts(3), 5L))
+      q.processAllAvailable()
+      assert(spark.table("wm_test").count() == 0)
+      // batch 2: an event at t=30 advances the watermark to 20 → the
+      // [0,5) window is final and emits with BOTH batch-1 events
+      in.addData((ts(30), 1L))
+      q.processAllAvailable()
+      val closed = spark.table("wm_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(closed.toSeq == Seq((0L, 2L, 15L)))
+      // batch 3: a LATE event for the emitted window (t=2 < watermark 20)
+      // must be dropped — the emitted result never changes
+      in.addData((ts(2), 100L))
+      q.processAllAvailable()
+      val after = spark.table("wm_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(after.toSeq == Seq((0L, 2L, 15L)),
+        "late data must not reopen or re-emit a finalized window")
+    } finally q.stop()
+  }
+}
