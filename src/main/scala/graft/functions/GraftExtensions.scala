@@ -2,20 +2,42 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SparkSessionExtensions entry point: makes the engine's native
-  * functions available in ANY session (including plain `spark-sql` /
-  * thrift) via
-  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
-  * The per-session `VectorExpressions.register` path remains for
-  * programmatic use. */
+/** Library-grade registration of the graft native expressions:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * injects `graft_dot`, `graft_gram_min_md5`, and `graft_char_grams`
+  * into every session built with the extension — SQL, thriftserver, and
+  * notebook users get them without any Scala-side
+  * [[VectorExpressions.register]] call (which remains for programmatic
+  * use and is idempotent with this path). Injection happens at session
+  * build time via the supported `SparkSessionExtensions.injectFunction`
+  * hook, the same mechanism a Catalyst rule or strategy would use. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      info("graft_dot",
+        "graft_dot(a, b) - left-to-right double-fold dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_min_md5"),
+      info("graft_gram_min_md5",
+        "graft_gram_min_md5(text, n) - minimum md5 over rolling character n-grams (winnowing fingerprint)"),
+      (exprs: Seq[Expression]) => GramMinMd5(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_grams"),
+      info("graft_char_grams",
+        "graft_char_grams(text, n) - sorted distinct rolling character n-grams"),
+      (exprs: Seq[Expression]) => CharGrams(exprs(0), exprs(1))))
   }
 }
