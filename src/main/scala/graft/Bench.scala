@@ -35,13 +35,23 @@ object Bench {
         spark.catalog.clearCache() // per-query caches must not leak across passes
       }
     }
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
+    if (selected.isEmpty)
+      System.err.println("[bench] WARNING: zero queries selected — total will be 0")
     val results = selected.map { case (name, fn) =>
       name -> (1 to passes).flatMap(_ => time(fn))
     }
-    def fmt(d: Double) = f"$d%.6f"
+    // Locale.ROOT: the default-locale f-interpolator would print a
+    // decimal COMMA on e.g. de_DE JVMs, corrupting the JSON line
+    def fmt(d: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, d)
     val mins = results.map { case (k, ts) =>
       k -> (if (ts.isEmpty) -1.0 else ts.min)
     }

@@ -19,24 +19,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * hook, the same mechanism a Catalyst rule or strategy would use. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // className points at each EXPRESSION class (what DESCRIBE FUNCTION
+    // EXTENDED reports), not at this registrar
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
-      info("graft_dot",
+      info(classOf[DotProduct], "graft_dot",
         "graft_dot(a, b) - left-to-right double-fold dot product of two float/double arrays"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_min_md5"),
-      info("graft_gram_min_md5",
+      info(classOf[GramMinMd5], "graft_gram_min_md5",
         "graft_gram_min_md5(text, n) - minimum md5 over rolling character n-grams (winnowing fingerprint)"),
       (exprs: Seq[Expression]) => GramMinMd5(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_char_grams"),
-      info("graft_char_grams",
+      info(classOf[CharGrams], "graft_char_grams",
         "graft_char_grams(text, n) - sorted distinct rolling character n-grams"),
       (exprs: Seq[Expression]) => CharGrams(exprs(0), exprs(1))))
   }

@@ -19,10 +19,9 @@ object Curation {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** 60-bit portable md5 hash of a SQL string expression (same fold as
-    * [[Dedup]]: 15 hex digits, always inside signed-64 range). */
-  private def h60(e: String): String =
-    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+  /** 60-bit portable md5 hash — [[Dedup.h60]], the single shared
+    * definition of the oracle-parity fold. */
+  private def h60(e: String): String = Dedup.h60(e)
 
   /** Deterministic 90/5/5 train/val/test split: bucket = md5(doc_id) mod
     * 100. Assignment depends only on the document id — never on
@@ -75,7 +74,10 @@ object Curation {
         expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as bigint)").as("n_tok"))
       .withColumn("cum_before", coalesce(sum($"n_tok").over(win), lit(0L)))
       .select($"doc_id", $"shard", $"n_tok",
-        ($"cum_before" / budget).cast("long").as("chunk_id"),
+        // integer `div`, not `/`: Divide promotes to double and a cast
+        // back — exact only below 2^53; div matches DuckDB's `//` at
+        // every magnitude
+        expr(s"cum_before div ${budget}L").as("chunk_id"),
         ($"cum_before" % budget).as("chunk_offset"))
       .orderBy($"doc_id")
   }

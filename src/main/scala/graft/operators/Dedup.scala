@@ -33,9 +33,15 @@ object Dedup {
     * composing many dedup queries should call it between operators, as
     * [[graft.Bench]] does per query. */
   private val liveCaches =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Buffer[DataFrame]]
+    new java.util.HashMap[SparkSession, scala.collection.mutable.Buffer[DataFrame]]
 
   private def tracked(df: DataFrame): DataFrame = liveCaches.synchronized {
+    // purge stopped sessions first: their caches died with the context,
+    // and the tracked DataFrames would otherwise pin the dead session
+    // (a WeakHashMap can't help here — the value chain DataFrame →
+    // sparkSession strongly reaches the key, defeating the weak ref)
+    val it = liveCaches.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     liveCaches.computeIfAbsent(df.sparkSession,
       _ => scala.collection.mutable.Buffer.empty[DataFrame]) += df.cache()
     df
@@ -48,8 +54,11 @@ object Dedup {
     Option(liveCaches.remove(s)).foreach(_.foreach(_.unpersist(false)))
   }
 
-  /** 60-bit portable hash of a string column expression (SQL fragment). */
-  private def h60(e: String): String =
+  /** 60-bit portable hash of a string column expression (SQL fragment) —
+    * THE oracle-parity primitive (DuckDB twin:
+    * `('0x'||substr(md5(x),1,15))::BIGINT`); shared with [[Curation]] so
+    * the fold can never drift between operator families. */
+  private[operators] def h60(e: String): String =
     s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
 
   private def docs(s: SparkSession, dir: String): DataFrame =

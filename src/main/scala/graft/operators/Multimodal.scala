@@ -295,10 +295,13 @@ object Multimodal {
     * codec paths are exercised end-to-end without shipping binaries in
     * the repo. Returns the fixture directory. */
   def ensureImageFixtures(): String = synchronized {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-image-fixtures")
-    if (!dir.exists()) {
-      dir.mkdirs()
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val names = Seq("gradient.png", "gradient.jpg", "gradient.gif", "gradient.bmp")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-image-fixtures")
+    // completeness guard on the FILES, not the directory: a crash (or a
+    // concurrent process racing this one — `synchronized` is JVM-local)
+    // must never leave a half-populated dir that reads as done forever
+    if (!names.forall(n => Files.exists(dir.resolve(n)))) {
       def gradient(w: Int, h: Int): java.awt.image.BufferedImage = {
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -315,12 +318,24 @@ object Multimodal {
         }
         img
       }
-      javax.imageio.ImageIO.write(gradient(320, 200), "png", new java.io.File(dir, "gradient.png"))
-      javax.imageio.ImageIO.write(gradient(300, 180), "jpg", new java.io.File(dir, "gradient.jpg"))
-      javax.imageio.ImageIO.write(gradient(64, 40), "gif", new java.io.File(dir, "gradient.gif"))
-      javax.imageio.ImageIO.write(gradient(90, 60), "bmp", new java.io.File(dir, "gradient.bmp"))
+      // write to a process-unique staging dir, then move each file into
+      // place atomically; losing the move race to another process is fine
+      // (the content is deterministic — identical bytes)
+      val stage = Files.createTempDirectory("graft-image-fixtures-stage")
+      val dims = Seq((320, 200, "png"), (300, 180, "jpg"), (64, 40, "gif"), (90, 60, "bmp"))
+      Files.createDirectories(dir)
+      names.zip(dims).foreach { case (n, (w, h, fmt)) =>
+        val tmp = stage.resolve(n)
+        javax.imageio.ImageIO.write(gradient(w, h), fmt, tmp.toFile)
+        try Files.move(tmp, dir.resolve(n), StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+        }
+      }
+      Files.deleteIfExists(stage)
     }
-    dir.getAbsolutePath
+    dir.toAbsolutePath.toString
   }
 
   /** Frame sampling (video-shaped UDTF): every `step`-th frame index with

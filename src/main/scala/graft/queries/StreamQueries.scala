@@ -150,6 +150,17 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy($"text_hash")
+    // the memory sink already holds every emitted digest in the driver —
+    // materialize it, then release the sink table and the input copy so
+    // repeated invocations (bench passes) don't accumulate either
+    val result = s.table(name).orderBy($"text_hash").collect().toSeq
+    s.catalog.dropTempView(name)
+    java.nio.file.Files.deleteIfExists(in.resolve("documents.parquet"))
+    java.nio.file.Files.deleteIfExists(in)
+    import scala.jdk.CollectionConverters._
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text_hash",
+        org.apache.spark.sql.types.StringType)))
+    s.createDataFrame(result.asJava, outSchema).orderBy($"text_hash")
   }
 }
