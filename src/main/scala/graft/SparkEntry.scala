@@ -392,10 +392,12 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |shh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM sh),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
         |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
-        |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
-        |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        |  FROM cand JOIN shh sa ON doc_a = sa.doc_id
+        |  JOIN shh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
         |  GROUP BY 1, 2)
         |SELECT * FROM (
         |  SELECT doc_a, doc_b,
@@ -529,10 +531,12 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |shh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shv FROM sh),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
         |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
-        |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
-        |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        |  FROM cand JOIN shh sa ON doc_a = sa.doc_id
+        |  JOIN shh sb ON doc_b = sb.doc_id AND sa.shv = sb.shv
         |  GROUP BY 1, 2),
         |pairs AS (SELECT doc_a, doc_b FROM (
         |  SELECT doc_a, doc_b,

@@ -108,13 +108,19 @@ object Dedup {
     // doc-level: 8 minhash signatures, the distinct-shingle set (as a
     // sorted array for intersection), and its size. The doc-level table
     // (n_docs rows) is what all later joins touch — the 2.6M-row shingle
-    // relation is shuffled exactly once.
+    // relation is shuffled exactly once. The intersection set stores the
+    // 60-bit [[h60]] of each shingle, not the string: the shuffle's
+    // partial collect_set buffers carry 8-byte longs instead of ~45-char
+    // strings (~5× less volume), and exact-Jaccard-on-hashes equals
+    // exact-Jaccard-on-strings because the DuckDB oracle applies the
+    // SAME hash — any (astronomically unlikely) 60-bit collision
+    // collides identically in both engines.
     val mhAggs = (0 to 7).map(p =>
       min(md5(concat(lit(s"$p|"), $"shingle"))).as(s"mh$p"))
     val docsAgg = tracked(shinglesOf(d)
       .groupBy($"doc_id")
       .agg(mhAggs.head, mhAggs.tail :+
-        sort_array(collect_set($"shingle")).as("sh_set"): _*)
+        sort_array(collect_set(expr(h60("shingle")))).as("sh_set"): _*)
       .withColumn("n_sh", size($"sh_set").cast("long")))
 
     // band b covers perms {2b, 2b+1}; the "p:mh" strings sort by p (single
