@@ -59,6 +59,26 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("doc_id") % 199 != 0))
   }
 
+  test("curated corpus round-trips through a split-partitioned sink with pruning") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "curated").toString
+    val kept = Dedup.corpusClean(spark, sf)
+    val curated = kept.join(Curation.split(spark, sf), "doc_id")
+      .select($"doc_id", $"split")
+    curated.write.mode("overwrite").partitionBy("split").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == curated.count())
+    // the split filter must prune partitions at the scan, not post-filter
+    val train = back.filter($"split" === "train")
+    val scan = train.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(split"),
+      s"split filter must reach PartitionFilters, got: ${scan.take(300)}")
+    assert(train.count() > 0)
+    Dedup.unpersistIntermediates(spark)
+  }
+
   test("stratified sample respects the stratum hash, not row order") {
     val a = Curation.sampleStratified(spark, sf).collect()
     assert(a.nonEmpty && a.length < 120) // ~10% of 500
