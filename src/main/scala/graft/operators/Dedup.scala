@@ -49,9 +49,13 @@ object Dedup {
 
   /** Unpersist every intermediate cache this object holds for `s`.
     * Safe at any time — Spark caches are accelerators, not correctness
-    * state; an in-flight query just recomputes. */
+    * state; an in-flight query just recomputes. Also purges any stopped
+    * sessions, so a caller that stops sessions without releasing them is
+    * cleaned up by the next release from anywhere. */
   def unpersistIntermediates(s: SparkSession): Unit = liveCaches.synchronized {
     Option(liveCaches.remove(s)).foreach(_.foreach(_.unpersist(false)))
+    val it = liveCaches.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
   }
 
   /** 60-bit portable hash of a string column expression (SQL fragment) —

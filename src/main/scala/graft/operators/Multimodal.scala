@@ -320,20 +320,27 @@ object Multimodal {
       }
       // write to a process-unique staging dir, then move each file into
       // place atomically; losing the move race to another process is fine
-      // (the content is deterministic — identical bytes)
+      // (the content is deterministic — identical bytes), so any move
+      // failure with the target present is benign. Staging always cleans
+      // up, even when a write throws (disk full).
       val stage = Files.createTempDirectory("graft-image-fixtures-stage")
-      val dims = Seq((320, 200, "png"), (300, 180, "jpg"), (64, 40, "gif"), (90, 60, "bmp"))
-      Files.createDirectories(dir)
-      names.zip(dims).foreach { case (n, (w, h, fmt)) =>
-        val tmp = stage.resolve(n)
-        javax.imageio.ImageIO.write(gradient(w, h), fmt, tmp.toFile)
-        try Files.move(tmp, dir.resolve(n), StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            Files.deleteIfExists(tmp)
+      try {
+        val dims = Seq((320, 200, "png"), (300, 180, "jpg"), (64, 40, "gif"), (90, 60, "bmp"))
+        Files.createDirectories(dir)
+        names.zip(dims).foreach { case (n, (w, h, fmt)) =>
+          val tmp = stage.resolve(n)
+          javax.imageio.ImageIO.write(gradient(w, h), fmt, tmp.toFile)
+          try Files.move(tmp, dir.resolve(n), StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              if (!Files.exists(dir.resolve(n))) throw e
+          }
         }
+      } finally {
+        Files.walk(stage)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
       }
-      Files.deleteIfExists(stage)
     }
     dir.toAbsolutePath.toString
   }

@@ -9,6 +9,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * of the reference fixtures. Deterministic → rows-only driver check. */
 object StreamQueries {
 
+  /** Drain-and-release for the finite streaming queries: materialize the
+    * (small, already-driver-resident — memory sinks hold every emitted
+    * row in the driver anyway) result, then drop the sink temp view and
+    * delete the scratch input copies, so repeated invocations (bench
+    * passes, long sessions) accumulate neither driver tables nor disk
+    * copies. The schema is captured from the result itself — never
+    * hand-maintained. */
+  private def materializeAndRelease(
+      s: SparkSession, result: DataFrame,
+      dropView: Option[String], deleteDirs: Seq[java.nio.file.Path]): DataFrame = {
+    val schema = result.schema
+    val rows = result.collect().toSeq
+    dropView.foreach(s.catalog.dropTempView(_))
+    deleteDirs.foreach { p =>
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   /** Drain an AvailableNow binaryFile stream of (2 loose + 1 zip) fixture
     * objects through the SAME extraction as the batch path; return
     * per-source-object image counts read back from the partitioned sink. */
@@ -27,10 +50,13 @@ object StreamQueries {
     val q = graft.streaming.DicomStream.start(
       s, in, s"$out/data", s"$out/errors", s"$out/ckpt")
     q.awaitTermination()
-    s.read.parquet(s"$out/data")
-      .groupBy(element_at(split($"source_s3_key", "/"), -1).as("source_key"))
-      .agg(count(lit(1)).as("n_images"))
-      .orderBy($"source_key")
+    materializeAndRelease(s,
+      s.read.parquet(s"$out/data")
+        .groupBy(element_at(split($"source_s3_key", "/"), -1).as("source_key"))
+        .agg(count(lit(1)).as("n_images"))
+        .orderBy($"source_key"),
+      dropView = None,
+      deleteDirs = Seq(java.nio.file.Paths.get(out)))
   }
 
   /** Event-time tumbling aggregation as a STREAMING query: the events
@@ -59,7 +85,9 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy($"bucket", $"event_type")
+    materializeAndRelease(s,
+      s.table(name).orderBy($"bucket", $"event_type"),
+      dropView = Some(name), deleteDirs = Seq(in))
   }
 
   /** Per-user event shape for the stateful operator (ts is epoch-ns long
@@ -114,11 +142,13 @@ object StreamQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id")
       .orderBy($"n_events".desc)
-    s.table(name)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"n_sessions", $"n_events")
-      .orderBy($"user_id")
+    materializeAndRelease(s,
+      s.table(name)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"n_sessions", $"n_events")
+        .orderBy($"user_id"),
+      dropView = Some(name), deleteDirs = Seq(in))
   }
 
   /** STREAMING DEDUPLICATION (`dropDuplicates` state store): the
@@ -150,17 +180,8 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // the memory sink already holds every emitted digest in the driver —
-    // materialize it, then release the sink table and the input copy so
-    // repeated invocations (bench passes) don't accumulate either
-    val result = s.table(name).orderBy($"text_hash").collect().toSeq
-    s.catalog.dropTempView(name)
-    java.nio.file.Files.deleteIfExists(in.resolve("documents.parquet"))
-    java.nio.file.Files.deleteIfExists(in)
-    import scala.jdk.CollectionConverters._
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("text_hash",
-        org.apache.spark.sql.types.StringType)))
-    s.createDataFrame(result.asJava, outSchema).orderBy($"text_hash")
+    materializeAndRelease(s,
+      s.table(name).orderBy($"text_hash"),
+      dropView = Some(name), deleteDirs = Seq(in))
   }
 }

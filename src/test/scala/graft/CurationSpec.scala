@@ -62,21 +62,27 @@ class CurationSpec extends AnyFunSuite {
   test("curated corpus round-trips through a split-partitioned sink with pruning") {
     import spark.implicits._
     import graft.operators.Dedup
-    val out = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("target"), "curated").toString
-    val kept = Dedup.corpusClean(spark, sf)
-    val curated = kept.join(Curation.split(spark, sf), "doc_id")
-      .select($"doc_id", $"split")
-    curated.write.mode("overwrite").partitionBy("split").parquet(out)
-    val back = spark.read.parquet(out)
-    assert(back.count() == curated.count())
-    // the split filter must prune partitions at the scan, not post-filter
-    val train = back.filter($"split" === "train")
-    val scan = train.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters: [isnotnull(split"),
-      s"split filter must reach PartitionFilters, got: ${scan.take(300)}")
-    assert(train.count() > 0)
-    Dedup.unpersistIntermediates(spark)
+    val outDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "curated")
+    try {
+      val kept = Dedup.corpusClean(spark, sf)
+      val curated = kept.join(Curation.split(spark, sf), "doc_id")
+        .select($"doc_id", $"split")
+      curated.write.mode("overwrite").partitionBy("split").parquet(outDir.toString)
+      val back = spark.read.parquet(outDir.toString)
+      assert(back.count() == curated.count())
+      // the split filter must prune partitions at the scan, not post-filter
+      val train = back.filter($"split" === "train")
+      val scan = train.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters: [isnotnull(split"),
+        s"split filter must reach PartitionFilters, got: ${scan.take(300)}")
+      assert(train.count() > 0)
+    } finally {
+      Dedup.unpersistIntermediates(spark)
+      java.nio.file.Files.walk(outDir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   test("stratified sample respects the stratum hash, not row order") {
