@@ -82,6 +82,8 @@ object SparkEntry {
     "text_quality"     -> (TextAnalysis.quality _),
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_scrub"       -> (TextAnalysis.scrub _),
+    "text_normalize"   -> (TextAnalysis.normalize _),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
     "dicom_errors"         -> (DicomQueries.errors _),
@@ -694,6 +696,21 @@ object SparkEntry {
         |  CAST(CASE WHEN n_tokens >= 10 AND mean_tok_len >= 2.0 AND mean_tok_len <= 15.0
         |            AND punct_ratio <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_nums,
+        |md5(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_md5,
+        |CAST(trim(regexp_replace(lower(text), ' +', ' ', 'g')) <> text AS BIGINT) AS changed,
+        |CAST(len(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -85,6 +85,41 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** PII scrubbing: redact email addresses and long digit runs (id/phone
+    * shaped) with typed placeholder tokens — the pre-training privacy
+    * pass. Patterns use only character classes, so Java regex (Spark)
+    * and RE2 (DuckDB, with the 'g' flag) agree. Emits the redaction
+    * counts and the md5 of the scrubbed text (small, hashable) — the
+    * scrubbed corpus itself would be written, not returned. One narrow
+    * scan. */
+  def scrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val longNum = "[0-9]{6,}"
+    docs(s, dir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"text", lit(longNum), lit(0))).cast("long").as("n_long_nums"),
+        md5(regexp_replace(regexp_replace($"text", email, "<EMAIL>"),
+          longNum, "<NUM>")).as("scrubbed_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Text normalization: lowercase, collapse whitespace runs, trim — the
+    * canonical form exact-dedup and fingerprinting should run on. Emits
+    * the md5 of the normalized text plus whether normalization changed
+    * anything. One narrow scan. */
+  def normalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = trim(regexp_replace(lower($"text"), " +", " "))
+    docs(s, dir)
+      .select($"doc_id",
+        md5(norm).as("norm_md5"),
+        (norm =!= $"text").cast("long").as("changed"),
+        length(norm).cast("long").as("n_chars_norm"))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprint: minimum md5 over rolling character 8-grams
     * (winnowing-style min-sampling). Equal fingerprints ⇒ high overlap
     * candidates. Runs as ONE narrow codegen'd pass via the native
