@@ -76,6 +76,7 @@ object SparkEntry {
     // SimilarityRecallSpec pins recall@10 >= the per-label probe-2 path)
     "sim_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopk(s, d)),
     "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
+    "sim_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     // ——— text analysis ———
     "text_langid"      -> (TextAnalysis.langid _),
@@ -618,6 +619,36 @@ object SparkEntry {
         |  FROM tabs a JOIN tabs b
         |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_knn_join" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |bt AS (SELECT vec_id, emb, nrm,
+        |  list_transform(range(24), p ->
+        |    CASE WHEN list_dot_product(emb, list_transform(range(64), j ->
+        |      (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2000)
+        |        / 1000.0 - 1.0)) >= 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM n),
+        |bk AS (SELECT vec_id, emb, nrm,
+        |  list_transform(range(4), t ->
+        |    bits[CAST(t*6 AS INT) + 1] + bits[CAST(t*6 AS INT) + 2] * 2 + bits[CAST(t*6 AS INT) + 3] * 4 +
+        |    bits[CAST(t*6 AS INT) + 4] * 8 + bits[CAST(t*6 AS INT) + 5] * 16 + bits[CAST(t*6 AS INT) + 6] * 32) AS buckets
+        |  FROM bt),
+        |tabs AS (SELECT vec_id, emb, nrm, t, buckets[t + 1] AS bucket
+        |  FROM (SELECT vec_id, emb, nrm, buckets, unnest(range(4)) AS t FROM bk)),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM tabs a JOIN tabs b
+        |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor, cos_sim FROM cand
+        |  UNION ALL SELECT vec_b, vec_a, cos_sim FROM cand),
+        |rk AS (SELECT vec_id, neighbor, cos_sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor) AS rank
+        |  FROM sym)
+        |SELECT vec_id, neighbor, cos_sim, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "sim_ivf_topk" ->
       """WITH e AS (

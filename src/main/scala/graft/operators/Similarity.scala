@@ -202,6 +202,26 @@ object Similarity {
       .limit(10)
   }
 
+  /** Batch kNN JOIN: the top-k LSH-bucket neighbors of EVERY vector at
+    * once — the shape a curation pipeline actually runs (single-query
+    * ANN × n would rescan the corpus n times). Candidates come from the
+    * same bucketed self-join as [[embedLshNearDup]] (Σ n_b², tunable via
+    * `spark.graft.lsh.*`), symmetrized so each pair serves both
+    * endpoints; per-vector top-k is a window rank that Spark executes
+    * with WindowGroupLimit map-side pruning — candidates never sort
+    * globally. */
+  def knnJoin(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val cand = embedLshCandidates(s, dir)
+    val sym = cand.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_sim")
+      .union(cand.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos_sim".desc, $"neighbor")
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"vec_id", $"rank")
+  }
+
   /** Learned k-means coarse quantizer: Lloyd's algorithm with a FIXED
     * iteration count and md5-seeded init (the k vectors with the smallest
     * md5(vec_id) — deterministic, independent of id locality), replacing
