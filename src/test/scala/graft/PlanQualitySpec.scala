@@ -94,6 +94,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("knn join: per-vector top-k prunes map-side, no cartesian") {
+    val p = plan("sim_knn_join")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=k filter must become map-side top-k pruning")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
   test("q29 recursive CTE: fact table aggregates before the spine join") {
     val p = plan("q29_recursive_cte")
     // per_month pre-aggregation: the orders scan feeds a partial count —
