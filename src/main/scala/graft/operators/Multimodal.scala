@@ -336,11 +336,7 @@ object Multimodal {
               if (!Files.exists(dir.resolve(n))) throw e
           }
         }
-      } finally {
-        Files.walk(stage)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+      } finally graft.util.Fs.deleteRecursively(stage)
     }
     dir.toAbsolutePath.toString
   }

@@ -22,14 +22,24 @@ object StreamQueries {
     val schema = result.schema
     val rows = result.collect().toSeq
     dropView.foreach(s.catalog.dropTempView(_))
-    deleteDirs.foreach { p =>
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    deleteDirs.foreach(graft.util.Fs.deleteRecursively)
     import scala.jdk.CollectionConverters._
     s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Stage a scratch copy of one testdata parquet under target/dicomq and
+    * mint a unique memory-sink view name — the shared preamble of every
+    * finite readStream query. Returns (inputDir, viewName); pass both back
+    * through [[materializeAndRelease]]. */
+  private def stageInput(dir: String, file: String, prefix: String): (java.nio.file.Path, String) = {
+    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
+    java.nio.file.Files.createDirectories(base)
+    val in = java.nio.file.Files.createTempDirectory(base, prefix).toAbsolutePath
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/$file"), in.resolve(file))
+    val name = s"stream_${prefix}_" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    (in, name)
   }
 
   /** Drain an AvailableNow binaryFile stream of (2 loose + 1 zip) fixture
@@ -66,15 +76,8 @@ object StreamQueries {
     * correctness-gated. Exact integer ns bucket math as in q14. */
   def streamEventsWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
-    java.nio.file.Files.createDirectories(base)
-    val in = java.nio.file.Files.createTempDirectory(base, "events").toAbsolutePath
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      in.resolve("events.parquet"))
+    val (in, name) = stageInput(dir, "events.parquet", "win")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = "stream_win_" + java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
     val q = s.readStream.schema(schema).parquet(in.toString)
       .groupBy((expr("ts div 300000000000") * 300).as("bucket"), $"event_type")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
@@ -105,15 +108,8 @@ object StreamQueries {
     * exactly the batch window's ordering. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
-    java.nio.file.Files.createDirectories(base)
-    val in = java.nio.file.Files.createTempDirectory(base, "sess").toAbsolutePath
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      in.resolve("events.parquet"))
+    val (in, name) = stageInput(dir, "events.parquet", "sess")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = "stream_sess_" + java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
 
     def update(uid: Long, events: Iterator[UserEvent],
                state: GroupState[SessionState]): Iterator[UserSessions] = {
@@ -161,15 +157,8 @@ object StreamQueries {
     * `dropDuplicatesWithinWatermark` to bound state.) */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
-    java.nio.file.Files.createDirectories(base)
-    val in = java.nio.file.Files.createTempDirectory(base, "docs").toAbsolutePath
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      in.resolve("documents.parquet"))
+    val (in, name) = stageInput(dir, "documents.parquet", "dedup")
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val name = "stream_dedup_" + java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
     val q = s.readStream.schema(schema).parquet(in.toString)
       .select(md5($"text").as("text_hash"))
       .dropDuplicates("text_hash")

@@ -79,9 +79,7 @@ class CurationSpec extends AnyFunSuite {
       assert(train.count() > 0)
     } finally {
       Dedup.unpersistIntermediates(spark)
-      java.nio.file.Files.walk(outDir)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.util.Fs.deleteRecursively(outDir)
     }
   }
 

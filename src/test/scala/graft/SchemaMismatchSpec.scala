@@ -100,11 +100,7 @@ class SchemaMismatchSpec extends AnyFunSuite {
       s"expected a partition-schema mismatch error, got:\n$chain")
     // the reference's remedy — drop the stale partition, re-crawl —
     // restores service (README.md:184-199)
-    def deleteRec(p: Path): Unit = {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
-    deleteRec(loc.resolve("study_date=2020-01-01"))
+    graft.util.Fs.deleteRecursively(loc.resolve("study_date=2020-01-01"))
     graft.pipeline.Catalog.crawl(spark, loc.toString,
       db = "mismatch_db", table = "dicom_metadata")
     assert(spark.table("mismatch_db.dicom_metadata")
