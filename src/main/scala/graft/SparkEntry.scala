@@ -103,6 +103,9 @@ object SparkEntry {
       s, Seq(DicomQueries.Fixtures, Multimodal.ensureImageFixtures()))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, DicomQueries.Fixtures)),
     "mm_pseudo_embed" -> ((s, d) => Multimodal.pseudoEmbedFlat(s, DicomQueries.Fixtures)),
+    // full multimodal -> embed -> ANN chain over fixtures + real images
+    "mm_embed_ann"    -> ((s, d) => Multimodal.assetNeighbors(
+      s, Seq(DicomQueries.Fixtures, Multimodal.ensureImageFixtures()))),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -354,12 +354,15 @@ object Multimodal {
       .orderBy($"path", $"frame_idx")
   }
 
+  def pseudoEmbed(s: SparkSession, dir: String): DataFrame =
+    pseudoEmbed(s, Seq(dir))
+
   /** Feature-extract stub: deterministic 64-dim pseudo-embedding from the
     * content digest (md5-seeded, unit-normalized) — schema-compatible
     * with the real `embeddings` table so the ANN path composes. */
-  def pseudoEmbed(s: SparkSession, dir: String): DataFrame = {
+  def pseudoEmbed(s: SparkSession, dirs: Seq[String]): DataFrame = {
     import s.implicits._
-    loadAssets(s, dir)
+    loadAssets(s, dirs)
       .select($"path", $"digest").as[(String, String)]
       .mapPartitions(_.map { case (p, digest) =>
         val vec = Array.tabulate(64) { j =>
@@ -373,6 +376,29 @@ object Multimodal {
       .toDF("path", "embedding")
       .withColumn("path", element_at(split($"path", "/"), -1))
       .orderBy($"path")
+  }
+
+  /** Multimodal → embedding → similarity, composed end-to-end: embed
+    * every asset ([[pseudoEmbed]]) and rank each asset's top-k nearest
+    * neighbors by cosine — the full "ingest binaries, index them,
+    * find related content" chain in one operator. Asset counts are
+    * fixture-scale here; at corpus scale the embedding column feeds
+    * [[Similarity.knnJoin]]'s bucketed path instead of the all-pairs
+    * join (this composition exists to pin the chain, not to scale it). */
+  def assetNeighbors(s: SparkSession, dirs: Seq[String], k: Int = 3): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val e = pseudoEmbed(s, dirs)
+      .select($"path", $"embedding",
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+    val pairs = e.as("a").join(e.as("b"), $"a.path" =!= $"b.path")
+      .select($"a.path".as("path"), $"b.path".as("neighbor"),
+        expr("round(graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm), 6)").as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"path").orderBy($"cos_sim".desc, $"neighbor")
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"path", $"rank")
   }
 
   /** [[pseudoEmbed]] with the raw `array<float>` serialized for external
