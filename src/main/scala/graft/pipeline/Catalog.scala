@@ -39,4 +39,46 @@ object Catalog {
     registerTable(spark, location, db, table)
     merged
   }
+
+  /** Small-file compaction for one Hive partition directory — the
+    * remedy for the reference's documented per-invocation-file growth
+    * (one parquet file per Lambda call; COMPAT.md "Small-files output").
+    * Rewrites the partition into ceil(bytes / targetFileBytes) files via
+    * an atomic-ish stage-and-swap (write beside, swap directories), so a
+    * concurrent reader sees either the old or the new layout, never a
+    * partial one. Returns (filesBefore, filesAfter). */
+  def compactPartition(spark: SparkSession, partitionDir: String,
+                       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(partitionDir)
+    def parquetFiles() = {
+      val s = Files.list(dir).iterator()
+      var fs = List.empty[java.nio.file.Path]
+      while (s.hasNext) { val p = s.next(); if (p.toString.endsWith(".parquet")) fs ::= p }
+      fs
+    }
+    val before = parquetFiles()
+    val bytes = before.map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staged = Paths.get(partitionDir + ".compact-stage")
+    graft.util.Fs.deleteRecursively(staged)
+    spark.read.parquet(partitionDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(staged.toString)
+    val old = Paths.get(partitionDir + ".compact-old")
+    Files.move(dir, old)
+    Files.move(staged, dir)
+    graft.util.Fs.deleteRecursively(old)
+    (before.size, parquetFiles().size)
+  }
+
+  /** Collect table + column statistics for Catalyst's cost-based
+    * optimizer (join reorder, broadcast decisions need rowCount/size;
+    * column min/max/ndv feed filter selectivity). The Glue-crawler
+    * world gets this implicitly; Spark needs the ANALYZE. */
+  def analyze(spark: SparkSession, db: String = "dicom_db",
+              table: String = "dicom_metadata"): Unit = {
+    spark.sql(s"ANALYZE TABLE $db.$table COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE TABLE $db.$table COMPUTE STATISTICS FOR ALL COLUMNS")
+  }
 }

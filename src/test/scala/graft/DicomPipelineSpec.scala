@@ -144,4 +144,39 @@ class DicomPipelineSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(spark.read.parquet(s"$out/data").count() == 4)
   }
+
+  test("small-file compaction: many files collapse, data survives, swap is whole") {
+    import spark.implicits._
+    val part = s"${tmp()}/study_date=1999-01-01"
+    // the reference's weakness: one file per invocation → write 20 tiny files
+    (1 to 20).foreach { i =>
+      Seq((i.toLong, s"sop-$i")).toDF("idx", "sop")
+        .coalesce(1).write.mode("append").parquet(part)
+    }
+    val beforeRows = spark.read.parquet(part).orderBy($"idx").collect().toSeq
+    val (nBefore, nAfter) = Catalog.compactPartition(spark, part)
+    assert(nBefore >= 20 && nAfter < nBefore)
+    assert(nAfter == 1) // 20 tiny files fit one 128 MB target file
+    val afterRows = spark.read.parquet(part).orderBy($"idx").collect().toSeq
+    assert(afterRows == beforeRows)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(part + ".compact-stage")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(part + ".compact-old")))
+  }
+
+  test("ANALYZE feeds the CBO: catalog stats present after analyze") {
+    import spark.implicits._
+    val loc = tmp()
+    Seq(("CT", 1L), ("MR", 2L)).toDF("modality", "n").coalesce(1)
+      .write.parquet(s"$loc/study_date=2001-01-01")
+    Catalog.registerTable(spark, loc, db = "stats_db", table = "t")
+    Catalog.analyze(spark, db = "stats_db", table = "t")
+    val stats = spark.sql("DESCRIBE TABLE EXTENDED stats_db.t modality")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stats.get("distinct_count").exists(_ != "NULL"),
+      s"column NDV must be collected, got $stats")
+    val tblMeta = spark.sql("DESCRIBE TABLE EXTENDED stats_db.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tblMeta.get("Statistics").exists(_.contains("2 rows")),
+      s"table rowCount must be in catalog statistics, got ${tblMeta.get("Statistics")}")
+  }
 }
