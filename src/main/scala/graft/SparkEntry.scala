@@ -53,6 +53,8 @@ object SparkEntry {
     "q28_range_join"    -> (Relational.q28RangeJoin _),
     "q29_recursive_cte" -> (Relational.q29RecursiveCte _),
     "q30_lateral"       -> (Relational.q30Lateral _),
+    "q31_set_ops_all"   -> (Relational.q31SetOpsAll _),
+    "q32_filtered_agg"  -> (Relational.q32FilteredAgg _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -350,6 +352,25 @@ object SparkEntry {
         | AND c.ts_ns >= e.ts_ns - 600000000000
         | AND c.ts_ns < e.ts_ns
         |GROUP BY 1 ORDER BY event_id""".stripMargin,
+
+    "q31_set_ops_all" ->
+      """WITH ship AS (SELECT l_suppkey AS k FROM lineitem),
+        |rcpt AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25),
+        |disc AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.09),
+        |bag AS (
+        |  SELECT k FROM (SELECT k FROM ship INTERSECT ALL SELECT k FROM rcpt)
+        |  EXCEPT ALL SELECT k FROM disc)
+        |SELECT k, count(*) AS copies FROM bag GROUP BY k ORDER BY k""".stripMargin,
+
+    "q32_filtered_agg" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_all,
+        |       count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+        |       cast(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS open_value
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q29_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (

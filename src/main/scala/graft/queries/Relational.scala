@@ -531,6 +531,39 @@ object Relational {
       ORDER BY m""")
   }
 
+  /** Multiset (ALL) set operations: bag semantics preserve duplicate
+    * counts — `intersectAll` keeps min(m, n) copies, `exceptAll`
+    * subtracts multiplicities — which DISTINCT set ops (q10) destroy.
+    * Spark plans both as aggregate+generate over a count column, no
+    * join explosion. */
+  def q31SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val ship = li.select($"l_suppkey".as("k"))
+    val rcpt = li.filter($"l_quantity" >= 25).select($"l_suppkey".as("k"))
+    ship.intersectAll(rcpt)
+      .exceptAll(li.filter($"l_discount" > 0.09).select($"l_suppkey".as("k")))
+      .groupBy($"k").agg(count(lit(1)).as("copies"))
+      .orderBy($"k")
+  }
+
+  /** Aggregate FILTER clause: per-group conditional aggregation without
+    * self-joins or CASE pyramids — each aggregate carries its own
+    * predicate, all evaluated in ONE pass over the fact table (single
+    * partial+final hash aggregate, no re-scan per condition). */
+  def q32FilteredAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderpriority,
+             count(*) AS n_all,
+             count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+             cast(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS double) AS open_value
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   /** LATERAL correlated subquery: per-nation top-2 customers by account
     * balance — the correlated-TVF shape Spark decorrelates into a
     * window-rank plan (one shuffle of customer keyed on nation, no
