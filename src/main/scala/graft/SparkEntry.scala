@@ -80,6 +80,9 @@ object SparkEntry {
     "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
     "sim_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
+    // typed-UDAF (Aggregator) twin of the explode-based centroids —
+    // single-buffer vector mean, shares the same oracle values
+    "sim_centroids_udaf"  -> (Similarity.labelCentroidsUdaf _),
     // ——— text analysis ———
     "text_langid"      -> (TextAnalysis.langid _),
     "text_quality"     -> (TextAnalysis.quality _),
@@ -713,6 +716,16 @@ object SparkEntry {
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT label, emb, unnest(range(len(emb))) AS dim FROM e),
+        |bydim AS (SELECT label, dim, round(avg(emb[CAST(dim AS INT) + 1]), 8) AS m
+        |          FROM p GROUP BY 1, 2)
+        |SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm, count(*) AS n_dims
+        |FROM bydim GROUP BY label ORDER BY label""".stripMargin,
+
+    // the UDAF twin rounds per-dim means to the same 8-decimal grain, so
+    // it must hash-match the explode-form oracle exactly
+    "sim_centroids_udaf" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |p AS (SELECT label, emb, unnest(range(len(emb))) AS dim FROM e),
         |bydim AS (SELECT label, dim, round(avg(emb[CAST(dim AS INT) + 1]), 8) AS m

@@ -202,6 +202,28 @@ object Similarity {
       .limit(10)
   }
 
+  /** [[labelCentroids]] computed through the typed-UDAF surface
+    * ([[graft.functions.VectorAvg]], an `Aggregator`): one
+    * groupBy(label) with the whole 64-dim mean in a single aggregate
+    * buffer — no posexplode, no (label, dim) shuffle; the per-label
+    * result is 1 row instead of 64. Rounds per-dim means to the same
+    * 8-decimal grain as the explode form, so it shares
+    * `sim_label_centroids`' oracle. The scale trade: a 64-double buffer
+    * per group vs 64× the shuffle rows — the UDAF wins when dim ≪
+    * group count. */
+  def labelCentroidsUdaf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecAvg = udaf(graft.functions.VectorAvg)
+    emb(s, dir)
+      .groupBy($"label")
+      .agg(vecAvg($"embedding").as("cvec"))
+      .select($"label",
+        round(sqrt(aggregate($"cvec", lit(0.0d), (acc, v) => acc + v * v)), 4)
+          .as("centroid_norm"),
+        size($"cvec").cast("long").as("n_dims"))
+      .orderBy($"label")
+  }
+
   /** Batch kNN JOIN: the top-k LSH-bucket neighbors of EVERY vector at
     * once — the shape a curation pipeline actually runs (single-query
     * ANN × n would rescan the corpus n times). Candidates come from the
