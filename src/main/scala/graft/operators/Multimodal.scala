@@ -59,6 +59,9 @@ object Multimodal {
     else if (content.length >= 3 && at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "image/jpeg"
     else if (content.length >= 6 && content.startsWith("GIF8".getBytes)) "image/gif"
     else if (content.length >= 30 && content(0) == 'B' && content(1) == 'M') "image/bmp"
+    else if (content.length >= 12 && content(0) == 'R' && content(1) == 'I' &&
+             content(2) == 'F' && content(3) == 'F' && content(8) == 'W' &&
+             content(9) == 'A' && content(10) == 'V' && content(11) == 'E') "audio/wav"
     else if (content.length >= 2 && content(0) == 'P' && content(1) == 'K') "application/zip"
     else if (content.length >= 2 && at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
     else if (content.length >= 3 && content(0) == 'B' && content(1) == 'Z' && content(2) == 'h') "application/x-bzip2"
@@ -154,6 +157,29 @@ object Multimodal {
         val bpp = le16(content, 28)
         asset(w, h, if (bpp >= 24) 3 else 1, math.min(bpp, 8), 1, "bmp-dib",
           w.toLong * h * bpp / 8)
+      case "audio/wav" =>
+        // RIFF chunk walk: "fmt " carries channels/sample-rate/bit-depth,
+        // "data" carries the payload; n_frames = sample frames
+        // (dataSize / blockAlign) — real audio geometry, no codec needed
+        var off = 12
+        var ch = 0; var bits = 0; var blockAlign = 1; var sampleRate = 0
+        var dataSize = 0L
+        while (off + 8 <= content.length) {
+          val id = new String(content, off, 4, "US-ASCII")
+          val sz = le32(content, off + 4)
+          if (id == "fmt " && off + 24 <= content.length) {
+            ch = le16(content, off + 10)
+            sampleRate = le32(content, off + 12).toInt
+            blockAlign = math.max(1, le16(content, off + 20))
+            bits = le16(content, off + 22)
+          } else if (id == "data") dataSize = sz
+          off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        }
+        if (ch == 0) stubOf(path, mediaType, content)
+        // the schema is modality-generic: for audio, width carries the
+        // sample rate, n_frames the sample-frame count
+        else asset(sampleRate, 0, ch, bits,
+          math.max(1, (dataSize / blockAlign).toInt), "wav-fmt", dataSize)
       case "application/zip" =>
         // EOCD record scanned from the tail; entry count is REAL metadata,
         // payload from the central-directory walk (uncompressed sizes)
@@ -296,7 +322,7 @@ object Multimodal {
     * the repo. Returns the fixture directory. */
   def ensureImageFixtures(): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val names = Seq("gradient.png", "gradient.jpg", "gradient.gif", "gradient.bmp")
+    val names = Seq("gradient.png", "gradient.jpg", "gradient.gif", "gradient.bmp", "tone.wav")
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-image-fixtures")
     // completeness guard on the FILES, not the directory: a crash (or a
     // concurrent process racing this one — `synchronized` is JVM-local)
@@ -325,16 +351,39 @@ object Multimodal {
       // up, even when a write throws (disk full).
       val stage = Files.createTempDirectory("graft-image-fixtures-stage")
       try {
-        val dims = Seq((320, 200, "png"), (300, 180, "jpg"), (64, 40, "gif"), (90, 60, "bmp"))
         Files.createDirectories(dir)
-        names.zip(dims).foreach { case (n, (w, h, fmt)) =>
+        def install(n: String)(write: java.io.File => Unit): Unit = {
           val tmp = stage.resolve(n)
-          javax.imageio.ImageIO.write(gradient(w, h), fmt, tmp.toFile)
+          write(tmp.toFile)
           try Files.move(tmp, dir.resolve(n), StandardCopyOption.ATOMIC_MOVE)
           catch {
             case scala.util.control.NonFatal(e) =>
               if (!Files.exists(dir.resolve(n))) throw e
           }
+        }
+        val dims = Seq(("gradient.png", 320, 200, "png"), ("gradient.jpg", 300, 180, "jpg"),
+          ("gradient.gif", 64, 40, "gif"), ("gradient.bmp", 90, 60, "bmp"))
+        dims.foreach { case (n, w, h, fmt) =>
+          install(n)(f => javax.imageio.ImageIO.write(gradient(w, h), fmt, f))
+        }
+        // deterministic 0.1 s 440 Hz sine, 16-bit mono 8 kHz — the JDK's
+        // javax.sound.sampled writes a real RIFF/WAVE container
+        install("tone.wav") { f =>
+          val rate = 8000
+          val n = rate / 10
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, f)
         }
       } finally graft.util.Fs.deleteRecursively(stage)
     }

@@ -125,6 +125,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gif.getAs[Int]("out_width") == 64 && gif.getAs[Int]("out_height") == 40)
   }
 
+  test("WAV audio: real RIFF fmt/data geometry, no codec") {
+    import Multimodal.{decodeOne, sniffMediaType}
+    val dir = Multimodal.ensureImageFixtures()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tone.wav"))
+    assert(sniffMediaType(bytes) == "audio/wav")
+    val d = decodeOne("tone.wav", "audio/wav", bytes)
+    assert(d.decoder == "wav-fmt")
+    assert(d.width == 8000)      // sample rate (modality-generic schema)
+    assert(d.channels == 1 && d.bits == 16)
+    assert(d.n_frames == 800)    // 0.1 s at 8 kHz
+    assert(d.payload_bytes == 1600L) // 800 frames × 2 bytes
+    // truncated header degrades to stub like every other format
+    assert(decodeOne("t.wav", "audio/wav", bytes.take(12)).decoder == "stub")
+  }
+
   test("truncated containers degrade to stub instead of throwing") {
     import Multimodal.{decodeOne, sniffMediaType}
     // PNG sniff passes on 8 bytes but IHDR decode would read index 25
