@@ -19,8 +19,12 @@ object VectorAvg extends Aggregator[Array[Float], (Array[Double], Long), Array[D
     if (v == null) b
     else {
       val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      // mixed dimensionality is a data error — fail loudly; silently
+      // truncating to the first-seen length would produce wrong means
+      require(v.length == sums.length,
+        s"VectorAvg requires uniform dimensionality, got ${v.length} vs ${sums.length}")
       var i = 0
-      while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+      while (i < v.length) { sums(i) += v(i); i += 1 }
       (sums, b._2 + 1)
     }
   }
@@ -29,15 +33,21 @@ object VectorAvg extends Aggregator[Array[Float], (Array[Double], Long), Array[D
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      require(a._1.length == b._1.length,
+        s"VectorAvg requires uniform dimensionality, got ${a._1.length} vs ${b._1.length}")
       var i = 0
       while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)
     }
   }
 
+  // HALF_UP on the decimal expansion — the SAME rounding mode as Spark's
+  // round(x, 8) in the explode-form twin; math.rint would be half-even on
+  // a *1e8 fp product and could diverge by 1e-8 at a .5 boundary
   override def finish(r: (Array[Double], Long)): Array[Double] =
     if (r._2 == 0) Array.empty[Double]
-    else r._1.map(s => math.rint(s / r._2 * 1e8) / 1e8)
+    else r._1.map(s => BigDecimal(s / r._2)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
   override def bufferEncoder: Encoder[(Array[Double], Long)] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()

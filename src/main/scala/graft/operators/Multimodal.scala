@@ -167,13 +167,20 @@ object Multimodal {
         while (off + 8 <= content.length) {
           val id = new String(content, off, 4, "US-ASCII")
           val sz = le32(content, off + 4)
-          if (id == "fmt " && off + 24 <= content.length) {
-            ch = le16(content, off + 10)
-            sampleRate = le32(content, off + 12).toInt
-            blockAlign = math.max(1, le16(content, off + 20))
-            bits = le16(content, off + 22)
-          } else if (id == "data") dataSize = sz
-          off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          // a corrupt size field (larger than what remains, or one whose
+          // Int truncation would go negative) must END the walk — advancing
+          // by it could leave `off` unchanged and hang the task forever,
+          // which the surrounding Try cannot catch
+          if (sz > content.length - off - 8) off = content.length
+          else {
+            if (id == "fmt " && off + 24 <= content.length) {
+              ch = le16(content, off + 10)
+              sampleRate = le32(content, off + 12).toInt
+              blockAlign = math.max(1, le16(content, off + 20))
+              bits = le16(content, off + 22)
+            } else if (id == "data") dataSize = sz
+            off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          }
         }
         if (ch == 0) stubOf(path, mediaType, content)
         // the schema is modality-generic: for audio, width carries the
@@ -322,7 +329,11 @@ object Multimodal {
     * the repo. Returns the fixture directory. */
   def ensureImageFixtures(): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val names = Seq("gradient.png", "gradient.jpg", "gradient.gif", "gradient.bmp", "tone.wav")
+    // names derive from the one installer list below — the completeness
+    // guard and the writers can never drift apart
+    val imageDims = Seq(("gradient.png", 320, 200, "png"), ("gradient.jpg", 300, 180, "jpg"),
+      ("gradient.gif", 64, 40, "gif"), ("gradient.bmp", 90, 60, "bmp"))
+    val names = imageDims.map(_._1) :+ "tone.wav"
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-image-fixtures")
     // completeness guard on the FILES, not the directory: a crash (or a
     // concurrent process racing this one — `synchronized` is JVM-local)
@@ -361,9 +372,7 @@ object Multimodal {
               if (!Files.exists(dir.resolve(n))) throw e
           }
         }
-        val dims = Seq(("gradient.png", 320, 200, "png"), ("gradient.jpg", 300, 180, "jpg"),
-          ("gradient.gif", 64, 40, "gif"), ("gradient.bmp", 90, 60, "bmp"))
-        dims.foreach { case (n, w, h, fmt) =>
+        imageDims.foreach { case (n, w, h, fmt) =>
           install(n)(f => javax.imageio.ImageIO.write(gradient(w, h), fmt, f))
         }
         // deterministic 0.1 s 440 Hz sine, 16-bit mono 8 kHz — the JDK's
@@ -437,9 +446,15 @@ object Multimodal {
   def assetNeighbors(s: SparkSession, dirs: Seq[String], k: Int = 3): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    val e = pseudoEmbed(s, dirs)
+    // materialize the (asset-count-sized) embeddings once as a local
+    // relation: the self-join would otherwise re-run the whole binary
+    // load + md5 embed subtree for each side
+    val embedded = pseudoEmbed(s, dirs)
       .select($"path", $"embedding",
         expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+    val rows = embedded.collect().toSeq
+    import scala.jdk.CollectionConverters._
+    val e = s.createDataFrame(rows.asJava, embedded.schema)
     val pairs = e.as("a").join(e.as("b"), $"a.path" =!= $"b.path")
       .select($"a.path".as("path"), $"b.path".as("neighbor"),
         expr("round(graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm), 6)").as("cos_sim"))

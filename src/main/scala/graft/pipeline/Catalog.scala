@@ -44,28 +44,43 @@ object Catalog {
     * remedy for the reference's documented per-invocation-file growth
     * (one parquet file per Lambda call; COMPAT.md "Small-files output").
     * Rewrites the partition into ceil(bytes / targetFileBytes) files via
-    * an atomic-ish stage-and-swap (write beside, swap directories), so a
-    * concurrent reader sees either the old or the new layout, never a
-    * partial one. Returns (filesBefore, filesAfter). */
+    * stage-and-swap. Contract, stated honestly:
+    *  - staging and backup dirs are dot-prefixed SIBLINGS, which Spark's
+    *    file index treats as hidden — a concurrent table-root read never
+    *    picks them up as extra partitions;
+    *  - the swap itself is two renames, so a reader hitting the
+    *    partition in that instant can see a missing directory — run on
+    *    cold partitions or within a maintenance window;
+    *  - a crashed run self-heals: the next invocation restores the
+    *    backup if the partition dir is missing and clears stale
+    *    staging/backup dirs before starting.
+    * Returns (filesBefore, filesAfter). */
   def compactPartition(spark: SparkSession, partitionDir: String,
                        targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get(partitionDir)
-    def parquetFiles() = {
-      val s = Files.list(dir).iterator()
-      var fs = List.empty[java.nio.file.Path]
-      while (s.hasNext) { val p = s.next(); if (p.toString.endsWith(".parquet")) fs ::= p }
-      fs
+    val base = dir.getFileName.toString
+    val staged = dir.getParent.resolve(s".$base.compact-stage")
+    val old = dir.getParent.resolve(s".$base.compact-old")
+    // self-heal a run that crashed between the two renames
+    if (!Files.exists(dir) && Files.exists(old)) Files.move(old, dir)
+    graft.util.Fs.deleteRecursively(staged)
+    graft.util.Fs.deleteRecursively(old)
+    def parquetFiles(): List[java.nio.file.Path] = {
+      val s = Files.list(dir)
+      try {
+        val it = s.iterator()
+        var fs = List.empty[java.nio.file.Path]
+        while (it.hasNext) { val p = it.next(); if (p.toString.endsWith(".parquet")) fs ::= p }
+        fs
+      } finally s.close()
     }
     val before = parquetFiles()
     val bytes = before.map(Files.size).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val staged = Paths.get(partitionDir + ".compact-stage")
-    graft.util.Fs.deleteRecursively(staged)
     spark.read.parquet(partitionDir)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(staged.toString)
-    val old = Paths.get(partitionDir + ".compact-old")
     Files.move(dir, old)
     Files.move(staged, dir)
     graft.util.Fs.deleteRecursively(old)

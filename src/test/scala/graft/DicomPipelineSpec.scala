@@ -159,8 +159,16 @@ class DicomPipelineSpec extends AnyFunSuite {
     assert(nAfter == 1) // 20 tiny files fit one 128 MB target file
     val afterRows = spark.read.parquet(part).orderBy($"idx").collect().toSeq
     assert(afterRows == beforeRows)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(part + ".compact-stage")))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(part + ".compact-old")))
+    // staging/backup dirs are hidden siblings and must be gone afterward
+    val parent = java.nio.file.Paths.get(part).getParent
+    val base = java.nio.file.Paths.get(part).getFileName.toString
+    assert(!java.nio.file.Files.exists(parent.resolve(s".$base.compact-stage")))
+    assert(!java.nio.file.Files.exists(parent.resolve(s".$base.compact-old")))
+    // a table-root read mid-compaction can never see staging dirs as
+    // partitions: simulate the stage-present window and read the root
+    java.nio.file.Files.createDirectories(parent.resolve(s".$base.compact-stage"))
+    assert(spark.read.parquet(parent.toString).count() == afterRows.size)
+    graft.util.Fs.deleteRecursively(parent.resolve(s".$base.compact-stage"))
   }
 
   test("ANALYZE feeds the CBO: catalog stats present after analyze") {
