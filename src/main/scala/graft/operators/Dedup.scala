@@ -35,7 +35,7 @@ object Dedup {
   private val liveCaches =
     new java.util.HashMap[SparkSession, scala.collection.mutable.Buffer[DataFrame]]
 
-  private def tracked(df: DataFrame): DataFrame = liveCaches.synchronized {
+  private[operators] def tracked(df: DataFrame): DataFrame = liveCaches.synchronized {
     // purge stopped sessions first: their caches died with the context,
     // and the tracked DataFrames would otherwise pin the dead session
     // (a WeakHashMap can't help here — the value chain DataFrame →

@@ -438,29 +438,41 @@ object Multimodal {
 
   /** Multimodal → embedding → similarity, composed end-to-end: embed
     * every asset ([[pseudoEmbed]]) and rank each asset's top-k nearest
-    * neighbors by cosine — the full "ingest binaries, index them,
-    * find related content" chain in one operator. Asset counts are
-    * fixture-scale here; at corpus scale the embedding column feeds
-    * [[Similarity.knnJoin]]'s bucketed path instead of the all-pairs
-    * join (this composition exists to pin the chain, not to scale it). */
+    * LSH-bucket neighbors by cosine — the full "ingest binaries, index
+    * them, find related content" chain in one operator, in the SAME
+    * shape it would run at corpus scale:
+    *
+    *  - the embedded frame is `cache()`d (released with the shared
+    *    [[Dedup.unpersistIntermediates]] registry), never collected —
+    *    the binary-load + md5-embed subtree runs once, not per join side;
+    *  - candidates come from [[Similarity.lshBucketedPairs]] keyed on
+    *    `path` — the pair join is an equi-join on (table, bucket), Σn_b²
+    *    candidates, never an all-pairs product;
+    *  - per-asset top-k is a window rank Spark executes with
+    *    WindowGroupLimit map-side pruning (plan pinned in
+    *    PlanQualitySpec).
+    *
+    * Geometry: `spark.graft.mm.lsh.{tables,bits}` (default 8×2). The
+    * default favors recall — pseudo-embeddings are near-orthogonal, so a
+    * pair survives ≥1 of 8 two-bit tables w.p. ~1-(3/4)^8 ≈ 0.90 — which
+    * is what a top-k pin over a fixture-sized corpus needs; a 10⁹-asset
+    * corpus turns bits up (smaller buckets) exactly as the
+    * [[Similarity]] dials document. */
   def assetNeighbors(s: SparkSession, dirs: Seq[String], k: Int = 3): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    // materialize the (asset-count-sized) embeddings once as a local
-    // relation: the self-join would otherwise re-run the whole binary
-    // load + md5 embed subtree for each side
-    val embedded = pseudoEmbed(s, dirs)
+    val embedded = Dedup.tracked(pseudoEmbed(s, dirs)
       .select($"path", $"embedding",
-        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
-    val rows = embedded.collect().toSeq
-    import scala.jdk.CollectionConverters._
-    val e = s.createDataFrame(rows.asJava, embedded.schema)
-    val pairs = e.as("a").join(e.as("b"), $"a.path" =!= $"b.path")
-      .select($"a.path".as("path"), $"b.path".as("neighbor"),
-        expr("round(graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm), 6)").as("cos_sim"))
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm")))
+    val tables = s.conf.get("spark.graft.mm.lsh.tables", "8").toInt
+    val bits = s.conf.get("spark.graft.mm.lsh.bits", "2").toInt
+    val cand = Similarity.lshBucketedPairs(
+      embedded, "path", tables, bits, scale = 6, minSim = None)
+    val sym = cand.select($"id_a".as("path"), $"id_b".as("neighbor"), $"cos_sim")
+      .union(cand.select($"id_b".as("path"), $"id_a".as("neighbor"), $"cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"path").orderBy($"cos_sim".desc, $"neighbor")
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .orderBy($"path", $"rank")
   }

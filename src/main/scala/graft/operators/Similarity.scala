@@ -141,18 +141,32 @@ object Similarity {
   private[graft] def embedLshCandidates(
       s: SparkSession, dir: String, minSim: Option[Double] = None): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
-      .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
-      .withColumn("buckets", bucketsCol(lshTables(s), lshBits(s)))
-    val tabs = e.select($"vec_id", $"embedding", $"nrm",
-      posexplode($"buckets").as(Seq("t", "bucket")))
+    val e = emb(s, dir).select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+    lshBucketedPairs(e, "vec_id", lshTables(s), lshBits(s), 4, minSim)
+      .withColumnsRenamed(Map("id_a" -> "vec_a", "id_b" -> "vec_b"))
+  }
+
+  /** The bucketed-candidate core, generic over the id column: `e` must
+    * carry (`idCol`, embedding, nrm). Scored pairs sharing an LSH bucket
+    * in ≥1 of `tables` tables, threshold applied BELOW the distinct (map
+    * side of the join project) so the dedup shuffle sees survivors, not
+    * Σn_b² candidates. Shared by the vec_id-keyed dedup/knn paths and the
+    * path-keyed multimodal asset chain ([[Multimodal.assetNeighbors]]). */
+  private[graft] def lshBucketedPairs(
+      e: DataFrame, idCol: String, tables: Int, bits: Int,
+      scale: Int, minSim: Option[Double]): DataFrame = {
+    val tabs = e
+      .withColumn("buckets", bucketsCol(tables, bits))
+      .select(col(idCol), col("embedding"), col("nrm"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
     val scored = tabs.as("a")
       .join(tabs.as("b"),
-        $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
-          $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        expr("round(graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm), 4)").as("cos_sim"))
-    minSim.fold(scored)(t => scored.filter($"cos_sim" >= t)).distinct()
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(call_function("graft_dot", col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), scale).as("cos_sim"))
+    minSim.fold(scored)(t => scored.filter(col("cos_sim") >= t)).distinct()
   }
 
   /** IVF (inverted-file) ANN: coarse quantizer = per-label centroids
@@ -260,8 +274,12 @@ object Similarity {
   private[graft] def kmeansCentroids(
       s: SparkSession, dir: String, k: Int = 10, iters: Int = 5): Array[Array[Double]] = {
     import s.implicits._
+    // persist: the training set is read `iters+1` times (init + every
+    // Lloyd pass) — without it each pass is a full parquet re-scan of
+    // the corpus, the difference between 1 scan and 6 at 100 TB
     val data = emb(s, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .persist()
     var cent: Array[Array[Double]] = data
       .withColumn("h", md5($"vec_id".cast("string")))
       .orderBy($"h").limit(k)
@@ -298,6 +316,7 @@ object Similarity {
       }
       cent = next
     }
+    data.unpersist(false)
     cent
   }
 

@@ -178,6 +178,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("byte_offset") >= 0))
   }
 
+  test("assetNeighbors: k neighbors per asset through the bucketed path") {
+    val imgDir = Multimodal.ensureImageFixtures()
+    val rows = Multimodal.assetNeighbors(spark, Seq(fixtures, imgDir), k = 3).collect()
+    // 11 assets (6 dicom-dir fixtures + 5 image fixtures) × top-3 each:
+    // the LSH default geometry (8 tables × 2 bits) must recall enough
+    // candidates that every asset still fills its k slots
+    assert(rows.length == 33)
+    val byPath = rows.groupBy(_.getAs[String]("path"))
+    assert(byPath.size == 11)
+    byPath.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)))
+    }
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cos_sim"); c >= -1.0001 && c <= 1.0001
+    })
+    graft.operators.Dedup.unpersistIntermediates(spark)
+  }
+
   test("pseudo-embeddings are unit-norm 64-dim float arrays") {
     val e = Multimodal.pseudoEmbed(spark, fixtures).collect()
     assert(e.length == 6) // 7 fixtures − empty DICOMDIR (no scan split)

@@ -101,6 +101,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
+  test("mm_embed_ann: cached embeddings + bucketed candidates, no collect/all-pairs") {
+    val p = plan("mm_embed_ann")
+    // the embedded frame must be a reused cache, never a driver collect
+    // round-tripped through a local relation
+    assert(!p.contains("LocalTableScan"),
+      "embeddings must not be collected to the driver and re-created")
+    assert(p.contains("InMemoryTableScan"),
+      "the binary-load + embed subtree must run once (cache), not per join side")
+    // candidates must come from the (table, bucket) equi-join — never an
+    // all-pairs product
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // per-asset top-k prunes map-side
+    assert(p.contains("WindowGroupLimit"))
+    graft.operators.Dedup.unpersistIntermediates(spark)
+  }
+
   test("q29 recursive CTE: fact table aggregates before the spine join") {
     val p = plan("q29_recursive_cte")
     // per_month pre-aggregation: the orders scan feeds a partial count —
