@@ -102,6 +102,7 @@ object SparkEntry {
     "stream_events_window" -> (StreamQueries.streamEventsWindow _),
     "stream_sessionize"    -> (StreamQueries.streamSessionize _),
     "stream_dedup"         -> (StreamQueries.streamDedup _),
+    "stream_dedup_watermarked" -> (StreamQueries.streamDedupWatermarked _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
     "mm_decode_meta"  -> ((s, d) => Multimodal.decodeMeta(s, DicomQueries.Fixtures)),
     "mm_resize_meta"  -> ((s, d) => Multimodal.resizeMeta(
@@ -812,6 +813,10 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS text_hash
         |FROM documents ORDER BY text_hash""".stripMargin,
+
+    "stream_dedup_watermarked" ->
+      """SELECT DISTINCT user_id, event_type
+        |FROM events ORDER BY user_id, event_type""".stripMargin,
 
     "dicom_parse_da_fn" ->
       """SELECT o_orderkey,

@@ -155,6 +155,44 @@ object StreamQueries {
     * dedup state machinery itself. (Unbounded keys here because the
     * drain is finite; a production stream would add a watermark +
     * `dropDuplicatesWithinWatermark` to bound state.) */
+  /** BOUNDED-STATE STREAMING DEDUPLICATION (`withWatermark` +
+    * `dropDuplicatesWithinWatermark`): the production shape for an
+    * infinite stream — dedup state for a key is EVICTED once the
+    * event-time watermark passes it, so the state store is bounded by
+    * the key arrival rate × watermark horizon instead of growing with
+    * the full key universe (the unbounded [[streamDedup]] would OOM a
+    * 100 TB stream). Keys here are (user_id, event_type) with event
+    * time derived from the ns-long `ts`.
+    *
+    * Oracle parity: the finite AvailableNow drain processes the single
+    * staged parquet file as one micro-batch, during which the watermark
+    * is still at its initial floor — no key is evicted mid-drain, so
+    * the emitted set equals batch `SELECT DISTINCT user_id, event_type`
+    * and the entry shares a DuckDB oracle. The eviction semantics
+    * themselves (duplicate re-admitted after the watermark passes its
+    * first occurrence) are pinned across micro-batches in WatermarkSpec. */
+  def streamDedupWatermarked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (in, name) = stageInput(dir, "events.parquet", "wmdedup")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val q = s.readStream.schema(schema).parquet(in.toString)
+      .select($"user_id", $"event_type",
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndRelease(s,
+      s.table(name).orderBy($"user_id", $"event_type"),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
+
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (in, name) = stageInput(dir, "documents.parquet", "dedup")

@@ -57,4 +57,41 @@ class WatermarkSpec extends AnyFunSuite {
         "late data must not reopen or re-emit a finalized window")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark bounds state: key evicted after watermark passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .select($"k", $"ts".cast("long").as("t"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_dedup_test").start()
+    try {
+      // batch 1: key "a" at t=1 emits once; its duplicate in the same
+      // batch is suppressed by the state store
+      in.addData((ts(1), "a"), (ts(1), "a"))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup_test").count() == 1)
+      // batch 2: duplicate of "a" while the watermark (still below t=1)
+      // hasn't evicted it → suppressed. "b" is new → emits.
+      in.addData((ts(5), "a"), (ts(5), "b"))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup_test").count() == 2)
+      // batch 3: t=60 advances the watermark far past "a"'s entry →
+      // its state is EVICTED (this is the bounded-state guarantee)
+      in.addData((ts(60), "c"))
+      q.processAllAvailable()
+      // batch 4: "a" re-arrives AFTER eviction → treated as new and
+      // re-emitted. Unbounded dropDuplicates would still suppress it;
+      // within-watermark dedup trades exactly this for bounded state.
+      in.addData((ts(61), "a"))
+      q.processAllAvailable()
+      val ks = spark.table("wm_dedup_test").collect().map(_.getString(0)).sorted
+      assert(ks.toSeq == Seq("a", "a", "b", "c"),
+        "a key must re-emit once the watermark evicts its dedup state")
+    } finally q.stop()
+  }
 }
