@@ -38,7 +38,14 @@ object DicomParser {
       meta: Seq[DicomElement],
       elements: Seq[DicomElement],
       transferSyntax: String,
-      charset: Charset)
+      charset: Charset,
+      /** raw (7FE0,0010) value bytes — populated only by
+        * `parse(bytes, readPixels = true)` on NATIVE (uncompressed)
+        * transfer syntaxes; None for encapsulated pixel data (undefined
+        * length = a compressed codec stream) and for header-only parses.
+        * Big-endian OW pixel values arrive byte-swapped to LE like every
+        * other numeric element. */
+      pixels: Option[Array[Byte]] = None)
 
   final class InvalidDicomException(msg: String) extends RuntimeException(msg)
 
@@ -60,7 +67,16 @@ object DicomParser {
     bytes.length >= 132 &&
       bytes(128) == 'D' && bytes(129) == 'I' && bytes(130) == 'C' && bytes(131) == 'M'
 
-  def parse(bytes: Array[Byte]): DicomFile = {
+  def parse(bytes: Array[Byte]): DicomFile = parse(bytes, readPixels = false)
+
+  /** Full parse with OPT-IN pixel-data read: the default scan stops
+    * before (7FE0,0010) — source-level column pruning, the reference's
+    * `stop_before_pixels=True` contract — but a multimodal decode pass
+    * genuinely needs the raster. `readPixels = true` additionally reads
+    * the pixel element's raw bytes when the transfer syntax stores them
+    * natively (implicit/explicit-VR LE, explicit BE, deflated LE, all
+    * defined-length); encapsulated (compressed) pixel data stays None. */
+  def parse(bytes: Array[Byte], readPixels: Boolean): DicomFile = {
     if (!isDicom(bytes))
       throw new InvalidDicomException(
         "File is missing DICOM File Meta Information header or the 'DICM' prefix is missing from the header")
@@ -117,7 +133,23 @@ object DicomParser {
         s"Truncated element header: ${dataBuf.remaining()} trailing bytes at offset ${dataBuf.position()}")
     val charset = elems.find(_.tagKey == Tags.key(0x0008, 0x0005))
       .map(e => charsetFor(asciiTrim(e.bytes))).getOrElse(Charset.forName("UTF-8"))
-    DicomFile(meta.result(), elems, transferSyntax, charset)
+    // the data-set scan stopped AT the pixel tag (buffer parked on its
+    // header); read it through the normal element machinery so length
+    // validation and BE→LE swapping apply to the raster like any value
+    val pixels =
+      if (!readPixels || dataBuf.remaining() < 8) None
+      else {
+        val mark = dataBuf.position()
+        val g = dataBuf.getShort() & 0xffff
+        val e = dataBuf.getShort() & 0xffff
+        if (g == 0x7fe0 && e == 0x0010) {
+          val el =
+            if (implicitVR) readImplicitElement(dataBuf, g, e, bigEndian)
+            else readExplicitElement(dataBuf, g, e, implicitVR = false, bigEndian)
+          if (el.bytes.nonEmpty) Some(el.bytes) else None // undefined len = encapsulated
+        } else { dataBuf.position(mark); None }
+      }
+    DicomFile(meta.result(), elems, transferSyntax, charset, pixels)
   }
 
   /** Parse data-set elements until EOF, pixel data, or a delimiter tag.

@@ -87,11 +87,14 @@ object Multimodal {
     * TAR header walk. Only formats whose geometry genuinely needs a pixel
     * codec (and the opaque-compression bz2) fall back to the
     * deterministic md5 stub — `decoder` always names the source. */
+  /** First integer value of a header element by keyword (0 when absent). */
+  private def dicomShort(kw: String, parsed: DicomParser.DicomFile): Int =
+    parsed.elements.find(_.keyword == kw)
+      .flatMap(e => graft.dicom.VrConvert.rawStrings(e, parsed.charset).headOption)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
+
   def decodeOne(path: String, mediaType: String, content: Array[Byte]): DecodedAsset = {
-    def short(kw: String, parsed: DicomParser.DicomFile): Int =
-      parsed.elements.find(_.keyword == kw)
-        .flatMap(e => graft.dicom.VrConvert.rawStrings(e, parsed.charset).headOption)
-        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
+    def short(kw: String, parsed: DicomParser.DicomFile): Int = dicomShort(kw, parsed)
     def asset(w: Int, h: Int, ch: Int, bits: Int, frames: Int,
               dec: String, payload: Long): DecodedAsset =
       DecodedAsset(path, mediaType, w, h, ch, bits, frames, dec, payload)
@@ -272,40 +275,126 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       if (img == null) None
       else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val scale =
-          if (math.max(w, h) <= maxSide) 1.0 else maxSide.toDouble / math.max(w, h)
-        val ow = math.max(1, math.ceil(w * scale).toInt)
-        val oh = math.max(1, math.ceil(h * scale).toInt)
-        val out = new java.awt.image.BufferedImage(
-          ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        val g = out.createGraphics()
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, ow, oh, null)
-        g.dispose()
-        val raster = out.getRaster.getDataBuffer
-          .asInstanceOf[java.awt.image.DataBufferByte].getData
-        val d = java.security.MessageDigest.getInstance("MD5").digest(raster)
-        Some((w, h, ow, oh, d.map("%02x".format(_)).mkString))
+        val (ow, oh, sum) = resampleImage(img, maxSide)
+        Some((img.getWidth, img.getHeight, ow, oh, sum))
+      }
+    }.toOption.flatten
+
+  /** The shared bilinear Graphics2D core: scale `img` to fit `maxSide`,
+    * draw onto a fixed 3-byte-BGR canvas, md5 the output raster. Both the
+    * ImageIO path and the DICOM pixel path produce their checksums here,
+    * so "same pixels in" ⇒ "same checksum out" across container formats. */
+  private def resampleImage(
+      img: java.awt.image.BufferedImage, maxSide: Int): (Int, Int, String) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val scale =
+      if (math.max(w, h) <= maxSide) 1.0 else maxSide.toDouble / math.max(w, h)
+    val ow = math.max(1, math.ceil(w * scale).toInt)
+    val oh = math.max(1, math.ceil(h * scale).toInt)
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, ow, oh, null)
+    g.dispose()
+    val raster = out.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    val d = java.security.MessageDigest.getInstance("MD5").digest(raster)
+    (ow, oh, d.map("%02x".format(_)).mkString)
+  }
+
+  /** REAL DICOM pixel decode for NATIVE (uncompressed) transfer
+    * syntaxes: parse with `readPixels = true`, build a raster from the
+    * raw (7FE0,0010) bytes, and resample through the SAME Graphics2D
+    * core as the ImageIO formats. Supported layouts: 8-bit interleaved
+    * RGB (PlanarConfiguration 0) and 8/16-bit single-sample grayscale
+    * (16-bit windowed to 8 by min–max normalization — deterministic, no
+    * modality LUT). Returns None for non-DICOM bytes, encapsulated
+    * (compressed) pixel data, and parse failures.
+    *
+    * When the header geometry and the payload DISAGREE (the reference's
+    * own fixtures declare 985×979×3 but carry exactly 600×600×3 bytes —
+    * `sample_dcm/example-0`), no raster is invented: the row keeps the
+    * header geometry and `pixel_md5` checksums the RAW payload instead,
+    * labeled `decoder = "dicom-pixels-raw"` so provenance stays honest. */
+  private[operators] def dicomResize(
+      path: String, mediaType: String, content: Array[Byte],
+      maxSide: Int): Option[ResizedAsset] =
+    scala.util.Try {
+      val parsed = DicomParser.parse(content, readPixels = true)
+      parsed.pixels.flatMap { px =>
+        val w = dicomShort("Columns", parsed)
+        val h = dicomShort("Rows", parsed)
+        val ch = math.max(1, dicomShort("SamplesPerPixel", parsed))
+        val bits = math.max(8, dicomShort("BitsAllocated", parsed))
+        val planar = dicomShort("PlanarConfiguration", parsed)
+        val frameBytes = w.toLong * h * ch * (bits / 8)
+        val decodable = w > 0 && h > 0 && px.length >= frameBytes && frameBytes > 0 &&
+          ((ch == 3 && bits == 8 && planar == 0) || (ch == 1 && (bits == 8 || bits == 16)))
+        if (decodable) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          if (ch == 3) {
+            var i = 0
+            while (i < w * h) {
+              img.setRGB(i % w, i / w,
+                ((px(3 * i) & 0xff) << 16) | ((px(3 * i + 1) & 0xff) << 8) | (px(3 * i + 2) & 0xff))
+              i += 1
+            }
+          } else {
+            val grey = new Array[Int](w * h)
+            if (bits == 8) { var i = 0; while (i < w * h) { grey(i) = px(i) & 0xff; i += 1 } }
+            else {
+              // 16-bit mono: parser normalized values to LE; window the
+              // frame's min..max into 0..255 (deterministic, LUT-free)
+              val v = new Array[Int](w * h)
+              var i = 0
+              while (i < w * h) { v(i) = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8); i += 1 }
+              val (lo, hi) = (v.min, v.max)
+              val span = math.max(1, hi - lo)
+              i = 0
+              while (i < w * h) { grey(i) = (v(i) - lo) * 255 / span; i += 1 }
+            }
+            var i = 0
+            while (i < w * h) {
+              img.setRGB(i % w, i / w, (grey(i) << 16) | (grey(i) << 8) | grey(i))
+              i += 1
+            }
+          }
+          val (ow, oh, sum) = resampleImage(img, maxSide)
+          Some(ResizedAsset(path, mediaType, w, h, ow, oh,
+            ow.toLong * oh * 3, "dicom-pixels", Some(sum)))
+        } else if (w > 0 && h > 0) {
+          val scale = if (math.max(w, h) <= maxSide) 1.0
+                      else maxSide.toDouble / math.max(w, h)
+          val ow = math.ceil(w * scale).toInt
+          val oh = math.ceil(h * scale).toInt
+          val d = java.security.MessageDigest.getInstance("MD5").digest(px)
+          Some(ResizedAsset(path, mediaType, w, h, ow, oh,
+            ow.toLong * oh * ch * math.max(1, bits / 8), "dicom-pixels-raw",
+            Some(d.map("%02x".format(_)).mkString)))
+        } else None
       }
     }.toOption.flatten
 
   /** Resize: REAL pixel resample (ImageIO + Graphics2D, checksummed) for
-    * every JDK-decodable format; geometry-only scaling from the container
-    * header for the rest (DICOM pixel data needs a codec the JDK lacks).
+    * every JDK-decodable format; REAL raster decode for native-syntax
+    * DICOM via [[dicomResize]]; geometry-only scaling from the container
+    * header for the rest.
     * `decoder` says which path produced each row; `pixel_md5` is non-null
-    * exactly when actual pixels were resampled. One narrow per-partition
+    * exactly when actual pixel bytes were read. One narrow per-partition
     * pass, no shuffle. */
   def resizeMeta(s: SparkSession, dirs: Seq[String], maxSide: Int = 256): DataFrame = {
     import s.implicits._
     loadAssets(s, dirs)
       .select($"path", $"media_type", $"content").as[(String, String, Array[Byte])]
       .mapPartitions(_.map { case (p, m, c) =>
-        resample(c, maxSide) match {
-          case Some((w, h, ow, oh, sum)) =>
-            ResizedAsset(p, m, w, h, ow, oh, ow.toLong * oh * 3, "imageio", Some(sum))
-          case None =>
+        resample(c, maxSide).map { case (w, h, ow, oh, sum) =>
+          ResizedAsset(p, m, w, h, ow, oh, ow.toLong * oh * 3, "imageio", Some(sum))
+        }.orElse {
+          if (m == "application/dicom") dicomResize(p, m, c, maxSide) else None
+        }.getOrElse {
             val d = decodeOne(p, m, c)
             val scale = if (math.max(d.width, d.height) <= maxSide) 1.0
                         else maxSide.toDouble / math.max(d.width, d.height)

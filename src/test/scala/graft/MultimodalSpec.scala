@@ -86,9 +86,72 @@ class MultimodalSpec extends AnyFunSuite {
     val ex0 = r("example-0")
     assert(ex0.getAs[Int]("out_width") == 256) // width 985 is the long side
     assert(ex0.getAs[Int]("out_height") == 255)
-    // DICOM pixel data has no JDK codec: geometry path, no pixel checksum
-    assert(ex0.getAs[String]("decoder") == "dicom-header")
-    assert(ex0.getAs[String]("pixel_md5") == null)
+    // the fixtures are native explicit-VR LE, so pixel bytes are READ —
+    // but their header (985×979×3) disagrees with the payload (exactly
+    // 600×600×3 bytes), so no raster is invented: the checksum is over
+    // the RAW payload, labeled with its own provenance
+    assert(ex0.getAs[String]("decoder") == "dicom-pixels-raw")
+    assert(ex0.getAs[String]("pixel_md5") == "aa37fb20fbc51421e2bb246c2d0c5359")
+    assert(r("example-6").getAs[String]("pixel_md5") == "77818889241c9b98029017e05a391531")
+  }
+
+  test("DICOM native-syntax pixel decode: consistent raster resamples with checksum") {
+    import java.nio.file.{Files, Paths}
+    val w = 20; val h = 12
+    val rgbPx = Array.tabulate(w * h * 3)(i => ((i * 7) % 251).toByte)
+    val rgb = DicomWriter.file(Seq(
+      DicomWriter.usElement(0x0028, 0x0002, 3),   // SamplesPerPixel
+      DicomWriter.usElement(0x0028, 0x0006, 0),   // PlanarConfiguration
+      DicomWriter.usElement(0x0028, 0x0010, h),   // Rows
+      DicomWriter.usElement(0x0028, 0x0011, w),   // Columns
+      DicomWriter.usElement(0x0028, 0x0100, 8),   // BitsAllocated
+      DicomWriter.element(0x7fe0, 0x0010, "OB", rgbPx)))
+    val gw = 16; val gh = 8
+    val greyVals = Array.tabulate(gw * gh)(i => (i * 513) % 4096)
+    val greyPx = new Array[Byte](gw * gh * 2)
+    greyVals.zipWithIndex.foreach { case (v, i) =>
+      greyPx(2 * i) = (v & 0xff).toByte; greyPx(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val grey = DicomWriter.file(Seq(
+      DicomWriter.usElement(0x0028, 0x0002, 1),
+      DicomWriter.usElement(0x0028, 0x0010, gh),
+      DicomWriter.usElement(0x0028, 0x0011, gw),
+      DicomWriter.usElement(0x0028, 0x0100, 16),
+      DicomWriter.element(0x7fe0, 0x0010, "OW", greyPx)))
+    val dir = Files.createTempDirectory("graft-dcm-px")
+    Files.write(dir.resolve("rgb.dcm"), rgb)
+    Files.write(dir.resolve("grey.dcm"), grey)
+    try {
+      // maxSide above both dims ⇒ identity scale ⇒ the output BGR raster
+      // is exactly the input pixels channel-swapped — ground truth is
+      // computable here without touching the operator's internals
+      val r = Multimodal.resizeMeta(spark, Seq(dir.toString), maxSide = 64).collect()
+        .map(x => x.getAs[String]("path") -> x).toMap
+      val rr = r("rgb.dcm")
+      assert(rr.getAs[String]("decoder") == "dicom-pixels")
+      assert(rr.getAs[Int]("width") == w && rr.getAs[Int]("height") == h)
+      assert(rr.getAs[Int]("out_width") == w && rr.getAs[Int]("out_height") == h)
+      val bgr = Array.tabulate(w * h * 3) { j =>
+        val pix = j / 3; val c = j % 3
+        rgbPx(pix * 3 + (2 - c))
+      }
+      val rgbTruth = java.security.MessageDigest.getInstance("MD5")
+        .digest(bgr).map("%02x".format(_)).mkString
+      assert(rr.getAs[String]("pixel_md5") == rgbTruth)
+      // 16-bit mono: min–max windowed to 8-bit grey, replicated to BGR
+      val gr = r("grey.dcm")
+      assert(gr.getAs[String]("decoder") == "dicom-pixels")
+      val (lo, hi) = (greyVals.min, greyVals.max)
+      val span = math.max(1, hi - lo)
+      val greyBgr = new Array[Byte](gw * gh * 3)
+      greyVals.zipWithIndex.foreach { case (v, i) =>
+        val g8 = ((v - lo) * 255 / span).toByte
+        greyBgr(3 * i) = g8; greyBgr(3 * i + 1) = g8; greyBgr(3 * i + 2) = g8
+      }
+      val greyTruth = java.security.MessageDigest.getInstance("MD5")
+        .digest(greyBgr).map("%02x".format(_)).mkString
+      assert(gr.getAs[String]("pixel_md5") == greyTruth)
+    } finally graft.util.Fs.deleteRecursively(dir)
   }
 
   test("real ImageIO pixel resample: dims + checksum match ground truth") {
