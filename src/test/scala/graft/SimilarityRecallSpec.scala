@@ -33,6 +33,9 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val perLabel = ids(Similarity.ivfProbe2(spark, sf))
     val rKmeans = (kmeans & truth).size / 10.0
     val rLabel = (perLabel & truth).size / 10.0
+    // recorded (not just bounded) so the round-over-round trend is visible
+    // in the test log: ScalaTest prints info() with the test result
+    info(f"recall@10: kmeans-IVF(nprobe=2) = $rKmeans%.2f, per-label probe-2 = $rLabel%.2f")
     assert(rKmeans >= rLabel,
       s"learned quantizer recall $rKmeans must be >= per-label recall $rLabel")
   }
