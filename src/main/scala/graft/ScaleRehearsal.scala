@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (one notch up): generates a 10× copy of the
+  * documents/embeddings tables (sf1-equivalent) under `target/sf1`,
+  * runs the dedup/similarity family at sf0.1 and sf1, and records
+  * per-query wall time plus LSH candidate volumes at two geometries —
+  * the evidence that candidate growth tracks Σn_b² (and that the
+  * geometry dials control it) rather than the all-pairs n².
+  *
+  * Generation is fully deterministic (hash-derived decisions only, no
+  * RNG): each source row is replicated 10×; replicas keep ~30% of texts
+  * byte-identical (exact-dup mass) and append a replica token to the
+  * rest (near-dup mass); embedding replicas add ±0.025/dim hash noise
+  * and renormalize (cos ≈ 0.98 near-dups, preserving cluster
+  * structure). The output lives under target/ — /root/testdata is
+  * read-only and stays untouched.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleRehearsal"
+  * Output: one JSON line + target/scale_rehearsal.json
+  */
+object ScaleRehearsal {
+
+  private val Sf01 = "/root/testdata/sf0.1"
+  private val Sf1 = "/root/repo/target/sf1"
+
+  /** The rehearsal family: every dedup/similarity/text operator that
+    * reads only documents/embeddings. The intentionally-quadratic
+    * `dedup_embed_cosine` baseline is EXCLUDED by design — it is the
+    * documented O(n²) floor with its own row-cap guard, not a scale
+    * path (CONFIG.md `spark.graft.dedup.exactCosineMaxRows`). */
+  private val Family = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_embed_lsh", "corpus_clean",
+    "text_fingerprint", "text_langid", "text_quality", "text_tokens",
+    "sim_topk_brute", "sim_ann_lsh", "sim_ivf_topk", "sim_ivf_probe2",
+    "sim_ivf_kmeans", "sim_knn_join", "sim_label_centroids", "sim_centroids_udaf")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensureSf1(spark)
+
+    def fmt(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def timeOne(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (sec, n)
+    }
+    // warm-up pass at the small scale so JIT/codegen cost doesn't land on
+    // the first measured family member
+    timeOne("dedup_exact", "/root/testdata/sf0.01")
+
+    val rows = Family.map { name =>
+      val (s01, n01) = timeOne(name, Sf01)
+      val (s1, n1) = timeOne(name, Sf1)
+      val ratio = if (s01 > 0) s1 / s01 else -1.0
+      System.err.println(f"[rehearsal] $name%-22s sf0.1 ${fmt(s01)}s ($n01 rows)  sf1 ${fmt(s1)}s ($n1 rows)  ×${fmt(ratio)}")
+      (name, s01, n01, s1, n1, ratio)
+    }
+
+    // LSH candidate volume at both scales and two geometries: the
+    // default dials, then bits turned up — showing Σn_b² is the lever
+    def candidates(dir: String, tables: Int, bits: Int): Long = {
+      spark.conf.set("spark.graft.lsh.tables", tables.toString)
+      spark.conf.set("spark.graft.lsh.bits", bits.toString)
+      val n = graft.operators.Similarity.embedLshCandidates(spark, dir, minSim = None).count()
+      spark.conf.unset("spark.graft.lsh.tables")
+      spark.conf.unset("spark.graft.lsh.bits")
+      n
+    }
+    def vecs(dir: String): Long = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val (n01, n1) = (vecs(Sf01), vecs(Sf1))
+    val cand = Seq(
+      ("default(4x6)", candidates(Sf01, 4, 6), candidates(Sf1, 4, 6)),
+      ("scaled(4x9)", candidates(Sf01, 4, 9), candidates(Sf1, 4, 9)))
+    cand.foreach { case (g, c01, c1) =>
+      System.err.println(s"[rehearsal] candidates $g: sf0.1=$c01 sf1=$c1 " +
+        f"(all-pairs would be ${n01 * (n01 - 1) / 2}%d / ${n1 * (n1 - 1) / 2}%d)")
+    }
+    // the rare-gram df cap is the same kind of dial: the duplicated sf1
+    // corpus inflates every gram's df ~10×, so the oracle-pinned default
+    // (20) correctly yields zero candidates until the cap scales with it
+    spark.conf.set("spark.graft.dedup.ngram.maxDf", "200")
+    val t0 = System.nanoTime()
+    val ngramScaled = SparkEntry.queries("dedup_ngram_jaccard")(spark, Sf1).count()
+    val ngramScaledSec = (System.nanoTime() - t0) / 1e9
+    spark.conf.unset("spark.graft.dedup.ngram.maxDf")
+    spark.catalog.clearCache()
+    System.err.println(f"[rehearsal] dedup_ngram_jaccard sf1 with maxDf=200: $ngramScaled rows in ${fmt(ngramScaledSec)}s")
+
+    val qjson = rows.map { case (n, s01, r01, s1, r1, ratio) =>
+      s""""$n":{"sf01_sec":${fmt(s01)},"sf01_rows":$r01,"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"ratio":${fmt(ratio)}}"""
+    }.mkString("{", ",", "}")
+    val cjson = cand.map { case (g, c01, c1) =>
+      s""""$g":{"sf01":$c01,"sf1":$c1}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}}}"""
+    println(json)
+    val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+
+  /** Deterministic 10× generation (idempotent: skips when present). */
+  private def ensureSf1(s: SparkSession): Unit = {
+    import s.implicits._
+    val done = java.nio.file.Paths.get(s"$Sf1/_REHEARSAL_OK")
+    if (java.nio.file.Files.exists(done)) return
+    val reps = s.range(10).withColumnRenamed("id", "replica")
+
+    val docs = s.read.parquet(s"$Sf01/documents.parquet")
+    val nDocs = docs.count()
+    docs.crossJoin(broadcast(reps))
+      .withColumn("keep",
+        $"replica" === 0 ||
+          pmod(hash(concat($"doc_id", lit(":"), $"replica")), lit(10)) < 3)
+      .withColumn("text",
+        when($"keep", $"text")
+          .otherwise(concat($"text", lit(" rep"), $"replica")))
+      .withColumn("doc_id", $"doc_id" + $"replica" * nDocs)
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$Sf1/documents.parquet")
+
+    val emb = s.read.parquet(s"$Sf01/embeddings.parquet")
+    val nVecs = emb.count()
+    val noisy = emb.crossJoin(broadcast(reps))
+      .withColumn("vec_id", $"vec_id" + $"replica" * nVecs)
+      .withColumn("embedding",
+        when($"replica" === 0, $"embedding").otherwise(
+          transform($"embedding", (v, i) =>
+            v + (pmod(hash(concat($"vec_id", lit(":"), i)), lit(1001)) - 500)
+              .cast("float") / 20000f)))
+      .withColumn("nrm",
+        sqrt(aggregate($"embedding", lit(0.0d), (a, v) => a + v.cast("double") * v)))
+      .withColumn("embedding", transform($"embedding", v => (v / $"nrm").cast("float")))
+      .select("vec_id", "embedding", "label")
+    noisy.repartition(16).write.mode("overwrite").parquet(s"$Sf1/embeddings.parquet")
+    java.nio.file.Files.write(done, "ok\n".getBytes("UTF-8"))
+  }
+}

@@ -256,10 +256,17 @@ object Dedup {
     // shuffles exactly ONCE in the whole query, and the collect_list only
     // ever sees groups of ≤ 20 rows. Pairs are generated in-place
     // (≤ df²/2 per gram).
+    // the rare-gram df cap bounds candidate volume (pairs ≤ df²/2 per
+    // gram) AND is the recall dial: a duplicated corpus inflates every
+    // gram's df uniformly, so the cap must scale with the duplication
+    // factor or candidates vanish entirely — observed at the 10× scale
+    // rehearsal, where df≤20 yields ZERO candidates until raised.
+    // Default 20 is oracle-pinned; ScaleRehearsal exercises 200.
+    val maxDf = s.conf.get("spark.graft.dedup.ngram.maxDf", "20").toLong
     val gramWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
     val cand = grams
       .withColumn("df", count(lit(1)).over(gramWin))
-      .filter($"df" <= 20)
+      .filter($"df" <= maxDf)
       .groupBy($"gram")
       .agg(collect_list($"doc_id").as("ds"))
       .select(explode(expr(
