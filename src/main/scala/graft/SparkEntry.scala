@@ -78,6 +78,7 @@ object SparkEntry {
     // SimilarityRecallSpec pins recall@10 >= the per-label probe-2 path)
     "sim_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopk(s, d)),
     "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
+    "dedup_semantic"      -> (Similarity.semanticDedup _),
     "sim_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     // typed-UDAF (Aggregator) twin of the explode-based centroids —
@@ -500,6 +501,19 @@ object SparkEntry {
         |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.3)
+        |SELECT vec_id, label FROM n
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH n AS (

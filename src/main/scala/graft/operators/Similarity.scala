@@ -45,6 +45,36 @@ object Similarity {
       .limit(10)
   }
 
+  /** SemDeDup-shaped semantic deduplication: within each coarse cluster
+    * (the `label` column here; at corpus scale the learned k-means
+    * assignment from [[kmeansCentroids]] plays this role), DROP every
+    * vector that has a lower-id neighbor at cosine ≥ τ, keeping one
+    * representative per near-duplicate set. The keep-set — not the pair
+    * list — is what a curation pipeline actually consumes.
+    *
+    * Scale shape: comparisons are bounded by Σ n_c² over clusters (an
+    * equi-join on the cluster key — ONE shuffle on label), never the
+    * all-pairs n²; the threshold prunes inside the join project before
+    * the distinct, and the final keep-set is a broadcast-able left-anti
+    * join. Cluster count is the dial: more clusters → smaller n_c →
+    * fewer comparisons, at the cost of missing cross-cluster dups
+    * (exactly the SemDeDup trade). τ via
+    * `spark.graft.dedup.semantic.tau` (default 0.3, oracle-pinned). */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tau = s.conf.get("spark.graft.dedup.semantic.tau", "0.3").toDouble
+    val e = emb(s, dir).select($"vec_id", $"label", $"embedding", expr(normExpr).as("nrm"))
+    val dropped = e.as("a")
+      .join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .filter(round(
+        call_function("graft_dot", $"a.embedding", $"b.embedding") /
+          ($"a.nrm" * $"b.nrm"), 4) >= tau)
+      .select($"b.vec_id".as("vec_id")).distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label")
+      .orderBy($"vec_id")
+  }
+
   /** LSH geometry dials — the constants that govern candidate volume at
     * scale (candidates ≈ Σ_buckets n_b², i.e. ~n²/2^bits per table at
     * uniform spread; a 10⁹-row corpus wants far more than 6 bits).

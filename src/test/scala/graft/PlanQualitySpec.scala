@@ -117,6 +117,15 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistIntermediates(spark)
   }
 
+  test("dedup_semantic: cluster-bounded equi-join, anti-join keep-set, no cartesian") {
+    val p = plan("dedup_semantic")
+    // pair generation must be an equi-join on the cluster key — the
+    // Σn_c² bound depends on it
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the keep-set is a LeftAnti join, never a NOT IN re-scan shape
+    assert(p.contains("LeftAnti"))
+  }
+
   test("q29 recursive CTE: fact table aggregates before the spine join") {
     val p = plan("q29_recursive_cte")
     // per_month pre-aggregation: the orders scan feeds a partial count —
