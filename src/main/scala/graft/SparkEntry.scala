@@ -55,6 +55,10 @@ object SparkEntry {
     "q30_lateral"       -> (Relational.q30Lateral _),
     "q31_set_ops_all"   -> (Relational.q31SetOpsAll _),
     "q32_filtered_agg"  -> (Relational.q32FilteredAgg _),
+    // mergeable DataSketches HLL (daily partials → union) — estimates are
+    // implementation-specific → rows-only; SketchBoundsSpec gates the
+    // merged estimate against the exact distinct count
+    "q33_sketch_union"  -> (Relational.q33SketchUnion _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),

@@ -317,6 +317,30 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** MERGEABLE sketch surface (Apache DataSketches via Spark's
+    * `hll_sketch_agg`/`hll_union_agg`): per-(event_type, day) partial HLL
+    * sketches of the distinct-user set, merged per event type WITHOUT
+    * touching the raw rows again. This is the 100 TB pattern the simple
+    * `approx_count_distinct` (q20) can't express: daily partials persist
+    * as ~KB binaries and any window (week, month, all-time) is a
+    * sketch-union over them — no rescan of the corpus, and the merge is
+    * associative so it distributes. Approx estimates are
+    * implementation-specific → rows-only; SketchBoundsSpec gates the
+    * merged estimate against the exact distinct count. */
+  def q33SketchUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = eventsNs(s, dir)
+      .withColumn("day", expr("ts_ns div 86400000000000"))
+      .groupBy($"event_type", $"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    daily
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
   /** JSON function surface: extract a field from the events.props JSON
     * column, cast, and aggregate per event type. */
   def q21JsonFns(s: SparkSession, dir: String): DataFrame = {

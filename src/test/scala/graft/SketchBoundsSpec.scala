@@ -59,4 +59,29 @@ class SketchBoundsSpec extends AnyFunSuite {
         s"approx p50 $p50 for flag=$flag outside exact rank band [$lo, $hi]")
     }
   }
+
+  test("q33 merged HLL sketches estimate within bounds of the exact distinct count") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val merged = Relational.q33SketchUnion(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("approx_users"))).toMap
+    assert(merged.nonEmpty)
+    // exact distinct users per event type, computed independently
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("exact_users")).toMap
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (et, (nDays, approx)) =>
+      assert(nDays > 1, s"merge must actually union multiple daily partials (got $nDays)")
+      val ex = exact(et).toDouble
+      val relErr = math.abs(approx - ex) / ex
+      info(f"HLL-union $et: days=$nDays approx=$approx exact=${exact(et)} relErr=$relErr%.4f")
+      // default lgConfigK=12 → rse ≈ 1.04/√2¹² ≈ 0.016; 3σ ≈ 0.05
+      assert(relErr <= 0.05,
+        s"merged HLL estimate $approx vs exact $ex: relative error $relErr exceeds 3σ bound")
+    }
+  }
 }
