@@ -83,6 +83,10 @@ object SparkEntry {
     "sim_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopk(s, d)),
     "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
     "dedup_semantic"      -> (Similarity.semanticDedup _),
+    // learned-cluster variant (k-means assignment; training loop not
+    // SQL-expressible → rows-only; SemanticDedupSpec pins the keep-set
+    // invariant and determinism)
+    "dedup_semantic_kmeans" -> ((s, d) => Similarity.semanticDedupKmeans(s, d)),
     "sim_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     // typed-UDAF (Aggregator) twin of the explode-based centroids —

@@ -62,16 +62,50 @@ object Similarity {
     * `spark.graft.dedup.semantic.tau` (default 0.3, oracle-pinned). */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"label".as("cluster"), $"embedding", expr(normExpr).as("nrm"))
+    semanticKeepSet(s, e).withColumnRenamed("cluster", "label")
+  }
+
+  /** [[semanticDedup]] with the coarse clusters LEARNED by Lloyd's
+    * k-means ([[kmeansCentroids]]) instead of taken from the label
+    * column — the full corpus-scale composition: train the quantizer
+    * (one persisted scan + k-row reduces), broadcast the k centroids,
+    * assign every vector in one narrow pass, then run the same
+    * cluster-bounded keep-set rule. Not SQL-expressible (the training
+    * loop) → rows-only; SemanticDedupSpec pins the keep-set invariant:
+    * no two KEPT vectors share a cluster at cosine ≥ τ. */
+  def semanticDedupKmeans(s: SparkSession, dir: String,
+                          k: Int = 10, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val cent = kmeansCentroids(s, dir, k, iters)
+    val bc = s.sparkContext.broadcast(cent)
+    val assigned = emb(s, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, nearestCentroid(v, bc.value), v) })
+      .toDF("vec_id", "cluster", "embedding")
+    graft.functions.VectorExpressions.register(s)
+    semanticKeepSet(s, assigned.withColumn("nrm", expr(normExpr)))
+  }
+
+  /** The shared keep-set rule: within each cluster drop every vector
+    * with a LOWER-id neighbor at cosine ≥ τ. Input must carry
+    * (vec_id, cluster, embedding, nrm). One equi-join shuffle on the
+    * cluster key (comparisons ≤ Σn_c²), threshold pruned inside the
+    * join project, keep-set via left-anti. Kept rows provably have no
+    * kept same-cluster neighbor ≥ τ (a kept vector has NO lower-id
+    * neighbor ≥ τ at all — the invariant SemanticDedupSpec checks). */
+  private def semanticKeepSet(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
     val tau = s.conf.get("spark.graft.dedup.semantic.tau", "0.3").toDouble
-    val e = emb(s, dir).select($"vec_id", $"label", $"embedding", expr(normExpr).as("nrm"))
     val dropped = e.as("a")
-      .join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .join(e.as("b"), $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
       .filter(round(
         call_function("graft_dot", $"a.embedding", $"b.embedding") /
           ($"a.nrm" * $"b.nrm"), 4) >= tau)
       .select($"b.vec_id".as("vec_id")).distinct()
     e.join(dropped, Seq("vec_id"), "left_anti")
-      .select($"vec_id", $"label")
+      .select($"vec_id", $"cluster")
       .orderBy($"vec_id")
   }
 

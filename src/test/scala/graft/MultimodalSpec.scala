@@ -154,6 +154,32 @@ class MultimodalSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("truncated DICOM pixel element degrades to the header path, not a crash") {
+    import java.nio.file.Files
+    val w = 20; val h = 12
+    val rgbPx = Array.tabulate(w * h * 3)(i => ((i * 7) % 251).toByte)
+    val full = DicomWriter.file(Seq(
+      DicomWriter.usElement(0x0028, 0x0002, 3),
+      DicomWriter.usElement(0x0028, 0x0006, 0),
+      DicomWriter.usElement(0x0028, 0x0010, h),
+      DicomWriter.usElement(0x0028, 0x0011, w),
+      DicomWriter.usElement(0x0028, 0x0100, 8),
+      DicomWriter.element(0x7fe0, 0x0010, "OB", rgbPx)))
+    // chop mid-pixel-element: declared length now exceeds remaining bytes
+    val truncated = full.take(full.length - rgbPx.length / 2)
+    val dir = Files.createTempDirectory("graft-dcm-trunc")
+    Files.write(dir.resolve("trunc.dcm"), truncated)
+    try {
+      val r = Multimodal.resizeMeta(spark, Seq(dir.toString), maxSide = 64).collect()
+      assert(r.length == 1)
+      // pixel read fails (length exceeds remaining) → dicomResize returns
+      // None → the header-geometry fallback row, no pixel checksum
+      assert(r(0).getAs[String]("decoder") == "dicom-header")
+      assert(r(0).getAs[String]("pixel_md5") == null)
+      assert(r(0).getAs[Int]("width") == w)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("real ImageIO pixel resample: dims + checksum match ground truth") {
     val imgDir = Multimodal.ensureImageFixtures()
     val r = Multimodal.resizeMeta(spark, Seq(imgDir), maxSide = 100).collect()

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Pins the learned-cluster semantic dedup (`dedup_semantic_kmeans`),
+  * whose k-means training loop is not SQL-expressible:
+  *
+  *  - keep-set invariant: a kept vector has NO lower-id same-cluster
+  *    neighbor at cosine ≥ τ, so no two KEPT vectors in one cluster can
+  *    be ≥ τ — checked by recomputing all same-cluster kept pairs
+  *    exactly, independently of the operator's join;
+  *  - something is actually dropped (the rule isn't vacuously true);
+  *  - determinism: two runs return identical keep-sets (md5-seeded
+  *    k-means init + rounded means + hash-free assignment). */
+class SemanticDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("semantic-dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("kmeans keep-set: no two kept same-cluster vectors at cos >= tau; deterministic") {
+    import spark.implicits._
+    val kept = Similarity.semanticDedupKmeans(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"rule must drop something: kept ${kept.size} of ${all.size}")
+    // exact pairwise check over kept same-cluster pairs (fixture-sized)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val byCluster = kept.toSeq.groupBy(_._2).values
+    for (grp <- byCluster; Seq((ia, _), (ib, _)) <- grp.sortBy(_._1).combinations(2)) {
+      val c = math.rint(cos(all(ia), all(ib)) * 10000) / 10000
+      assert(c < 0.3, s"kept pair ($ia, $ib) in one cluster at cos $c >= tau")
+    }
+    val again = Similarity.semanticDedupKmeans(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(again == kept, "keep-set must be deterministic across runs")
+  }
+}
