@@ -33,7 +33,8 @@ object ScaleRehearsal {
     * path (CONFIG.md `spark.graft.dedup.exactCosineMaxRows`). */
   private val Family = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_ngram_jaccard", "dedup_embed_lsh", "dedup_semantic", "corpus_clean",
+    "dedup_ngram_jaccard", "dedup_embed_lsh", "dedup_semantic",
+    "dedup_semantic_kmeans", "corpus_clean",
     "text_fingerprint", "text_langid", "text_quality", "text_tokens",
     "sim_topk_brute", "sim_ann_lsh", "sim_ivf_topk", "sim_ivf_probe2",
     "sim_ivf_kmeans", "sim_knn_join", "sim_label_centroids", "sim_centroids_udaf")
