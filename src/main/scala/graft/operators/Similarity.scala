@@ -98,13 +98,17 @@ object Similarity {
   private def semanticKeepSet(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     val tau = s.conf.get("spark.graft.dedup.semantic.tau", "0.3").toDouble
-    val dropped = e.as("a")
-      .join(e.as("b"), $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+    // the (id, cluster, embedding, nrm) relation feeds BOTH pair-join
+    // sides and the anti-join left — cached (tracked, released via
+    // Dedup.unpersistIntermediates) it is one corpus scan, not three
+    val ec = Dedup.tracked(e)
+    val dropped = ec.as("a")
+      .join(ec.as("b"), $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
       .filter(round(
         call_function("graft_dot", $"a.embedding", $"b.embedding") /
           ($"a.nrm" * $"b.nrm"), 4) >= tau)
       .select($"b.vec_id".as("vec_id")).distinct()
-    e.join(dropped, Seq("vec_id"), "left_anti")
+    ec.join(dropped, Seq("vec_id"), "left_anti")
       .select($"vec_id", $"cluster")
       .orderBy($"vec_id")
   }
