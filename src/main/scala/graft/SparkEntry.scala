@@ -72,6 +72,7 @@ object SparkEntry {
     "corpus_sample_strat"  -> (Curation.sampleStratified _),
     "corpus_pack"          -> ((s, d) => Curation.pack(s, d)),
     "corpus_contamination" -> (Curation.contamination _),
+    "corpus_mix"           -> (Curation.mix _),
     // ——— similarity search ———
     "sim_topk_brute"      -> (Similarity.topkBrute _),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
@@ -610,6 +611,19 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(substr(source, 4) AS INT) % 4 AS m,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 15))::BIGINT % 10000 AS h
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN m = 0 THEN 1.0 WHEN m = 1 THEN 0.5
+        |       WHEN m = 2 THEN 0.25 ELSE 0.1 END AS w
+        |FROM d
+        |WHERE h < (CASE WHEN m = 0 THEN 1.0 WHEN m = 1 THEN 0.5
+        |                WHEN m = 2 THEN 0.25 ELSE 0.1 END) * 10000
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_sample_strat" ->
       """SELECT doc_id, lang, source FROM documents

@@ -55,6 +55,29 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Source-weighted mixture sampling — the data-mixing step of a
+    * pre-training pipeline: each source gets a sampling weight (here a
+    * deterministic 1.0/0.5/0.25/0.1 band keyed on the numeric source
+    * suffix; in production a config map) and a document survives iff its
+    * portable hash falls under the weight. Like every curation op the
+    * decision depends only on (doc_id, source) — re-runs, re-partitions
+    * and engines agree bit-for-bit, so a mixture is versionable. One
+    * narrow scan, filter evaluated at the scan, no shuffle except the
+    * oracle-stability sort. */
+  def mix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = expr("cast(substr(source, 4) as int) % 4")
+    val w = when(m === 0, 1.0).when(m === 1, 0.5).when(m === 2, 0.25)
+      .otherwise(0.1)
+    docs(s, dir)
+      .withColumn("w", w)
+      .withColumn("h",
+        expr(s"${h60("concat(cast(doc_id as string), ':', source)")} % 10000"))
+      .filter($"h" < $"w" * 10000)
+      .select($"doc_id", $"source", $"w")
+      .orderBy($"doc_id")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget chunks
     * (budget 2048 whitespace tokens), packed in doc_id order WITHIN a
     * shard (`doc_id mod 16`). chunk = floor(tokens-before-this-doc /

@@ -88,4 +88,22 @@ class CurationSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.length < 120) // ~10% of 500
     assert(Curation.sampleStratified(spark, sf).collect().toSeq == a.toSeq)
   }
+
+  test("mixture sampling keeps each source at ~its weight, deterministically") {
+    val rows = Curation.mix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    // full-weight sources keep EVERY doc (h < 10000 always); each kept
+    // row carries the weight its source was assigned
+    bySrc.foreach { case (src, g) =>
+      val m = src.drop(3).toInt % 4
+      val expectW = Seq(1.0, 0.5, 0.25, 0.1)(m)
+      assert(g.forall(_.getAs[Double]("w") == expectW))
+      if (m == 0) assert(g.length == 25, s"$src at weight 1.0 must keep all 25")
+    }
+    // aggregate kept fraction tracks the mean weight (25 docs per source
+    // × 20 sources; mean w = (1.0+0.5+0.25+0.1)/4 = 0.4625 → ~231)
+    assert(rows.length > 150 && rows.length < 320, s"kept ${rows.length}")
+    assert(Curation.mix(spark, sf).collect().toSeq == rows.toSeq)
+  }
 }
