@@ -555,8 +555,10 @@ object Multimodal {
         expr("sqrt(graft_dot(embedding, embedding))").as("nrm")))
     val tables = s.conf.get("spark.graft.mm.lsh.tables", "8").toInt
     val bits = s.conf.get("spark.graft.mm.lsh.bits", "2").toInt
-    val cand = Similarity.lshBucketedPairs(
-      embedded, "path", tables, bits, scale = 6, minSim = None)
+    // tracked too: the symmetric union references the candidate relation
+    // twice — uncached, the whole bucket-join subtree would run per side
+    val cand = Dedup.tracked(Similarity.lshBucketedPairs(
+      embedded, "path", tables, bits, scale = 6, minSim = None))
     val sym = cand.select($"id_a".as("path"), $"id_b".as("neighbor"), $"cos_sim")
       .union(cand.select($"id_b".as("path"), $"id_a".as("neighbor"), $"cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
