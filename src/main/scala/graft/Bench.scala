@@ -71,20 +71,27 @@ object Bench {
     // steady spread excludes each query's first pass: pass 1 pays
     // per-query Catalyst planning + codegen compilation even on an idle
     // box, so raw spread always looks huge; variance among the warm
-    // passes is the true box-load signal
-    val steadySpread = results.values.collect {
-      case ts if ts.size >= 3 => ts.tail.max - ts.tail.min
-      case ts if ts.nonEmpty  => ts.max - ts.min
+    // passes is the true box-load signal. With < 2 warm passes there is
+    // no spread sample — contribute 0 (can't assess ≠ contaminated),
+    // never fall back to the warmup-polluted full spread.
+    val steadySpread = results.values.map { ts =>
+      val warm = ts.drop(1)
+      if (warm.nonEmpty) warm.max - warm.min else 0.0
     }.sum
     // validity stamp: a loaded box shows as warm-pass spread; when that
     // rivals the summed mins the numbers are contamination, not
-    // measurement — consumers must treat valid:false runs as void
-    val valid = total > 0.0 && steadySpread / total < 0.5
+    // measurement — consumers must treat valid:false runs as void.
+    // The denominator sums only SUCCESSFUL query mins: the -1 failure
+    // sentinels in `mins` are a per-query signal, not box load, and
+    // must not distort the ratio.
+    val okTotal = mins.values.filter(_ >= 0).sum
+    val valid = okTotal > 0.0 && steadySpread / okTotal < 0.5
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$passes,"spread":${fmt(spread)},"steady_spread":${fmt(steadySpread)},"valid":$valid,"queries":$qs,"passes":$allPasses,"sf":"$sfDir"}"""
     println(json)
     // also land the artifact on disk: the stdout line has been lost to
-    // log-tail truncation before; the file copy always parses standalone
-    val outPath = java.nio.file.Paths.get("target/bench.json")
+    // log-tail truncation before; the file copy always parses standalone.
+    // Absolute path: a non-repo cwd must not scatter stale copies.
+    val outPath = java.nio.file.Paths.get("/root/repo/target/bench.json")
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

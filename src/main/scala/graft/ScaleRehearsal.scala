@@ -26,15 +26,18 @@ object ScaleRehearsal {
   private val Sf01 = "/root/testdata/sf0.1"
   private val Sf1 = "/root/repo/target/sf1"
 
-  /** The rehearsal family: every dedup/similarity/text operator that
-    * reads only documents/embeddings. The intentionally-quadratic
-    * `dedup_embed_cosine` baseline is EXCLUDED by design — it is the
-    * documented O(n²) floor with its own row-cap guard, not a scale
-    * path (CONFIG.md `spark.graft.dedup.exactCosineMaxRows`). */
+  /** The rehearsal family: every dedup/similarity/text/curation operator
+    * that reads only documents/embeddings — the full training-pipeline
+    * surface. The intentionally-quadratic `dedup_embed_cosine` baseline
+    * is EXCLUDED by design — it is the documented O(n²) floor with its
+    * own row-cap guard, not a scale path (CONFIG.md
+    * `spark.graft.dedup.exactCosineMaxRows`). */
   private val Family = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_embed_lsh", "dedup_semantic",
     "dedup_semantic_kmeans", "corpus_clean",
+    "corpus_split", "corpus_sample_strat", "corpus_pack",
+    "corpus_contamination", "corpus_mix",
     "text_fingerprint", "text_langid", "text_quality", "text_tokens",
     "sim_topk_brute", "sim_ann_lsh", "sim_ivf_topk", "sim_ivf_probe2",
     "sim_ivf_kmeans", "sim_knn_join", "sim_label_centroids", "sim_centroids_udaf")

@@ -94,7 +94,6 @@ object Multimodal {
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
 
   def decodeOne(path: String, mediaType: String, content: Array[Byte]): DecodedAsset = {
-    def short(kw: String, parsed: DicomParser.DicomFile): Int = dicomShort(kw, parsed)
     def asset(w: Int, h: Int, ch: Int, bits: Int, frames: Int,
               dec: String, payload: Long): DecodedAsset =
       DecodedAsset(path, mediaType, w, h, ch, bits, frames, dec, payload)
@@ -104,10 +103,10 @@ object Multimodal {
     scala.util.Try(mediaType match {
       case "application/dicom" =>
         val parsed = DicomParser.parse(content)
-        val (w, h) = (short("Columns", parsed), short("Rows", parsed))
-        val ch = math.max(1, short("SamplesPerPixel", parsed))
-        val bits = math.max(8, short("BitsAllocated", parsed))
-        val frames = math.max(1, short("NumberOfFrames", parsed))
+        val (w, h) = (dicomShort("Columns", parsed), dicomShort("Rows", parsed))
+        val ch = math.max(1, dicomShort("SamplesPerPixel", parsed))
+        val bits = math.max(8, dicomShort("BitsAllocated", parsed))
+        val frames = math.max(1, dicomShort("NumberOfFrames", parsed))
         asset(w, h, ch, bits, frames, "dicom-header",
           w.toLong * h * ch * (bits / 8) * frames)
       case "image/png" =>
@@ -317,7 +316,11 @@ object Multimodal {
     * own fixtures declare 985×979×3 but carry exactly 600×600×3 bytes —
     * `sample_dcm/example-0`), no raster is invented: the row keeps the
     * header geometry and `pixel_md5` checksums the RAW payload instead,
-    * labeled `decoder = "dicom-pixels-raw"` so provenance stays honest. */
+    * labeled `decoder = "dicom-pixels-raw"`. A CONSISTENT payload whose
+    * layout is merely outside the decoded set (planar RGB, 12/32-bit
+    * allocation, 2-sample) gets the same raw checksum under
+    * `"dicom-pixels-unsupported"` — the two causes stay distinguishable
+    * downstream. */
   private[operators] def dicomResize(
       path: String, mediaType: String, content: Array[Byte],
       maxSide: Int): Option[ResizedAsset] =
@@ -335,11 +338,16 @@ object Multimodal {
         if (decodable) {
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          // fill the 3-byte-BGR buffer directly (same bytes setRGB would
+          // produce, without a per-pixel ColorModel round-trip)
+          val buf = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
           if (ch == 3) {
             var i = 0
             while (i < w * h) {
-              img.setRGB(i % w, i / w,
-                ((px(3 * i) & 0xff) << 16) | ((px(3 * i + 1) & 0xff) << 8) | (px(3 * i + 2) & 0xff))
+              buf(3 * i) = px(3 * i + 2)     // B
+              buf(3 * i + 1) = px(3 * i + 1) // G
+              buf(3 * i + 2) = px(3 * i)     // R
               i += 1
             }
           } else {
@@ -358,7 +366,8 @@ object Multimodal {
             }
             var i = 0
             while (i < w * h) {
-              img.setRGB(i % w, i / w, (grey(i) << 16) | (grey(i) << 8) | grey(i))
+              val g8 = grey(i).toByte
+              buf(3 * i) = g8; buf(3 * i + 1) = g8; buf(3 * i + 2) = g8
               i += 1
             }
           }
@@ -371,8 +380,14 @@ object Multimodal {
           val ow = math.ceil(w * scale).toInt
           val oh = math.ceil(h * scale).toInt
           val d = java.security.MessageDigest.getInstance("MD5").digest(px)
+          // two honest labels: the real pixel bytes were read either way,
+          // but "raw" means header and payload DISAGREE (no raster can be
+          // trusted), while "unsupported" means the layout is consistent
+          // yet outside the decoded set (planar RGB, 12/32-bit, 2-sample)
+          val label =
+            if (px.length < frameBytes) "dicom-pixels-raw" else "dicom-pixels-unsupported"
           Some(ResizedAsset(path, mediaType, w, h, ow, oh,
-            ow.toLong * oh * ch * math.max(1, bits / 8), "dicom-pixels-raw",
+            ow.toLong * oh * ch * math.max(1, bits / 8), label,
             Some(d.map("%02x".format(_)).mkString)))
         } else None
       }
@@ -559,13 +574,7 @@ object Multimodal {
     // twice — uncached, the whole bucket-join subtree would run per side
     val cand = Dedup.tracked(Similarity.lshBucketedPairs(
       embedded, "path", tables, bits, scale = 6, minSim = None))
-    val sym = cand.select($"id_a".as("path"), $"id_b".as("neighbor"), $"cos_sim")
-      .union(cand.select($"id_b".as("path"), $"id_a".as("neighbor"), $"cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"path").orderBy($"cos_sim".desc, $"neighbor")
-    sym.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .orderBy($"path", $"rank")
+    Similarity.topKNeighbors(s, cand, "id_a", "id_b", "path", k)
   }
 
   /** [[pseudoEmbed]] with the raw `array<float>` serialized for external

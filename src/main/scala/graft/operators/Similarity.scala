@@ -314,16 +314,26 @@ object Similarity {
     * endpoints; per-vector top-k is a window rank that Spark executes
     * with WindowGroupLimit map-side pruning — candidates never sort
     * globally. */
-  def knnJoin(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def knnJoin(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    topKNeighbors(s, embedLshCandidates(s, dir), "vec_a", "vec_b", "vec_id", k)
+
+  /** The shared symmetrize + per-key top-k tail of every kNN shape:
+    * candidate pairs (idA, idB, cos_sim) serve BOTH endpoints via a
+    * union, then a per-key window rank Spark executes with
+    * WindowGroupLimit map-side pruning — candidates never sort
+    * globally. One definition so the rank/tie-break semantics cannot
+    * drift between the vec-keyed [[knnJoin]] and the path-keyed
+    * [[Multimodal.assetNeighbors]] chain. */
+  private[graft] def topKNeighbors(s: SparkSession, cand: DataFrame,
+      aCol: String, bCol: String, outKey: String, k: Int): DataFrame = {
     import s.implicits._
-    val cand = embedLshCandidates(s, dir)
-    val sym = cand.select($"vec_a".as("vec_id"), $"vec_b".as("neighbor"), $"cos_sim")
-      .union(cand.select($"vec_b".as("vec_id"), $"vec_a".as("neighbor"), $"cos_sim"))
+    val sym = cand.select(col(aCol).as(outKey), col(bCol).as("neighbor"), col("cos_sim"))
+      .union(cand.select(col(bCol).as(outKey), col(aCol).as("neighbor"), col("cos_sim")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"cos_sim".desc, $"neighbor")
+      .partitionBy(col(outKey)).orderBy($"cos_sim".desc, $"neighbor")
     sym.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
-      .orderBy($"vec_id", $"rank")
+      .orderBy(col(outKey), $"rank")
   }
 
   /** Learned k-means coarse quantizer: Lloyd's algorithm with a FIXED

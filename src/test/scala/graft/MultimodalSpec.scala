@@ -154,6 +154,32 @@ class MultimodalSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("consistent-but-unsupported DICOM layout labels dicom-pixels-unsupported") {
+    import java.nio.file.Files
+    val w = 10; val h = 6
+    // planar RGB (PlanarConfiguration=1): payload length matches the
+    // header exactly, but the layout is outside the decoded set — the
+    // raw checksum must carry the "unsupported" label, not "raw"
+    val px = Array.tabulate(w * h * 3)(i => (i % 251).toByte)
+    val planar = DicomWriter.file(Seq(
+      DicomWriter.usElement(0x0028, 0x0002, 3),
+      DicomWriter.usElement(0x0028, 0x0006, 1), // planar
+      DicomWriter.usElement(0x0028, 0x0010, h),
+      DicomWriter.usElement(0x0028, 0x0011, w),
+      DicomWriter.usElement(0x0028, 0x0100, 8),
+      DicomWriter.element(0x7fe0, 0x0010, "OB", px)))
+    val dir = Files.createTempDirectory("graft-dcm-planar")
+    Files.write(dir.resolve("planar.dcm"), planar)
+    try {
+      val r = Multimodal.resizeMeta(spark, Seq(dir.toString), maxSide = 64).collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[String]("decoder") == "dicom-pixels-unsupported")
+      val truth = java.security.MessageDigest.getInstance("MD5")
+        .digest(px).map("%02x".format(_)).mkString
+      assert(r(0).getAs[String]("pixel_md5") == truth)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("truncated DICOM pixel element degrades to the header path, not a crash") {
     import java.nio.file.Files
     val w = 20; val h = 12

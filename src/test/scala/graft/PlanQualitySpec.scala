@@ -124,6 +124,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     // the keep-set is a LeftAnti join, never a NOT IN re-scan shape
     assert(p.contains("LeftAnti"))
+    graft.operators.Dedup.unpersistIntermediates(spark) // semanticKeepSet caches
   }
 
   test("q29 recursive CTE: fact table aggregates before the spine join") {
