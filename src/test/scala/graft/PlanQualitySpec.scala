@@ -127,6 +127,16 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistIntermediates(spark) // semanticKeepSet caches
   }
 
+  test("q33 sketch union: partial sketch agg map-side, pruned scan") {
+    val p = plan("q33_sketch_union")
+    // the shuffle must carry partial sketch buffers, not user_id rows
+    assert(p.contains("partial_hll_sketch_agg"),
+      "daily sketches must partial-aggregate before the exchange")
+    assert(p.contains("hll_union_agg"))
+    // only the three referenced event columns reach the scan
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"))
+  }
+
   test("q29 recursive CTE: fact table aggregates before the spine join") {
     val p = plan("q29_recursive_cte")
     // per_month pre-aggregation: the orders scan feeds a partial count —
