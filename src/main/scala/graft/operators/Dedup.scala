@@ -160,6 +160,51 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Transitive near-duplicate GROUPS: connected components over the
+    * MinHash near-dup pair graph — the canonical corpus-dedup semantics.
+    * Pair-based removal ([[corpusClean]]) drops the higher id of each
+    * EDGE; components assign every document of a duplicate CLUSTER one
+    * id (the cluster's min), correct even when similarity is only
+    * transitive (a~b, b~c, a≁c — a and c still share a cluster).
+    *
+    * Spark shape: iterative hash-min label propagation, the
+    * Pregel-on-DataFrames pattern — labels start as each node's own id;
+    * each round every node takes the min of its neighbors' labels; the
+    * driver loops until a round changes nothing. Each round is ONE
+    * join + partial-agg shuffle over the node-sized label relation
+    * (≪ edges), rounds needed = graph diameter, and near-dup clusters
+    * are shallow (a few docs deep) at any corpus size — the loop count
+    * is data-shaped, not corpus-sized. `maxIters` is the runaway bound
+    * for pathological chain graphs.
+    *
+    * Oracle: DuckDB transitive closure (`WITH RECURSIVE` reach) +
+    * min-reachable aggregation over the SAME MinHash pair SQL. */
+  def components(s: SparkSession, dir: String, maxIters: Int = 10): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, docs(s, dir)).select($"doc_a", $"doc_b")
+    val edges = tracked(
+      pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst"))
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("component", $"node").persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels, $"dst" === $"node")
+        .groupBy($"src").agg(min($"component").as("nbr_min"))
+      val next = labels.as("l").join(prop, $"node" === $"src", "left")
+        .select($"node",
+          least($"component", coalesce($"nbr_min", $"component")).as("component"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), $"n.node" === $"o.node")
+        .filter($"n.component" =!= $"o.component").count()
+      labels.unpersist(false)
+      labels = next
+      it += 1
+    }
+    tracked(labels) // already persisted; registers it for release
+    labels.select($"node".as("doc_id"), $"component").orderBy($"doc_id")
+  }
+
   /** SimHash: 60-bit signature from token hashes; duplicate clusters are
     * signature-equality groups (no pairwise compare → scales linearly).
     *

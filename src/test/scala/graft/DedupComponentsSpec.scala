@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators.Dedup
+
+/** Pins the TRANSITIVE semantics of near-dup components: a chain
+  * a~b~c where (a,c) is NOT itself a near-dup pair must still collapse
+  * into one cluster — the property pair-based removal lacks and the
+  * reason `dedup_components` exists. The chain is crafted so the
+  * 3-gram Jaccards are a~b ≈ 0.71, b~c = 0.5 (both ≥ the 0.5 cut)
+  * and a~c ≈ 0.33 (below it). */
+class DedupComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("dedup-components-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("a~b~c chain collapses into one component even though a~c is no pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc")
+    try {
+      Seq(
+        (1L, "a b c d e f g h"),
+        (2L, "a b c d e f g X"),
+        (3L, "c d e f g X p q"),
+        (10L, "totally unrelated words about completely other topics here now"),
+        (11L, "totally unrelated words about completely other topics here too"))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$dir/documents.parquet")
+
+      val pairs = Dedup.minhashLsh(spark, dir.toString).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)),
+        s"chain edges must survive LSH banding, got $pairs")
+      assert(!pairs.contains((1L, 3L)),
+        "the chain ends must NOT be a direct pair — that's the point")
+
+      val comp = Dedup.components(spark, dir.toString).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+      assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L,
+        s"transitive chain must share component 1, got $comp")
+      // the unrelated docs form their own cluster iff they paired up;
+      // either way they never join component 1
+      comp.filterKeys(k => k >= 10L).values.foreach(c => assert(c >= 10L))
+    } finally {
+      Dedup.unpersistIntermediates(spark)
+      graft.util.Fs.deleteRecursively(dir)
+    }
+  }
+}
