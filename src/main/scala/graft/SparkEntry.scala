@@ -101,6 +101,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_scrub"       -> (TextAnalysis.scrub _),
     "text_normalize"   -> (TextAnalysis.normalize _),
+    "text_repetition"  -> (TextAnalysis.repetition _),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
     "dicom_errors"         -> (DicomQueries.errors _),
@@ -114,6 +115,8 @@ object SparkEntry {
     "stream_sessionize"    -> (StreamQueries.streamSessionize _),
     "stream_dedup"         -> (StreamQueries.streamDedup _),
     "stream_dedup_watermarked" -> (StreamQueries.streamDedupWatermarked _),
+    "stream_stream_join"   -> (StreamQueries.streamStreamJoin _),
+    "stream_static_join"   -> (StreamQueries.streamStaticJoin _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
     "mm_decode_meta"  -> ((s, d) => Multimodal.decodeMeta(s, DicomQueries.Fixtures)),
     "mm_resize_meta"  -> ((s, d) => Multimodal.resizeMeta(
@@ -883,6 +886,51 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev IS NULL OR ets - prev > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+        |         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bg
+        |  FROM tk),
+        |e AS (SELECT doc_id, n_tokens, n_distinct, unnest(bg) AS g FROM b),
+        |cnt AS (SELECT doc_id, n_tokens, n_distinct, g, count(*) AS c
+        |        FROM e GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT doc_id, n_tokens, n_distinct,
+        |               max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bg,
+        |               count(*) AS n_distinct_bg
+        |        FROM cnt GROUP BY 1, 2, 3),
+        |q AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_word_frac,
+        |         round(CAST(top_c AS DOUBLE) / n_bg, 4) AS top_bigram_frac,
+        |         round(1.0 - CAST(n_distinct_bg AS DOUBLE) / n_bg, 4) AS dup_bigram_frac
+        |  FROM agg)
+        |SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac, dup_bigram_frac,
+        |  CAST(CASE WHEN dup_word_frac <= 0.40 AND top_bigram_frac <= 0.20
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS ts_ns
+        |      FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, count(*) AS n_prior_clicks
+        |FROM e JOIN c
+        |  ON c.user_id = e.user_id
+        | AND c.ts_ns >= e.ts_ns - 600000000000
+        | AND c.ts_ns < e.ts_ns
+        |GROUP BY 1 ORDER BY event_id""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_purchases,
+        |       round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS text_hash

@@ -120,6 +120,52 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Repetition filtering (the Gopher-rules shape): documents whose text
+    * is dominated by repeated words or repeated word bigrams are
+    * low-quality for training and get dropped. Signals:
+    *   - `dup_word_frac`     = 1 − distinct/total words (computed with
+    *     array-local ops — no shuffle);
+    *   - `top_bigram_frac`   = occurrences of the single most frequent
+    *     word bigram / total bigrams;
+    *   - `dup_bigram_frac`   = 1 − distinct/total bigrams;
+    *   - `keep` — both repetition fractions under the Gopher-ish
+    *     thresholds (dup words ≤ 0.40, top bigram ≤ 0.20).
+    *
+    * Scale shape: token stats are per-row array ops (narrow); bigram
+    * stats go through two partial-aggregated shuffles — (doc, gram)
+    * counts, then the per-doc rollup — each carrying at most one row per
+    * distinct gram per doc (counts combine map-side, so the raw gram
+    * stream never crosses the wire). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokens = docs(s, dir)
+      .select($"doc_id",
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+      .select($"doc_id",
+        size($"tk").cast("long").as("n_tokens"),
+        size(array_distinct($"tk")).cast("long").as("n_distinct"),
+        // element_at is 1-based; guard the <2-token case because
+        // sequence(1, 0) counts DOWN ([1,0]) instead of being empty.
+        when(size($"tk") >= 2,
+          expr("transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .otherwise(expr("array()")).as("bg"))
+    val bigramStats = tokens
+      .select($"doc_id", $"n_tokens", $"n_distinct", explode_outer($"bg").as("g"))
+      .groupBy($"doc_id", $"n_tokens", $"n_distinct", $"g")
+      .agg(count($"g").as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"n_distinct")
+      .agg(max($"c").as("top_c"), sum($"c").as("n_bg"),
+        sum(when($"c" > 0, 1L).otherwise(0L)).as("n_distinct_bg"))
+    bigramStats
+      .select($"doc_id", $"n_tokens",
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_tokens", 4).as("dup_word_frac"),
+        round($"top_c".cast("double") / $"n_bg", 4).as("top_bigram_frac"),
+        round(lit(1.0) - $"n_distinct_bg".cast("double") / $"n_bg", 4).as("dup_bigram_frac"))
+      .withColumn("keep",
+        when($"dup_word_frac" <= 0.40 && $"top_bigram_frac" <= 0.20, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprint: minimum md5 over rolling character 8-grams
     * (winnowing-style min-sampling). Equal fingerprints ⇒ high overlap
     * candidates. Runs as ONE narrow codegen'd pass via the native

@@ -193,6 +193,91 @@ object StreamQueries {
       dropView = Some(name), deleteDirs = Seq(in))
   }
 
+  /** STREAM–STREAM INTERVAL JOIN: errors and clicks arrive as two
+    * independent streams; each error joins the same-user clicks landing
+    * in its strictly-preceding 10 minutes. Both sides carry event-time
+    * watermarks, and the join condition bounds click_time relative to
+    * err_time — together these let Spark EVICT buffered rows once the
+    * watermark passes their join horizon, so join state is bounded by
+    * (arrival rate × window + watermark delay), not the stream prefix:
+    * the production shape for correlating two infinite streams.
+    *
+    * Oracle parity: the finite AvailableNow drain buffers/joins exactly
+    * the batch inner-join matches (no row's horizon expires mid-drain),
+    * so counting matches per error equals the batch/DuckDB inner range
+    * join. Event times are µs-grain (`ts div 1000`) — the same grain the
+    * oracle sees (q25/q28 precedent). The per-error rollup happens on
+    * the drained (driver-local) matches; the streaming engine owns the
+    * join itself. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (in, name) = stageInput(dir, "events.parquet", "ssjoin")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def side(): DataFrame = s.readStream.schema(schema).parquet(in.toString)
+    val errors = side()
+      .filter($"event_type" === "error")
+      .select($"event_id", $"user_id",
+        timestamp_micros(expr("ts div 1000")).as("err_time"))
+      .withWatermark("err_time", "1 hour")
+    val clicks = side()
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"),
+        timestamp_micros(expr("ts div 1000")).as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val q = errors
+      .join(clicks,
+        $"user_id" === $"c_user" &&
+          $"click_time" >= $"err_time" - expr("INTERVAL 10 MINUTES") &&
+          $"click_time" < $"err_time")
+      .select($"event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndRelease(s,
+      s.table(name)
+        .groupBy($"event_id")
+        .agg(count(lit(1)).as("n_prior_clicks"))
+        .orderBy($"event_id"),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
+
+  /** STREAM–STATIC ENRICHMENT JOIN: the event stream joined to the
+    * (batch) customer dimension — the canonical streaming-enrichment
+    * shape. The static side is broadcast into every micro-batch, so the
+    * stream never shuffles and no join state accrues (nothing to evict —
+    * the dim is re-resolved per batch, which is also how dim updates
+    * become visible mid-stream). Per-batch enriched rows aggregate by
+    * market segment in complete mode; the finite drain must equal the
+    * batch join + rollup, which is the DuckDB oracle. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (in, name) = stageInput(dir, "events.parquet", "enrich")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val dim = broadcast(
+      s.read.parquet(s"$dir/customer.parquet")
+        .select($"c_custkey", $"c_mktsegment"))
+    val q = s.readStream.schema(schema).parquet(in.toString)
+      .filter($"event_type" === "purchase")
+      .join(dim, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum($"value"), 2).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndRelease(s,
+      s.table(name).orderBy($"c_mktsegment"),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
+
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (in, name) = stageInput(dir, "documents.parquet", "dedup")
