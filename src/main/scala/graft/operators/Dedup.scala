@@ -167,42 +167,100 @@ object Dedup {
     * id (the cluster's min), correct even when similarity is only
     * transitive (a~b, b~c, a≁c — a and c still share a cluster).
     *
-    * Spark shape: iterative hash-min label propagation, the
-    * Pregel-on-DataFrames pattern — labels start as each node's own id;
-    * each round every node takes the min of its neighbors' labels; the
-    * driver loops until a round changes nothing. Each round is ONE
-    * join + partial-agg shuffle over the node-sized label relation
-    * (≪ edges), rounds needed = graph diameter, and near-dup clusters
-    * are shallow (a few docs deep) at any corpus size — the loop count
-    * is data-shaped, not corpus-sized. `maxIters` is the runaway bound
-    * for pathological chain graphs.
-    *
     * Oracle: DuckDB transitive closure (`WITH RECURSIVE` reach) +
     * min-reachable aggregation over the SAME MinHash pair SQL. */
-  def components(s: SparkSession, dir: String, maxIters: Int = 10): DataFrame = {
+  def components(s: SparkSession, dir: String, maxIters: Int = 64): DataFrame = {
     import s.implicits._
     val pairs = minhashPairs(s, docs(s, dir)).select($"doc_a", $"doc_b")
-    val edges = tracked(
-      pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst"))
+    val edges =
+      pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
+    componentsOf(s, edges, maxIters)
+      .select($"node".as("doc_id"), $"component").orderBy($"doc_id")
+  }
+
+  /** Connected components of an undirected graph given as a symmetric
+    * `(src, dst)` edge list (both directions present). Returns
+    * `(node, component)` where `component` is the min node id reachable.
+    *
+    * Spark shape: hash-min label propagation WITH pointer jumping, the
+    * Pregel-on-DataFrames pattern. Labels start as each node's own id;
+    * each round every node takes the min label among itself and its
+    * neighbors (one edges⋈labels join + one partial-agg shuffle over the
+    * node-sized label relation, ≪ edges), then a pointer-jump step
+    * (labels self-join: `component := component's component`) doubles the
+    * effective propagation distance — rounds needed is O(log diameter),
+    * not diameter, so even pathological chain graphs converge in a few
+    * dozen rounds at ANY size. The convergence test is folded into the
+    * same action that materializes the round (a `changed` count aggregated
+    * off the cached next-labels), so a round costs exactly its two
+    * data-sized joins — no separate old⋈new comparison join.
+    *
+    * Iterates to FIXPOINT: partial propagation would silently under-merge
+    * clusters (and break oracle parity), so `maxIters` is a safety valve
+    * that THROWS rather than returning a partially-merged labeling.
+    * log₂-convergence means the default 64 covers any graph that fits in
+    * an id space. Lineage is truncated with `localCheckpoint` every 5
+    * rounds so deep iteration never accretes an unbounded plan. */
+  def componentsOf(s: SparkSession, edgesIn: DataFrame, maxIters: Int = 64): DataFrame = {
+    import s.implicits._
+    // every round joins the edge list — cache it once (tracked, so the
+    // session's unpersistIntermediates releases it like every other
+    // dedup intermediate)
+    val edges = tracked(edgesIn)
     var labels = edges.select($"src".as("node")).distinct()
       .withColumn("component", $"node").persist()
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIters) {
-      val prop = edges.join(labels, $"dst" === $"node")
-        .groupBy($"src").agg(min($"component").as("nbr_min"))
-      val next = labels.as("l").join(prop, $"node" === $"src", "left")
-        .select($"node",
-          least($"component", coalesce($"nbr_min", $"component")).as("component"))
+    while (changed > 0) {
+      if (it >= maxIters)
+        throw new IllegalStateException(
+          s"componentsOf did not converge in $maxIters rounds — refusing to " +
+            "return a partially-merged labeling (pointer-jumped hash-min " +
+            "converges in O(log diameter); this indicates a bug or an " +
+            "absurd maxIters)")
+      // hash-min: every node absorbs the min label among itself and its
+      // neighbors; `prev` (the node's own incoming label) rides along so
+      // convergence is decided in the SAME action that materializes the
+      // round — no separate old⋈new comparison join. Correctness of the
+      // pre-jump test: changed == 0 means every node's label already
+      // equals the min over its closed neighborhood, which forces labels
+      // constant per component (= the component's min id) — so testing
+      // before the jump loses nothing.
+      val self = labels.select($"node", $"component", $"component".as("prev"))
+      val nbr = edges.join(labels, $"dst" === $"node")
+        .select($"src".as("node"), $"component",
+          lit(Long.MaxValue).as("prev"))
+      val merged = self.unionByName(nbr).groupBy($"node")
+        .agg(min($"component").as("component"), min($"prev").as("prev"))
         .persist()
-      changed = next.as("n").join(labels.as("o"), $"n.node" === $"o.node")
-        .filter($"n.component" =!= $"o.component").count()
-      labels.unpersist(false)
-      labels = next
+      changed = merged
+        .agg(coalesce(sum(when($"component" < $"prev", 1L).otherwise(0L)),
+          lit(0L)))
+        .head.getLong(0)
+      if (changed == 0) {
+        // fixpoint: merged carries the same labeling labels had
+        labels.unpersist(false)
+        labels = merged
+      } else {
+        // pointer jump: component ids are always live node ids, so the
+        // inner self-join on the CACHED merged is total and cheap; b's
+        // label may itself have shrunk this round — that is the doubling
+        // that makes rounds O(log diameter), not diameter. The eager
+        // localCheckpoint both materializes the jump (so the caches it
+        // read can be released NOW) and truncates lineage every round —
+        // deep iteration never accretes an unbounded plan.
+        val jumped = merged.as("a")
+          .join(merged.as("b"), col("a.component") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.component").as("component"))
+          .localCheckpoint()
+        labels.unpersist(false)
+        merged.unpersist(false)
+        labels = jumped
+      }
       it += 1
     }
     tracked(labels) // already persisted; registers it for release
-    labels.select($"node".as("doc_id"), $"component").orderBy($"doc_id")
+    labels.select($"node", $"component")
   }
 
   /** SimHash: 60-bit signature from token hashes; duplicate clusters are

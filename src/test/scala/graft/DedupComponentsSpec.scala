@@ -51,4 +51,39 @@ class DedupComponentsSpec extends AnyFunSuite {
       graft.util.Fs.deleteRecursively(dir)
     }
   }
+
+  /** A 20-node path graph has diameter 19 — deeper than the old
+    * maxIters=10 bound, which used to exit silently with a
+    * partially-merged labeling (an undetected oracle-parity break).
+    * Pins the new semantics: pointer-jumped hash-min iterates to
+    * FIXPOINT, so the whole chain collapses to component 0 regardless
+    * of depth, and log₂-convergence keeps the round count small. */
+  test("20-deep chain converges to full closure (no silent partial merge)") {
+    import spark.implicits._
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap) ++
+      // a disjoint 2-cycle proves labels don't bleed across components
+      Seq((100L, 101L), (101L, 100L))).toDF("src", "dst")
+    try {
+      val comp = Dedup.componentsOf(spark, edges).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+      (0L to 19L).foreach(n =>
+        assert(comp(n) == 0L, s"chain node $n must reach component 0, got $comp"))
+      assert(comp(100L) == 100L && comp(101L) == 100L)
+    } finally Dedup.unpersistIntermediates(spark)
+  }
+
+  /** The safety valve must THROW rather than return an under-merged
+    * labeling — partial propagation is silently wrong, an exception is
+    * honestly wrong. */
+  test("maxIters exhaustion throws instead of returning partial labels") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    try {
+      intercept[IllegalStateException] {
+        Dedup.componentsOf(spark, edges, maxIters = 2).collect()
+      }
+    } finally Dedup.unpersistIntermediates(spark)
+  }
 }
