@@ -428,7 +428,7 @@ object SparkEntry {
         |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
         |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
         |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
-        |sig AS (SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS mh
+        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
         |        FROM perms GROUP BY 1, 2),
         |bands AS (SELECT doc_id, perm // 2 AS band,
         |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
@@ -457,7 +457,7 @@ object SparkEntry {
         |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
         |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
         |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
-        |sig AS (SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS mh
+        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
         |        FROM perms GROUP BY 1, 2),
         |bands AS (SELECT doc_id, perm // 2 AS band,
         |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
@@ -617,7 +617,7 @@ object SparkEntry {
         |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
         |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
         |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
-        |sig AS (SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS mh
+        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
         |        FROM perms GROUP BY 1, 2),
         |bands AS (SELECT doc_id, perm // 2 AS band,
         |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'

@@ -68,6 +68,20 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Eagerly localCheckpoint `df` and return it with a broadcast hint
+    * iff its (now known) row count is small enough to ship. Checkpointed
+    * leaves (`LogicalRDD`) carry NO stats, so the planner would otherwise
+    * assume they are huge and downgrade every join against them to a
+    * shuffle — at sf0.1 that turned corpusClean's id semi-joins into
+    * full-text shuffles. The count is executor-cheap (the RDD is already
+    * stored); the threshold keeps the hint honest at 100 TB, where these
+    * relations exceed driver memory and MUST shuffle. */
+  private[operators] def ckptHinted(
+      df: DataFrame, maxBroadcastRows: Long = 4000000): DataFrame = {
+    val ck = df.localCheckpoint()
+    if (ck.count() <= maxBroadcastRows) broadcast(ck) else ck
+  }
+
   /** Exact dedup: group documents by content digest; keep the lowest
     * doc_id of each group. Output IS the deduplicated keep-set (plus the
     * collapsed copy count) — one hash-shuffle, map-side partial agg. */
@@ -108,24 +122,25 @@ object Dedup {
     * reused by [[minhashLsh]] and the corpus-clean composition. */
   def minhashPairs(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
-    // ONE aggregation pass over the shingle stream produces everything
-    // doc-level: 8 minhash signatures, the distinct-shingle set (as a
-    // sorted array for intersection), and its size. The doc-level table
-    // (n_docs rows) is what all later joins touch — the 2.6M-row shingle
-    // relation is shuffled exactly once. The intersection set stores the
-    // 60-bit [[h60]] of each shingle, not the string: the shuffle's
-    // partial collect_set buffers carry 8-byte longs instead of ~45-char
-    // strings (~5× less volume), and exact-Jaccard-on-hashes equals
-    // exact-Jaccard-on-strings because the DuckDB oracle applies the
-    // SAME hash — any (astronomically unlikely) 60-bit collision
-    // collides identically in both engines.
-    val mhAggs = (0 to 7).map(p =>
-      min(md5(concat(lit(s"$p|"), $"shingle"))).as(s"mh$p"))
-    val docsAgg = tracked(shinglesOf(d)
+    // The doc-level SIGNATURE table (n_docs rows × 8 short strings) is
+    // the only thing cached: profiling showed materializing per-doc
+    // shingle-hash ARRAYS (the previous design) cost ~1.2 s at sf0.1 in
+    // columnar cache build alone — and at 100 TB would pin a corpus-sized
+    // array cache. The 2.6M-row shingle relation is shuffled once here.
+    // two md5s per shingle, sliced into four 8-hex (32-bit) minhash
+    // fields each — min-over-uniform-hash at a quarter of the hashing
+    // cost (the md5 is CSE'd across the four mins that share it);
+    // DuckDB twin: min(substr(md5((perm//4)||'|'||shingle),
+    // (perm%4)*8+1, 8))
+    val mhAggs = (0 to 7).map { p =>
+      val h = md5(concat(lit(s"${p / 4}|"), $"shingle"))
+      min(substring(h, p % 4 * 8 + 1, 8)).as(s"mh$p")
+    }
+    // sigs stays LAZY: candidate generation below is its single consumer,
+    // so the n_docs-wide signature table is never materialized at all
+    val sigs = shinglesOf(d)
       .groupBy($"doc_id")
-      .agg(mhAggs.head, mhAggs.tail :+
-        sort_array(collect_set(expr(h60("shingle")))).as("sh_set"): _*)
-      .withColumn("n_sh", size($"sh_set").cast("long")))
+      .agg(mhAggs.head, mhAggs.tail: _*)
 
     // band b covers perms {2b, 2b+1}; the "p:mh" strings sort by p (single
     // leading digit), so concat in perm order == the sorted concat
@@ -134,23 +149,52 @@ object Dedup {
         md5(concat(lit(s"${2 * b}:"), col(s"mh${2 * b}"),
                    lit(s"|${2 * b + 1}:"), col(s"mh${2 * b + 1}"))).as("band_hash"))
     }
-    val bands = docsAgg
+    val bands = sigs
       .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
 
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    // Candidate pairs by LSH BUCKETING, not a bands self-join: group on
+    // (band, band_hash), expand in-bucket pairs from the collected id
+    // list. Identical pair set (same band hashes) at half the shuffle —
+    // the band relation moves ONCE, and near-dup buckets are tiny so the
+    // in-bucket expansion is Σn_b², the LSH contract. The eager
+    // localCheckpoint computes candidates exactly once and truncates the
+    // lineage, so every downstream plan (verify joins, callers' edge
+    // lists, the iterative components loop) sees a leaf instead of the
+    // whole shingle/band pipeline — nested-cache plans here cost ~1 s of
+    // driver-side PLANNING per action at sf0.1 (measured).
+    val cand = ckptHinted(bands
+      .groupBy($"band", $"band_hash")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
       .distinct()
+      .coalesce(4)) // pair-sized relation; 32 store tasks would be overhead
 
-    // exact Jaccard via set intersection on the doc-level arrays —
-    // candidate pairs only, never the full shingle relation
-    val slim = docsAgg.select($"doc_id", $"sh_set", $"n_sh")
+    // Exact-Jaccard verify WITHOUT corpus-wide set materialization:
+    // re-shingle ONLY the candidate docs (broadcast semi-join prunes the
+    // rescan to the docs LSH actually surfaced — a vanishing fraction of
+    // the corpus) and intersect their distinct-shingle-hash sets. The
+    // arrays here are bounded by the CANDIDATE count, never corpus-sized.
+    // Jaccard-on-[[h60]]-hashes equals Jaccard-on-strings because the
+    // DuckDB oracle applies the SAME hash — any (astronomically unlikely)
+    // 60-bit collision collides identically in both engines.
+    val candIds = cand.select($"doc_a".as("doc_id"))
+      .union(cand.select($"doc_b".as("doc_id"))).distinct()
+    val candSets = ckptHinted(
+      shinglesOf(d.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_set(expr(h60("shingle")))).as("sh_set"))
+        .select($"doc_id", $"sh_set", size($"sh_set").cast("long").as("n_sh"))
+        .coalesce(4))
+
     cand
-      .join(slim.as("ca"), $"doc_a" === $"ca.doc_id")
-      .join(slim.as("cb"), $"doc_b" === $"cb.doc_id")
+      .join(candSets.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(candSets.as("cb"), $"doc_b" === $"cb.doc_id")
       .select($"doc_a", $"doc_b",
         size(array_intersect($"ca.sh_set", $"cb.sh_set")).cast("double").as("n_inter"),
         ($"ca.n_sh" + $"cb.n_sh").as("n_sum"))
@@ -171,7 +215,13 @@ object Dedup {
     * min-reachable aggregation over the SAME MinHash pair SQL. */
   def components(s: SparkSession, dir: String, maxIters: Int = 64): DataFrame = {
     import s.implicits._
-    val pairs = minhashPairs(s, docs(s, dir)).select($"doc_a", $"doc_b")
+    // checkpoint the pair list BEFORE symmetrizing: the union's two
+    // branches are separate subtrees, so a lazy `pairs` would run the
+    // verify joins twice — and the CC loop would replan the whole minhash
+    // pipeline every round
+    val pairs =
+      minhashPairs(s, docs(s, dir)).select($"doc_a", $"doc_b")
+        .coalesce(4).localCheckpoint()
     val edges =
       pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
     componentsOf(s, edges, maxIters)
@@ -211,7 +261,9 @@ object Dedup {
       .withColumn("component", $"node").persist()
     var changed = 1L
     var it = 0
+    val dbg = s.conf.get("spark.graft.cc.debug", "false").toBoolean
     while (changed > 0) {
+      val tRound = System.nanoTime()
       if (it >= maxIters)
         throw new IllegalStateException(
           s"componentsOf did not converge in $maxIters rounds — refusing to " +
@@ -257,6 +309,7 @@ object Dedup {
         merged.unpersist(false)
         labels = jumped
       }
+      if (dbg) println(f"[cc] round $it%2d changed=$changed%-8d ${(System.nanoTime() - tRound) / 1e9}%.3f s")
       it += 1
     }
     tracked(labels) // already persisted; registers it for release
@@ -397,18 +450,26 @@ object Dedup {
     * operators; the composition itself is oracle-gated too. */
   def corpusClean(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val keepIds = TextAnalysis.quality(s, dir)
-      .filter($"keep" === 1L).select($"doc_id")
-    val qdocs = docs(s, dir).join(keepIds, Seq("doc_id")).select($"doc_id", $"text")
-    val exactKeep = qdocs.groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
-    val base = qdocs.join(exactKeep, Seq("doc_id"))
+    // The quality pass (regexp-heavy) and the exact-dedup digest pass each
+    // run ONCE; what survives them is carried forward as checkpointed
+    // id-sets (8 bytes/doc — executor-local, nothing corpus-sized is ever
+    // cached). Downstream consumers rebuild the text view with one plain
+    // parquet scan + a semi-join against the id leaf.
+    val keepIds = ckptHinted(TextAnalysis.quality(s, dir)
+      .filter($"keep" === 1L).select($"doc_id"))
+    val exactKeep = ckptHinted(docs(s, dir)
+      .join(keepIds, Seq("doc_id"), "left_semi")
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id"))
+    val base = docs(s, dir).join(exactKeep, Seq("doc_id"), "left_semi")
     val drop = minhashPairs(s, base)
       .select($"doc_b".as("doc_id")).distinct()
-    base.select($"doc_id")
+    // the survivor id-set IS exactKeep — no text scan needed for the tail
+    exactKeep
       .join(drop, Seq("doc_id"), "left_anti")
       .orderBy($"doc_id")
   }
+
 
   /** Row ceiling for the exact O(n²) cosine path. Configurable via
     * `spark.graft.dedup.exactCosineMaxRows`; past it [[embedCosine]] fails
