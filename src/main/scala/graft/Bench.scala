@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-query instability detector. A query's recorded min is only
+    * trustworthy when the run actually SETTLED onto it: the median of
+    * the last three passes must sit within 25% of the overall min.
+    * Warm-up descent (JIT/codegen) naturally ends with a settled tail,
+    * so it does not flag; a query still descending at its last pass
+    * (floor never reached) or spiked by box load near the end (tail
+    * above the min) does. The r4 artifact's [4.12, 5.25, 10.49] —
+    * an increasing profile whose "min" was the cold first pass — is
+    * exactly what this catches. */
+  private def suspect(ts: Seq[Double]): Option[String] = {
+    if (ts.size < 2) return None
+    // never let the cold first pass into the tail window
+    val tail = ts.drop(1).takeRight(3).sorted
+    val tailMedian = tail(tail.size / 2)
+    if (tailMedian > 1.25 * ts.min) Some("tail-median-gt-1.25x-min") else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,20 +65,41 @@ object Bench {
     }
     if (selected.isEmpty)
       System.err.println("[bench] WARNING: zero queries selected — total will be 0")
-    val results = selected.map { case (name, fn) =>
+    var results: Map[String, IndexedSeq[Double]] = selected.map { case (name, fn) =>
       name -> (1 to passes).flatMap(_ => time(fn))
+    }
+    // Self-defense against box load (three contaminated official
+    // artifacts in a row motivated this): re-run every SUSPECT query —
+    // still descending at its last pass, or warm passes disagreeing by
+    // >1.5× — once at the end, appending up to `passes` extra passes.
+    // By then the original contention window has usually moved on, so
+    // the rerun floors replace contaminated mins instead of shipping
+    // them as "the" number.
+    val rerun = results.collect {
+      case (name, ts) if suspect(ts).isDefined => name -> suspect(ts).get
+    }
+    rerun.keys.foreach { name =>
+      val extra = (1 to passes).flatMap(_ => time(selected(name)))
+      results += name -> (results(name) ++ extra)
+    }
+    // whatever is STILL suspect after the rerun is reported, not hidden
+    val flagged = results.collect {
+      case (name, ts) if suspect(ts).isDefined => name -> suspect(ts).get
     }
     // Locale.ROOT: the default-locale f-interpolator would print a
     // decimal COMMA on e.g. de_DE JVMs, corrupting the JSON line
     def fmt(d: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, d)
+    def jstr(s: String) = "\"" + s + "\""
     val mins = results.map { case (k, ts) =>
       k -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = mins.map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val allPasses = results.map { case (k, ts) =>
-      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+      jstr(k) + ":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val flaggedJson = flagged.map { case (k, why) => jstr(k) + ":" + jstr(why) }
+      .mkString("{", ",", "}")
     // spread = max-min across passes, summed: the box-noise indicator —
     // large spread with unchanged mins means a loaded machine, not a
     // regression
@@ -68,30 +107,36 @@ object Bench {
       case ts if ts.nonEmpty => ts.max - ts.min
     }.sum
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
-    // steady spread excludes each query's first pass: pass 1 pays
-    // per-query Catalyst planning + codegen compilation even on an idle
-    // box, so raw spread always looks huge; variance among the warm
-    // passes is the true box-load signal. With < 2 warm passes there is
-    // no spread sample — contribute 0 (can't assess ≠ contaminated),
-    // never fall back to the warmup-polluted full spread.
+    // Steady spread looks only at each query's LAST-3-pass tail: pass 1
+    // pays Catalyst planning + codegen, and early warm passes can still
+    // be descending JIT warm-up even on an idle box — neither is load.
+    // A box that is actually contended cannot produce an agreeing tail,
+    // so tail disagreement summed across queries is the honest load
+    // signal. With a single pass there is no sample — contribute 0
+    // (can't assess ≠ contaminated).
     val steadySpread = results.values.map { ts =>
-      val warm = ts.drop(1)
-      if (warm.nonEmpty) warm.max - warm.min else 0.0
+      val tail = ts.drop(1).takeRight(3) // cold pass 1 never counts
+      if (tail.size >= 2) tail.max - tail.min else 0.0
     }.sum
     // validity stamp: a loaded box shows as warm-pass spread; when that
-    // rivals the summed mins the numbers are contamination, not
-    // measurement — consumers must treat valid:false runs as void.
-    // The denominator sums only SUCCESSFUL query mins: the -1 failure
-    // sentinels in `mins` are a per-query signal, not box load, and
-    // must not distort the ratio.
+    // is a material fraction of the summed mins the numbers are
+    // contamination, not measurement — consumers must treat valid:false
+    // runs as void. The denominator sums only SUCCESSFUL query mins: the
+    // -1 failure sentinels in `mins` are a per-query signal, not box
+    // load, and must not distort the ratio. The 0.15 cut is deliberate:
+    // the r4 artifact shipped steady_spread/total ≈ 0.30 stamped valid,
+    // and its four worst mins were 1.5-3× their idle floors.
     val okTotal = mins.values.filter(_ >= 0).sum
-    val valid = okTotal > 0.0 && steadySpread / okTotal < 0.5
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$passes,"spread":${fmt(spread)},"steady_spread":${fmt(steadySpread)},"valid":$valid,"queries":$qs,"passes":$allPasses,"sf":"$sfDir"}"""
+    val valid = okTotal > 0.0 && steadySpread / okTotal <= 0.15 && flagged.isEmpty
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$passes,"spread":${fmt(spread)},"steady_spread":${fmt(steadySpread)},"valid":$valid,"flagged":$flaggedJson,"reran":${rerun.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"queries":$qs,"passes":$allPasses,"sf":"$sfDir"}"""
     println(json)
     // also land the artifact on disk: the stdout line has been lost to
     // log-tail truncation before; the file copy always parses standalone.
-    // Absolute path: a non-repo cwd must not scatter stale copies.
-    val outPath = java.nio.file.Paths.get("/root/repo/target/bench.json")
+    // Path is overridable (SPARK_GRAFT_BENCH_OUT) and otherwise resolved
+    // against the working directory — no baked-in checkout location.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_).toAbsolutePath)
+      .getOrElse(java.nio.file.Paths.get("target", "bench.json").toAbsolutePath)
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
