@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object ScaleRehearsal {
 
   private val Sf01 = "/root/testdata/sf0.1"
-  private val Sf1 = "/root/repo/target/sf1"
+  // resolved lazily against spark.graft.scratchDir (default target/)
+  private var Sf1 = "target/sf1"
 
   /** The rehearsal family: every dedup/similarity/text/curation operator
     * that reads only documents/embeddings — the full training-pipeline
@@ -122,12 +123,16 @@ object ScaleRehearsal {
   /** Deterministic 10× generation (idempotent: skips when present). */
   private def ensureSf1(s: SparkSession): Unit = {
     import s.implicits._
+    Sf1 = graft.util.Fs.scratchDir(s, "sf1").toString
     val done = java.nio.file.Paths.get(s"$Sf1/_REHEARSAL_OK")
     if (java.nio.file.Files.exists(done)) return
     val reps = s.range(10).withColumnRenamed("id", "replica")
 
     val docs = s.read.parquet(s"$Sf01/documents.parquet")
-    val nDocs = docs.count()
+    // replica stride = max(id)+1, NOT count(): a sparse or offset id
+    // space would make count-based strides collide across replicas and
+    // silently corrupt the generated corpus with duplicate ids
+    val nDocs = docs.agg(max($"doc_id")).head.getLong(0) + 1L
     docs.crossJoin(broadcast(reps))
       .withColumn("keep",
         $"replica" === 0 ||
@@ -142,7 +147,7 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$Sf1/documents.parquet")
 
     val emb = s.read.parquet(s"$Sf01/embeddings.parquet")
-    val nVecs = emb.count()
+    val nVecs = emb.agg(max($"vec_id")).head.getLong(0) + 1L
     val noisy = emb.crossJoin(broadcast(reps))
       .withColumn("vec_id", $"vec_id" + $"replica" * nVecs)
       .withColumn("embedding",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{DicomQueries, Relational, StreamQueries}
 import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
   * `queries` carries one entry per implemented operator from SURVEY.md §2
   * (relational surface delegated-to-Athena in the reference → native Spark

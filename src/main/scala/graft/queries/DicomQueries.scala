@@ -17,9 +17,8 @@ object DicomQueries {
 
   val Fixtures = "/root/reference/sample_dcm"
 
-  private def scratch(): String = {
-    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
-    java.nio.file.Files.createDirectories(base)
+  private def scratch(s: SparkSession): String = {
+    val base = graft.util.Fs.scratchDir(s, "dicomq")
     java.nio.file.Files.createTempDirectory(base, "run").toAbsolutePath.toString
   }
 
@@ -60,7 +59,7 @@ object DicomQueries {
     * SQL aggregation by partition. */
   def partitionedSql(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = scratch()
+    val out = scratch(s)
     DicomPipeline.run(s, Fixtures, s"$out/data", Some(s"$out/errors"),
       "ref-bucket", "ref-region")
     val table = "dicom_metadata_" + java.lang.Long.toHexString(
@@ -78,7 +77,7 @@ object DicomQueries {
     * inventory (schema evolution made visible). */
   def crawlSchema(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = scratch()
+    val out = scratch(s)
     DicomPipeline.run(s, s"$Fixtures/example-0", s"$out/data")
     DicomPipeline.run(s, s"$Fixtures/example.zip", s"$out/data")
     val merged = Catalog.crawl(s, s"$out/data",

@@ -31,9 +31,8 @@ object StreamQueries {
     * mint a unique memory-sink view name — the shared preamble of every
     * finite readStream query. Returns (inputDir, viewName); pass both back
     * through [[materializeAndRelease]]. */
-  private def stageInput(dir: String, file: String, prefix: String): (java.nio.file.Path, String) = {
-    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
-    java.nio.file.Files.createDirectories(base)
+  private def stageInput(s: SparkSession, dir: String, file: String, prefix: String): (java.nio.file.Path, String) = {
+    val base = graft.util.Fs.scratchDir(s, "dicomq")
     val in = java.nio.file.Files.createTempDirectory(base, prefix).toAbsolutePath
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/$file"), in.resolve(file))
@@ -47,8 +46,7 @@ object StreamQueries {
     * per-source-object image counts read back from the partitioned sink. */
   def streamIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Paths.get("/root/repo/target/dicomq")
-    java.nio.file.Files.createDirectories(base)
+    val base = graft.util.Fs.scratchDir(s, "dicomq")
     val out = java.nio.file.Files.createTempDirectory(base, "stream").toAbsolutePath.toString
     val in = s"$out/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
@@ -76,7 +74,7 @@ object StreamQueries {
     * correctness-gated. Exact integer ns bucket math as in q14. */
   def streamEventsWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (in, name) = stageInput(dir, "events.parquet", "win")
+    val (in, name) = stageInput(s, dir, "events.parquet", "win")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val q = s.readStream.schema(schema).parquet(in.toString)
       .groupBy((expr("ts div 300000000000") * 300).as("bucket"), $"event_type")
@@ -108,7 +106,7 @@ object StreamQueries {
     * exactly the batch window's ordering. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (in, name) = stageInput(dir, "events.parquet", "sess")
+    val (in, name) = stageInput(s, dir, "events.parquet", "sess")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
 
     def update(uid: Long, events: Iterator[UserEvent],
@@ -173,7 +171,7 @@ object StreamQueries {
     * first occurrence) are pinned across micro-batches in WatermarkSpec. */
   def streamDedupWatermarked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (in, name) = stageInput(dir, "events.parquet", "wmdedup")
+    val (in, name) = stageInput(s, dir, "events.parquet", "wmdedup")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val q = s.readStream.schema(schema).parquet(in.toString)
       .select($"user_id", $"event_type",
@@ -211,7 +209,7 @@ object StreamQueries {
     * join itself. */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (in, name) = stageInput(dir, "events.parquet", "ssjoin")
+    val (in, name) = stageInput(s, dir, "events.parquet", "ssjoin")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def side(): DataFrame = s.readStream.schema(schema).parquet(in.toString)
     val errors = side()
@@ -255,7 +253,7 @@ object StreamQueries {
     * batch join + rollup, which is the DuckDB oracle. */
   def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (in, name) = stageInput(dir, "events.parquet", "enrich")
+    val (in, name) = stageInput(s, dir, "events.parquet", "enrich")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val dim = broadcast(
       s.read.parquet(s"$dir/customer.parquet")
@@ -280,7 +278,7 @@ object StreamQueries {
 
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (in, name) = stageInput(dir, "documents.parquet", "dedup")
+    val (in, name) = stageInput(s, dir, "documents.parquet", "dedup")
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val q = s.readStream.schema(schema).parquet(in.toString)
       .select(md5($"text").as("text_hash"))

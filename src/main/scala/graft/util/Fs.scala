@@ -6,6 +6,16 @@ import java.nio.file.{Files, Path}
   * (streaming drains, fixture staging, tests). */
 object Fs {
 
+  /** Engine scratch root: `spark.graft.scratchDir` (default `target/`,
+    * resolved against the working directory) — no baked-in checkout
+    * location, so the engine runs from any deployment path. */
+  def scratchDir(s: org.apache.spark.sql.SparkSession, sub: String): Path = {
+    val base = java.nio.file.Paths.get(
+      s.conf.get("spark.graft.scratchDir", "target")).toAbsolutePath.resolve(sub)
+    Files.createDirectories(base)
+    base
+  }
+
   /** Delete `p` and everything under it; no-op when absent. */
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
