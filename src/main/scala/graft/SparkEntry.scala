@@ -903,11 +903,17 @@ object SparkEntry {
         |               count(*) AS n_distinct_bg
         |        FROM cnt GROUP BY 1, 2, 3),
         |q AS (
-        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |         round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_word_frac,
-        |         round(CAST(top_c AS DOUBLE) / n_bg, 4) AS top_bigram_frac,
-        |         round(1.0 - CAST(n_distinct_bg AS DOUBLE) / n_bg, 4) AS dup_bigram_frac
-        |  FROM agg)
+        |  SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |         CASE WHEN b.n_tokens > 0
+        |           THEN round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 4)
+        |           ELSE 0.0 END AS dup_word_frac,
+        |         CASE WHEN coalesce(a.n_bg, 0) > 0
+        |           THEN round(CAST(a.top_c AS DOUBLE) / a.n_bg, 4)
+        |           ELSE 0.0 END AS top_bigram_frac,
+        |         CASE WHEN coalesce(a.n_bg, 0) > 0
+        |           THEN round(1.0 - CAST(a.n_distinct_bg AS DOUBLE) / a.n_bg, 4)
+        |           ELSE 0.0 END AS dup_bigram_frac
+        |  FROM b LEFT JOIN agg a USING (doc_id))
         |SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac, dup_bigram_frac,
         |  CAST(CASE WHEN dup_word_frac <= 0.40 AND top_bigram_frac <= 0.20
         |       THEN 1 ELSE 0 END AS BIGINT) AS keep

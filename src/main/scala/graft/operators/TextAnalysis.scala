@@ -156,11 +156,22 @@ object TextAnalysis {
       .groupBy($"doc_id", $"n_tokens", $"n_distinct")
       .agg(max($"c").as("top_c"), sum($"c").as("n_bg"),
         sum(when($"c" > 0, 1L).otherwise(0L)).as("n_distinct_bg"))
+    // 0-bigram docs (< 2 tokens) and 0-token docs are DEFINED, not
+    // dropped and not null: nothing is repeated, so every fraction is
+    // 0.0 and the doc keeps. The DuckDB oracle LEFT JOINs its bigram
+    // aggregate back to all docs with the same explicit cases — without
+    // this, unnest-on-empty silently dropped the doc there while
+    // explode_outer kept a null-frac row here.
     bigramStats
       .select($"doc_id", $"n_tokens",
-        round(lit(1.0) - $"n_distinct".cast("double") / $"n_tokens", 4).as("dup_word_frac"),
-        round($"top_c".cast("double") / $"n_bg", 4).as("top_bigram_frac"),
-        round(lit(1.0) - $"n_distinct_bg".cast("double") / $"n_bg", 4).as("dup_bigram_frac"))
+        when($"n_tokens" > 0,
+          round(lit(1.0) - $"n_distinct".cast("double") / $"n_tokens", 4))
+          .otherwise(lit(0.0)).as("dup_word_frac"),
+        when($"n_bg" > 0, round($"top_c".cast("double") / $"n_bg", 4))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        when($"n_bg" > 0,
+          round(lit(1.0) - $"n_distinct_bg".cast("double") / $"n_bg", 4))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
       .withColumn("keep",
         when($"dup_word_frac" <= 0.40 && $"top_bigram_frac" <= 0.20, 1L).otherwise(0L))
       .orderBy($"doc_id")
