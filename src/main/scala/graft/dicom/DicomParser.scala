@@ -40,12 +40,15 @@ object DicomParser {
       transferSyntax: String,
       charset: Charset,
       /** raw (7FE0,0010) value bytes — populated only by
-        * `parse(bytes, readPixels = true)` on NATIVE (uncompressed)
-        * transfer syntaxes; None for encapsulated pixel data (undefined
-        * length = a compressed codec stream) and for header-only parses.
-        * Big-endian OW pixel values arrive byte-swapped to LE like every
-        * other numeric element. */
-      pixels: Option[Array[Byte]] = None)
+        * `parse(bytes, readPixels = true)`. For NATIVE (uncompressed)
+        * transfer syntaxes this is the raster (big-endian OW values
+        * arrive byte-swapped to LE like every other numeric element).
+        * For ENCAPSULATED pixel data (undefined length = a compressed
+        * codec stream) it is the concatenated fragment bytes after the
+        * basic offset table, with [[pixelsEncapsulated]] = true — the
+        * single-frame case that covers the JPEG-family syntaxes. */
+      pixels: Option[Array[Byte]] = None,
+      pixelsEncapsulated: Boolean = false)
 
   final class InvalidDicomException(msg: String) extends RuntimeException(msg)
 
@@ -136,20 +139,43 @@ object DicomParser {
     // the data-set scan stopped AT the pixel tag (buffer parked on its
     // header); read it through the normal element machinery so length
     // validation and BE→LE swapping apply to the raster like any value
-    val pixels =
-      if (!readPixels || dataBuf.remaining() < 8) None
+    val (pixels, encapsulated) =
+      if (!readPixels || dataBuf.remaining() < 8) (None, false)
       else {
         val mark = dataBuf.position()
         val g = dataBuf.getShort() & 0xffff
         val e = dataBuf.getShort() & 0xffff
         if (g == 0x7fe0 && e == 0x0010) {
-          val el =
-            if (implicitVR) readImplicitElement(dataBuf, g, e, bigEndian)
-            else readExplicitElement(dataBuf, g, e, implicitVR = false, bigEndian)
-          if (el.bytes.nonEmpty) Some(el.bytes) else None // undefined len = encapsulated
-        } else { dataBuf.position(mark); None }
+          // peek the length WITHOUT consuming the element: undefined
+          // length means an encapsulated fragment stream (compressed
+          // codec bytes), which the ordinary element readers cannot
+          // represent — defined length re-reads through them so length
+          // validation and BE→LE swapping apply to the raster as usual
+          val undefinedLen = {
+            val peek = dataBuf.duplicate().order(dataBuf.order())
+            val len: Long =
+              if (implicitVR) peek.getInt() & 0xffffffffL
+              else {
+                val vr = new String(Array(peek.get(), peek.get()).map(_.toChar))
+                if (longFormVRs.contains(vr)) { peek.getShort(); peek.getInt() & 0xffffffffL }
+                else peek.getShort() & 0xffffL
+              }
+            len == 0xffffffffL
+          }
+          if (undefinedLen) {
+            // skip the header the peek measured
+            if (implicitVR) dataBuf.getInt()
+            else { dataBuf.get(); dataBuf.get(); dataBuf.getShort(); dataBuf.getInt() }
+            (readFragments(dataBuf), true)
+          } else {
+            val el =
+              if (implicitVR) readImplicitElement(dataBuf, g, e, bigEndian)
+              else readExplicitElement(dataBuf, g, e, implicitVR = false, bigEndian)
+            (if (el.bytes.nonEmpty) Some(el.bytes) else None, false)
+          }
+        } else { dataBuf.position(mark); (None, false) }
       }
-    DicomFile(meta.result(), elems, transferSyntax, charset, pixels)
+    DicomFile(meta.result(), elems, transferSyntax, charset, pixels, encapsulated)
   }
 
   /** Parse data-set elements until EOF, pixel data, or a delimiter tag.
@@ -239,6 +265,34 @@ object DicomParser {
         off += w
       }
     }
+
+  /** Encapsulated pixel-data fragment stream: a basic-offset-table item
+    * first, then one compressed fragment per item, terminated by
+    * (FFFE,E0DD). Returns the concatenated fragment bytes (BOT dropped) —
+    * for single-frame objects that is exactly the codec stream. */
+  private def readFragments(buf: ByteBuffer): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var first = true
+    var done = false
+    while (!done && buf.remaining() >= 8) {
+      val g = buf.getShort() & 0xffff
+      val e = buf.getShort() & 0xffff
+      val len = buf.getInt() & 0xffffffffL
+      if (g == 0xfffe && e == 0xe0dd) done = true
+      else if (g == 0xfffe && e == 0xe000) {
+        if (len > buf.remaining())
+          throw new InvalidDicomException(
+            s"Pixel fragment length $len exceeds remaining ${buf.remaining()} bytes")
+        val v = new Array[Byte](len.toInt)
+        buf.get(v)
+        if (first) first = false // basic offset table, not pixel bytes
+        else out.write(v)
+      } else
+        throw new InvalidDicomException(
+          s"Unexpected tag (${f"$g%04x"},${f"$e%04x"}) in pixel fragment stream")
+    }
+    if (out.size() > 0) Some(out.toByteArray) else None
+  }
 
   /** Read SQ items: (FFFE,E000)* terminated by defined length or
     * (FFFE,E0DD). Each item is a nested data set. */

@@ -327,6 +327,9 @@ object Multimodal {
     scala.util.Try {
       val parsed = DicomParser.parse(content, readPixels = true)
       parsed.pixels.flatMap { px =>
+        if (parsed.pixelsEncapsulated)
+          encapsulatedResize(path, mediaType, parsed, px, maxSide)
+        else {
         val w = dicomShort("Columns", parsed)
         val h = dicomShort("Rows", parsed)
         val ch = math.max(1, dicomShort("SamplesPerPixel", parsed))
@@ -390,8 +393,58 @@ object Multimodal {
             ow.toLong * oh * ch * math.max(1, bits / 8), label,
             Some(d.map("%02x".format(_)).mkString)))
         } else None
+        }
       }
     }.toOption.flatten
+
+  /** JPEG-baseline (1.2.840.10008.1.2.4.50) transfer syntax UID — the
+    * most common compressed syntax and the one the JDK can decode
+    * natively (ImageIO's JPEG reader works on the raw fragment stream).
+    * Cited behavior: the reference never decodes pixels at all
+    * (`stop_before_pixels=True`, src/app.py:75) — this is extension
+    * surface with honest provenance labels. */
+  private val JpegBaselineTs = "1.2.840.10008.1.2.4.50"
+
+  /** Encapsulated (compressed) pixel decode. JPEG-baseline fragments go
+    * through ImageIO and the shared Graphics2D resample core — same
+    * checksum contract as every other decoded format. The decoded
+    * geometry must AGREE with the header (Rows/Columns); disagreement
+    * keeps the header geometry and checksums the raw fragment bytes as
+    * `dicom-pixels-raw`, exactly like the native-syntax mismatch case.
+    * Any other codec (or a fragment stream ImageIO rejects) reports
+    * `dicom-pixels-unsupported` with the raw-fragment checksum. */
+  private def encapsulatedResize(
+      path: String, mediaType: String, parsed: DicomParser.DicomFile,
+      px: Array[Byte], maxSide: Int): Option[ResizedAsset] = {
+    val w = dicomShort("Columns", parsed)
+    val h = dicomShort("Rows", parsed)
+    val ch = math.max(1, dicomShort("SamplesPerPixel", parsed))
+    val bits = math.max(8, dicomShort("BitsAllocated", parsed))
+    val decoded =
+      if (parsed.transferSyntax == JpegBaselineTs)
+        scala.util.Try(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(px))).toOption.flatMap(Option(_))
+      else None
+    decoded match {
+      case Some(img) if img.getWidth == w && img.getHeight == h =>
+        val (ow, oh, sum) = resampleImage(img, maxSide)
+        Some(ResizedAsset(path, mediaType, w, h, ow, oh,
+          ow.toLong * oh * 3, "dicom-pixels", Some(sum)))
+      case other if w > 0 && h > 0 =>
+        val scale = if (math.max(w, h) <= maxSide) 1.0
+                    else maxSide.toDouble / math.max(w, h)
+        val ow = math.ceil(w * scale).toInt
+        val oh = math.ceil(h * scale).toInt
+        val d = java.security.MessageDigest.getInstance("MD5").digest(px)
+        val label =
+          if (other.isDefined) "dicom-pixels-raw" // decoded but geometry disagrees
+          else "dicom-pixels-unsupported"
+        Some(ResizedAsset(path, mediaType, w, h, ow, oh,
+          ow.toLong * oh * ch * math.max(1, bits / 8), label,
+          Some(d.map("%02x".format(_)).mkString)))
+      case _ => None
+    }
+  }
 
   /** Resize: REAL pixel resample (ImageIO + Graphics2D, checksummed) for
     * every JDK-decodable format; REAL raster decode for native-syntax
@@ -437,7 +490,7 @@ object Multimodal {
     // guard and the writers can never drift apart
     val imageDims = Seq(("gradient.png", 320, 200, "png"), ("gradient.jpg", 300, 180, "jpg"),
       ("gradient.gif", 64, 40, "gif"), ("gradient.bmp", 90, 60, "bmp"))
-    val names = imageDims.map(_._1) :+ "tone.wav"
+    val names = imageDims.map(_._1) ++ Seq("tone.wav", "gradient-jpeg.dcm")
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-image-fixtures")
     // completeness guard on the FILES, not the directory: a crash (or a
     // concurrent process racing this one — `synchronized` is JVM-local)
@@ -497,6 +550,53 @@ object Multimodal {
             new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
           javax.sound.sampled.AudioSystem.write(
             ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, f)
+        }
+        // JPEG-baseline encapsulated DICOM: the deterministic gradient,
+        // ImageIO-encoded to JPEG and wrapped as a minimal explicit-VR
+        // file under transfer syntax 1.2.840.10008.1.2.4.50 — exercises
+        // the encapsulated fragment-stream decode end-to-end
+        install("gradient-jpeg.dcm") { f =>
+          def le(n: Int) = java.nio.ByteBuffer.allocate(n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def us(g: Int, e: Int, v: Int): Array[Byte] = {
+            val b = le(10); b.putShort(g.toShort).putShort(e.toShort)
+            b.put('U'.toByte).put('S'.toByte).putShort(2).putShort(v.toShort)
+            b.array()
+          }
+          def ui(g: Int, e: Int, s0: String): Array[Byte] = {
+            val v0 = s0.getBytes("US-ASCII")
+            val v = if (v0.length % 2 == 0) v0 else v0 :+ 0.toByte
+            val b = le(8 + v.length); b.putShort(g.toShort).putShort(e.toShort)
+            b.put('U'.toByte).put('I'.toByte).putShort(v.length.toShort)
+            b.put(v); b.array()
+          }
+          val (w, h) = (48, 32)
+          val jb = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(gradient(w, h), "jpg", jb)
+          val frag0 = jb.toByteArray
+          val frag = if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(new Array[Byte](128)); out.write("DICM".getBytes)
+          val ts = ui(0x0002, 0x0010, "1.2.840.10008.1.2.4.50")
+          out.write(le(12).putShort(0x0002.toShort).putShort(0x0000.toShort)
+            .put('U'.toByte).put('L'.toByte).putShort(4)
+            .putInt(ts.length).array())
+          out.write(ts)
+          out.write(us(0x0028, 0x0002, 3))  // SamplesPerPixel
+          out.write(us(0x0028, 0x0010, h))  // Rows
+          out.write(us(0x0028, 0x0011, w))  // Columns
+          out.write(us(0x0028, 0x0100, 8))  // BitsAllocated
+          // (7FE0,0010) OB undefined length: BOT item + 1 fragment + delim
+          out.write(le(12).putShort(0x7fe0.toShort).putShort(0x0010.toShort)
+            .put('O'.toByte).put('B'.toByte).putShort(0).putInt(0xffffffff).array())
+          out.write(le(8).putShort(0xfffe.toShort).putShort(0xe000.toShort)
+            .putInt(0).array())
+          out.write(le(8).putShort(0xfffe.toShort).putShort(0xe000.toShort)
+            .putInt(frag.length).array())
+          out.write(frag)
+          out.write(le(8).putShort(0xfffe.toShort).putShort(0xe0dd.toShort)
+            .putInt(0).array())
+          java.nio.file.Files.write(f.toPath, out.toByteArray)
         }
       } finally graft.util.Fs.deleteRecursively(stage)
     }

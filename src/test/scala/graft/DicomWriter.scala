@@ -61,6 +61,30 @@ object DicomWriter {
     out.toByteArray
   }
 
+  /** Encapsulated (undefined-length) OB pixel data: empty basic offset
+    * table item + one item per fragment (even-padded with 0x00), closed
+    * by the (FFFE,E0DD) sequence delimiter — the JPEG-family encoding of
+    * (7FE0,0010). */
+  def encapsulatedPixels(fragments: Seq[Array[Byte]]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    def item(bytes: Array[Byte]): Unit = {
+      val padded = if (bytes.length % 2 == 0) bytes else bytes :+ 0.toByte
+      val h = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      h.putShort(0xfffe.toShort).putShort(0xe000.toShort).putInt(padded.length)
+      body.write(h.array()); body.write(padded)
+    }
+    item(Array.emptyByteArray) // basic offset table
+    fragments.foreach(item)
+    val sd = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    sd.putShort(0xfffe.toShort).putShort(0xe0dd.toShort).putInt(0)
+    body.write(sd.array())
+    val out = ByteBuffer.allocate(12 + body.size()).order(ByteOrder.LITTLE_ENDIAN)
+    out.putShort(0x7fe0.toShort).putShort(0x0010.toShort)
+    out.put('O'.toByte).put('B'.toByte).putShort(0).putInt(0xffffffff)
+    out.put(body.toByteArray)
+    out.array()
+  }
+
   /** Implicit-VR-LE encoded element (tag + 4-byte length, no VR). */
   def implicitElement(group: Int, elem: Int, value: Array[Byte]): Array[Byte] = {
     val padded = if (value.length % 2 == 0) value else value :+ ' '.toByte

@@ -296,12 +296,13 @@ class MultimodalSpec extends AnyFunSuite {
   test("assetNeighbors: k neighbors per asset through the bucketed path") {
     val imgDir = Multimodal.ensureImageFixtures()
     val rows = Multimodal.assetNeighbors(spark, Seq(fixtures, imgDir), k = 3).collect()
-    // 11 assets (6 dicom-dir fixtures + 5 image fixtures) × top-3 each:
-    // the LSH default geometry (8 tables × 2 bits) must recall enough
-    // candidates that every asset still fills its k slots
-    assert(rows.length == 33)
+    // 12 assets (6 dicom-dir fixtures + 6 generated fixtures, incl. the
+    // JPEG-baseline DICOM) × top-3 each: the LSH default geometry
+    // (8 tables × 2 bits) must recall enough candidates that every asset
+    // still fills its k slots
+    assert(rows.length == 36)
     val byPath = rows.groupBy(_.getAs[String]("path"))
-    assert(byPath.size == 11)
+    assert(byPath.size == 12)
     byPath.values.foreach { g =>
       assert(g.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)))
     }
@@ -318,5 +319,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(vec.length == 64)
     val norm = math.sqrt(vec.map(v => v.toDouble * v).sum)
     assert(math.abs(norm - 1.0) < 1e-4)
+  }
+
+  test("JPEG-baseline encapsulated DICOM decodes via ImageIO as dicom-pixels") {
+    import java.nio.file.Files
+    val w = 20; val h = 12
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 11 + y * 5) % 256 << 16) |
+          ((x * 3 + y * 7) % 256 << 8) | ((x + y * 13) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val jpeg = jb.toByteArray
+    def dcmFor(ts: String, rows: Int) = DicomWriter.file(Seq(
+      DicomWriter.usElement(0x0028, 0x0002, 3),   // SamplesPerPixel
+      DicomWriter.usElement(0x0028, 0x0010, rows),
+      DicomWriter.usElement(0x0028, 0x0011, w),
+      DicomWriter.usElement(0x0028, 0x0100, 8),
+      DicomWriter.encapsulatedPixels(Seq(jpeg))), transferSyntax = ts)
+    val dir = Files.createTempDirectory("graft-dcm-jpeg")
+    Files.write(dir.resolve("jpeg.dcm"), dcmFor("1.2.840.10008.1.2.4.50", h))
+    // same fragment stream under a codec we cannot decode (JPEG 2000)
+    Files.write(dir.resolve("j2k.dcm"), dcmFor("1.2.840.10008.1.2.4.90", h))
+    // header geometry that DISAGREES with the decoded JPEG
+    Files.write(dir.resolve("mismatch.dcm"), dcmFor("1.2.840.10008.1.2.4.50", h + 1))
+    try {
+      // independently-computed truth: decode the same (even-padded)
+      // fragment bytes with ImageIO and draw onto a BGR canvas at
+      // identity scale — never through the operator's internals
+      val padded = if (jpeg.length % 2 == 0) jpeg else jpeg :+ 0.toByte
+      val truthImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(padded))
+      val canvas = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = canvas.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(truthImg, 0, 0, w, h, null)
+      g.dispose()
+      val truth = java.security.MessageDigest.getInstance("MD5")
+        .digest(canvas.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData)
+        .map("%02x".format(_)).mkString
+      val rawMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(padded).map("%02x".format(_)).mkString
+
+      val r = Multimodal.resizeMeta(spark, Seq(dir.toString), maxSide = 64)
+        .collect().map(x => x.getAs[String]("path") -> x).toMap
+      val ok = r("jpeg.dcm")
+      assert(ok.getAs[String]("decoder") == "dicom-pixels")
+      assert(ok.getAs[Int]("width") == w && ok.getAs[Int]("height") == h)
+      assert(ok.getAs[String]("pixel_md5") == truth)
+
+      val j2k = r("j2k.dcm")
+      assert(j2k.getAs[String]("decoder") == "dicom-pixels-unsupported")
+      assert(j2k.getAs[String]("pixel_md5") == rawMd5)
+
+      val mm = r("mismatch.dcm")
+      assert(mm.getAs[String]("decoder") == "dicom-pixels-raw")
+      assert(mm.getAs[Int]("height") == h + 1) // header geometry kept
+      assert(mm.getAs[String]("pixel_md5") == rawMd5)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("generated gradient-jpeg.dcm fixture decodes in the registered query path") {
+    val dir = Multimodal.ensureImageFixtures()
+    val r = Multimodal.resizeMeta(spark, Seq(dir)).collect()
+      .map(x => x.getAs[String]("path") -> x).toMap
+    val row = r("gradient-jpeg.dcm")
+    assert(row.getAs[String]("decoder") == "dicom-pixels")
+    assert(row.getAs[Int]("width") == 48 && row.getAs[Int]("height") == 32)
+    assert(row.getAs[String]("pixel_md5") != null)
   }
 }
