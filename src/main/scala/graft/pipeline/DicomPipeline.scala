@@ -80,14 +80,21 @@ object DicomPipeline {
   private def emptyFiles(spark: SparkSession, inputPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(inputPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // listStatusIterator, NOT listFiles(recursive): the located variant
+    // materializes a LocatedFileStatus per file, which on the local
+    // filesystem loads permissions by FORKING `ls -ld` per file — the
+    // 9.5k-object extraction rehearsal measured 37 s of driver time in
+    // that walk (~4 ms/fork) against ~1 s for the plain status walk.
+    // Only isFile/getLen are needed here, and they never fork.
     if (!fs.exists(p)) Nil
     else {
-      val it = fs.listFiles(p, true)
       val out = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getLen == 0) out += s.getPath.toString
-      }
+      def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
+        if (st.isDirectory) {
+          val it = fs.listStatusIterator(st.getPath)
+          while (it.hasNext) walk(it.next())
+        } else if (st.getLen == 0) out += st.getPath.toString
+      walk(fs.getFileStatus(p))
       out.result()
     }
   }
@@ -188,8 +195,15 @@ object DicomPipeline {
     if (df.columns.nonEmpty && !df.isEmpty)
       // maxRecordsPerFile bounds output-file size (the reference's known
       // small-files weakness inverted: one file per invocation there; here
-      // the writer packs rows per partition and splits only past the cap)
-      df.write.mode("append")
+      // the writer packs rows per partition and splits only past the cap).
+      // REBALANCE on the partition column first: without it every scan
+      // task writes one file per date it happens to hold — the 9.5k-object
+      // rehearsal produced 5,251 files for 9,500 rows (measured); with it,
+      // one file per date. The AQE rebalance also SPLITS a skewed date
+      // across tasks instead of funneling it into one, which a plain
+      // repartition(col) would not.
+      df.hint("rebalance", org.apache.spark.sql.functions.col(Flatten.PartitionColSnake))
+        .write.mode("append")
         .partitionBy(Flatten.PartitionColSnake)
         .option("compression", "snappy")
         .option("maxRecordsPerFile", if (maxRecordsPerFile > 0) maxRecordsPerFile.toString else "0")
