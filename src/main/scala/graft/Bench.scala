@@ -16,7 +16,10 @@ object Bench {
     // never let the cold first pass into the tail window
     val tail = ts.drop(1).takeRight(3).sorted
     val tailMedian = tail(tail.size / 2)
-    if (tailMedian > 1.25 * ts.min) Some("tail-median-gt-1.25x-min") else None
+    // the 200 ms grace keeps sub-second queries from flagging on task
+    //-scheduling jitter that is absolute, not proportional
+    if (tailMedian > 1.25 * ts.min + 0.2) Some("tail-median-gt-1.25x-min")
+    else None
   }
 
   def main(args: Array[String]): Unit = {
