@@ -27,6 +27,23 @@ object StreamQueries {
     s.createDataFrame(rows.asJava, schema)
   }
 
+
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered to
+    * `spark.graft.stream.shufflePartitions` (default 8): every stateful
+    * streaming operator creates one state-store partition per shuffle
+    * partition PER MICRO-BATCH, so the finite drains here were paying
+    * 32-way task fan-out times the batch count on kilobyte-scale state.
+    * The session value is snapshotted at stream start, so scoping the
+    * override around construction+drain is sufficient and the batch
+    * session setting is restored afterwards (these finite-drain helpers
+    * run serially — Bench and Verify invoke one query at a time). */
+  private def withStreamPartitions[A](s: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, s.conf.get("spark.graft.stream.shufflePartitions", "8"))
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Stage a scratch copy of one testdata parquet under target/dicomq and
     * mint a unique memory-sink view name — the shared preamble of every
     * finite readStream query. Returns (inputDir, viewName); pass both back
@@ -72,7 +89,7 @@ object StreamQueries {
     * mode in-memory sink. Must produce exactly the batch `q14` result —
     * and shares its DuckDB oracle, so the streaming engine itself is
     * correctness-gated. Exact integer ns bucket math as in q14. */
-  def streamEventsWindow(s: SparkSession, dir: String): DataFrame = {
+  def streamEventsWindow(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "win")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -104,7 +121,7 @@ object StreamQueries {
     * equal the BATCH q15 result — so the custom-state path shares q15's
     * DuckDB oracle. Events are sorted (ts, event_id) inside the group,
     * exactly the batch window's ordering. */
-  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "sess")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -169,7 +186,7 @@ object StreamQueries {
     * and the entry shares a DuckDB oracle. The eviction semantics
     * themselves (duplicate re-admitted after the watermark passes its
     * first occurrence) are pinned across micro-batches in WatermarkSpec. */
-  def streamDedupWatermarked(s: SparkSession, dir: String): DataFrame = {
+  def streamDedupWatermarked(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "wmdedup")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -207,7 +224,7 @@ object StreamQueries {
     * oracle sees (q25/q28 precedent). The per-error rollup happens on
     * the drained (driver-local) matches; the streaming engine owns the
     * join itself. */
-  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "ssjoin")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -251,7 +268,7 @@ object StreamQueries {
     * become visible mid-stream). Per-batch enriched rows aggregate by
     * market segment in complete mode; the finite drain must equal the
     * batch join + rollup, which is the DuckDB oracle. */
-  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "enrich")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -276,7 +293,7 @@ object StreamQueries {
       dropView = Some(name), deleteDirs = Seq(in))
   }
 
-  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+  def streamDedup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "documents.parquet", "dedup")
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
