@@ -394,33 +394,34 @@ object Dedup {
     import s.implicits._
     // Per-doc DISTINCT gram set built NARROWLY in the scan projection
     // (native one-pass [[graft.functions.CharGrams]] — no interpreted
-    // per-gram lambdas): no shuffle to dedupe (doc_id, gram) pairs and no
-    // collect_set re-aggregation later — the doc-level array is computed
-    // once where the row already lives.
+    // per-gram lambdas). The corpus-wide gram-array table is NEVER
+    // materialized (same lesson as the minhash rewrite: the columnar
+    // cache build of array columns alone cost ~1.2 s at sf0.1 and would
+    // pin a corpus-sized array cache at 100 TB) — candidate generation
+    // consumes it lazily once, and the verify stage re-derives gram sets
+    // for CANDIDATE docs only.
     graft.functions.VectorExpressions.register(s)
-    val docSets = tracked(docs(s, dir)
-      .filter(length($"text") >= 5)
+    val d = docs(s, dir).filter(length($"text") >= 5)
+    def gramSets(in: DataFrame): DataFrame = in
       .select($"doc_id",
         call_function("graft_char_grams", $"text", lit(5)).as("g_set"))
-      .withColumn("n_g", size($"g_set").cast("long")))
-    val grams = docSets.select($"doc_id", explode($"g_set").as("gram"))
+    val grams = gramSets(d).select($"doc_id", explode($"g_set").as("gram"))
     // df filter BEFORE any doc list materializes: count(*) over a window
     // keyed on gram runs in WindowExec's spillable row container (a
     // stop-gram with millions of docs spills to disk instead of growing
     // one collect_list agg buffer until OOM), and the groupBy that follows
     // reuses the window's hashpartitioning(gram) — the gram relation
     // shuffles exactly ONCE in the whole query, and the collect_list only
-    // ever sees groups of ≤ 20 rows. Pairs are generated in-place
-    // (≤ df²/2 per gram).
-    // the rare-gram df cap bounds candidate volume (pairs ≤ df²/2 per
-    // gram) AND is the recall dial: a duplicated corpus inflates every
-    // gram's df uniformly, so the cap must scale with the duplication
-    // factor or candidates vanish entirely — observed at the 10× scale
-    // rehearsal, where df≤20 yields ZERO candidates until raised.
-    // Default 20 is oracle-pinned; ScaleRehearsal exercises 200.
+    // ever sees groups of ≤ maxDf rows. Pairs are generated in-place
+    // (≤ df²/2 per gram). The cap bounds candidate volume AND is the
+    // recall dial: a duplicated corpus inflates every gram's df
+    // uniformly, so it must scale with the duplication factor or
+    // candidates vanish entirely — observed at the 10× scale rehearsal,
+    // where df≤20 yields ZERO candidates until raised. Default 20 is
+    // oracle-pinned; ScaleRehearsal exercises 200.
     val maxDf = s.conf.get("spark.graft.dedup.ngram.maxDf", "20").toLong
     val gramWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
-    val cand = grams
+    val cand = ckptHinted(grams
       .withColumn("df", count(lit(1)).over(gramWin))
       .filter($"df" <= maxDf)
       .groupBy($"gram")
@@ -430,9 +431,16 @@ object Dedup {
                   p -> p.a < p.b)""")).as("p"))
       .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
+      .coalesce(4))
+    val candIds = cand.select($"doc_a".as("doc_id"))
+      .union(cand.select($"doc_b".as("doc_id"))).distinct()
+    val candSets = ckptHinted(
+      gramSets(d.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        .withColumn("n_g", size($"g_set").cast("long"))
+        .coalesce(4))
     cand
-      .join(docSets.as("ca"), $"doc_a" === $"ca.doc_id")
-      .join(docSets.as("cb"), $"doc_b" === $"cb.doc_id")
+      .join(candSets.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(candSets.as("cb"), $"doc_b" === $"cb.doc_id")
       .select($"doc_a", $"doc_b",
         size(array_intersect($"ca.g_set", $"cb.g_set")).cast("double").as("n_inter"),
         ($"ca.n_g" + $"cb.n_g").as("n_sum"))
