@@ -390,38 +390,46 @@ object Dedup {
     * gram (df ≤ 20), then exact Jaccard via set intersection on doc-level
     * sorted gram arrays (the gram relation shuffles once for df, once for
     * the doc aggregate; the pair verification touches only doc rows). */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  private def ngramDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Per-doc DISTINCT gram set built NARROWLY in the scan projection
-    // (native one-pass [[graft.functions.CharGrams]] — no interpreted
-    // per-gram lambdas). The corpus-wide gram-array table is NEVER
-    // materialized (same lesson as the minhash rewrite: the columnar
-    // cache build of array columns alone cost ~1.2 s at sf0.1 and would
-    // pin a corpus-sized array cache at 100 TB) — candidate generation
-    // consumes it lazily once, and the verify stage re-derives gram sets
-    // for CANDIDATE docs only.
+    docs(s, dir).filter(length($"text") >= 5)
+  }
+
+  /** Per-doc DISTINCT gram set built NARROWLY in the scan projection
+    * (native one-pass [[graft.functions.CharGrams]] — no interpreted
+    * per-gram lambdas). */
+  private def ngramGramSets(s: SparkSession, in: DataFrame): DataFrame = {
+    import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    val d = docs(s, dir).filter(length($"text") >= 5)
-    def gramSets(in: DataFrame): DataFrame = in
-      .select($"doc_id",
-        call_function("graft_char_grams", $"text", lit(5)).as("g_set"))
-    val grams = gramSets(d).select($"doc_id", explode($"g_set").as("gram"))
-    // df filter BEFORE any doc list materializes: count(*) over a window
-    // keyed on gram runs in WindowExec's spillable row container (a
-    // stop-gram with millions of docs spills to disk instead of growing
-    // one collect_list agg buffer until OOM), and the groupBy that follows
-    // reuses the window's hashpartitioning(gram) — the gram relation
-    // shuffles exactly ONCE in the whole query, and the collect_list only
-    // ever sees groups of ≤ maxDf rows. Pairs are generated in-place
-    // (≤ df²/2 per gram). The cap bounds candidate volume AND is the
-    // recall dial: a duplicated corpus inflates every gram's df
-    // uniformly, so it must scale with the duplication factor or
-    // candidates vanish entirely — observed at the 10× scale rehearsal,
-    // where df≤20 yields ZERO candidates until raised. Default 20 is
-    // oracle-pinned; ScaleRehearsal exercises 200.
+    in.select($"doc_id",
+      call_function("graft_char_grams", $"text", lit(5)).as("g_set"))
+  }
+
+  /** Candidate pairs sharing a RARE gram (df ≤ maxDf), UN-checkpointed so
+    * plan guards (ScaleGuardSpec) can inspect the shuffle structure that
+    * [[ngramJaccard]]'s localCheckpoint otherwise truncates to a
+    * Scan ExistingRDD.
+    *
+    * df filter BEFORE any doc list materializes: count(*) over a window
+    * keyed on gram runs in WindowExec's spillable row container (a
+    * stop-gram with millions of docs spills to disk instead of growing
+    * one collect_list agg buffer until OOM), and the groupBy that follows
+    * reuses the window's hashpartitioning(gram) — the gram relation
+    * shuffles exactly ONCE in the whole query, and the collect_list only
+    * ever sees groups of ≤ maxDf rows. Pairs are generated in-place
+    * (≤ df²/2 per gram). The cap bounds candidate volume AND is the
+    * recall dial: a duplicated corpus inflates every gram's df
+    * uniformly, so it must scale with the duplication factor or
+    * candidates vanish entirely — observed at the 10× scale rehearsal,
+    * where df≤20 yields ZERO candidates until raised. Default 20 is
+    * oracle-pinned; ScaleRehearsal exercises 200. */
+  private[graft] def ngramCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = ngramGramSets(s, ngramDocs(s, dir))
+      .select($"doc_id", explode($"g_set").as("gram"))
     val maxDf = s.conf.get("spark.graft.dedup.ngram.maxDf", "20").toLong
     val gramWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
-    val cand = ckptHinted(grams
+    grams
       .withColumn("df", count(lit(1)).over(gramWin))
       .filter($"df" <= maxDf)
       .groupBy($"gram")
@@ -431,7 +439,19 @@ object Dedup {
                   p -> p.a < p.b)""")).as("p"))
       .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
-      .coalesce(4))
+      .coalesce(4)
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // The corpus-wide gram-array table is NEVER materialized (same lesson
+    // as the minhash rewrite: the columnar cache build of array columns
+    // alone cost ~1.2 s at sf0.1 and would pin a corpus-sized array cache
+    // at 100 TB) — candidate generation consumes it lazily once, and the
+    // verify stage re-derives gram sets for CANDIDATE docs only.
+    val d = ngramDocs(s, dir)
+    def gramSets(in: DataFrame): DataFrame = ngramGramSets(s, in)
+    val cand = ckptHinted(ngramCandidates(s, dir))
     val candIds = cand.select($"doc_a".as("doc_id"))
       .union(cand.select($"doc_b".as("doc_id"))).distinct()
     val candSets = ckptHinted(

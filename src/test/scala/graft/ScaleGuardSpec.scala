@@ -84,7 +84,10 @@ class ScaleGuardSpec extends AnyFunSuite {
   }
 
   test("ngramJaccard: df filter precedes doc-list collection, same shuffle") {
-    val p = Dedup.ngramJaccard(spark, sf).queryExecution.executedPlan.toString
+    // Inspect the UN-checkpointed candidate relation: ngramJaccard's
+    // localCheckpoint truncates this subtree to a Scan ExistingRDD in the
+    // final plan, hiding exactly the structure this guard pins.
+    val p = Dedup.ngramCandidates(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("Window [count(1)"), "df must come from a window count")
     val agg = p.indexOf("collect_list(doc_id")
     val win = p.indexOf("Window [count(1)")
