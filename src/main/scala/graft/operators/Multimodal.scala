@@ -217,7 +217,7 @@ object Multimodal {
         var entries = 0
         var payload = 0L
         while (off + 512 <= content.length && content(off) != 0) {
-          val sizeStr = new String(content, off + 124, 12).trim.takeWhile(_ != ' ')
+          val sizeStr = new String(content, off + 124, 12).trim.takeWhile(_ != '\u0000')
           val size = scala.util.Try(java.lang.Long.parseLong(sizeStr.trim, 8)).getOrElse(0L)
           val typeflag = content(off + 156)
           if (typeflag == '0' || typeflag == 0) { entries += 1; payload += size }
@@ -339,41 +339,7 @@ object Multimodal {
         val decodable = w > 0 && h > 0 && px.length >= frameBytes && frameBytes > 0 &&
           ((ch == 3 && bits == 8 && planar == 0) || (ch == 1 && (bits == 8 || bits == 16)))
         if (decodable) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          // fill the 3-byte-BGR buffer directly (same bytes setRGB would
-          // produce, without a per-pixel ColorModel round-trip)
-          val buf = img.getRaster.getDataBuffer
-            .asInstanceOf[java.awt.image.DataBufferByte].getData
-          if (ch == 3) {
-            var i = 0
-            while (i < w * h) {
-              buf(3 * i) = px(3 * i + 2)     // B
-              buf(3 * i + 1) = px(3 * i + 1) // G
-              buf(3 * i + 2) = px(3 * i)     // R
-              i += 1
-            }
-          } else {
-            val grey = new Array[Int](w * h)
-            if (bits == 8) { var i = 0; while (i < w * h) { grey(i) = px(i) & 0xff; i += 1 } }
-            else {
-              // 16-bit mono: parser normalized values to LE; window the
-              // frame's min..max into 0..255 (deterministic, LUT-free)
-              val v = new Array[Int](w * h)
-              var i = 0
-              while (i < w * h) { v(i) = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8); i += 1 }
-              val (lo, hi) = (v.min, v.max)
-              val span = math.max(1, hi - lo)
-              i = 0
-              while (i < w * h) { grey(i) = (v(i) - lo) * 255 / span; i += 1 }
-            }
-            var i = 0
-            while (i < w * h) {
-              val g8 = grey(i).toByte
-              buf(3 * i) = g8; buf(3 * i + 1) = g8; buf(3 * i + 2) = g8
-              i += 1
-            }
-          }
+          val img = rasterFromInterleaved(w, h, ch, bits, px)
           val (ow, oh, sum) = resampleImage(img, maxSide)
           Some(ResizedAsset(path, mediaType, w, h, ow, oh,
             ow.toLong * oh * 3, "dicom-pixels", Some(sum)))
@@ -397,6 +363,52 @@ object Multimodal {
       }
     }.toOption.flatten
 
+  /** Build a BufferedImage from NATIVE interleaved DICOM pixel bytes —
+    * 8-bit interleaved RGB or 8/16-bit single-sample grayscale (16-bit
+    * windowed to 8 by min–max normalization — deterministic, LUT-free).
+    * The 3-byte-BGR buffer is filled directly (same bytes setRGB would
+    * produce, without a per-pixel ColorModel round-trip). Shared by the
+    * native-syntax and RLE decode paths so "same pixels in ⇒ same
+    * checksum out" holds across transfer syntaxes too. Caller has
+    * validated layout and length. */
+  private def rasterFromInterleaved(
+      w: Int, h: Int, ch: Int, bits: Int,
+      px: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    if (ch == 3) {
+      var i = 0
+      while (i < w * h) {
+        buf(3 * i) = px(3 * i + 2)     // B
+        buf(3 * i + 1) = px(3 * i + 1) // G
+        buf(3 * i + 2) = px(3 * i)     // R
+        i += 1
+      }
+    } else {
+      val grey = new Array[Int](w * h)
+      if (bits == 8) { var i = 0; while (i < w * h) { grey(i) = px(i) & 0xff; i += 1 } }
+      else {
+        // 16-bit mono: values arrive LE; window the frame's min..max
+        val v = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) { v(i) = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8); i += 1 }
+        val (lo, hi) = (v.min, v.max)
+        val span = math.max(1, hi - lo)
+        i = 0
+        while (i < w * h) { grey(i) = (v(i) - lo) * 255 / span; i += 1 }
+      }
+      var i = 0
+      while (i < w * h) {
+        val g8 = grey(i).toByte
+        buf(3 * i) = g8; buf(3 * i + 1) = g8; buf(3 * i + 2) = g8
+        i += 1
+      }
+    }
+    img
+  }
+
   /** JPEG-baseline (1.2.840.10008.1.2.4.50) transfer syntax UID — the
     * most common compressed syntax and the one the JDK can decode
     * natively (ImageIO's JPEG reader works on the raw fragment stream).
@@ -405,13 +417,104 @@ object Multimodal {
     * surface with honest provenance labels. */
   private val JpegBaselineTs = "1.2.840.10008.1.2.4.50"
 
+  /** RLE Lossless (1.2.840.10008.1.2.5) transfer syntax UID — the one
+    * compressed syntax decodable in pure JVM code (PS3.5 annex G is a
+    * PackBits variant), so no codec library is needed. */
+  private val RleLosslessTs = "1.2.840.10008.1.2.5"
+
+  /** One PackBits byte stream (PS3.5 G.3.1): control byte n in [0,127]
+    * copies the next n+1 literal bytes; n in [-127,-1] repeats the next
+    * byte 1-n times; -128 is a no-op (the recommended pad byte). Returns
+    * None for a stream whose final run is truncated. */
+  private def packBitsDecode(
+      data: Array[Byte], from: Int, until: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(until - from)
+    var i = from
+    while (i < until) {
+      val n = data(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        if (i + cnt > until) return None
+        out.write(data, i, cnt); i += cnt
+      } else if (n != -128) {
+        if (i >= until) return None
+        val b = data(i); i += 1
+        var k = 1 - n
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Decode one RLE frame (PS3.5 annex G): a 64-byte header of uint32 LE
+    * values — segment count then up to 15 segment offsets (relative to
+    * frame start, first always 64) — followed by one PackBits stream per
+    * segment. Returns the decoded byte segments, or None on a malformed
+    * header or truncated stream. */
+  private def rleSegments(px: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (px.length < 64) return None
+    def u32(i: Int): Long =
+      (px(i) & 0xffL) | ((px(i + 1) & 0xffL) << 8) |
+        ((px(i + 2) & 0xffL) << 16) | ((px(i + 3) & 0xffL) << 24)
+    val nSeg = u32(0)
+    if (nSeg < 1 || nSeg > 15) return None
+    val bounds = Array.tabulate(nSeg.toInt)(i => u32(4 * (i + 1))) :+ px.length.toLong
+    if (bounds(0) != 64 ||
+        bounds.sliding(2).exists(p => p(0) > p(1) || p(1) > px.length)) return None
+    val segs = (0 until nSeg.toInt)
+      .map(i => packBitsDecode(px, bounds(i).toInt, bounds(i + 1).toInt))
+    if (segs.forall(_.isDefined)) Some(segs.map(_.get)) else None
+  }
+
+  /** RLE segments → interleaved native layout, when the segment count and
+    * decoded sizes AGREE with the header geometry. DICOM RLE segments are
+    * byte planes: 1 ⇒ 8-bit mono; 2 ⇒ 16-bit mono (MSB plane then LSB
+    * plane — re-interleaved LE for the shared raster core); 3 ⇒ 8-bit
+    * R,G,B planes. Left is `true` when the streams decoded cleanly but
+    * the sizes/layout disagree with the header (the "raw" provenance),
+    * `false` when the frame is structurally undecodable. */
+  private def rleRaster(
+      w: Int, h: Int, ch: Int, bits: Int,
+      px: Array[Byte]): Either[Boolean, java.awt.image.BufferedImage] =
+    rleSegments(px) match {
+      case None => Left(false)
+      case Some(segs) =>
+        val n = w * h
+        val fits = segs.forall(_.length == n)
+        (segs.length, ch, bits) match {
+          case (3, 3, 8) if fits =>
+            val inter = new Array[Byte](3 * n)
+            var i = 0
+            while (i < n) {
+              inter(3 * i) = segs(0)(i)
+              inter(3 * i + 1) = segs(1)(i)
+              inter(3 * i + 2) = segs(2)(i)
+              i += 1
+            }
+            Right(rasterFromInterleaved(w, h, 3, 8, inter))
+          case (1, 1, 8) if fits =>
+            Right(rasterFromInterleaved(w, h, 1, 8, segs(0)))
+          case (2, 1, 16) if fits =>
+            val inter = new Array[Byte](2 * n)
+            var i = 0
+            while (i < n) {
+              inter(2 * i) = segs(1)(i)     // LSB plane
+              inter(2 * i + 1) = segs(0)(i) // MSB plane
+              i += 1
+            }
+            Right(rasterFromInterleaved(w, h, 1, 16, inter))
+          case _ => Left(true) // well-formed streams, header disagrees
+        }
+    }
+
   /** Encapsulated (compressed) pixel decode. JPEG-baseline fragments go
-    * through ImageIO and the shared Graphics2D resample core — same
-    * checksum contract as every other decoded format. The decoded
-    * geometry must AGREE with the header (Rows/Columns); disagreement
-    * keeps the header geometry and checksums the raw fragment bytes as
+    * through ImageIO, RLE Lossless through the pure-JVM PackBits decoder
+    * — both feed the shared Graphics2D resample core, so the checksum
+    * contract matches every other decoded format. The decoded geometry
+    * must AGREE with the header (Rows/Columns); disagreement keeps the
+    * header geometry and checksums the raw fragment bytes as
     * `dicom-pixels-raw`, exactly like the native-syntax mismatch case.
-    * Any other codec (or a fragment stream ImageIO rejects) reports
+    * Any other codec (or a fragment stream the decoder rejects) reports
     * `dicom-pixels-unsupported` with the raw-fragment checksum. */
   private def encapsulatedResize(
       path: String, mediaType: String, parsed: DicomParser.DicomFile,
@@ -420,24 +523,39 @@ object Multimodal {
     val h = dicomShort("Rows", parsed)
     val ch = math.max(1, dicomShort("SamplesPerPixel", parsed))
     val bits = math.max(8, dicomShort("BitsAllocated", parsed))
-    val decoded =
+    val frames = dicomShort("NumberOfFrames", parsed)
+    // (decoded image, decoded-but-header-disagrees) — the boolean keeps
+    // the "raw" vs "unsupported" provenance split of the native path
+    val (decoded, mismatch): (Option[java.awt.image.BufferedImage], Boolean) =
       if (parsed.transferSyntax == JpegBaselineTs)
         scala.util.Try(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(px))).toOption.flatMap(Option(_))
-      else None
+          new java.io.ByteArrayInputStream(px))).toOption.flatMap(Option(_)) match {
+          case Some(img) if img.getWidth == w && img.getHeight == h => (Some(img), false)
+          case Some(_) => (None, true)
+          case None => (None, false)
+        }
+      // multi-frame RLE concatenates one RLE stream per frame with the
+      // boundaries only in the (dropped) basic offset table — undecodable
+      // from the concatenation alone, honestly unsupported
+      else if (parsed.transferSyntax == RleLosslessTs && w > 0 && h > 0 && frames <= 1)
+        rleRaster(w, h, ch, bits, px) match {
+          case Right(img) => (Some(img), false)
+          case Left(m) => (None, m)
+        }
+      else (None, false)
     decoded match {
-      case Some(img) if img.getWidth == w && img.getHeight == h =>
+      case Some(img) =>
         val (ow, oh, sum) = resampleImage(img, maxSide)
         Some(ResizedAsset(path, mediaType, w, h, ow, oh,
           ow.toLong * oh * 3, "dicom-pixels", Some(sum)))
-      case other if w > 0 && h > 0 =>
+      case None if w > 0 && h > 0 =>
         val scale = if (math.max(w, h) <= maxSide) 1.0
                     else maxSide.toDouble / math.max(w, h)
         val ow = math.ceil(w * scale).toInt
         val oh = math.ceil(h * scale).toInt
         val d = java.security.MessageDigest.getInstance("MD5").digest(px)
         val label =
-          if (other.isDefined) "dicom-pixels-raw" // decoded but geometry disagrees
+          if (mismatch) "dicom-pixels-raw" // decoded but header disagrees
           else "dicom-pixels-unsupported"
         Some(ResizedAsset(path, mediaType, w, h, ow, oh,
           ow.toLong * oh * ch * math.max(1, bits / 8), label,
@@ -490,7 +608,8 @@ object Multimodal {
     // guard and the writers can never drift apart
     val imageDims = Seq(("gradient.png", 320, 200, "png"), ("gradient.jpg", 300, 180, "jpg"),
       ("gradient.gif", 64, 40, "gif"), ("gradient.bmp", 90, 60, "bmp"))
-    val names = imageDims.map(_._1) ++ Seq("tone.wav", "gradient-jpeg.dcm")
+    val names = imageDims.map(_._1) ++
+      Seq("tone.wav", "gradient-jpeg.dcm", "gradient-rle.dcm")
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-image-fixtures")
     // completeness guard on the FILES, not the directory: a crash (or a
     // concurrent process racing this one — `synchronized` is JVM-local)
@@ -551,41 +670,36 @@ object Multimodal {
           javax.sound.sampled.AudioSystem.write(
             ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, f)
         }
-        // JPEG-baseline encapsulated DICOM: the deterministic gradient,
-        // ImageIO-encoded to JPEG and wrapped as a minimal explicit-VR
-        // file under transfer syntax 1.2.840.10008.1.2.4.50 — exercises
-        // the encapsulated fragment-stream decode end-to-end
-        install("gradient-jpeg.dcm") { f =>
-          def le(n: Int) = java.nio.ByteBuffer.allocate(n)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          def us(g: Int, e: Int, v: Int): Array[Byte] = {
-            val b = le(10); b.putShort(g.toShort).putShort(e.toShort)
-            b.put('U'.toByte).put('S'.toByte).putShort(2).putShort(v.toShort)
-            b.array()
-          }
-          def ui(g: Int, e: Int, s0: String): Array[Byte] = {
-            val v0 = s0.getBytes("US-ASCII")
-            val v = if (v0.length % 2 == 0) v0 else v0 :+ 0.toByte
-            val b = le(8 + v.length); b.putShort(g.toShort).putShort(e.toShort)
-            b.put('U'.toByte).put('I'.toByte).putShort(v.length.toShort)
-            b.put(v); b.array()
-          }
-          val (w, h) = (48, 32)
-          val jb = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(gradient(w, h), "jpg", jb)
-          val frag0 = jb.toByteArray
+        // minimal explicit-VR encapsulated-DICOM writer shared by the
+        // compressed-syntax fixtures below
+        def le(n: Int) = java.nio.ByteBuffer.allocate(n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def us(g: Int, e: Int, v: Int): Array[Byte] = {
+          val b = le(10); b.putShort(g.toShort).putShort(e.toShort)
+          b.put('U'.toByte).put('S'.toByte).putShort(2).putShort(v.toShort)
+          b.array()
+        }
+        def ui(g: Int, e: Int, s0: String): Array[Byte] = {
+          val v0 = s0.getBytes("US-ASCII")
+          val v = if (v0.length % 2 == 0) v0 else v0 :+ 0.toByte
+          val b = le(8 + v.length); b.putShort(g.toShort).putShort(e.toShort)
+          b.put('U'.toByte).put('I'.toByte).putShort(v.length.toShort)
+          b.put(v); b.array()
+        }
+        def encapsulatedDicom(ts0: String, w: Int, h: Int, spp: Int,
+                              frag0: Array[Byte]): Array[Byte] = {
           val frag = if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte
           val out = new java.io.ByteArrayOutputStream()
           out.write(new Array[Byte](128)); out.write("DICM".getBytes)
-          val ts = ui(0x0002, 0x0010, "1.2.840.10008.1.2.4.50")
+          val ts = ui(0x0002, 0x0010, ts0)
           out.write(le(12).putShort(0x0002.toShort).putShort(0x0000.toShort)
             .put('U'.toByte).put('L'.toByte).putShort(4)
             .putInt(ts.length).array())
           out.write(ts)
-          out.write(us(0x0028, 0x0002, 3))  // SamplesPerPixel
-          out.write(us(0x0028, 0x0010, h))  // Rows
-          out.write(us(0x0028, 0x0011, w))  // Columns
-          out.write(us(0x0028, 0x0100, 8))  // BitsAllocated
+          out.write(us(0x0028, 0x0002, spp)) // SamplesPerPixel
+          out.write(us(0x0028, 0x0010, h))   // Rows
+          out.write(us(0x0028, 0x0011, w))   // Columns
+          out.write(us(0x0028, 0x0100, 8))   // BitsAllocated
           // (7FE0,0010) OB undefined length: BOT item + 1 fragment + delim
           out.write(le(12).putShort(0x7fe0.toShort).putShort(0x0010.toShort)
             .put('O'.toByte).put('B'.toByte).putShort(0).putInt(0xffffffff).array())
@@ -596,7 +710,56 @@ object Multimodal {
           out.write(frag)
           out.write(le(8).putShort(0xfffe.toShort).putShort(0xe0dd.toShort)
             .putInt(0).array())
-          java.nio.file.Files.write(f.toPath, out.toByteArray)
+          out.toByteArray
+        }
+        // JPEG-baseline encapsulated DICOM: the deterministic gradient,
+        // ImageIO-encoded to JPEG and wrapped under transfer syntax
+        // 1.2.840.10008.1.2.4.50 — exercises the encapsulated
+        // fragment-stream decode end-to-end
+        install("gradient-jpeg.dcm") { f =>
+          val (w, h) = (48, 32)
+          val jb = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(gradient(w, h), "jpg", jb)
+          java.nio.file.Files.write(f.toPath,
+            encapsulatedDicom("1.2.840.10008.1.2.4.50", w, h, 3, jb.toByteArray))
+        }
+        // RLE Lossless encapsulated DICOM: the SAME gradient pixels as
+        // R,G,B byte planes, PackBits-encoded (runs ≥ 2 → replicate run,
+        // else literal run, -128 pad) under a 64-byte offset header —
+        // transfer syntax 1.2.840.10008.1.2.5, the pure-JVM decode path
+        install("gradient-rle.dcm") { f =>
+          val (w, h) = (48, 32)
+          def packBits(seg: Array[Byte]): Array[Byte] = {
+            val out = new java.io.ByteArrayOutputStream()
+            var i = 0
+            while (i < seg.length) {
+              var run = 1
+              while (i + run < seg.length && run < 128 && seg(i + run) == seg(i)) run += 1
+              if (run >= 2) { out.write(1 - run); out.write(seg(i)); i += run }
+              else {
+                var lit = 1
+                while (i + lit < seg.length && lit < 128 &&
+                       !(i + lit + 1 < seg.length && seg(i + lit) == seg(i + lit + 1))) lit += 1
+                out.write(lit - 1); out.write(seg, i, lit); i += lit
+              }
+            }
+            if (out.size % 2 == 1) out.write(-128) // even pad, decoder no-op
+            out.toByteArray
+          }
+          // byte planes in R,G,B order from the same formula gradient()
+          // paints — the cross-syntax checksum pin in MultimodalSpec
+          // depends on this equality
+          val planes = Seq(
+            Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 3).toByte),
+            Array.tabulate(w * h)(i => ((i % w) * 5 + (i / w) * 11).toByte),
+            Array.tabulate(w * h)(i => ((i % w) * 13 + (i / w)).toByte))
+          val encoded = planes.map(packBits)
+          val hdr = le(64)
+          hdr.putInt(encoded.length)
+          encoded.foldLeft(64L) { (off, e) => hdr.putInt(off.toInt); off + e.length }
+          val frame = hdr.array() ++ encoded.flatten
+          java.nio.file.Files.write(f.toPath,
+            encapsulatedDicom("1.2.840.10008.1.2.5", w, h, 3, frame))
         }
       } finally graft.util.Fs.deleteRecursively(stage)
     }

@@ -296,13 +296,13 @@ class MultimodalSpec extends AnyFunSuite {
   test("assetNeighbors: k neighbors per asset through the bucketed path") {
     val imgDir = Multimodal.ensureImageFixtures()
     val rows = Multimodal.assetNeighbors(spark, Seq(fixtures, imgDir), k = 3).collect()
-    // 12 assets (6 dicom-dir fixtures + 6 generated fixtures, incl. the
-    // JPEG-baseline DICOM) × top-3 each: the LSH default geometry
-    // (8 tables × 2 bits) must recall enough candidates that every asset
-    // still fills its k slots
-    assert(rows.length == 36)
+    // 13 assets (6 dicom-dir fixtures + 7 generated fixtures, incl. the
+    // JPEG-baseline and RLE DICOMs) × top-3 each: the LSH default
+    // geometry (8 tables × 2 bits) must recall enough candidates that
+    // every asset still fills its k slots
+    assert(rows.length == 39)
     val byPath = rows.groupBy(_.getAs[String]("path"))
-    assert(byPath.size == 12)
+    assert(byPath.size == 13)
     byPath.values.foreach { g =>
       assert(g.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)))
     }
@@ -398,5 +398,192 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[String]("decoder") == "dicom-pixels")
     assert(row.getAs[Int]("width") == 48 && row.getAs[Int]("height") == 32)
     assert(row.getAs[String]("pixel_md5") != null)
+  }
+
+  // --- RLE Lossless (1.2.840.10008.1.2.5): pure-JVM PackBits decode ---
+
+  /** Independent mini-encoders for the RLE tests — deliberately NOT the
+    * operator's (or the fixture writer's) code, so an encode/decode bug
+    * can't cancel itself out. */
+  private def rleFrame(segs: Seq[Array[Byte]]): Array[Byte] = {
+    val hdr = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(segs.length)
+    segs.foldLeft(64L) { (off, s) => hdr.putInt(off.toInt); off + s.length }
+    hdr.array() ++ segs.toArray.flatten
+  }
+
+  /** Literal-only PackBits: chunks of ≤128 literal bytes — trivially a
+    * valid stream, exercises the literal-run decode branch. */
+  private def literalPackBits(seg: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < seg.length) {
+      val n = math.min(128, seg.length - i)
+      out.write(n - 1); out.write(seg, i, n); i += n
+    }
+    if (out.size % 2 == 1) out.write(-128)
+    out.toByteArray
+  }
+
+  /** Run-emitting PackBits: every run ≥ 2 becomes a replicate run, every
+    * isolated byte a 1-byte literal — exercises the replicate branch and
+    * the -128 pad no-op. */
+  private def runPackBits(seg: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < seg.length) {
+      var run = 1
+      while (i + run < seg.length && run < 128 && seg(i + run) == seg(i)) run += 1
+      if (run >= 2) { out.write(1 - run); out.write(seg(i)); i += run }
+      else { out.write(0); out.write(seg(i)); i += 1 }
+    }
+    if (out.size % 2 == 1) out.write(-128)
+    out.toByteArray
+  }
+
+  private def rleHeader(spp: Int, rows: Int, cols: Int, bits: Int) = Seq(
+    DicomWriter.usElement(0x0028, 0x0002, spp),
+    DicomWriter.usElement(0x0028, 0x0010, rows),
+    DicomWriter.usElement(0x0028, 0x0011, cols),
+    DicomWriter.usElement(0x0028, 0x0100, bits))
+
+  private val RleTs = "1.2.840.10008.1.2.5"
+
+  test("RLE Lossless RGB decodes checksum-identical to the native syntax") {
+    import java.nio.file.Files
+    val w = 20; val h = 12
+    val rgbPx = Array.tabulate(w * h * 3)(i => ((i * 7) % 251).toByte)
+    val planes = Seq(0, 1, 2).map(c => Array.tabulate(w * h)(i => rgbPx(3 * i + c)))
+    val native = DicomWriter.file(
+      rleHeader(3, h, w, 8) ++ Seq(
+        DicomWriter.usElement(0x0028, 0x0006, 0), // PlanarConfiguration
+        DicomWriter.element(0x7fe0, 0x0010, "OB", rgbPx)))
+    val rle = DicomWriter.file(
+      rleHeader(3, h, w, 8) :+ DicomWriter.encapsulatedPixels(
+        Seq(rleFrame(planes.map(literalPackBits)))),
+      transferSyntax = RleTs)
+    val dir = Files.createTempDirectory("graft-dcm-rle-rgb")
+    Files.write(dir.resolve("native.dcm"), native)
+    Files.write(dir.resolve("rle.dcm"), rle)
+    try {
+      val r = Multimodal.resizeMeta(spark, Seq(dir.toString), maxSide = 64)
+        .collect().map(x => x.getAs[String]("path") -> x).toMap
+      val (n, e) = (r("native.dcm"), r("rle.dcm"))
+      assert(n.getAs[String]("decoder") == "dicom-pixels")
+      assert(e.getAs[String]("decoder") == "dicom-pixels")
+      assert(e.getAs[Int]("width") == w && e.getAs[Int]("height") == h)
+      // same pixels in ⇒ same checksum out, across transfer syntaxes
+      assert(n.getAs[String]("pixel_md5") == e.getAs[String]("pixel_md5"))
+      assert(n.getAs[String]("pixel_md5") != null)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("RLE Lossless 16-bit mono with replicate runs matches native") {
+    import java.nio.file.Files
+    val w = 16; val h = 8
+    // plateaus of 16 equal values force replicate runs in both planes
+    val vals = Array.tabulate(w * h)(i => (i / 16) * 600)
+    val lePx = new Array[Byte](w * h * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      lePx(2 * i) = (v & 0xff).toByte; lePx(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val msb = vals.map(v => ((v >> 8) & 0xff).toByte)
+    val lsb = vals.map(v => (v & 0xff).toByte)
+    val native = DicomWriter.file(
+      rleHeader(1, h, w, 16) :+ DicomWriter.element(0x7fe0, 0x0010, "OW", lePx))
+    // DICOM RLE 16-bit segments: most-significant byte plane first
+    val rle = DicomWriter.file(
+      rleHeader(1, h, w, 16) :+ DicomWriter.encapsulatedPixels(
+        Seq(rleFrame(Seq(runPackBits(msb), runPackBits(lsb))))),
+      transferSyntax = RleTs)
+    val dir = Files.createTempDirectory("graft-dcm-rle-mono")
+    Files.write(dir.resolve("native.dcm"), native)
+    Files.write(dir.resolve("rle.dcm"), rle)
+    try {
+      val r = Multimodal.resizeMeta(spark, Seq(dir.toString), maxSide = 64)
+        .collect().map(x => x.getAs[String]("path") -> x).toMap
+      val (n, e) = (r("native.dcm"), r("rle.dcm"))
+      assert(n.getAs[String]("decoder") == "dicom-pixels")
+      assert(e.getAs[String]("decoder") == "dicom-pixels")
+      assert(n.getAs[String]("pixel_md5") == e.getAs[String]("pixel_md5"))
+      assert(n.getAs[String]("pixel_md5") != null)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("RLE failure modes keep the honest provenance labels") {
+    import java.nio.file.Files
+    val w = 8; val h = 4
+    val seg = Array.tabulate(w * h)(i => (i * 3).toByte)
+    val goodFrame = rleFrame(Seq(literalPackBits(seg)))
+    // decodes cleanly but header claims one more row → header/payload
+    // disagreement, exactly the native-syntax "raw" case
+    val mismatch = DicomWriter.file(
+      rleHeader(1, h + 1, w, 8) :+
+        DicomWriter.encapsulatedPixels(Seq(goodFrame)),
+      transferSyntax = RleTs)
+    // structurally broken stream: literal run of 128 with no data behind
+    val truncated = DicomWriter.file(
+      rleHeader(1, h, w, 8) :+ DicomWriter.encapsulatedPixels(
+        Seq(rleFrame(Seq(Array[Byte](0x7f, 0x00))))),
+      transferSyntax = RleTs)
+    // multi-frame: frame boundaries live in the dropped offset table —
+    // honestly undecodable from the concatenation
+    val multiframe = DicomWriter.file(
+      (rleHeader(1, h, w, 8) :+
+        DicomWriter.strElement(0x0028, 0x0008, "IS", "2")) :+
+        DicomWriter.encapsulatedPixels(Seq(goodFrame, goodFrame)),
+      transferSyntax = RleTs)
+    val dir = Files.createTempDirectory("graft-dcm-rle-bad")
+    Files.write(dir.resolve("mismatch.dcm"), mismatch)
+    Files.write(dir.resolve("truncated.dcm"), truncated)
+    Files.write(dir.resolve("multiframe.dcm"), multiframe)
+    try {
+      val r = Multimodal.resizeMeta(spark, Seq(dir.toString), maxSide = 64)
+        .collect().map(x => x.getAs[String]("path") -> x).toMap
+      assert(r("mismatch.dcm").getAs[String]("decoder") == "dicom-pixels-raw")
+      assert(r("mismatch.dcm").getAs[Int]("height") == h + 1) // header kept
+      assert(r("truncated.dcm").getAs[String]("decoder") == "dicom-pixels-unsupported")
+      assert(r("multiframe.dcm").getAs[String]("decoder") == "dicom-pixels-unsupported")
+      // the raw fragment bytes are still checksummed either way
+      assert(r("mismatch.dcm").getAs[String]("pixel_md5") != null)
+      assert(r("truncated.dcm").getAs[String]("pixel_md5") != null)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("generated gradient-rle.dcm fixture matches a native twin of the same gradient") {
+    import java.nio.file.Files
+    val dir = Multimodal.ensureImageFixtures()
+    val (w, h) = (48, 32)
+    // native-syntax twin of the fixture's gradient, built independently
+    val rgbPx = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        rgbPx(3 * i) = ((x * 7 + y * 3) % 256).toByte
+        rgbPx(3 * i + 1) = ((x * 5 + y * 11) % 256).toByte
+        rgbPx(3 * i + 2) = ((x * 13 + y) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val native = DicomWriter.file(
+      rleHeader(3, h, w, 8) ++ Seq(
+        DicomWriter.usElement(0x0028, 0x0006, 0),
+        DicomWriter.element(0x7fe0, 0x0010, "OB", rgbPx)))
+    val ndir = Files.createTempDirectory("graft-dcm-rle-twin")
+    Files.write(ndir.resolve("twin.dcm"), native)
+    try {
+      val r = Multimodal.resizeMeta(spark, Seq(dir, ndir.toString)).collect()
+        .map(x => x.getAs[String]("path") -> x).toMap
+      val row = r("gradient-rle.dcm")
+      assert(row.getAs[String]("decoder") == "dicom-pixels")
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+      // the fixture's run-capable encoder and the operator's decoder meet
+      // at the same raster the native path produces
+      assert(row.getAs[String]("pixel_md5") == r("twin.dcm").getAs[String]("pixel_md5"))
+    } finally graft.util.Fs.deleteRecursively(ndir)
   }
 }
