@@ -55,6 +55,15 @@ object Bench {
         case _: Throwable => None // failures report as -1, never as a time
       } finally {
         spark.catalog.clearCache() // per-query caches must not leak across passes
+        // localCheckpoint blocks (components rounds, minhash/ngram
+        // candidate leaves) are freed only when the driver GC collects
+        // the RDD handles and the ContextCleaner reaps the blocks — by
+        // mid-suite that deferred garbage was stalling UNRELATED queries
+        // (dedup_simhash_pairs ran [2.5, 6.2, 1.5] in-suite but a clean
+        // warm-up descent in isolation). Collect it between passes,
+        // OUTSIDE the timed window, so each pass starts from the same
+        // heap state the query would see in its own JVM.
+        System.gc()
       }
     }
     only.foreach { names =>

@@ -59,6 +59,11 @@ object SparkEntry {
     // implementation-specific → rows-only; SketchBoundsSpec gates the
     // merged estimate against the exact distinct count
     "q33_sketch_union"  -> (Relational.q33SketchUnion _),
+    // mergeable Count-Min frequency sketch (per-source partials → lossless
+    // union via the CmsUnion UDAF) scoring q19's oracle-gated heavy
+    // hitters — rows-only; SketchBoundsSpec checks n ≤ est_n ≤ n + eps·N
+    // and merged-equals-single-pass
+    "q34_cms_heavy_hitters" -> (Relational.q34CmsHeavyHitters _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),

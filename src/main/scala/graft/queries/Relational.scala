@@ -341,6 +341,42 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** MERGEABLE frequency sketch (Count-Min): per-source partial CMS over
+    * document tokens, merged with [[graft.functions.CmsUnion]] (Spark
+    * ships `count_min_sketch` but no union aggregate over built
+    * sketches). CMS merge is LOSSLESS — counters sum elementwise — so
+    * the per-source union is identical to a single corpus-wide pass
+    * (pinned in SketchBoundsSpec). The merged sketch then scores q19's
+    * exact heavy-hitter list (which IS oracle-gated): every `est_n` must
+    * satisfy n ≤ est_n ≤ n + eps·N. 100 TB pattern: per-shard ~100 KB
+    * partials persist beside the data, and any ad-hoc "how often does
+    * token X appear" answers from the merged sketch without rescanning
+    * the corpus. The merged sketch takes ONE bounded driver hop (a
+    * single ~100 KB row, like the k-row centroid merges) and returns to
+    * the executors as a broadcast. Estimates are implementation-specific
+    * → rows-only; SketchBoundsSpec checks both guarantees. */
+  def q34CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+    val partials = words
+      .groupBy($"source")
+      .agg(count_min_sketch($"word", lit(0.001), lit(0.99), lit(42)).as("sk"))
+    val merged = partials
+      .agg(udaf(graft.functions.CmsUnion).apply($"sk").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val bc = s.sparkContext.broadcast(merged)
+    q19SaltedAgg(s, dir).as[(String, Long)]
+      .mapPartitions { it =>
+        lazy val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bc.value))
+        it.map { case (w, n) => (w, n, cms.estimateCount(w)) }
+      }
+      .toDF("word", "n", "est_n")
+      .orderBy($"n".desc, $"word")
+  }
+
   /** JSON function surface: extract a field from the events.props JSON
     * column, cast, and aggregate per event type. */
   def q21JsonFns(s: SparkSession, dir: String): DataFrame = {

@@ -84,4 +84,40 @@ class SketchBoundsSpec extends AnyFunSuite {
         s"merged HLL estimate $approx vs exact $ex: relative error $relErr exceeds 3σ bound")
     }
   }
+
+  test("q34 merged CMS obeys its published bounds and merges losslessly") {
+    import spark.implicits._
+    val rows = Relational.q34CmsHeavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the merge must actually union multiple per-source partials
+    assert(docs.select($"source").distinct().count() > 1)
+    val words = docs
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+    val totalN = words.count()
+    val eps = 0.001 // q34's count_min_sketch relative-error parameter
+    rows.foreach { r =>
+      val (w, n, est) =
+        (r.getAs[String]("word"), r.getAs[Long]("n"), r.getAs[Long]("est_n"))
+      // CMS guarantee #1: counters only ever overcount
+      assert(est >= n, s"CMS must never underestimate: '$w' est=$est < exact=$n")
+      // CMS guarantee #2: overcount ≤ eps·N with confidence 0.99 — fixed
+      // seed + deterministic data ⇒ the observed error never flakes
+      assert(est <= n + eps * totalN,
+        s"CMS estimate $est for '$w' (exact $n) exceeds the eps·N=${eps * totalN} bound")
+    }
+    // lossless merge: estimates from the per-source partial union must
+    // EQUAL a single corpus-wide sketch built with the same geometry —
+    // counters sum elementwise, addition commutes
+    val global = words
+      .agg(count_min_sketch($"word", lit(0.001), lit(0.99), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(global))
+    rows.foreach { r =>
+      assert(cms.estimateCount(r.getAs[String]("word")) == r.getAs[Long]("est_n"),
+        s"merged-partials estimate diverged from the single-pass sketch for '${r.getAs[String]("word")}'")
+    }
+  }
 }
