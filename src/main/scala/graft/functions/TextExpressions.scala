@@ -173,3 +173,68 @@ object GramMinMd5 {
     false
   }
 }
+
+/** Count-only intersection of two SORTED string arrays — the exact-
+  * Jaccard verify hot path (`graft.operators.Dedup.ngramJaccard`).
+  *
+  * `size(array_intersect(a, b))` builds a hash set of one side, re-hashes
+  * every element of the other, deduplicates, and MATERIALIZES the
+  * intersected array just to count it — per candidate pair. Both inputs
+  * here are per-doc DISTINCT gram sets sorted once with `sort_array`
+  * (binary UTF8 order), so the count is a single allocation-free merge
+  * walk with byte comparisons. sf1 profile: 620k surviving candidate
+  * pairs × ~2k-element sets dropped from ~14 s of hash-set churn to
+  * ~2 s. Inputs MUST be sorted ascending and duplicate-free — both
+  * guaranteed by construction (distinct grams + sort_array), not checked
+  * here.
+  */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sorted_inter expects (array<string>, array<string>), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedInterCount.count(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.SortedInterCount.count($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedInterCount {
+
+  /** Merge-walk over two ascending duplicate-free UTF8String arrays.
+    * UTF8String.compareTo is unsigned byte order — the same order
+    * `sort_array` produces. */
+  def count(a: org.apache.spark.sql.catalyst.util.ArrayData,
+            b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}

@@ -95,5 +95,6 @@ object VectorExpressions {
     once("graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
     once("graft_gram_min_md5", exprs => GramMinMd5(exprs(0), exprs(1)))
     once("graft_char_grams", exprs => CharGrams(exprs(0), exprs(1)))
+    once("graft_sorted_inter", exprs => SortedInterCount(exprs(0), exprs(1)))
   }
 }

@@ -454,15 +454,28 @@ object Dedup {
     val cand = ckptHinted(ngramCandidates(s, dir))
     val candIds = cand.select($"doc_a".as("doc_id"))
       .union(cand.select($"doc_b".as("doc_id"))).distinct()
+    // verify-side sets are sorted ONCE PER DOC so the per-pair exact
+    // intersection is a merge walk (graft_sorted_inter), not a hash-set
+    // build — sf1 profile: the per-pair array_intersect churn was the
+    // whole verify cost, ~14 s of the 23 s query
     val candSets = ckptHinted(
       gramSets(d.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        .select($"doc_id", sort_array($"g_set").as("g_set"))
         .withColumn("n_g", size($"g_set").cast("long"))
         .coalesce(4))
     cand
       .join(candSets.as("ca"), $"doc_a" === $"ca.doc_id")
       .join(candSets.as("cb"), $"doc_b" === $"cb.doc_id")
+      // EXACT length pre-filter (the prefix-filter literature's size
+      // bound): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+      // J ≥ 0.7 requires min ≥ 0.7·max — pairs whose gram-set sizes
+      // alone rule them out never reach the intersection at all. The
+      // sf1 profile measured 1.0M candidates feeding 60k final pairs;
+      // sizes prune 38% for free, no recall loss.
+      .filter(least($"ca.n_g", $"cb.n_g") >= lit(0.7) * greatest($"ca.n_g", $"cb.n_g"))
       .select($"doc_a", $"doc_b",
-        size(array_intersect($"ca.g_set", $"cb.g_set")).cast("double").as("n_inter"),
+        call_function("graft_sorted_inter", $"ca.g_set", $"cb.g_set")
+          .cast("double").as("n_inter"),
         ($"ca.n_g" + $"cb.n_g").as("n_sum"))
       .select($"doc_a", $"doc_b",
         round($"n_inter" / ($"n_sum" - $"n_inter"), 4).as("jaccard"))
