@@ -70,15 +70,55 @@ object Archives {
     }
   }
 
+  /** Streamed expansion for the oversized-object route (the reference's
+    * size-based compute router, `src/app.py:118-181`, re-expressed as a
+    * scan strategy): IDENTICAL member semantics to [[expand]] — the
+    * byte-array forms below delegate here, so the two routes cannot
+    * drift — but the archive itself is never materialized; peak memory
+    * is the largest KEPT MEMBER, not the container. A 50 GB tar.gz of
+    * scans expands entry-by-entry off the storage stream. Loose `.dcm`
+    * never reaches this (the router gives it the ranged header read,
+    * the reference's own `.dcm` bypass). */
+  def expandStream(key: String, in0: InputStream): Expansion = {
+    val ext = evalExt(key)
+    if (IgnoreExts.contains(ext)) { in0.close(); Ignored }
+    else ext match {
+      case ".zip" => expandZipStream(key, in0)
+      case ".tar" | ".gz" | ".bz2" | ".xz" => expandTarStream(key, in0)
+      case other => in0.close(); throw new UnsupportedExtensionException(other)
+    }
+  }
+
+  /** First `n` bytes without consuming them (mark/reset). */
+  private def sniff(in: java.io.BufferedInputStream, n: Int): Array[Byte] = {
+    in.mark(n)
+    val b = new Array[Byte](n)
+    var off = 0
+    var r = in.read(b, off, n - off)
+    while (r > 0) {
+      off += r
+      r = if (off < n) in.read(b, off, n - off) else -1
+    }
+    in.reset()
+    java.util.Arrays.copyOf(b, off)
+  }
+
   /** Archive member filter (`src/utils/utils.py:6-48`): regular files
     * only, no "DICOMDIR" in the name, DICM magic present. */
   private def keepMember(name: String, bytes: Array[Byte]): Boolean =
     !name.toUpperCase.contains("DICOMDIR") && DicomParser.isDicom(bytes)
 
-  private def expandZip(key: String, content: Array[Byte]): Entries = {
-    if (content.length < 4 || content(0) != 'P' || content(1) != 'K')
+  private def expandZip(key: String, content: Array[Byte]): Entries =
+    expandZipStream(key, new ByteArrayInputStream(content))
+
+  private def expandZipStream(key: String, in0: InputStream): Entries = {
+    val in = new java.io.BufferedInputStream(in0)
+    val magic = sniff(in, 4)
+    if (magic.length < 4 || magic(0) != 'P' || magic(1) != 'K') {
+      in.close()
       throw new InvalidArchiveException(s"Invalid ZipFile $key")
-    val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(content))
+    }
+    val zin = new java.util.zip.ZipInputStream(in)
     val out = Vector.newBuilder[(String, Array[Byte])]
     try {
       var entry = zin.getNextEntry
@@ -98,15 +138,19 @@ object Archives {
 
   /** tar / tar.gz / tar.bz2 / tar.xz — compression chosen by magic bytes
     * (tarfile.open('r') auto-detect semantics). */
-  private def expandTar(key: String, content: Array[Byte]): Entries = {
-    val raw: InputStream = new ByteArrayInputStream(content)
+  private def expandTar(key: String, content: Array[Byte]): Entries =
+    expandTarStream(key, new ByteArrayInputStream(content))
+
+  private def expandTarStream(key: String, in0: InputStream): Entries = {
+    val raw = new java.io.BufferedInputStream(in0)
+    val magic = sniff(raw, 6)
     val decompressed: InputStream =
-      if (content.length >= 2 && (content(0) & 0xff) == 0x1f && (content(1) & 0xff) == 0x8b)
+      if (magic.length >= 2 && (magic(0) & 0xff) == 0x1f && (magic(1) & 0xff) == 0x8b)
         new GzipCompressorInputStream(raw, true)
-      else if (content.length >= 3 && content(0) == 'B' && content(1) == 'Z' && content(2) == 'h')
+      else if (magic.length >= 3 && magic(0) == 'B' && magic(1) == 'Z' && magic(2) == 'h')
         new BZip2CompressorInputStream(raw, true)
-      else if (content.length >= 6 && (content(0) & 0xff) == 0xfd && content(1) == '7' &&
-               content(2) == 'z' && content(3) == 'X' && content(4) == 'Z' && content(5) == 0)
+      else if (magic.length >= 6 && (magic(0) & 0xff) == 0xfd && magic(1) == '7' &&
+               magic(2) == 'z' && magic(3) == 'X' && magic(4) == 'Z' && magic(5) == 0)
         new XZCompressorInputStream(raw)
       else raw
     val tin = new TarArchiveInputStream(decompressed)

@@ -50,17 +50,50 @@ object DicomPipeline {
     * pruning); `None` = full conversion, the pipeline's semantics. */
   def processObject(bucket: String, region: String, key: String,
                     content: Array[Byte],
-                    keep: Option[Set[String]] = None): Either[DicomError, Seq[ImageRow]] = {
-    try {
-      Archives.expand(key, content) match {
-        case Archives.Ignored => Right(Nil)
-        case Archives.Entries(entries) =>
-          Right(entries.map { case (name, bytes) =>
-            val parsed = DicomParser.parse(bytes)
-            ImageRow(Flatten.flatten(parsed, bucket, region, key, name, keep))
-          })
+                    keep: Option[Set[String]] = None): Either[DicomError, Seq[ImageRow]] =
+    guarded(key)(fromExpansion(Archives.expand(key, content), bucket, region, key, keep))
+
+  /** Process ONE OVERSIZED object off a storage STREAM (the S11 size
+    * router's dedicated path; runs on executors, one object per task).
+    * Loose `.dcm` takes the ranged header read — the reference's own
+    * `.dcm` bypass (`src/app.py:118`: only non-`.dcm` routes to batch
+    * compute, because the ranged GET already bounds the big-file cost);
+    * archives expand entry-by-entry via [[Archives.expandStream]], so
+    * peak task memory is the largest kept MEMBER, never the container.
+    * Error taxonomy identical to [[processObject]] — the two routes
+    * share [[fromExpansion]] and [[guarded]], so results cannot drift. */
+  def processStreamedObject(bucket: String, region: String, key: String,
+                            conf: org.apache.hadoop.conf.Configuration,
+                            keep: Option[Set[String]] = None): Either[DicomError, Seq[ImageRow]] =
+    guarded(key) {
+      if (Archives.evalExt(key) == ".dcm")
+        fromExpansion(
+          Archives.expand(key,
+            graft.sources.DicomSourceUtil.readBytes(key, conf, Archives.DcmRangeBytes)),
+          bucket, region, key, keep)
+      else {
+        val p = new org.apache.hadoop.fs.Path(key)
+        fromExpansion(
+          Archives.expandStream(key, p.getFileSystem(conf).open(p)),
+          bucket, region, key, keep)
       }
-    } catch {
+    }
+
+  private def fromExpansion(exp: Archives.Expansion, bucket: String, region: String,
+                            key: String, keep: Option[Set[String]]): Seq[ImageRow] =
+    exp match {
+      case Archives.Ignored => Nil
+      case Archives.Entries(entries) =>
+        entries.map { case (name, bytes) =>
+          val parsed = DicomParser.parse(bytes)
+          ImageRow(Flatten.flatten(parsed, bucket, region, key, name, keep))
+        }
+    }
+
+  /** The pipeline's whole-object error taxonomy (DLQ stages). */
+  private def guarded(key: String)(body: => Seq[ImageRow]): Either[DicomError, Seq[ImageRow]] =
+    try Right(body)
+    catch {
       case e: DicomParser.InvalidDicomException =>
         Left(DicomError(key, "parse", e.getMessage))
       case e: Archives.UnsupportedExtensionException =>
@@ -70,14 +103,17 @@ object DicomPipeline {
       case scala.util.control.NonFatal(e) =>
         Left(DicomError(key, "transform", s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
-  }
 
   /** Zero-length files never produce scan splits (Spark file-source
     * planning skips them), yet the reference's canonical failure fixture
     * is an EMPTY `DICOMDIR` whose error record we must emit
     * (README.md:116). List them explicitly — listing only the empties is
     * driver-cheap (the source lists the directory anyway). */
-  private def emptyFiles(spark: SparkSession, inputPath: String): Seq[String] = {
+  /** One driver walk, two route lists: zero-length files (whose error
+    * records the file source would silently skip) and OVERSIZED files
+    * (> maxInline bytes) for the S11 streamed route. */
+  private def listRoutes(spark: SparkSession, inputPath: String,
+                         maxInline: Long): (Seq[String], Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(inputPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // listStatusIterator, NOT listFiles(recursive): the located variant
@@ -86,35 +122,67 @@ object DicomPipeline {
     // 9.5k-object extraction rehearsal measured 37 s of driver time in
     // that walk (~4 ms/fork) against ~1 s for the plain status walk.
     // Only isFile/getLen are needed here, and they never fork.
-    if (!fs.exists(p)) Nil
+    if (!fs.exists(p)) (Nil, Nil)
     else {
-      val out = Seq.newBuilder[String]
+      val empties = Seq.newBuilder[String]
+      val larges = Seq.newBuilder[String]
       def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
         if (st.isDirectory) {
           val it = fs.listStatusIterator(st.getPath)
           while (it.hasNext) walk(it.next())
-        } else if (st.getLen == 0) out += st.getPath.toString
+        } else if (st.getLen == 0) empties += st.getPath.toString
+        else if (st.getLen > maxInline) larges += st.getPath.toString
       walk(fs.getFileStatus(p))
-      out.result()
+      (empties.result(), larges.result())
     }
   }
 
+  /** Size threshold above which an object leaves the packed scan for the
+    * dedicated streamed route. Default mirrors the reference's 500 MB
+    * Lambda/Batch split (`src/app.py:25,118`) — with the difference that
+    * OUR override actually works (the reference reads the env var as a
+    * string and the `>` comparison with an int raises, so only its
+    * default path ever runs; COMPAT.md). */
+  private def maxInlineBytes(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.route.maxInlineBytes",
+      (500L * 1024 * 1024).toString).toLong
+
   /** Read binaries and run the extraction flatMap. `bucket`/`region` are
-    * lineage constants (the storage coordinates of `inputPath`). */
+    * lineage constants (the storage coordinates of `inputPath`).
+    *
+    * SIZE ROUTER (reference S11, `src/app.py:118-181`, as a scan
+    * strategy): objects ≤ maxInline ride the packed `binaryFile` scan
+    * (many small objects per task — the "Lambda" economics); objects
+    * above it are EXCLUDED from the scan by a pushed `length` filter
+    * (BinaryFileFormat skips their content entirely) and take a
+    * dedicated one-object-per-task streamed route instead (the
+    * "Batch" economics: isolated compute, bounded memory — ranged read
+    * for `.dcm`, entry-streaming for archives). Both routes share the
+    * same per-object code, so WHAT is computed never depends on WHERE
+    * it ran; SizeRouterSpec pins route-invariance. */
   def extract(spark: SparkSession, inputPath: String,
               bucket: String = "local", region: String = "local"): Extracted = {
-    // recursiveFileLookup keeps the scan consistent with emptyFiles'
-    // recursive listing (nested dirs yield rows AND their empties error)
+    val maxInline = maxInlineBytes(spark)
+    // recursiveFileLookup keeps the scan consistent with listRoutes'
+    // recursive walk (nested dirs yield rows AND their empties error)
     val bin = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(inputPath)
+      .filter(org.apache.spark.sql.functions.col("length") <= maxInline)
       .select("path", "content")
     val base = extractFromBinary(bin, bucket, region)
-    val empties = emptyFiles(spark, inputPath)
-    if (empties.isEmpty) base
+    val (empties, larges) = listRoutes(spark, inputPath, maxInline)
+    if (empties.isEmpty && larges.isEmpty) base
     else {
-      val extra = spark.sparkContext.parallelize(empties, 1)
+      val confSer = new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      val emptyRdd = spark.sparkContext.parallelize(empties, math.max(1, empties.size min 32))
         .map(p => processObject(bucket, region, p, Array.emptyByteArray))
+      // one task per oversized object: a 50 GB archive never shares its
+      // task (or its memory budget) with a thousand small objects
+      val largeRdd = spark.sparkContext.parallelize(larges, math.max(1, larges.size))
+        .map(p => processStreamedObject(bucket, region, p, confSer.value))
+      val extra = emptyRdd ++ largeRdd
       Extracted(
         rows = base.rows ++ extra.flatMap { case Right(rs) => rs; case Left(_) => Nil },
         errors = base.errors ++ extra.flatMap { case Left(e) => Some(e); case Right(_) => None })
