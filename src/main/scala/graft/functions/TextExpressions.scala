@@ -194,24 +194,35 @@ case class SortedInterCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
+  private lazy val longElements: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_sorted_inter expects (array<string>, array<string>), got $other")
+          s"graft_sorted_inter expects two array<string> or two array<bigint>, got $other")
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    SortedInterCount.count(
-      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (longElements) SortedInterCount.countLong(a, b)
+    else SortedInterCount.countUtf8(a, b)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (longElements) "countLong" else "countUtf8"
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"${ev.value} = graft.functions.SortedInterCount.count($a, $b);"
+      s"${ev.value} = graft.functions.SortedInterCount.$fn($a, $b);"
     })
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -222,8 +233,8 @@ object SortedInterCount {
   /** Merge-walk over two ascending duplicate-free UTF8String arrays.
     * UTF8String.compareTo is unsigned byte order — the same order
     * `sort_array` produces. */
-  def count(a: org.apache.spark.sql.catalyst.util.ArrayData,
-            b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+  def countUtf8(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
@@ -233,6 +244,25 @@ object SortedInterCount {
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Merge-walk over two ascending duplicate-free long arrays (signed
+    * order — `sort_array` on bigint). */
+  def countLong(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
       else j += 1
     }
     n

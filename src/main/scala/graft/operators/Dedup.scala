@@ -119,40 +119,10 @@ object Dedup {
     minhashPairs(s, docs(s, dir))
 
   /** MinHash+LSH near-dup pairs over an arbitrary (doc_id, text) frame —
-    * reused by [[minhashLsh]] and the corpus-clean composition. */
+    * reused by [[minhashLsh]], the corpus-clean composition, and (per
+    * side) the incremental variant [[minhashIncremental]]. */
   def minhashPairs(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
-    // The doc-level SIGNATURE table (n_docs rows × 8 short strings) is
-    // the only thing cached: profiling showed materializing per-doc
-    // shingle-hash ARRAYS (the previous design) cost ~1.2 s at sf0.1 in
-    // columnar cache build alone — and at 100 TB would pin a corpus-sized
-    // array cache. The 2.6M-row shingle relation is shuffled once here.
-    // two md5s per shingle, sliced into four 8-hex (32-bit) minhash
-    // fields each — min-over-uniform-hash at a quarter of the hashing
-    // cost (the md5 is CSE'd across the four mins that share it);
-    // DuckDB twin: min(substr(md5((perm//4)||'|'||shingle),
-    // (perm%4)*8+1, 8))
-    val mhAggs = (0 to 7).map { p =>
-      val h = md5(concat(lit(s"${p / 4}|"), $"shingle"))
-      min(substring(h, p % 4 * 8 + 1, 8)).as(s"mh$p")
-    }
-    // sigs stays LAZY: candidate generation below is its single consumer,
-    // so the n_docs-wide signature table is never materialized at all
-    val sigs = shinglesOf(d)
-      .groupBy($"doc_id")
-      .agg(mhAggs.head, mhAggs.tail: _*)
-
-    // band b covers perms {2b, 2b+1}; the "p:mh" strings sort by p (single
-    // leading digit), so concat in perm order == the sorted concat
-    val bandCols = (0 to 3).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat(lit(s"${2 * b}:"), col(s"mh${2 * b}"),
-                   lit(s"|${2 * b + 1}:"), col(s"mh${2 * b + 1}"))).as("band_hash"))
-    }
-    val bands = sigs
-      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
-
     // Candidate pairs by LSH BUCKETING, not a bands self-join: group on
     // (band, band_hash), expand in-bucket pairs from the collected id
     // list. Identical pair set (same band hashes) at half the shuffle —
@@ -163,7 +133,51 @@ object Dedup {
     // lists, the iterative components loop) sees a leaf instead of the
     // whole shingle/band pipeline — nested-cache plans here cost ~1 s of
     // driver-side PLANNING per action at sf0.1 (measured).
-    val cand = ckptHinted(bands
+    val cand = ckptHinted(bucketExpand(bandsOf(s, d))
+      .distinct()
+      .coalesce(4)) // pair-sized relation; 32 store tasks would be overhead
+    minhashVerify(s, d, cand)
+  }
+
+  /** LSH band relation (doc_id, band, band_hash) of a (doc_id, text)
+    * frame.
+    *
+    * The doc-level SIGNATURE table (n_docs rows × 8 short strings) stays
+    * LAZY — candidate generation is its single consumer, so it is never
+    * materialized (profiling showed per-doc shingle-hash ARRAYS cost
+    * ~1.2 s at sf0.1 in columnar cache build alone — and at 100 TB would
+    * pin a corpus-sized cache). The shingle relation shuffles once here.
+    * Two md5s per shingle, sliced into four 8-hex (32-bit) minhash
+    * fields each — min-over-uniform-hash at a quarter of the hashing
+    * cost (the md5 is CSE'd across the four mins that share it);
+    * DuckDB twin: min(substr(md5((perm//4)||'|'||shingle),
+    * (perm%4)*8+1, 8)) */
+  private def bandsOf(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    val mhAggs = (0 to 7).map { p =>
+      val h = md5(concat(lit(s"${p / 4}|"), $"shingle"))
+      min(substring(h, p % 4 * 8 + 1, 8)).as(s"mh$p")
+    }
+    val sigs = shinglesOf(d)
+      .groupBy($"doc_id")
+      .agg(mhAggs.head, mhAggs.tail: _*)
+    // band b covers perms {2b, 2b+1}; the "p:mh" strings sort by p (single
+    // leading digit), so concat in perm order == the sorted concat
+    val bandCols = (0 to 3).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(lit(s"${2 * b}:"), col(s"mh${2 * b}"),
+                   lit(s"|${2 * b + 1}:"), col(s"mh${2 * b + 1}"))).as("band_hash"))
+    }
+    sigs
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
+  }
+
+  /** In-bucket ordered pair expansion of a band relation (Σn_b² — the
+    * LSH contract). */
+  private def bucketExpand(bands: DataFrame): DataFrame = {
+    import bands.sparkSession.implicits._
+    bands
       .groupBy($"band", $"band_hash")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") > 1)
@@ -172,17 +186,23 @@ object Dedup {
           "transform(slice(ids, i + 2, size(ids) - i - 1), " +
           "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
       .select($"p.doc_a", $"p.doc_b")
-      .distinct()
-      .coalesce(4)) // pair-sized relation; 32 store tasks would be overhead
+  }
 
-    // Exact-Jaccard verify WITHOUT corpus-wide set materialization:
-    // re-shingle ONLY the candidate docs (broadcast semi-join prunes the
-    // rescan to the docs LSH actually surfaced — a vanishing fraction of
-    // the corpus) and intersect their distinct-shingle-hash sets. The
-    // arrays here are bounded by the CANDIDATE count, never corpus-sized.
-    // Jaccard-on-[[h60]]-hashes equals Jaccard-on-strings because the
-    // DuckDB oracle applies the SAME hash — any (astronomically unlikely)
-    // 60-bit collision collides identically in both engines.
+  /** Exact-Jaccard verification of candidate pairs WITHOUT corpus-wide
+    * set materialization: re-shingle ONLY the candidate docs (broadcast
+    * semi-join prunes the rescan to the docs LSH actually surfaced — a
+    * vanishing fraction of the corpus) and merge-walk their SORTED
+    * distinct-shingle-hash sets (`graft_sorted_inter` on bigint arrays —
+    * no per-pair hash-set build), gated by the exact length bound
+    * (J ≥ 0.5 ⟹ min ≥ 0.5·max, the same prefix-filter rule as the ngram
+    * verify). Arrays here are bounded by the CANDIDATE count, never
+    * corpus-sized. Jaccard-on-[[h60]]-hashes equals Jaccard-on-strings
+    * because the DuckDB oracle applies the SAME hash — any
+    * (astronomically unlikely) 60-bit collision collides identically in
+    * both engines. */
+  private def minhashVerify(s: SparkSession, d: DataFrame, cand: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
     val candIds = cand.select($"doc_a".as("doc_id"))
       .union(cand.select($"doc_b".as("doc_id"))).distinct()
     val candSets = ckptHinted(
@@ -195,13 +215,48 @@ object Dedup {
     cand
       .join(candSets.as("ca"), $"doc_a" === $"ca.doc_id")
       .join(candSets.as("cb"), $"doc_b" === $"cb.doc_id")
+      .filter(least($"ca.n_sh", $"cb.n_sh") >= lit(0.5) * greatest($"ca.n_sh", $"cb.n_sh"))
       .select($"doc_a", $"doc_b",
-        size(array_intersect($"ca.sh_set", $"cb.sh_set")).cast("double").as("n_inter"),
+        call_function("graft_sorted_inter", $"ca.sh_set", $"cb.sh_set")
+          .cast("double").as("n_inter"),
         ($"ca.n_sh" + $"cb.n_sh").as("n_sum"))
       .select($"doc_a", $"doc_b",
         round($"n_inter" / ($"n_sum" - $"n_inter"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** INCREMENTAL near-dup: dedup a NEW BATCH against an existing corpus
+    * without ever re-pairing the corpus against itself — the only shape
+    * that works when the index is 100 TB and the daily arrivals are a
+    * fraction of a percent. Batch = `doc_id % 10 = 7` (a deterministic
+    * 10% standing in for "today's arrivals"); index = everything else.
+    *
+    * Structure (and the whole point): index bands join batch bands on
+    * (band, band_hash) — index×index pairs are NEVER GENERATED, so the
+    * candidate volume is Σ n_b(index)·n_b(batch) + Σ n_b(batch)², not
+    * Σ n_b(corpus)². In production the index band/signature relation is
+    * the PERSISTED output of the previous run (a ~KB/doc table, exactly
+    * like the q33/q34 sketch partials); here it is recomputed from the
+    * same table because the driver gate reads one directory.
+    *
+    * Output = the full run's pairs restricted to batch-involving ones —
+    * the DuckDB oracle states exactly that, so the equivalence is
+    * hash-checked, not argued. */
+  def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = docs(s, dir)
+    val isBatch = pmod($"doc_id", lit(10)) === lit(7)
+    val batchBands = bandsOf(s, all.filter(isBatch))
+    val indexBands = bandsOf(s, all.filter(!isBatch))
+    val cross = batchBands.as("n")
+      .join(indexBands.as("i"), Seq("band", "band_hash"))
+      .select(
+        least($"n.doc_id", $"i.doc_id").as("doc_a"),
+        greatest($"n.doc_id", $"i.doc_id").as("doc_b"))
+    val within = bucketExpand(batchBands)
+    val cand = ckptHinted(cross.union(within).distinct().coalesce(4))
+    minhashVerify(s, all, cand)
   }
 
   /** Transitive near-duplicate GROUPS: connected components over the
