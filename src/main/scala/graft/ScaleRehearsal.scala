@@ -34,7 +34,7 @@ object ScaleRehearsal {
     * own row-cap guard, not a scale path (CONFIG.md
     * `spark.graft.dedup.exactCosineMaxRows`). */
   private val Family = Seq(
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_components",
     "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_embed_lsh", "dedup_semantic",
     "dedup_semantic_kmeans", "corpus_clean",

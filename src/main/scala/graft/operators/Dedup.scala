@@ -247,8 +247,18 @@ object Dedup {
     import s.implicits._
     val all = docs(s, dir)
     val isBatch = pmod($"doc_id", lit(10)) === lit(7)
-    val batchBands = bandsOf(s, all.filter(isBatch))
-    val indexBands = bandsOf(s, all.filter(!isBatch))
+    incrementalPairs(s, all.filter(!isBatch), all.filter(isBatch))
+  }
+
+  /** The library API behind [[minhashIncremental]]: near-dup pairs that
+    * involve at least one `batch` document, against an `index` corpus
+    * that is never paired with itself. Both frames are (doc_id, text)
+    * with disjoint ids. In production, feed `index` from the persisted
+    * band relation of the previous run instead of recomputing. */
+  def incrementalPairs(s: SparkSession, index: DataFrame, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val batchBands = bandsOf(s, batch)
+    val indexBands = bandsOf(s, index)
     val cross = batchBands.as("n")
       .join(indexBands.as("i"), Seq("band", "band_hash"))
       .select(
@@ -256,7 +266,7 @@ object Dedup {
         greatest($"n.doc_id", $"i.doc_id").as("doc_b"))
     val within = bucketExpand(batchBands)
     val cand = ckptHinted(cross.union(within).distinct().coalesce(4))
-    minhashVerify(s, all, cand)
+    minhashVerify(s, index.unionByName(batch), cand)
   }
 
   /** Transitive near-duplicate GROUPS: connected components over the
