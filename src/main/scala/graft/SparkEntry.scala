@@ -123,6 +123,10 @@ object SparkEntry {
     "stream_sessionize"    -> (StreamQueries.streamSessionize _),
     "stream_dedup"         -> (StreamQueries.streamDedup _),
     "stream_dedup_watermarked" -> (StreamQueries.streamDedupWatermarked _),
+    // streaming NEAR-dup (MinHash-LSH bucket state): each doc reports the
+    // min lower id sharing an LSH bucket — same band SQL as the batch
+    // minhash family in the oracle
+    "stream_neardup_filter" -> (StreamQueries.streamNearDup _),
     "stream_stream_join"   -> (StreamQueries.streamStreamJoin _),
     "stream_static_join"   -> (StreamQueries.streamStaticJoin _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
@@ -986,6 +990,26 @@ object SparkEntry {
     "stream_dedup_watermarked" ->
       """SELECT DISTINCT user_id, event_type
         |FROM events ORDER BY user_id, event_type""".stripMargin,
+
+    // single-batch drain ⇒ first-owner-wins == "min lower id sharing any
+    // LSH band bucket" — the same band CTEs as the batch minhash oracle
+    "stream_neardup_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
+        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
+        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
+        |        FROM perms GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 2 AS band,
+        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
+        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
+        |  FROM sig GROUP BY 1, 2)
+        |SELECT b.doc_id AS doc_id, min(a.doc_id) AS near_dup_of
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dicom_parse_da_fn" ->
       """SELECT o_orderkey,

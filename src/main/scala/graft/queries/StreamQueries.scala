@@ -311,4 +311,95 @@ object StreamQueries {
       s.table(name).orderBy($"text_hash"),
       dropView = Some(name), deleteDirs = Seq(in))
   }
+
+  case class BandRow(doc_id: Long, band: Int, band_hash: String)
+  case class NearDupHit(doc_id: Long, near_dup_of: Long)
+
+  /** STREAMING NEAR-DUP FILTER: MinHash-LSH dedup of a document stream
+    * against everything already ingested — the online twin of
+    * `dedup_minhash_lsh` / `dedup_incremental`.
+    *
+    * The per-doc signature is computed SCALAR-WISE (HOFs over the token
+    * array — no streaming aggregation, so the stateful op below is the
+    * query's only stateful operator; chaining agg→state is illegal in
+    * Structured Streaming). The hash family is bit-identical to the
+    * batch `bandsOf`: min over `substring(md5((p/4)|shingle),
+    * (p%4)*8+1, 8)` — so the DuckDB oracle is the SAME band SQL as the
+    * batch operators.
+    *
+    * State: ONE long (the owning doc_id) per live (band, band_hash)
+    * bucket — the store is bucket-count-sized, independent of document
+    * sizes. First owner wins; every later doc sharing a bucket emits
+    * (doc_id, owner), and the drain folds the per-band hits to
+    * min(owner) per doc. Within a micro-batch groups process id-sorted,
+    * so a single-batch drain (the driver gate's shape) equals the batch
+    * answer "min lower id sharing any bucket" exactly — hash-checked by
+    * the oracle. ACROSS batches the semantics are deliberately
+    * first-SEEN (a later-arriving lower id becomes the new owner but
+    * reports nothing — it is new content vs what was already accepted);
+    * NearDupStreamSpec pins that divergence as intended. Production
+    * corpora bound the state with a bucket TTL
+    * (`GroupStateTimeout.ProcessingTimeTimeout`) exactly like the
+    * watermarked exact dedup; the finite drain here keeps NoTimeout. */
+  def streamNearDup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val (in, name) = stageInput(s, dir, "documents.parquet", "neardup")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    nearDupDrain(s, s.readStream.schema(schema).parquet(in.toString),
+      name, deleteDirs = Seq(in))
+  }
+
+  /** The bands→bucket-state→drain core of [[streamNearDup]], taking any
+    * streaming documents frame — exposed so NearDupStreamSpec can drive
+    * it with a multi-file `maxFilesPerTrigger=1` source and pin the
+    * cross-batch first-seen semantics. */
+  private[graft] def nearDupDrain(s: SparkSession, stream: DataFrame,
+      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = {
+    import s.implicits._
+    def update(key: (Int, String), rows: Iterator[BandRow],
+               state: GroupState[Long]): Iterator[NearDupHit] = {
+      val ids = rows.map(_.doc_id).toSeq.sorted
+      var owner = state.getOption.getOrElse(Long.MaxValue)
+      val out = Seq.newBuilder[NearDupHit]
+      ids.foreach { id =>
+        if (id < owner) owner = id
+        else if (id > owner) out += NearDupHit(id, owner)
+      }
+      state.update(owner)
+      out.result().iterator
+    }
+
+    def mh(p: Int): String =
+      s"array_min(transform(h${p / 4}, h -> substring(h, ${p % 4 * 8 + 1}, 8)))"
+    val bandCols = (0 to 3).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(lit(s"${2 * b}:"), expr(mh(2 * b)),
+                   lit(s"|${2 * b + 1}:"), expr(mh(2 * b + 1)))).as("band_hash"))
+    }
+
+    val q = stream
+      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
+      .filter(size($"tk") >= 3)
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .withColumn("h0", expr("transform(sh, x -> md5(concat('0|', x)))"))
+      .withColumn("h1", expr("transform(sh, x -> md5(concat('1|', x)))"))
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndRelease(s,
+      s.table(name)
+        .groupBy($"doc_id")
+        .agg(min($"near_dup_of").as("near_dup_of"))
+        .orderBy($"doc_id"),
+      dropView = Some(name), deleteDirs = deleteDirs)
+  }
 }

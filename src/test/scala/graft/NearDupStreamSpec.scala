@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.queries.StreamQueries
+
+/** Streaming near-dup filter: single-batch equality with the batch
+  * "min lower id sharing an LSH bucket" rule is hash-checked by the
+  * DuckDB oracle; this spec pins the CROSS-batch semantics (first-seen
+  * owner wins — a later-arriving lower id is new content, not a dup of
+  * the future) and determinism. */
+class NearDupStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("neardup-stream-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("deterministic across repeated drains") {
+    val a = StreamQueries.streamNearDup(spark, sf).collect().map(_.toString).sorted
+    val b = StreamQueries.streamNearDup(spark, sf).collect().map(_.toString).sorted
+    assert(a.nonEmpty, "fixture corpus has near-dups; stream found none")
+    assert(a.sameElements(b))
+  }
+
+  test("cross-batch: first-seen owner wins, late lower id reports nothing") {
+    import spark.implicits._
+    val dupText = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    def doc(id: Long) = (id, dupText, "en", "web", dupText.length.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-batches")
+    try {
+      // batch 1: doc 5 arrives first and owns its buckets; batch 2: doc 3
+      // (same text, LOWER id) then doc 9. maxFilesPerTrigger=1 forces the
+      // two files into separate micro-batches in filename order.
+      Seq(doc(5)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(dir.resolve("b1").toString)
+      Seq(doc(3), doc(9)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(dir.resolve("b2").toString)
+      val staged = java.nio.file.Files.createTempDirectory("graft-neardup-in")
+      def cp(sub: String, as: String): Unit = {
+        val src = java.nio.file.Files.list(dir.resolve(sub))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(src, staged.resolve(as))
+      }
+      cp("b1", "part-0001.parquet")
+      cp("b2", "part-0002.parquet")
+      try {
+        val schema = spark.read.parquet(staged.toString).schema
+        val name = "neardup_xbatch_" + java.lang.Long.toHexString(
+          java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+        // the REAL stateful core, one file per trigger (filename order) so
+        // state carries across micro-batches
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+        val result = StreamQueries.nearDupDrain(spark, stream, name, Nil)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // doc 5 arrived first → owner; doc 3 (lower id, later) becomes
+        // the new owner silently; doc 9 then reports the CURRENT owner 3
+        assert(result == Seq((9L, 3L)),
+          s"cross-batch first-seen semantics drifted: $result")
+      } finally graft.util.Fs.deleteRecursively(staged)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+}
