@@ -83,6 +83,22 @@ class ScaleGuardSpec extends AnyFunSuite {
       "no leaked storage after release")
   }
 
+  test("minhash verify: length bound gates the merge-walk intersection") {
+    val p = Dedup.minhashLsh(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("sortedintercount"),
+      "exact verify must use the allocation-free merge walk, not array_intersect")
+    assert(!p.contains("array_intersect"))
+    // Catalyst folds both verify conjuncts into the join condition; the
+    // cheap length bound must sit FIRST so short-circuit evaluation
+    // gates the merge walk (same contract the ngram guard pins)
+    val condLine = p.linesIterator
+      .find(l => l.contains("least(n_sh") && l.contains("sortedintercount"))
+    assert(condLine.isDefined,
+      s"no operator evaluates the length bound alongside the intersection:\n$p")
+    assert(condLine.get.indexOf("least(n_sh") < condLine.get.indexOf("sortedintercount"),
+      "the exact length bound must precede (and gate) the intersection")
+  }
+
   test("ngramJaccard: df filter precedes doc-list collection, same shuffle") {
     // Inspect the UN-checkpointed candidate relation: ngramJaccard's
     // localCheckpoint truncates this subtree to a Scan ExistingRDD in the
