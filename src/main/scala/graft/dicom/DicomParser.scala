@@ -48,7 +48,13 @@ object DicomParser {
         * basic offset table, with [[pixelsEncapsulated]] = true — the
         * single-frame case that covers the JPEG-family syntaxes. */
       pixels: Option[Array[Byte]] = None,
-      pixelsEncapsulated: Boolean = false)
+      pixelsEncapsulated: Boolean = false,
+      /** byte length of each encapsulated fragment, in stream order —
+        * the boundaries the concatenation in [[pixels]] loses. RLE
+        * encodes one FRAME per fragment (PS3.5 A.4.2), so these are the
+        * frame boundaries a multi-frame decode needs. Empty for native
+        * pixel data. */
+      pixelFragmentLengths: Seq[Int] = Nil)
 
   final class InvalidDicomException(msg: String) extends RuntimeException(msg)
 
@@ -139,8 +145,8 @@ object DicomParser {
     // the data-set scan stopped AT the pixel tag (buffer parked on its
     // header); read it through the normal element machinery so length
     // validation and BE→LE swapping apply to the raster like any value
-    val (pixels, encapsulated) =
-      if (!readPixels || dataBuf.remaining() < 8) (None, false)
+    val (pixels, encapsulated, fragLens) =
+      if (!readPixels || dataBuf.remaining() < 8) (None, false, Nil)
       else {
         val mark = dataBuf.position()
         val g = dataBuf.getShort() & 0xffff
@@ -166,16 +172,20 @@ object DicomParser {
             // skip the header the peek measured
             if (implicitVR) dataBuf.getInt()
             else { dataBuf.get(); dataBuf.get(); dataBuf.getShort(); dataBuf.getInt() }
-            (readFragments(dataBuf), true)
+            readFragments(dataBuf) match {
+              case Some((bytes, lens)) => (Some(bytes), true, lens)
+              case None => (None, true, Nil)
+            }
           } else {
             val el =
               if (implicitVR) readImplicitElement(dataBuf, g, e, bigEndian)
               else readExplicitElement(dataBuf, g, e, implicitVR = false, bigEndian)
-            (if (el.bytes.nonEmpty) Some(el.bytes) else None, false)
+            (if (el.bytes.nonEmpty) Some(el.bytes) else None, false, Nil)
           }
-        } else { dataBuf.position(mark); (None, false) }
+        } else { dataBuf.position(mark); (None, false, Nil) }
       }
-    DicomFile(meta.result(), elems, transferSyntax, charset, pixels, encapsulated)
+    DicomFile(meta.result(), elems, transferSyntax, charset, pixels, encapsulated,
+      fragLens)
   }
 
   /** Parse data-set elements until EOF, pixel data, or a delimiter tag.
@@ -268,10 +278,12 @@ object DicomParser {
 
   /** Encapsulated pixel-data fragment stream: a basic-offset-table item
     * first, then one compressed fragment per item, terminated by
-    * (FFFE,E0DD). Returns the concatenated fragment bytes (BOT dropped) —
-    * for single-frame objects that is exactly the codec stream. */
-  private def readFragments(buf: ByteBuffer): Option[Array[Byte]] = {
+    * (FFFE,E0DD). Returns the concatenated fragment bytes (BOT dropped)
+    * plus each fragment's byte length — the boundaries a multi-frame
+    * decode needs (RLE: one frame per fragment, PS3.5 A.4.2). */
+  private def readFragments(buf: ByteBuffer): Option[(Array[Byte], Seq[Int])] = {
     val out = new java.io.ByteArrayOutputStream()
+    val lens = Seq.newBuilder[Int]
     var first = true
     var done = false
     while (!done && buf.remaining() >= 8) {
@@ -286,12 +298,12 @@ object DicomParser {
         val v = new Array[Byte](len.toInt)
         buf.get(v)
         if (first) first = false // basic offset table, not pixel bytes
-        else out.write(v)
+        else { out.write(v); lens += v.length }
       } else
         throw new InvalidDicomException(
           s"Unexpected tag (${f"$g%04x"},${f"$e%04x"}) in pixel fragment stream")
     }
-    if (out.size() > 0) Some(out.toByteArray) else None
+    if (out.size() > 0) Some((out.toByteArray, lens.result())) else None
   }
 
   /** Read SQ items: (FFFE,E000)* terminated by defined length or

@@ -534,14 +534,22 @@ object Multimodal {
           case Some(_) => (None, true)
           case None => (None, false)
         }
-      // multi-frame RLE concatenates one RLE stream per frame with the
-      // boundaries only in the (dropped) basic offset table — undecodable
-      // from the concatenation alone, honestly unsupported
-      else if (parsed.transferSyntax == RleLosslessTs && w > 0 && h > 0 && frames <= 1)
-        rleRaster(w, h, ch, bits, px) match {
+      // RLE encodes one FRAME per fragment (PS3.5 A.4.2); the parser now
+      // preserves fragment boundaries, so multi-frame decodes FRAME 1 —
+      // the same convention as the native multi-frame path (which
+      // rasterizes the first frameBytes of the payload). A fragment
+      // count that disagrees with the declared frame count is a
+      // malformed stream → honestly unsupported.
+      else if (parsed.transferSyntax == RleLosslessTs && w > 0 && h > 0 &&
+               parsed.pixelFragmentLengths.length == math.max(1, frames)) {
+        val frame0 =
+          if (parsed.pixelFragmentLengths.length == 1) px
+          else java.util.Arrays.copyOfRange(px, 0, parsed.pixelFragmentLengths.head)
+        rleRaster(w, h, ch, bits, frame0) match {
           case Right(img) => (Some(img), false)
           case Left(m) => (None, m)
         }
+      }
       else (None, false)
     decoded match {
       case Some(img) =>

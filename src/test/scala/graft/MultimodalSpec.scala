@@ -527,24 +527,41 @@ class MultimodalSpec extends AnyFunSuite {
       rleHeader(1, h, w, 8) :+ DicomWriter.encapsulatedPixels(
         Seq(rleFrame(Seq(Array[Byte](0x7f, 0x00))))),
       transferSyntax = RleTs)
-    // multi-frame: frame boundaries live in the dropped offset table —
-    // honestly undecodable from the concatenation
+    // multi-frame: one fragment per frame (PS3.5 A.4.2) → FRAME 1
+    // decodes, same convention as the native multi-frame path
     val multiframe = DicomWriter.file(
       (rleHeader(1, h, w, 8) :+
         DicomWriter.strElement(0x0028, 0x0008, "IS", "2")) :+
+        DicomWriter.encapsulatedPixels(Seq(goodFrame, goodFrame)),
+      transferSyntax = RleTs)
+    // single-frame twin of the same frame bytes — frame-1 checksums match
+    val singleframe = DicomWriter.file(
+      rleHeader(1, h, w, 8) :+
+        DicomWriter.encapsulatedPixels(Seq(goodFrame)),
+      transferSyntax = RleTs)
+    // declared frames disagree with the fragment count → malformed
+    val fragMismatch = DicomWriter.file(
+      (rleHeader(1, h, w, 8) :+
+        DicomWriter.strElement(0x0028, 0x0008, "IS", "3")) :+
         DicomWriter.encapsulatedPixels(Seq(goodFrame, goodFrame)),
       transferSyntax = RleTs)
     val dir = Files.createTempDirectory("graft-dcm-rle-bad")
     Files.write(dir.resolve("mismatch.dcm"), mismatch)
     Files.write(dir.resolve("truncated.dcm"), truncated)
     Files.write(dir.resolve("multiframe.dcm"), multiframe)
+    Files.write(dir.resolve("singleframe.dcm"), singleframe)
+    Files.write(dir.resolve("fragmismatch.dcm"), fragMismatch)
     try {
       val r = Multimodal.resizeMeta(spark, Seq(dir.toString), maxSide = 64)
         .collect().map(x => x.getAs[String]("path") -> x).toMap
       assert(r("mismatch.dcm").getAs[String]("decoder") == "dicom-pixels-raw")
       assert(r("mismatch.dcm").getAs[Int]("height") == h + 1) // header kept
       assert(r("truncated.dcm").getAs[String]("decoder") == "dicom-pixels-unsupported")
-      assert(r("multiframe.dcm").getAs[String]("decoder") == "dicom-pixels-unsupported")
+      assert(r("multiframe.dcm").getAs[String]("decoder") == "dicom-pixels")
+      assert(r("multiframe.dcm").getAs[String]("pixel_md5") ==
+        r("singleframe.dcm").getAs[String]("pixel_md5"),
+        "multi-frame frame-1 raster must equal the single-frame twin")
+      assert(r("fragmismatch.dcm").getAs[String]("decoder") == "dicom-pixels-unsupported")
       // the raw fragment bytes are still checksummed either way
       assert(r("mismatch.dcm").getAs[String]("pixel_md5") != null)
       assert(r("truncated.dcm").getAs[String]("pixel_md5") != null)
