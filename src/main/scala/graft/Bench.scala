@@ -82,8 +82,9 @@ object Bench {
     }
     // Self-defense against box load (three contaminated official
     // artifacts in a row motivated this): re-run every SUSPECT query —
-    // still descending at its last pass, or warm passes disagreeing by
-    // >1.5× — once at the end, appending up to `passes` extra passes.
+    // per suspect(): tail-median above 1.25× the min plus a 200 ms
+    // absolute grace — once at the end, appending up to `passes` extra
+    // passes.
     // By then the original contention window has usually moved on, so
     // the rerun floors replace contaminated mins instead of shipping
     // them as "the" number.

@@ -82,9 +82,13 @@ object DicomParser {
     * before (7FE0,0010) — source-level column pruning, the reference's
     * `stop_before_pixels=True` contract — but a multimodal decode pass
     * genuinely needs the raster. `readPixels = true` additionally reads
-    * the pixel element's raw bytes when the transfer syntax stores them
-    * natively (implicit/explicit-VR LE, explicit BE, deflated LE, all
-    * defined-length); encapsulated (compressed) pixel data stays None. */
+    * the pixel element's raw bytes: for native transfer syntaxes
+    * (implicit/explicit-VR LE, explicit BE, deflated LE, all
+    * defined-length) that is the raster; for ENCAPSULATED (compressed)
+    * pixel data it is the concatenated fragment bytes with
+    * `pixelsEncapsulated = true` and per-fragment lengths in
+    * `pixelFragmentLengths` — codec bytes, NOT a raster; never feed them
+    * to raster math without checking the flag. */
   def parse(bytes: Array[Byte], readPixels: Boolean): DicomFile = {
     if (!isDicom(bytes))
       throw new InvalidDicomException(

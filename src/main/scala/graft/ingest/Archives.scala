@@ -113,7 +113,15 @@ object Archives {
 
   private def expandZipStream(key: String, in0: InputStream): Entries = {
     val in = new java.io.BufferedInputStream(in0)
-    val magic = sniff(in, 4)
+    // sniff can throw on a broken storage stream: close + map to the
+    // expand-stage taxonomy, never leak the FS handle
+    val magic =
+      try sniff(in, 4)
+      catch {
+        case e: java.io.IOException =>
+          in.close()
+          throw new InvalidArchiveException(s"Invalid ZipFile $key: ${e.getMessage}")
+      }
     if (magic.length < 4 || magic(0) != 'P' || magic(1) != 'K') {
       in.close()
       throw new InvalidArchiveException(s"Invalid ZipFile $key")
@@ -143,17 +151,27 @@ object Archives {
 
   private def expandTarStream(key: String, in0: InputStream): Entries = {
     val raw = new java.io.BufferedInputStream(in0)
-    val magic = sniff(raw, 6)
-    val decompressed: InputStream =
-      if (magic.length >= 2 && (magic(0) & 0xff) == 0x1f && (magic(1) & 0xff) == 0x8b)
-        new GzipCompressorInputStream(raw, true)
-      else if (magic.length >= 3 && magic(0) == 'B' && magic(1) == 'Z' && magic(2) == 'h')
-        new BZip2CompressorInputStream(raw, true)
-      else if (magic.length >= 6 && (magic(0) & 0xff) == 0xfd && magic(1) == '7' &&
-               magic(2) == 'z' && magic(3) == 'X' && magic(4) == 'Z' && magic(5) == 0)
-        new XZCompressorInputStream(raw)
-      else raw
-    val tin = new TarArchiveInputStream(decompressed)
+    // sniff AND the decompressor constructors eagerly read the stream
+    // and can throw on corrupt bytes — close + map to the expand-stage
+    // taxonomy (not a leaked FS handle surfacing as stage=transform)
+    val tin =
+      try {
+        val magic = sniff(raw, 6)
+        val decompressed: InputStream =
+          if (magic.length >= 2 && (magic(0) & 0xff) == 0x1f && (magic(1) & 0xff) == 0x8b)
+            new GzipCompressorInputStream(raw, true)
+          else if (magic.length >= 3 && magic(0) == 'B' && magic(1) == 'Z' && magic(2) == 'h')
+            new BZip2CompressorInputStream(raw, true)
+          else if (magic.length >= 6 && (magic(0) & 0xff) == 0xfd && magic(1) == '7' &&
+                   magic(2) == 'z' && magic(3) == 'X' && magic(4) == 'Z' && magic(5) == 0)
+            new XZCompressorInputStream(raw)
+          else raw
+        new TarArchiveInputStream(decompressed)
+      } catch {
+        case e: java.io.IOException =>
+          raw.close()
+          throw new InvalidArchiveException(s"Invalid TarFile $key: ${e.getMessage}")
+      }
     val out = Vector.newBuilder[(String, Array[Byte])]
     try {
       var entry: TarArchiveEntry = tin.getNextEntry

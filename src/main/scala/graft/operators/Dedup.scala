@@ -47,15 +47,49 @@ object Dedup {
     df
   }
 
-  /** Unpersist every intermediate cache this object holds for `s`.
-    * Safe at any time — Spark caches are accelerators, not correctness
-    * state; an in-flight query just recomputes. Also purges any stopped
-    * sessions, so a caller that stops sessions without releasing them is
-    * cleaned up by the next release from anywhere. */
-  def unpersistIntermediates(s: SparkSession): Unit = liveCaches.synchronized {
-    Option(liveCaches.remove(s)).foreach(_.foreach(_.unpersist(false)))
-    val it = liveCaches.keySet().iterator()
-    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  /** Checkpointed intermediates (see [[ckptHinted]]): their blocks live
+    * in the BlockManager OUTSIDE the CacheManager, so `clearCache()` /
+    * `df.unpersist()` cannot release them and only driver GC +
+    * ContextCleaner eventually would — the deferred cleanup that was
+    * stalling unrelated in-suite bench passes. Tracked here so
+    * [[unpersistIntermediates]] frees them deterministically. */
+  private val liveCheckpoints =
+    new java.util.HashMap[SparkSession, scala.collection.mutable.Buffer[DataFrame]]
+
+  private[operators] def trackCheckpoint(ck: DataFrame): DataFrame =
+    liveCheckpoints.synchronized {
+      val it = liveCheckpoints.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+      liveCheckpoints.computeIfAbsent(ck.sparkSession,
+        _ => scala.collection.mutable.Buffer.empty[DataFrame]) += ck
+      ck
+    }
+
+  /** Release the storage behind one localCheckpoint'ed frame: its plan
+    * is a LogicalRDD over the persisted RDD — unpersist THAT (the
+    * DataFrame-level unpersist only talks to the CacheManager). */
+  private[operators] def releaseCheckpoint(d: DataFrame): Unit =
+    d.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Unpersist every intermediate cache AND checkpoint this object holds
+    * for `s`. Safe at any time — Spark caches are accelerators, not
+    * correctness state; an in-flight query just recomputes (checkpoint
+    * consumers hold their results by then — every operator materializes
+    * before returning control). Also purges any stopped sessions, so a
+    * caller that stops sessions without releasing them is cleaned up by
+    * the next release from anywhere. */
+  def unpersistIntermediates(s: SparkSession): Unit = {
+    liveCaches.synchronized {
+      Option(liveCaches.remove(s)).foreach(_.foreach(_.unpersist(false)))
+      val it = liveCaches.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    }
+    liveCheckpoints.synchronized {
+      Option(liveCheckpoints.remove(s)).foreach(_.foreach(releaseCheckpoint))
+    }
   }
 
   /** 60-bit portable hash of a string column expression (SQL fragment) —
@@ -78,9 +112,16 @@ object Dedup {
     * relations exceed driver memory and MUST shuffle. */
   private[operators] def ckptHinted(
       df: DataFrame, maxBroadcastRows: Long = 4000000): DataFrame = {
-    val ck = df.localCheckpoint()
+    val ck = trackCheckpoint(df.localCheckpoint())
     if (ck.count() <= maxBroadcastRows) broadcast(ck) else ck
   }
+
+  /** Broadcast row cap for ARRAY-BEARING checkpoint leaves (per-doc
+    * shingle/gram hash sets run ~2 KB/row, so 100k rows ≈ 200 MB — a
+    * safe hint). The 4M default is calibrated for SKINNY id/pair rows;
+    * row count is the wrong proxy for these heavy relations (4M × 2 KB
+    * = 8 GB would hit Spark's broadcast hard cap and the driver heap). */
+  private val HeavyRowBroadcastCap = 100000L
 
   /** Exact dedup: group documents by content digest; keep the lowest
     * doc_id of each group. Output IS the deduplicated keep-set (plus the
@@ -174,18 +215,23 @@ object Dedup {
   }
 
   /** In-bucket ordered pair expansion of a band relation (Σn_b² — the
-    * LSH contract). */
+    * LSH contract). Pairs STREAM through two Generate operators — the
+    * first explode emits one row per member, the second filters the
+    * sorted ids array to y > doc_a — so peak per-row memory is ONE ids
+    * array, never an n² struct array (a single flatten/transform
+    * expansion would materialize 5·10⁹ structs inside one row for a
+    * 100k-strong exact-duplicate bucket). Output volume is still Σn_b²
+    * rows — that is the LSH contract — and `corpusClean`'s exact-dedup
+    * stage ahead of minhash is the designed defense against exact-dup
+    * mass inflating buckets in the first place. */
   private def bucketExpand(bands: DataFrame): DataFrame = {
     import bands.sparkSession.implicits._
     bands
       .groupBy($"band", $"band_hash")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
-      .select($"p.doc_a", $"p.doc_b")
+      .select(explode($"ids").as("doc_a"), $"ids")
+      .select($"doc_a", explode(expr("filter(ids, y -> y > doc_a)")).as("doc_b"))
   }
 
   /** Exact-Jaccard verification of candidate pairs WITHOUT corpus-wide
@@ -210,7 +256,8 @@ object Dedup {
         .groupBy($"doc_id")
         .agg(sort_array(collect_set(expr(h60("shingle")))).as("sh_set"))
         .select($"doc_id", $"sh_set", size($"sh_set").cast("long").as("n_sh"))
-        .coalesce(4))
+        .coalesce(4),
+      maxBroadcastRows = HeavyRowBroadcastCap)
 
     cand
       .join(candSets.as("ca"), $"doc_a" === $"ca.doc_id")
@@ -285,8 +332,8 @@ object Dedup {
     // verify joins twice — and the CC loop would replan the whole minhash
     // pipeline every round
     val pairs =
-      minhashPairs(s, docs(s, dir)).select($"doc_a", $"doc_b")
-        .coalesce(4).localCheckpoint()
+      trackCheckpoint(minhashPairs(s, docs(s, dir)).select($"doc_a", $"doc_b")
+        .coalesce(4).localCheckpoint())
     val edges =
       pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
     componentsOf(s, edges, maxIters)
@@ -314,8 +361,9 @@ object Dedup {
     * clusters (and break oracle parity), so `maxIters` is a safety valve
     * that THROWS rather than returning a partially-merged labeling.
     * log₂-convergence means the default 64 covers any graph that fits in
-    * an id space. Lineage is truncated with `localCheckpoint` every 5
-    * rounds so deep iteration never accretes an unbounded plan. */
+    * an id space. Lineage is truncated with an eager `localCheckpoint`
+    * EVERY round (the jump step), so deep iteration never accretes an
+    * unbounded plan and each round's inputs release immediately. */
   def componentsOf(s: SparkSession, edgesIn: DataFrame, maxIters: Int = 64): DataFrame = {
     import s.implicits._
     // every round joins the edge list — cache it once (tracked, so the
@@ -366,11 +414,16 @@ object Dedup {
         // localCheckpoint both materializes the jump (so the caches it
         // read can be released NOW) and truncates lineage every round —
         // deep iteration never accretes an unbounded plan.
-        val jumped = merged.as("a")
+        val jumped = trackCheckpoint(merged.as("a")
           .join(merged.as("b"), col("a.component") === col("b.node"))
           .select(col("a.node").as("node"), col("b.component").as("component"))
-          .localCheckpoint()
+          .localCheckpoint())
+        // the PRIOR round's labels may be checkpoint-backed: free its
+        // blocks now (df.unpersist only talks to the CacheManager and is
+        // a no-op on a LogicalRDD plan — releaseCheckpoint is a no-op on
+        // everything else, so calling both covers both round shapes)
         labels.unpersist(false)
+        releaseCheckpoint(labels)
         merged.unpersist(false)
         labels = jumped
       }
@@ -527,7 +580,8 @@ object Dedup {
       gramSets(d.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
         .select($"doc_id", sort_array($"g_set").as("g_set"))
         .withColumn("n_g", size($"g_set").cast("long"))
-        .coalesce(4))
+        .coalesce(4),
+      maxBroadcastRows = HeavyRowBroadcastCap)
     cand
       .join(candSets.as("ca"), $"doc_a" === $"ca.doc_id")
       .join(candSets.as("cb"), $"doc_b" === $"cb.doc_id")

@@ -126,13 +126,22 @@ object DicomPipeline {
     else {
       val empties = Seq.newBuilder[String]
       val larges = Seq.newBuilder[String]
-      def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
-        if (st.isDirectory) {
+      // mirror Spark's InMemoryFileIndex hidden-path rule (`_`/`.`
+      // prefixes are invisible to the packed scan) so BOTH routes see
+      // the same file universe — an oversized `_temporary` leftover must
+      // not produce rows the packed route would never have produced
+      def hidden(name: String): Boolean =
+        name.startsWith("_") || name.startsWith(".")
+      // the explicitly-passed root is always accepted (Spark applies its
+      // path filter to DISCOVERED children, not to the path you name)
+      def walk(st: org.apache.hadoop.fs.FileStatus, isRoot: Boolean): Unit =
+        if (!isRoot && hidden(st.getPath.getName)) ()
+        else if (st.isDirectory) {
           val it = fs.listStatusIterator(st.getPath)
-          while (it.hasNext) walk(it.next())
+          while (it.hasNext) walk(it.next(), isRoot = false)
         } else if (st.getLen == 0) empties += st.getPath.toString
         else if (st.getLen > maxInline) larges += st.getPath.toString
-      walk(fs.getFileStatus(p))
+      walk(fs.getFileStatus(p), isRoot = true)
       (empties.result(), larges.result())
     }
   }

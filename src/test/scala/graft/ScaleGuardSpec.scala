@@ -72,15 +72,24 @@ class ScaleGuardSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.simhash.bands")
   }
 
-  test("dedup intermediate caches are released by unpersistIntermediates") {
+  test("dedup intermediate caches AND checkpoints are released by unpersistIntermediates") {
     spark.catalog.clearCache()
+    Dedup.unpersistIntermediates(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashLsh(spark, sf).count()
     Dedup.simhashPairs(spark, sf).count()
+    Dedup.components(spark, sf).count()
     assert(!spark.sharedState.cacheManager.isEmpty,
       "the operators cache their multi-use intermediates")
     Dedup.unpersistIntermediates(spark)
     assert(spark.sharedState.cacheManager.isEmpty,
-      "no leaked storage after release")
+      "no leaked cache storage after release")
+    // localCheckpoint blocks live OUTSIDE the CacheManager — the release
+    // must free them too (they were stalling unrelated bench passes when
+    // left to driver GC + ContextCleaner)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"checkpoint blocks survived unpersistIntermediates: RDD ids $leaked")
   }
 
   test("minhash verify: length bound gates the merge-walk intersection") {

@@ -71,6 +71,30 @@ class SizeRouterSpec extends AnyFunSuite {
     assert(df.count() == 0)
   }
 
+  test("hidden files are invisible to BOTH routes (packed parity)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-router-hidden")
+    try {
+      val visible = DicomWriter.file(Seq(
+        DicomWriter.strElement(0x0008, 0x0060, "CS", "CT")))
+      Files.write(dir.resolve("ok.dcm"), visible)
+      // Spark's InMemoryFileIndex excludes _/.-prefixed paths from the
+      // packed scan; the router's walk must apply the SAME rule, or an
+      // oversized hidden leftover produces rows only below the threshold
+      Files.write(dir.resolve("_leftover.dcm"), visible)
+      Files.write(dir.resolve(".hidden.dcm"), visible)
+      spark.conf.set("spark.graft.route.maxInlineBytes", "1")
+      try {
+        val ex = DicomPipeline.extract(spark, dir.toString, "bkt", "reg")
+        val keys = ex.rows.collect()
+          .flatMap(_.values.get(graft.dicom.Flatten.LineageKey).map(_.toString)) ++
+          ex.errors.collect().map(_.source_s3_key)
+        assert(keys.nonEmpty && keys.forall(_.contains("ok.dcm")),
+          s"hidden files leaked into the streamed route: ${keys.mkString(", ")}")
+      } finally spark.conf.unset("spark.graft.route.maxInlineBytes")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("streamed route taxonomy: corrupt oversized archive errors as expand") {
     val dir = java.nio.file.Files.createTempDirectory("graft-router-bad")
     try {
