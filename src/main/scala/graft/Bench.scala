@@ -56,13 +56,15 @@ object Bench {
       } finally {
         spark.catalog.clearCache() // per-query caches must not leak across passes
         // localCheckpoint blocks (components rounds, minhash/ngram
-        // candidate leaves) are freed only when the driver GC collects
-        // the RDD handles and the ContextCleaner reaps the blocks — by
-        // mid-suite that deferred garbage was stalling UNRELATED queries
-        // (dedup_simhash_pairs ran [2.5, 6.2, 1.5] in-suite but a clean
-        // warm-up descent in isolation). Collect it between passes,
-        // OUTSIDE the timed window, so each pass starts from the same
-        // heap state the query would see in its own JVM.
+        // candidate leaves) live OUTSIDE the CacheManager and are
+        // STRONGLY tracked by Dedup.trackCheckpoint — GC alone cannot
+        // reclaim them. Release them explicitly (safe here: the query's
+        // count() above has fully consumed the result), then collect so
+        // each pass starts from the same heap state the query would see
+        // in its own JVM (deferred block garbage was stalling UNRELATED
+        // queries mid-suite: dedup_simhash_pairs ran [2.5, 6.2, 1.5]
+        // in-suite but a clean warm-up descent in isolation).
+        graft.operators.Dedup.unpersistIntermediates(spark)
         System.gc()
       }
     }
@@ -77,8 +79,23 @@ object Bench {
     }
     if (selected.isEmpty)
       System.err.println("[bench] WARNING: zero queries selected — total will be 0")
+    // Adaptive warm-up: JIT-heavy queries (minhash, corpus_clean) are
+    // still descending after the default pass count, so their recorded
+    // "min" is a warm-up sample, not the floor — r5 recorded 2.91 s for
+    // dedup_minhash_lsh at n=3 against a documented 1.94 s isolated
+    // floor, ~40% phantom noise in round-over-round comparisons. Keep
+    // measuring while the LATEST pass still improves on the prior floor
+    // by >10%, capped at max(passes, 6) total passes per query.
+    val passCap = math.max(passes, 6)
+    def measure(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): IndexedSeq[Double] = {
+      var ts = (1 to passes).flatMap(_ => time(fn))
+      while (ts.size >= 2 && ts.size < passCap &&
+             ts.last <= 0.9 * ts.dropRight(1).min)
+        ts = ts ++ time(fn)
+      ts
+    }
     var results: Map[String, IndexedSeq[Double]] = selected.map { case (name, fn) =>
-      name -> (1 to passes).flatMap(_ => time(fn))
+      name -> measure(fn)
     }
     // Self-defense against box load (three contaminated official
     // artifacts in a row motivated this): re-run every SUSPECT query —
@@ -92,8 +109,9 @@ object Bench {
       case (name, ts) if suspect(ts).isDefined => name -> suspect(ts).get
     }
     rerun.keys.foreach { name =>
-      val extra = (1 to passes).flatMap(_ => time(selected(name)))
-      results += name -> (results(name) ++ extra)
+      // the rerun uses the same adaptive descent so a contaminated run is
+      // replaced by a floor, not by another possibly-still-warming sample
+      results += name -> (results(name) ++ measure(selected(name)))
     }
     // whatever is STILL suspect after the rerun is reported, not hidden
     val flagged = results.collect {

@@ -39,7 +39,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // free per-query cached relations
+      finally {
+        spark.catalog.clearCache() // free per-query cached relations
+        // checkpoint blocks are strongly tracked outside the CacheManager;
+        // release them per query (the write above consumed the result) or
+        // they accumulate in the BlockManager across the whole dump
+        graft.operators.Dedup.unpersistIntermediates(spark)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

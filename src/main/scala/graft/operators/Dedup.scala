@@ -31,7 +31,8 @@ object Dedup {
     * contract: each cache lives until [[unpersistIntermediates]] (or
     * `spark.catalog.clearCache()` / session end) — a long-lived session
     * composing many dedup queries should call it between operators, as
-    * [[graft.Bench]] does per query. */
+    * [[graft.Bench]] and [[graft.Verify]] do in their per-query finally
+    * blocks (after the result is consumed — see the release contract). */
   private val liveCaches =
     new java.util.HashMap[SparkSession, scala.collection.mutable.Buffer[DataFrame]]
 
@@ -75,12 +76,16 @@ object Dedup {
     }
 
   /** Unpersist every intermediate cache AND checkpoint this object holds
-    * for `s`. Safe at any time — Spark caches are accelerators, not
-    * correctness state; an in-flight query just recomputes (checkpoint
-    * consumers hold their results by then — every operator materializes
-    * before returning control). Also purges any stopped sessions, so a
-    * caller that stops sessions without releasing them is cleaned up by
-    * the next release from anywhere. */
+    * for `s`. Contract: call only AFTER consuming (collecting/writing)
+    * every DataFrame the operators returned. The cache half is safe at
+    * any time (caches are accelerators; a dropped cache recomputes), but
+    * the checkpoint half is NOT: returned frames may have localCheckpoint
+    * RDDs as plan leaves, and unpersisting a localCheckpoint destroys the
+    * only copy — a later action on a still-lazy held result throws
+    * checkpoint-block-not-found rather than recomputing. Bench/Verify
+    * satisfy the contract (count()/write() precede the release). Also
+    * purges any stopped sessions, so a caller that stops sessions without
+    * releasing them is cleaned up by the next release from anywhere. */
   def unpersistIntermediates(s: SparkSession): Unit = {
     liveCaches.synchronized {
       Option(liveCaches.remove(s)).foreach(_.foreach(_.unpersist(false)))
@@ -262,7 +267,11 @@ object Dedup {
     cand
       .join(candSets.as("ca"), $"doc_a" === $"ca.doc_id")
       .join(candSets.as("cb"), $"doc_b" === $"cb.doc_id")
-      .filter(least($"ca.n_sh", $"cb.n_sh") >= lit(0.5) * greatest($"ca.n_sh", $"cb.n_sh"))
+      // 0.00005 slack: the FINAL filter compares round(J, 4) >= 0.5, which
+      // admits true J down to 0.49995 — the size bound must prune against
+      // that same effective threshold or a pair in [0.49995, 0.5) with
+      // min/max < 0.5 passes the (identically rounding) oracle but not us.
+      .filter(least($"ca.n_sh", $"cb.n_sh") >= lit(0.5 - 0.00005) * greatest($"ca.n_sh", $"cb.n_sh"))
       .select($"doc_a", $"doc_b",
         call_function("graft_sorted_inter", $"ca.sh_set", $"cb.sh_set")
           .cast("double").as("n_inter"),
@@ -590,8 +599,10 @@ object Dedup {
       // J ≥ 0.7 requires min ≥ 0.7·max — pairs whose gram-set sizes
       // alone rule them out never reach the intersection at all. The
       // sf1 profile measured 1.0M candidates feeding 60k final pairs;
-      // sizes prune 38% for free, no recall loss.
-      .filter(least($"ca.n_g", $"cb.n_g") >= lit(0.7) * greatest($"ca.n_g", $"cb.n_g"))
+      // sizes prune 38% for free, no recall loss. The 0.00005 slack keeps
+      // the bound a strict superset of the ROUNDED final filter (which
+      // admits true J down to 0.69995) — oracle parity at the boundary.
+      .filter(least($"ca.n_g", $"cb.n_g") >= lit(0.7 - 0.00005) * greatest($"ca.n_g", $"cb.n_g"))
       .select($"doc_a", $"doc_b",
         call_function("graft_sorted_inter", $"ca.g_set", $"cb.g_set")
           .cast("double").as("n_inter"),

@@ -366,6 +366,13 @@ object Relational {
     val merged = partials
       .agg(udaf(graft.functions.CmsUnion).apply($"sk").as("sk"))
       .head().getAs[Array[Byte]]("sk")
+    // empty-corpus guard: zero partials → the union's zero value (empty
+    // bytes), which CountMinSketch.readFrom would reject executor-side.
+    // Return the q19 frame shape with a null estimate instead of throwing.
+    if (merged == null || merged.isEmpty)
+      return q19SaltedAgg(s, dir)
+        .select($"word", $"n", lit(null).cast("long").as("est_n"))
+        .orderBy($"n".desc, $"word")
     val bc = s.sparkContext.broadcast(merged)
     q19SaltedAgg(s, dir).as[(String, Long)]
       .mapPartitions { it =>
