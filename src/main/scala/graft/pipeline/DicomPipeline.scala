@@ -269,7 +269,7 @@ object DicomPipeline {
           maxRecordsPerFile: Long = 0L): (DataFrame, DataFrame) = {
     val ex = extract(spark, inputPath, bucket, region)
     val df = toDataFrame(spark, ex.rows)
-    if (df.columns.nonEmpty && !df.isEmpty)
+    if (df.columns.nonEmpty && !df.isEmpty) {
       // maxRecordsPerFile bounds output-file size (the reference's known
       // small-files weakness inverted: one file per invocation there; here
       // the writer packs rows per partition and splits only past the cap).
@@ -278,13 +278,22 @@ object DicomPipeline {
       // rehearsal produced 5,251 files for 9,500 rows (measured); with it,
       // one file per date. The AQE rebalance also SPLITS a skewed date
       // across tasks instead of funneling it into one, which a plain
-      // repartition(col) would not.
-      df.hint("rebalance", org.apache.spark.sql.functions.col(Flatten.PartitionColSnake))
-        .write.mode("append")
+      // repartition(col) would not. SMALL batches skip the shuffle: with
+      // few write tasks the worst case is tasks × dates files — already
+      // bounded — and the extra exchange doubled the fixture-scale write
+      // (0.71 → 1.42 s measured idle-to-idle). getNumPartitions is free
+      // (RDD-backed plan; no job).
+      val writeTasks = df.rdd.getNumPartitions
+      val arranged =
+        if (writeTasks <= 8) df
+        else df.hint("rebalance",
+          org.apache.spark.sql.functions.col(Flatten.PartitionColSnake))
+      arranged.write.mode("append")
         .partitionBy(Flatten.PartitionColSnake)
         .option("compression", "snappy")
         .option("maxRecordsPerFile", if (maxRecordsPerFile > 0) maxRecordsPerFile.toString else "0")
         .parquet(outPath)
+    }
     import spark.implicits._
     val errDf = spark.createDataFrame(ex.errors)
     errorPath.foreach { p =>
