@@ -20,8 +20,38 @@ object Tags {
 
   @inline def key(group: Int, elem: Int): Int = (group << 16) | (elem & 0xffff)
 
-  /** (group, element) → TagInfo. Standard data elements (DICOM PS3.6). */
-  val dict: Map[Int, TagInfo] = Map(
+  /** Bulk PS3.6 dictionary, generated from the public DICOM standard
+    * Part 6 into `resources/graft/dicom/ps36_tags.txt` (one line per
+    * element: `TAG KEYWORD VR VMMAX`). The reference resolves ANY
+    * standard keyword through pydicom's full data dictionary
+    * (`src/utils/tags.py:115-141`, `src/dicomwrapper.py:39-47`); a
+    * curated-only table made uncommon-but-standard tags (RT,
+    * ophthalmology, SR, print, waveform groups) silently vanish from
+    * the output schema. Loaded once at class init (~3k entries, a few
+    * ms); [[curated]] entries override on conflict so the quirk-pinned
+    * subset can never drift under a regenerated resource. */
+  private def loadPs36(): Map[Int, TagInfo] = {
+    val in = getClass.getResourceAsStream("/graft/dicom/ps36_tags.txt")
+    require(in != null, "graft/dicom/ps36_tags.txt missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      src.getLines()
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val parts = l.split(" ")
+          require(parts.length == 4, s"malformed ps36_tags.txt line: $l")
+          val vmMax = if (parts(3) == "n") N else parts(3).toInt
+          java.lang.Long.parseLong(parts(0), 16).toInt ->
+            TagInfo(parts(1), parts(2), vmMax)
+        }
+        .toMap
+    } finally src.close()
+  }
+
+  /** Curated subset with quirk pins (golden-tested); wins over the bulk
+    * resource on conflict. Standard data elements (DICOM PS3.6). */
+  private val curated: Map[Int, TagInfo] = Map(
     // file meta (group 0002)
     key(0x0002, 0x0000) -> TagInfo("FileMetaInformationGroupLength", "UL", 1),
     key(0x0002, 0x0001) -> TagInfo("FileMetaInformationVersion", "OB", 1),
@@ -178,7 +208,6 @@ object Tags {
     key(0x0018, 0x1316) -> TagInfo("SAR", "DS", 1),
     key(0x0018, 0x5101) -> TagInfo("ViewPosition", "CS", 1),
     // group 0020 (additional image-plane / relationship)
-    key(0x0020, 0x0021) -> TagInfo("AcquisitionsInStudy", "IS", 1),
     key(0x0020, 0x0062) -> TagInfo("ImageLaterality", "CS", 1),
     key(0x0020, 0x0100) -> TagInfo("TemporalPositionIdentifier", "IS", 1),
     key(0x0020, 0x0105) -> TagInfo("NumberOfTemporalPositions", "IS", 1),
@@ -218,7 +247,13 @@ object Tags {
     key(0x7fe0, 0x0010) -> TagInfo("PixelData", "OW", 1),
   )
 
-  /** keyword → TagInfo (for typing collected column sets). */
+  /** (group, element) → TagInfo: the full PS3.6 table with curated
+    * quirk-pinned entries layered on top. */
+  val dict: Map[Int, TagInfo] = loadPs36() ++ curated
+
+  /** keyword → TagInfo (for typing collected column sets). Keywords are
+    * unique in PS3.6 (the generator enforces it); the keyword-less
+    * group-length entry maps under "" and is never a column. */
   val byKeyword: Map[String, TagInfo] =
     dict.values.map(t => t.keyword -> t).toMap
 

@@ -80,9 +80,12 @@ class VrDispatchSpec extends AnyFunSuite {
   }
 
   test("AT → '(gggg, eeee)' tag rendering (BaseTag str analog)") {
+    // (0020,9165) DimensionIndexPointer is VM 1 in PS3.6 — a VM 1-n AT
+    // tag like (0028,0009) FrameIncrementPointer would (correctly)
+    // list-wrap under the full dictionary's validate_vm semantics
     val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
       .putShort(0x0008.toShort).putShort(0x0060.toShort).array()
-    assert(conv(DicomElement(0x0028, 0x0009, "AT", b)) == DStr("(0008, 0060)"))
+    assert(conv(DicomElement(0x0020, 0x9165, "AT", b)) == DStr("(0008, 0060)"))
   }
 
   test("OB/OW/UN → bounded hex string (rep_string on bytes analog)") {
