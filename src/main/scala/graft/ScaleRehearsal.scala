@@ -34,7 +34,8 @@ object ScaleRehearsal {
     * own row-cap guard, not a scale path (CONFIG.md
     * `spark.graft.dedup.exactCosineMaxRows`). */
   private val Family = Seq(
-    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_components",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_incremental_idx", "dedup_components",
     "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_embed_lsh", "dedup_semantic",
     "dedup_semantic_kmeans", "corpus_clean",
@@ -106,13 +107,35 @@ object ScaleRehearsal {
     spark.catalog.clearCache()
     System.err.println(f"[rehearsal] dedup_ngram_jaccard sf1 with maxDf=200: $ngramScaled rows in ${fmt(ngramScaledSec)}s")
 
+    // Streaming near-dup STATE growth (r5 verdict #2): drain the corpus
+    // through the RocksDB-backed filter at both scales and record the
+    // state-operator footprint. The check: state rows track live BUCKETS
+    // (≤ 4 bands × docs, and well under when near-dups share buckets) —
+    // not document bytes — so 10× corpus ⇒ ~10× rows, with bytes/row
+    // flat. That is the growth law a production deployment sizes disks
+    // against (RocksDB spills; the default heap provider would OOM).
+    def streamState(dir: String): (Double, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("stream_neardup_filter")(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val (st, by) = graft.queries.StreamQueries.lastNearDupState.getOrElse((-1L, -1L))
+      (sec, n, st, by)
+    }
+    val (ss01, sn01, sr01, sb01) = streamState(Sf01)
+    val (ss1, sn1, sr1, sb1) = streamState(Sf1)
+    System.err.println(
+      f"[rehearsal] stream_neardup state: sf0.1 $sr01 buckets/$sb01 B (${fmt(ss01)}s, $sn01 hits)  " +
+      f"sf1 $sr1 buckets/$sb1 B (${fmt(ss1)}s, $sn1 hits)  rows ×${fmt(sr1.toDouble / math.max(1, sr01))}")
+
     val qjson = rows.map { case (n, s01, r01, s1, r1, ratio) =>
       s""""$n":{"sf01_sec":${fmt(s01)},"sf01_rows":$r01,"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
     val cjson = cand.map { case (g, c01, c1) =>
       s""""$g":{"sf01":$c01,"sf1":$c1}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}}}"""
+    val sjson = s""""stream_neardup_state":{"sf01":{"sec":${fmt(ss01)},"hits":$sn01,"state_rows":$sr01,"state_bytes":$sb01},"sf1":{"sec":${fmt(ss1)},"hits":$sn1,"state_rows":$sr1,"state_bytes":$sb1}}"""
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$sjson}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)

@@ -70,6 +70,10 @@ object SparkEntry {
     // incremental (new-batch-vs-index) near-dup: index×index pairs never
     // generated; oracle = the full pair set restricted to batch-involving
     "dedup_incremental"   -> (Dedup.minhashIncremental _),
+    // the same batch-vs-index run fed from a PERSISTED parquet index
+    // (write → read → query); hash-gated against the identical oracle,
+    // proving persisted-index ≡ recomputed-index
+    "dedup_incremental_idx" -> (Dedup.minhashIncrementalFromIndex _),
     "dedup_components"    -> ((s, d) => Dedup.components(s, d)),
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -139,6 +143,41 @@ object SparkEntry {
     "mm_embed_ann"    -> ((s, d) => Multimodal.assetNeighbors(
       s, Seq(DicomQueries.Fixtures, Multimodal.ensureImageFixtures()))),
   )
+
+  /** Shared by `dedup_incremental` and `dedup_incremental_idx`: the full
+    * pair computation restricted to pairs touching the "new batch"
+    * (doc_id % 10 = 7) — the engine must reproduce it while NEVER
+    * generating an index×index candidate (and, for `_idx`, while reading
+    * the index from its persisted parquet form). */
+  private val IncrementalOracleSql: String =
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
+        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
+        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
+        |        FROM perms GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 2 AS band,
+        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
+        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7),
+        |shh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM sh),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand JOIN shh sa ON doc_a = sa.doc_id
+        |  JOIN shh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -465,35 +504,11 @@ object SparkEntry {
     // the full pair computation restricted to pairs touching the "new
     // batch" (doc_id % 10 = 7) — the engine side must reproduce it while
     // NEVER generating an index×index candidate
-    "dedup_incremental" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
-        |  FROM documents),
-        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
-        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
-        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
-        |        FROM perms GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, perm // 2 AS band,
-        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
-        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
-        |  FROM sig GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-        |  WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7),
-        |shh AS (SELECT DISTINCT doc_id,
-        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM sh),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
-        |  FROM cand JOIN shh sa ON doc_a = sa.doc_id
-        |  JOIN shh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
-        |  GROUP BY 1, 2)
-        |SELECT * FROM (
-        |  SELECT doc_a, doc_b,
-        |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
-        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_incremental" -> IncrementalOracleSql,
+
+    // identical statement: the persisted-index path must hash-match the
+    // same oracle as the recompute path
+    "dedup_incremental_idx" -> IncrementalOracleSql,
 
     "dedup_components" ->
       """WITH RECURSIVE tk AS (

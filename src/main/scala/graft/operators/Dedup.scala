@@ -251,17 +251,32 @@ object Dedup {
     * because the DuckDB oracle applies the SAME hash — any
     * (astronomically unlikely) 60-bit collision collides identically in
     * both engines. */
+  /** Sorted 60-bit shingle-hash set per document — the verify-side half
+    * of the minhash INDEX (what [[minhashVerify]] computes on the fly
+    * and [[writeIndex]] persists). (doc_id, sh_set, n_sh). */
+  private def shingleSetsOf(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    shinglesOf(d)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set(expr(h60("shingle")))).as("sh_set"))
+      .select($"doc_id", $"sh_set", size($"sh_set").cast("long").as("n_sh"))
+  }
+
   private def minhashVerify(s: SparkSession, d: DataFrame, cand: DataFrame): DataFrame = {
     import s.implicits._
-    graft.functions.VectorExpressions.register(s)
     val candIds = cand.select($"doc_a".as("doc_id"))
       .union(cand.select($"doc_b".as("doc_id"))).distinct()
-    val candSets = ckptHinted(
-      shinglesOf(d.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_set(expr(h60("shingle")))).as("sh_set"))
-        .select($"doc_id", $"sh_set", size($"sh_set").cast("long").as("n_sh"))
-        .coalesce(4),
+    minhashVerifyWithSets(s,
+      shingleSetsOf(s, d.join(broadcast(candIds), Seq("doc_id"), "left_semi")), cand)
+  }
+
+  /** Candidate verification against an ALREADY-RESTRICTED shingle-set
+    * relation (every candIds member present exactly once). */
+  private def minhashVerifyWithSets(s: SparkSession, sets: DataFrame,
+                                    cand: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val candSets = ckptHinted(sets.coalesce(4),
       maxBroadcastRows = HeavyRowBroadcastCap)
 
     cand
@@ -323,6 +338,75 @@ object Dedup {
     val within = bucketExpand(batchBands)
     val cand = ckptHinted(cross.union(within).distinct().coalesce(4))
     minhashVerify(s, index.unionByName(batch), cand)
+  }
+
+  /** PERSIST the minhash index for a corpus: the band relation (4 rows
+    * per doc — candidate generation) and the shingle-set relation
+    * (~KB per doc — candidate verification) as two parquet tables under
+    * `path`. This is the production artifact [[incrementalPairs]]'
+    * Scaladoc promises: tomorrow's batch reads it instead of re-banding
+    * a 100 TB corpus. Bands are written bucketed-friendly (sorted within
+    * files by the join key) but remain plain parquet — the (band,
+    * band_hash) join shuffles only the DAILY batch side when the index
+    * relation is large. */
+  def writeIndex(s: SparkSession, corpus: DataFrame, path: String): Unit = {
+    bandsOf(s, corpus)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("band_hash"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    shingleSetsOf(s, corpus)
+      .write.mode("overwrite").parquet(s"$path/sets")
+  }
+
+  /** [[incrementalPairs]] fed from a PERSISTED index (see
+    * [[writeIndex]]) instead of recomputing the corpus bands/sets —
+    * hash-identical output by construction (both relations are
+    * deterministic functions of the corpus; IncrementalIndexSpec and the
+    * `dedup_incremental_idx` oracle pin it). Index documents never
+    * re-shingle: verification reads `sets` restricted to candidate ids,
+    * so a day's run touches index bytes proportional to CANDIDATES, not
+    * corpus size. */
+  def incrementalPairsFromIndex(s: SparkSession, indexPath: String,
+                                batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val indexBands = s.read.parquet(s"$indexPath/bands")
+    val indexSets = s.read.parquet(s"$indexPath/sets")
+    val batchBands = bandsOf(s, batch)
+    val cross = batchBands.as("n")
+      .join(indexBands.as("i"), Seq("band", "band_hash"))
+      .select(
+        least($"n.doc_id", $"i.doc_id").as("doc_a"),
+        greatest($"n.doc_id", $"i.doc_id").as("doc_b"))
+    val within = bucketExpand(batchBands)
+    val cand = ckptHinted(cross.union(within).distinct().coalesce(4))
+    val candIds = cand.select($"doc_a".as("doc_id"))
+      .union(cand.select($"doc_b".as("doc_id"))).distinct()
+    val sets = indexSets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .unionByName(shingleSetsOf(
+        s, batch.join(broadcast(candIds), Seq("doc_id"), "left_semi")))
+    minhashVerifyWithSets(s, sets, cand)
+  }
+
+  /** Query twin of [[minhashIncremental]] through the persisted-index
+    * path: build the index for the standing corpus (in production this
+    * is yesterday's artifact — here the driver gate reads one
+    * directory), then run the batch against it. Shares
+    * `dedup_incremental`'s oracle SQL shape — the driver hash-compares
+    * it against DuckDB, proving persisted ≡ recomputed end-to-end. */
+  def minhashIncrementalFromIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = docs(s, dir)
+    val isBatch = pmod($"doc_id", lit(10)) === lit(7)
+    val idxPath = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "dedupidx"), "idx").toAbsolutePath.toString
+    try {
+      writeIndex(s, all.filter(!isBatch), idxPath)
+      // materialize before the finally-delete: the returned frame's scan
+      // must not outlive the index files
+      val out = incrementalPairsFromIndex(s, idxPath, all.filter(isBatch))
+        .orderBy($"doc_a", $"doc_b")
+      trackCheckpoint(out.localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxPath))
   }
 
   /** Transitive near-duplicate GROUPS: connected components over the

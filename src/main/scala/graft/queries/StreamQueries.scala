@@ -51,8 +51,23 @@ object StreamQueries {
   private def stageInput(s: SparkSession, dir: String, file: String, prefix: String): (java.nio.file.Path, String) = {
     val base = graft.util.Fs.scratchDir(s, "dicomq")
     val in = java.nio.file.Files.createTempDirectory(base, prefix).toAbsolutePath
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/$file"), in.resolve(file))
+    val src = java.nio.file.Paths.get(s"$dir/$file")
+    // the driver's testdata tables are single files, but Spark-written
+    // tables (e.g. the sf1 rehearsal corpus) are DIRECTORIES of part
+    // files — a plain copy would stage an empty dir and the stream
+    // would silently drain zero rows
+    if (java.nio.file.Files.isDirectory(src)) {
+      val dst = in.resolve(file)
+      java.nio.file.Files.createDirectories(dst)
+      val it = java.nio.file.Files.list(src).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+          java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+      }
+    } else java.nio.file.Files.copy(src, in.resolve(file))
     val name = s"stream_${prefix}_" + java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
     (in, name)
@@ -338,7 +353,10 @@ object StreamQueries {
     * first-SEEN (a later-arriving lower id becomes the new owner but
     * reports nothing — it is new content vs what was already accepted);
     * NearDupStreamSpec pins that divergence as intended. Production
-    * corpora bound the state with a bucket TTL
+    * shape: the state runs on the ROCKSDB provider (disk-backed, not
+    * executor heap — see [[withRocksDbState]]), so unbounded bucket
+    * growth degrades to local-disk size, not OOM; corpora that must
+    * bound state absolutely add a bucket TTL
     * (`GroupStateTimeout.ProcessingTimeTimeout`) exactly like the
     * watermarked exact dedup; the finite drain here keeps NoTimeout. */
   def streamNearDup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
@@ -348,12 +366,40 @@ object StreamQueries {
       name, deleteDirs = Seq(in))
   }
 
+  /** State-operator footprint of the LAST [[nearDupDrain]] on this JVM:
+    * (state rows = live buckets, state bytes as the provider reports
+    * them). Written after every drain for the scale rehearsal and
+    * NearDupStreamSpec — a query-progress side-channel, never consumed
+    * by query results. */
+  @volatile private[graft] var lastNearDupState: Option[(Long, Long)] = None
+
+  /** Run `f` with the RocksDB state store provider active for any
+    * stream STARTED inside (the provider class is snapshotted per
+    * query at start). The near-dup filter's state is one long per live
+    * (band, band_hash) bucket — bucket-count-sized, which still grows
+    * with corpus size forever, so production runs need state that
+    * SPILLS: RocksDB keeps the working set on local disk with an
+    * in-heap block cache, where the default HDFSBackedStateStoreProvider
+    * pins every version of every partition's map in executor heap. */
+  private def withRocksDbState[A](s: SparkSession)(f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** The bands→bucket-state→drain core of [[streamNearDup]], taking any
     * streaming documents frame — exposed so NearDupStreamSpec can drive
     * it with a multi-file `maxFilesPerTrigger=1` source and pin the
-    * cross-batch first-seen semantics. */
+    * cross-batch first-seen semantics. Runs on RocksDB state
+    * ([[withRocksDbState]]). */
   private[graft] def nearDupDrain(s: SparkSession, stream: DataFrame,
-      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = {
+      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = withRocksDbState(s) {
     import s.implicits._
     def update(key: (Int, String), rows: Iterator[BandRow],
                state: GroupState[Long]): Iterator[NearDupHit] = {
@@ -395,6 +441,11 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // record the state-operator footprint (rows = live buckets) before
+    // the query object goes away — the rehearsal's state-growth evidence
+    lastNearDupState = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption)
+      .map(op => (op.numRowsTotal, op.memoryUsedBytes))
     materializeAndRelease(s,
       s.table(name)
         .groupBy($"doc_id")

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Persisted minhash index (r5 verdict #4): `writeIndex` +
+  * `incrementalPairsFromIndex` must be HASH-IDENTICAL to the recompute
+  * path (`incrementalPairs`) — both are deterministic functions of the
+  * corpus. The `dedup_incremental_idx` query shares the recompute
+  * oracle's SQL, so the driver gate re-proves this against DuckDB; this
+  * spec pins it in-process plus the artifact shape. */
+class IncrementalIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("incremental-index-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("persisted-index run ≡ recomputed run, row for row") {
+    val viaIndex = Dedup.minhashIncrementalFromIndex(spark, sf)
+      .collect().map(_.toString).sorted
+    Dedup.unpersistIntermediates(spark)
+    val recomputed = spark.read.parquet(s"$sf/documents.parquet")
+    val isBatch = pmod(col("doc_id"), lit(10)) === lit(7)
+    val direct = Dedup.incrementalPairs(spark,
+        recomputed.filter(!isBatch), recomputed.filter(isBatch))
+      .collect().map(_.toString).sorted
+    Dedup.unpersistIntermediates(spark)
+    assert(viaIndex.nonEmpty, "fixture corpus has batch-involving near-dups")
+    assert(viaIndex.sameElements(direct),
+      s"persisted-index drifted from recompute:\n idx=${viaIndex.mkString(";")}\n dir=${direct.mkString(";")}")
+  }
+
+  test("index artifact: bands (4/doc) + sets (1/doc), join-ready schemas") {
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "idxspec").toAbsolutePath.toString
+    try {
+      val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      val n = corpus.count()
+      Dedup.writeIndex(spark, corpus, idx)
+      val bands = spark.read.parquet(s"$idx/bands")
+      val sets = spark.read.parquet(s"$idx/sets")
+      assert(bands.columns.sorted.toSeq == Seq("band", "band_hash", "doc_id"))
+      assert(sets.columns.sorted.toSeq == Seq("doc_id", "n_sh", "sh_set"))
+      // docs shorter than the shingle width drop out of BOTH relations
+      // identically, so bands stay exactly 4× sets
+      assert(sets.count() <= n)
+      assert(bands.count() == 4 * sets.count())
+      import org.apache.spark.sql.types._
+      assert(sets.schema("sh_set").dataType.asInstanceOf[ArrayType]
+        .elementType == LongType)
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
+  }
+}

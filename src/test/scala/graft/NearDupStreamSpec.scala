@@ -21,8 +21,20 @@ class NearDupStreamSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("deterministic across repeated drains") {
+  test("deterministic across repeated drains (on RocksDB state)") {
     val a = StreamQueries.streamNearDup(spark, sf).collect().map(_.toString).sorted
+    // the drain ran on the RocksDB provider and reported its state
+    // footprint: rows = live (band, band_hash) buckets, so 0 < rows ≤
+    // 4 bands × docs — bucket-count-sized, never document-bytes-sized
+    val st = StreamQueries.lastNearDupState
+    assert(st.isDefined, "drain did not report state-operator progress")
+    val (rows, bytes) = st.get
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows > 0 && rows <= 4 * nDocs, s"state rows $rows out of bucket bound")
+    assert(bytes > 0)
+    // provider conf is scoped to the drain — the batch session is restored
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
     val b = StreamQueries.streamNearDup(spark, sf).collect().map(_.toString).sorted
     assert(a.nonEmpty, "fixture corpus has near-dups; stream found none")
     assert(a.sameElements(b))
