@@ -473,9 +473,13 @@ object Multimodal {
     * R,G,B planes. Left is `true` when the streams decoded cleanly but
     * the sizes/layout disagree with the header (the "raw" provenance),
     * `false` when the frame is structurally undecodable. */
-  private def rleRaster(
+  /** RLE segments → interleaved NATIVE-layout bytes (the exact bytes an
+    * uncompressed twin would carry), shared by the raster path and the
+    * per-frame checksum path so "same pixels ⇒ same bytes ⇒ same
+    * checksum" holds between RLE and native multi-frame twins. */
+  private def rleInterleaved(
       w: Int, h: Int, ch: Int, bits: Int,
-      px: Array[Byte]): Either[Boolean, java.awt.image.BufferedImage] =
+      px: Array[Byte]): Either[Boolean, Array[Byte]] =
     rleSegments(px) match {
       case None => Left(false)
       case Some(segs) =>
@@ -491,9 +495,9 @@ object Multimodal {
               inter(3 * i + 2) = segs(2)(i)
               i += 1
             }
-            Right(rasterFromInterleaved(w, h, 3, 8, inter))
+            Right(inter)
           case (1, 1, 8) if fits =>
-            Right(rasterFromInterleaved(w, h, 1, 8, segs(0)))
+            Right(segs(0))
           case (2, 1, 16) if fits =>
             val inter = new Array[Byte](2 * n)
             var i = 0
@@ -502,10 +506,16 @@ object Multimodal {
               inter(2 * i + 1) = segs(0)(i) // MSB plane
               i += 1
             }
-            Right(rasterFromInterleaved(w, h, 1, 16, inter))
+            Right(inter)
           case _ => Left(true) // well-formed streams, header disagrees
         }
     }
+
+  private def rleRaster(
+      w: Int, h: Int, ch: Int, bits: Int,
+      px: Array[Byte]): Either[Boolean, java.awt.image.BufferedImage] =
+    rleInterleaved(w, h, ch, bits, px)
+      .map(inter => rasterFromInterleaved(w, h, ch, bits, inter))
 
   /** Encapsulated (compressed) pixel decode. JPEG-baseline fragments go
     * through ImageIO, RLE Lossless through the pure-JVM PackBits decoder
@@ -774,16 +784,80 @@ object Multimodal {
     dir.toAbsolutePath.toString
   }
 
+  /** Per-frame md5 of the DECODED interleaved native-layout pixel bytes
+    * of EVERY frame of a DICOM object — native multi-frame (payload
+    * sliced at frameBytes boundaries) and RLE Lossless (one fragment per
+    * frame, PS3.5 A.4.2; each fragment PackBits-decoded and
+    * re-interleaved). Because both paths checksum the same native
+    * layout, a native twin and an RLE twin of the same pixels produce
+    * IDENTICAL per-frame checksums (cross-pinned in MultimodalSpec).
+    * Frames whose layout is outside the decoded set (planar RGB,
+    * 12/32-bit), undecodable, or size-inconsistent simply have no entry
+    * — the caller emits null, never an invented raster. */
+  private[operators] def dicomFrameChecksums(content: Array[Byte]): Map[Int, String] =
+    scala.util.Try {
+      val parsed = DicomParser.parse(content, readPixels = true)
+      parsed.pixels match {
+        case None => Map.empty[Int, String]
+        case Some(px) =>
+          val w = dicomShort("Columns", parsed)
+          val h = dicomShort("Rows", parsed)
+          val ch = math.max(1, dicomShort("SamplesPerPixel", parsed))
+          val bits = math.max(8, dicomShort("BitsAllocated", parsed))
+          val planar = dicomShort("PlanarConfiguration", parsed)
+          val frames = math.max(1, dicomShort("NumberOfFrames", parsed))
+          val frameBytes = w.toLong * h * ch * (bits / 8)
+          val supported = w > 0 && h > 0 && frameBytes > 0 &&
+            ((ch == 3 && bits == 8 && planar == 0) ||
+             (ch == 1 && (bits == 8 || bits == 16)))
+          def hex(b: Array[Byte]): String =
+            java.security.MessageDigest.getInstance("MD5").digest(b)
+              .map("%02x".format(_)).mkString
+          if (!supported) Map.empty[Int, String]
+          else if (parsed.pixelsEncapsulated) {
+            if (parsed.transferSyntax == RleLosslessTs &&
+                parsed.pixelFragmentLengths.length == frames) {
+              val offs = parsed.pixelFragmentLengths.scanLeft(0)(_ + _)
+              (0 until frames).flatMap { i =>
+                val frag = java.util.Arrays.copyOfRange(px, offs(i), offs(i + 1))
+                rleInterleaved(w, h, ch, bits, frag).toOption.map(b => i -> hex(b))
+              }.toMap
+            } else Map.empty[Int, String] // other codecs stay honest-unsupported
+          } else if (px.length >= frameBytes * frames) {
+            (0 until frames).map { i =>
+              i -> hex(java.util.Arrays.copyOfRange(
+                px, (i * frameBytes).toInt, ((i + 1) * frameBytes).toInt))
+            }.toMap
+          } else Map.empty[Int, String]
+      }
+    }.getOrElse(Map.empty[Int, String])
+
   /** Frame sampling (video-shaped UDTF): every `step`-th frame index with
-    * its byte offset into the (conceptual) frame buffer. */
+    * its byte offset into the (conceptual) frame buffer — plus, for
+    * DICOM assets, the REAL per-frame checksum of the decoded frame
+    * ([[dicomFrameChecksums]]; null where no honest decode exists).
+    * Single pass over the binaries: metadata and frame checksums come
+    * from the same `mapPartitions`. */
   def frameSample(s: SparkSession, dir: String, step: Int = 5): DataFrame = {
     import s.implicits._
-    decodeMeta(s, dir)
+    loadAssets(s, dir)
+      .select($"path", $"media_type", $"content").as[(String, String, Array[Byte])]
+      .mapPartitions(_.map { case (p, m, c) =>
+        val meta = decodeOne(p, m, c)
+        val sums =
+          if (m == "application/dicom") dicomFrameChecksums(c)
+          else Map.empty[Int, String]
+        (meta.path, meta.width, meta.height, meta.channels, meta.bits,
+          meta.n_frames, sums)
+      })
+      .toDF("path", "width", "height", "channels", "bits", "n_frames", "frame_md5s")
+      .withColumn("path", element_at(split($"path", "/"), -1))
       .withColumn("frame_idx",
         explode(sequence(lit(0), $"n_frames" - 1, lit(step))))
       .withColumn("byte_offset",
         $"frame_idx".cast("long") * $"width" * $"height" * $"channels" * ($"bits" / 8).cast("long"))
-      .select($"path", $"frame_idx", $"byte_offset")
+      .withColumn("frame_md5", element_at($"frame_md5s", $"frame_idx"))
+      .select($"path", $"frame_idx", $"byte_offset", $"frame_md5")
       .orderBy($"path", $"frame_idx")
   }
 

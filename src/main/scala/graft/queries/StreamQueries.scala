@@ -55,17 +55,17 @@ object StreamQueries {
     // the driver's testdata tables are single files, but Spark-written
     // tables (e.g. the sf1 rehearsal corpus) are DIRECTORIES of part
     // files — a plain copy would stage an empty dir and the stream
-    // would silently drain zero rows
+    // would silently drain zero rows. Part files go DIRECTLY under the
+    // staged dir: the file stream source lists the dir it is given and
+    // does not recurse into a nested `<table>.parquet/` level.
     if (java.nio.file.Files.isDirectory(src)) {
-      val dst = in.resolve(file)
-      java.nio.file.Files.createDirectories(dst)
       val it = java.nio.file.Files.list(src).iterator()
       while (it.hasNext) {
         val p = it.next()
         if (java.nio.file.Files.isRegularFile(p) &&
             !p.getFileName.toString.startsWith("_") &&
             !p.getFileName.toString.startsWith("."))
-          java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+          java.nio.file.Files.copy(p, in.resolve(p.getFileName.toString))
       }
     } else java.nio.file.Files.copy(src, in.resolve(file))
     val name = s"stream_${prefix}_" + java.lang.Long.toHexString(

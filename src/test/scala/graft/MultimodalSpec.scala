@@ -291,6 +291,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Int]("frame_idx") % 5 == 0))
     assert(rows.forall(_.getAs[Long]("byte_offset") >= 0))
+    assert(f.columns.contains("frame_md5"))
+  }
+
+  test("frame sampling: EVERY frame of a multi-frame RLE decodes, " +
+       "checksum-identical to the native multi-frame twin") {
+    import java.nio.file.Files
+    val w = 8; val h = 4
+    // three DISTINCT frames so per-frame identity is actually probing
+    // frame alignment, not just repeating frame 1
+    val framePx = (0 until 3).map(f =>
+      Array.tabulate(w * h)(i => ((f * 41 + i * 3) % 251).toByte))
+    val rle = DicomWriter.file(
+      (rleHeader(1, h, w, 8) :+
+        DicomWriter.strElement(0x0028, 0x0008, "IS", "3")) :+
+        DicomWriter.encapsulatedPixels(
+          framePx.map(p => rleFrame(Seq(literalPackBits(p))))),
+      transferSyntax = RleTs)
+    val native = DicomWriter.file(
+      (rleHeader(1, h, w, 8) :+
+        DicomWriter.strElement(0x0028, 0x0008, "IS", "3")) :+
+        DicomWriter.element(0x7fe0, 0x0010, "OB", framePx.toArray.flatten))
+    val dir = Files.createTempDirectory("graft-dcm-multiframe")
+    Files.write(dir.resolve("rle.dcm"), rle)
+    Files.write(dir.resolve("native.dcm"), native)
+    try {
+      val rows = Multimodal.frameSample(spark, dir.toString, step = 1).collect()
+        .map(r => (r.getAs[String]("path"), r.getAs[Int]("frame_idx")) ->
+          r.getAs[String]("frame_md5")).toMap
+      // one checksummed row per frame, both syntaxes
+      (0 until 3).foreach { i =>
+        assert(rows(("rle.dcm", i)) != null, s"RLE frame $i not decoded")
+        assert(rows(("rle.dcm", i)) == rows(("native.dcm", i)),
+          s"frame $i diverged between RLE and native twins")
+      }
+      // distinct frames must not collapse to one checksum
+      assert(Set(rows(("rle.dcm", 0)), rows(("rle.dcm", 1)),
+                 rows(("rle.dcm", 2))).size == 3)
+    } finally graft.util.Fs.deleteRecursively(dir)
   }
 
   test("assetNeighbors: k neighbors per asset through the bucketed path") {
