@@ -155,7 +155,7 @@ object ScaleRehearsal {
     // replica stride = max(id)+1, NOT count(): a sparse or offset id
     // space would make count-based strides collide across replicas and
     // silently corrupt the generated corpus with duplicate ids
-    val nDocs = docs.agg(max($"doc_id")).head.getLong(0) + 1L
+    val nDocs = docs.agg(max($"doc_id")).head().getLong(0) + 1L
     docs.crossJoin(broadcast(reps))
       .withColumn("keep",
         $"replica" === 0 ||
@@ -170,7 +170,7 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$Sf1/documents.parquet")
 
     val emb = s.read.parquet(s"$Sf01/embeddings.parquet")
-    val nVecs = emb.agg(max($"vec_id")).head.getLong(0) + 1L
+    val nVecs = emb.agg(max($"vec_id")).head().getLong(0) + 1L
     val noisy = emb.crossJoin(broadcast(reps))
       .withColumn("vec_id", $"vec_id" + $"replica" * nVecs)
       .withColumn("embedding",

@@ -131,6 +131,11 @@ object SparkEntry {
     // min lower id sharing an LSH bucket — same band SQL as the batch
     // minhash family in the oracle
     "stream_neardup_filter" -> (StreamQueries.streamNearDup _),
+    // the TTL twin: bucket state expires horizon-of-event-time after its
+    // newest member (absolute state bound); the drain horizon exceeds the
+    // corpus span so the gate result — and oracle — match the NoTimeout
+    // filter exactly; re-admission semantics pinned in NearDupStreamSpec
+    "stream_neardup_ttl" -> (StreamQueries.streamNearDupTtl _),
     "stream_stream_join"   -> (StreamQueries.streamStreamJoin _),
     "stream_static_join"   -> (StreamQueries.streamStaticJoin _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
@@ -149,6 +154,28 @@ object SparkEntry {
     * (doc_id % 10 = 7) — the engine must reproduce it while NEVER
     * generating an index×index candidate (and, for `_idx`, while reading
     * the index from its persisted parquet form). */
+  /** Shared by `stream_neardup_filter` and `stream_neardup_ttl`: the
+    * single-batch drain's first-owner-wins rule == "min lower id sharing
+    * any LSH band bucket" — the same band CTEs as the batch minhash
+    * oracle. */
+  private val NearDupStreamOracleSql: String =
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
+        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
+        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
+        |        FROM perms GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 2 AS band,
+        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
+        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
+        |  FROM sig GROUP BY 1, 2)
+        |SELECT b.doc_id AS doc_id, min(a.doc_id) AS near_dup_of
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   private val IncrementalOracleSql: String =
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
@@ -1008,23 +1035,11 @@ object SparkEntry {
 
     // single-batch drain ⇒ first-owner-wins == "min lower id sharing any
     // LSH band bucket" — the same band CTEs as the batch minhash oracle
-    "stream_neardup_filter" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
-        |  FROM documents),
-        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
-        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
-        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
-        |        FROM perms GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, perm // 2 AS band,
-        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
-        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
-        |  FROM sig GROUP BY 1, 2)
-        |SELECT b.doc_id AS doc_id, min(a.doc_id) AS near_dup_of
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "stream_neardup_filter" -> NearDupStreamOracleSql,
+
+    // identical statement: the TTL drain's horizon exceeds the corpus
+    // event-time span, so nothing expires in the finite gate drain
+    "stream_neardup_ttl" -> NearDupStreamOracleSql,
 
     "dicom_parse_da_fn" ->
       """SELECT o_orderkey,

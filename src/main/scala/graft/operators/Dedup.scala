@@ -494,7 +494,7 @@ object Dedup {
       changed = merged
         .agg(coalesce(sum(when($"component" < $"prev", 1L).otherwise(0L)),
           lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       if (changed == 0) {
         // fixpoint: merged carries the same labeling labels had
         labels.unpersist(false)

@@ -328,7 +328,41 @@ object StreamQueries {
   }
 
   case class BandRow(doc_id: Long, band: Int, band_hash: String)
+  case class BandRowTs(doc_id: Long, band: Int, band_hash: String,
+                       event_time: java.sql.Timestamp)
   case class NearDupHit(doc_id: Long, near_dup_of: Long)
+
+  /** MinHash band columns over the `h0`/`h1` per-shingle md5 arrays —
+    * shared by the NoTimeout and TTL drains so their signatures stay
+    * bit-identical (and identical to the batch operators' oracle). */
+  private def nearDupBandCols: Seq[org.apache.spark.sql.Column] = {
+    def mh(p: Int): String =
+      s"array_min(transform(h${p / 4}, h -> substring(h, ${p % 4 * 8 + 1}, 8)))"
+    (0 to 3).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(lit(s"${2 * b}:"), expr(mh(2 * b)),
+                   lit(s"|${2 * b + 1}:"), expr(mh(2 * b + 1)))).as("band_hash"))
+    }
+  }
+
+  /** Tokenize → 3-shingle → per-shingle md5s, the shared front of both
+    * near-dup drains; keeps `passthrough` columns alongside `doc_id`. */
+  private def nearDupBands(stream: DataFrame,
+                           passthrough: Seq[String]): DataFrame = {
+    val s = stream.sparkSession
+    import s.implicits._
+    val keep = col("doc_id") +: passthrough.map(col)
+    stream
+      .select(keep :+
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"): _*)
+      .filter(size($"tk") >= 3)
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .withColumn("h0", expr("transform(sh, x -> md5(concat('0|', x)))"))
+      .withColumn("h1", expr("transform(sh, x -> md5(concat('1|', x)))"))
+      .select(keep :+ explode(array(nearDupBandCols: _*)).as("bb"): _*)
+      .select(keep ++ Seq($"bb.band".as("band"), $"bb.band_hash".as("band_hash")): _*)
+  }
 
   /** STREAMING NEAR-DUP FILTER: MinHash-LSH dedup of a document stream
     * against everything already ingested — the online twin of
@@ -414,23 +448,7 @@ object StreamQueries {
       out.result().iterator
     }
 
-    def mh(p: Int): String =
-      s"array_min(transform(h${p / 4}, h -> substring(h, ${p % 4 * 8 + 1}, 8)))"
-    val bandCols = (0 to 3).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat(lit(s"${2 * b}:"), expr(mh(2 * b)),
-                   lit(s"|${2 * b + 1}:"), expr(mh(2 * b + 1)))).as("band_hash"))
-    }
-
-    val q = stream
-      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
-      .filter(size($"tk") >= 3)
-      .withColumn("sh", expr(
-        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
-      .withColumn("h0", expr("transform(sh, x -> md5(concat('0|', x)))"))
-      .withColumn("h1", expr("transform(sh, x -> md5(concat('1|', x)))"))
-      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
+    val q = nearDupBands(stream, passthrough = Nil)
       .as[BandRow]
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
@@ -443,6 +461,78 @@ object StreamQueries {
     q.awaitTermination()
     // record the state-operator footprint (rows = live buckets) before
     // the query object goes away — the rehearsal's state-growth evidence
+    lastNearDupState = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption)
+      .map(op => (op.numRowsTotal, op.memoryUsedBytes))
+    materializeAndRelease(s,
+      s.table(name)
+        .groupBy($"doc_id")
+        .agg(min($"near_dup_of").as("near_dup_of"))
+        .orderBy($"doc_id"),
+      dropView = Some(name), deleteDirs = deleteDirs)
+  }
+
+  /** TTL near-dup filter: [[streamNearDup]] with an ABSOLUTE state
+    * bound — each bucket expires `horizon` of EVENT TIME after its
+    * newest member, so live state is rate × horizon buckets, the same
+    * guarantee `stream_dedup_watermarked` gives exact dedup. Event time
+    * here is synthesized deterministically from doc_id (epoch +
+    * doc_id seconds) and the 48 h horizon exceeds any sf corpus's span,
+    * so the finite driver drain never expires anything → shares the
+    * NoTimeout query's oracle verbatim. Re-admission is the semantic
+    * price and is pinned in NearDupStreamSpec: after a bucket expires,
+    * the next arrival becomes the new owner and reports NOTHING — old
+    * content has aged out of "what was already accepted". */
+  def streamNearDupTtl(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val (in, name) = stageInput(s, dir, "documents.parquet", "neardupttl")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    nearDupDrainTtl(s,
+      s.readStream.schema(schema).parquet(in.toString)
+        .withColumn("event_time",
+          timestamp_seconds(lit(1700000000L) + col("doc_id"))),
+      name, horizonMs = 48L * 3600 * 1000, deleteDirs = Seq(in))
+  }
+
+  /** The TTL drain core ([[streamNearDupTtl]]), exposed for the
+    * re-admission spec. `stream` must carry doc_id, text, and an
+    * `event_time` timestamp; the watermark delay doubles as the bucket
+    * horizon. Runs on RocksDB state like the NoTimeout drain. */
+  private[graft] def nearDupDrainTtl(s: SparkSession, stream: DataFrame,
+      name: String, horizonMs: Long,
+      deleteDirs: Seq[java.nio.file.Path]): DataFrame = withRocksDbState(s) {
+    import s.implicits._
+    def update(key: (Int, String), rows: Iterator[BandRowTs],
+               state: GroupState[Long]): Iterator[NearDupHit] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val rs = rows.toSeq
+        val ids = rs.map(_.doc_id).sorted
+        var owner = state.getOption.getOrElse(Long.MaxValue)
+        val out = Seq.newBuilder[NearDupHit]
+        ids.foreach { id =>
+          if (id < owner) owner = id
+          else if (id > owner) out += NearDupHit(id, owner)
+        }
+        state.update(owner)
+        // the bucket lives `horizon` past its newest member's event time
+        state.setTimeoutTimestamp(rs.map(_.event_time.getTime).max + horizonMs)
+        out.result().iterator
+      }
+    }
+    val q = nearDupBands(
+        stream.withWatermark("event_time", s"${horizonMs / 1000} seconds"),
+        passthrough = Seq("event_time"))
+      .as[BandRowTs]
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     lastNearDupState = Option(q.lastProgress)
       .flatMap(p => p.stateOperators.headOption)
       .map(op => (op.numRowsTotal, op.memoryUsedBytes))

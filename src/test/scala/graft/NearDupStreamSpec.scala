@@ -79,4 +79,58 @@ class NearDupStreamSpec extends AnyFunSuite {
       } finally graft.util.Fs.deleteRecursively(staged)
     } finally graft.util.Fs.deleteRecursively(dir)
   }
+
+  test("TTL: an expired bucket RE-ADMITS content — new owner, no report") {
+    import spark.implicits._
+    val dupText = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    val t0 = 1000000L // seconds
+    val h = 3600L     // 1 h horizon
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // filename-ordered micro-batches (maxFilesPerTrigger=1):
+    //  b1: doc 3 owns its buckets at t0
+    //  b2: unrelated doc advances the watermark past t0 + h
+    //  b3: another unrelated doc — doc 3's idle buckets time out HERE
+    //      (timeouts fire only for keys with no data in the batch)
+    //  b4: doc 9 (same text) arrives to EMPTY state → new owner, silent
+    //  b5: doc 11 (same text) reports near_dup_of = 9, NOT 3
+    val batches = Seq(
+      Seq((3L, dupText, ts(t0))),
+      Seq((7L, "quick brown foxes jump over sleepy hounds daily", ts(t0 + 36000))),
+      Seq((8L, "solar panels convert photons into usable electricity", ts(t0 + 36060))),
+      Seq((9L, dupText, ts(t0 + 36120))),
+      Seq((11L, dupText, ts(t0 + 36180))))
+    val staged = java.nio.file.Files.createTempDirectory("graft-neardup-ttl")
+    try {
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-neardup-ttl-b")
+        try {
+          rows.toDF("doc_id", "text", "event_time")
+            .coalesce(1).write.parquet(tmp.resolve("out").toString)
+          val part = java.nio.file.Files.list(tmp.resolve("out"))
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.copy(part, staged.resolve(f"part-$i%04d.parquet"))
+        } finally graft.util.Fs.deleteRecursively(tmp)
+      }
+      val schema = spark.read.parquet(staged.toString).schema
+      val name = "neardup_ttl_" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+      val result = StreamQueries.nearDupDrainTtl(
+          spark, stream, name, horizonMs = h * 1000, deleteDirs = Nil)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(result == Seq((11L, 9L)),
+        s"TTL re-admission semantics drifted: $result")
+    } finally graft.util.Fs.deleteRecursively(staged)
+  }
+
+  test("TTL query twin: gate-shaped drain equals the NoTimeout filter") {
+    val a = StreamQueries.streamNearDup(spark, sf)
+      .collect().map(_.toString).sorted
+    val b = StreamQueries.streamNearDupTtl(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b),
+      "48h-horizon TTL drain must match the NoTimeout filter on a finite corpus")
+  }
 }
