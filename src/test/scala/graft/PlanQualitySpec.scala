@@ -144,4 +144,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("persisted-index incremental: equi-joins only, sets restricted by semi-join") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "idxplan").toAbsolutePath.toString
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val isBatch = pmod(col("doc_id"), lit(10)) === lit(7)
+      graft.operators.Dedup.writeIndex(spark, docs.filter(!isBatch), idx)
+      val out = graft.operators.Dedup.incrementalPairsFromIndex(
+        spark, idx, docs.filter(isBatch))
+      val p = out.queryExecution.executedPlan.toString
+      // candidate generation and verification are equi-joins — the
+      // Σ n_b(index)·n_b(batch) bound dies with any product join
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"))
+      // verification joins candidates against the (checkpointed,
+      // candidate-restricted) sets relation via BROADCAST hash joins —
+      // the candidate-id LeftSemi itself runs eagerly inside ckptHinted,
+      // so the returned plan's evidence is the broadcast-sized build
+      // side; sets-restriction correctness is covered by
+      // IncrementalIndexSpec's row-for-row parity
+      assert(p.contains("BroadcastHashJoin"),
+        "verify joins must broadcast the candidate-restricted sets")
+      assert(p.contains("sortedintercount"),
+        "merge-walk intersection expression missing from verify")
+    } finally {
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
+      graft.operators.Dedup.unpersistIntermediates(spark)
+    }
+  }
 }
