@@ -89,9 +89,15 @@ object Bench {
     val passCap = math.max(passes, 6)
     def measure(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): IndexedSeq[Double] = {
       var ts = (1 to passes).flatMap(_ => time(fn))
-      while (ts.size >= 2 && ts.size < passCap &&
-             ts.last <= 0.9 * ts.dropRight(1).min)
+      // cap counts ATTEMPTS, not successes: a pass that starts failing
+      // mid-descent returns None and leaves ts unchanged — counting
+      // ts.size alone would spin on the failing query forever
+      var attempts = passes
+      while (ts.size >= 2 && attempts < passCap &&
+             ts.last <= 0.9 * ts.dropRight(1).min) {
+        attempts += 1
         ts = ts ++ time(fn)
+      }
       ts
     }
     var results: Map[String, IndexedSeq[Double]] = selected.map { case (name, fn) =>

@@ -350,8 +350,11 @@ object Dedup {
     * band_hash) join shuffles only the DAILY batch side when the index
     * relation is large. */
   def writeIndex(s: SparkSession, corpus: DataFrame, path: String): Unit = {
+    // partition on the FULL (band, band_hash) join key: `band` alone has
+    // 4 distinct values, which would funnel a corpus-sized shuffle into
+    // 4 writer tasks (each sorting and spilling a quarter of the corpus)
     bandsOf(s, corpus)
-      .repartition(col("band"))
+      .repartition(col("band"), col("band_hash"))
       .sortWithinPartitions(col("band"), col("band_hash"))
       .write.mode("overwrite").parquet(s"$path/bands")
     shingleSetsOf(s, corpus)
@@ -369,8 +372,18 @@ object Dedup {
   def incrementalPairsFromIndex(s: SparkSession, indexPath: String,
                                 batch: DataFrame): DataFrame = {
     import s.implicits._
+    // RE-DELIVERY contract: a doc_id present in BOTH the batch and the
+    // persisted index is treated as batch (its stale index rows are
+    // ignored) — exactly the relation [[incrementalPairs]] sees when its
+    // `index` excludes batch ids, so persisted ≡ recomputed holds even
+    // under replays. Without the anti-joins a replayed id would appear
+    // in the sets relation twice (duplicated output rows) and pair with
+    // itself in candidate generation.
+    val batchIds = broadcast(batch.select($"doc_id").distinct())
     val indexBands = s.read.parquet(s"$indexPath/bands")
+      .join(batchIds, Seq("doc_id"), "left_anti")
     val indexSets = s.read.parquet(s"$indexPath/sets")
+      .join(batchIds, Seq("doc_id"), "left_anti")
     val batchBands = bandsOf(s, batch)
     val cross = batchBands.as("n")
       .join(indexBands.as("i"), Seq("band", "band_hash"))

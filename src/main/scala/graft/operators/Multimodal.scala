@@ -794,9 +794,8 @@ object Multimodal {
     * Frames whose layout is outside the decoded set (planar RGB,
     * 12/32-bit), undecodable, or size-inconsistent simply have no entry
     * — the caller emits null, never an invented raster. */
-  private[operators] def dicomFrameChecksums(content: Array[Byte]): Map[Int, String] =
+  private[operators] def dicomFrameChecksums(parsed: DicomParser.DicomFile): Map[Int, String] =
     scala.util.Try {
-      val parsed = DicomParser.parse(content, readPixels = true)
       parsed.pixels match {
         case None => Map.empty[Int, String]
         case Some(px) =>
@@ -843,10 +842,25 @@ object Multimodal {
     loadAssets(s, dir)
       .select($"path", $"media_type", $"content").as[(String, String, Array[Byte])]
       .mapPartitions(_.map { case (p, m, c) =>
-        val meta = decodeOne(p, m, c)
-        val sums =
-          if (m == "application/dicom") dicomFrameChecksums(c)
-          else Map.empty[Int, String]
+        // one parse serves both metadata and frame checksums; a DICOM
+        // that fails the pixel-bearing parse degrades through decodeOne
+        // exactly like before (its header-only parse falls back to the
+        // stub in the same cases)
+        val (meta, sums) =
+          if (m == "application/dicom")
+            scala.util.Try(DicomParser.parse(c, readPixels = true)).toOption match {
+              case Some(parsed) =>
+                val w = dicomShort("Columns", parsed)
+                val h = dicomShort("Rows", parsed)
+                val ch = math.max(1, dicomShort("SamplesPerPixel", parsed))
+                val bits = math.max(8, dicomShort("BitsAllocated", parsed))
+                val frames = math.max(1, dicomShort("NumberOfFrames", parsed))
+                (DecodedAsset(p, m, w, h, ch, bits, frames, "dicom-header",
+                  w.toLong * h * ch * (bits / 8) * frames),
+                 dicomFrameChecksums(parsed))
+              case None => (decodeOne(p, m, c), Map.empty[Int, String])
+            }
+          else (decodeOne(p, m, c), Map.empty[Int, String])
         (meta.path, meta.width, meta.height, meta.channels, meta.bits,
           meta.n_frames, sums)
       })

@@ -59,14 +59,17 @@ object StreamQueries {
     // staged dir: the file stream source lists the dir it is given and
     // does not recurse into a nested `<table>.parquet/` level.
     if (java.nio.file.Files.isDirectory(src)) {
-      val it = java.nio.file.Files.list(src).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (java.nio.file.Files.isRegularFile(p) &&
-            !p.getFileName.toString.startsWith("_") &&
-            !p.getFileName.toString.startsWith("."))
-          java.nio.file.Files.copy(p, in.resolve(p.getFileName.toString))
-      }
+      val listing = java.nio.file.Files.list(src)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.isRegularFile(p) &&
+              !p.getFileName.toString.startsWith("_") &&
+              !p.getFileName.toString.startsWith("."))
+            java.nio.file.Files.copy(p, in.resolve(p.getFileName.toString))
+        }
+      } finally listing.close() // Files.list leaks a directory fd otherwise
     } else java.nio.file.Files.copy(src, in.resolve(file))
     val name = s"stream_${prefix}_" + java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
@@ -477,20 +480,28 @@ object StreamQueries {
     * newest member, so live state is rate × horizon buckets, the same
     * guarantee `stream_dedup_watermarked` gives exact dedup. Event time
     * here is synthesized deterministically from doc_id (epoch +
-    * doc_id seconds) and the 48 h horizon exceeds any sf corpus's span,
-    * so the finite driver drain never expires anything → shares the
-    * NoTimeout query's oracle verbatim. Re-admission is the semantic
+    * doc_id seconds) and the horizon is derived as corpus-span + 48 h,
+    * so the finite driver drain never expires anything at ANY scale
+    * factor → shares the NoTimeout query's oracle verbatim.
+    * Re-admission is the semantic
     * price and is pinned in NearDupStreamSpec: after a bucket expires,
     * the next arrival becomes the new owner and reports NOTHING — old
     * content has aged out of "what was already accepted". */
   def streamNearDupTtl(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     val (in, name) = stageInput(s, dir, "documents.parquet", "neardupttl")
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val batchRead = s.read.parquet(s"$dir/documents.parquet")
+    // the gate's oracle-equality contract requires that NOTHING expires
+    // mid-drain, so the horizon is DERIVED from the corpus's synthetic
+    // event-time span (doc_id seconds) plus 48 h of slack — a fixed
+    // horizon would silently start expiring (and hash-diverging) the
+    // moment a larger corpus's span crossed it
+    val spanMs = 1000L * batchRead
+      .agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
     nearDupDrainTtl(s,
-      s.readStream.schema(schema).parquet(in.toString)
+      s.readStream.schema(batchRead.schema).parquet(in.toString)
         .withColumn("event_time",
           timestamp_seconds(lit(1700000000L) + col("doc_id"))),
-      name, horizonMs = 48L * 3600 * 1000, deleteDirs = Seq(in))
+      name, horizonMs = spanMs + 48L * 3600 * 1000, deleteDirs = Seq(in))
   }
 
   /** The TTL drain core ([[streamNearDupTtl]]), exposed for the

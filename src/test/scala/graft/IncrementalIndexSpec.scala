@@ -38,6 +38,29 @@ class IncrementalIndexSpec extends AnyFunSuite {
       s"persisted-index drifted from recompute:\n idx=${viaIndex.mkString(";")}\n dir=${direct.mkString(";")}")
   }
 
+  test("re-delivered batch ids ignore their stale index rows (no dup/self pairs)") {
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "idxoverlap").toAbsolutePath.toString
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val isBatch = pmod(col("doc_id"), lit(10)) === lit(7)
+      val batch = docs.filter(isBatch)
+      // the index is written WITH the batch docs included (yesterday's
+      // run indexed them; today they are replayed)
+      Dedup.writeIndex(spark, docs, idx)
+      val replayed = Dedup.incrementalPairsFromIndex(spark, idx, batch)
+        .collect().map(_.toString)
+      Dedup.unpersistIntermediates(spark)
+      // contract: batch wins — output equals the disjoint-index run
+      val clean = Dedup.incrementalPairs(spark, docs.filter(!isBatch), batch)
+        .collect().map(_.toString)
+      Dedup.unpersistIntermediates(spark)
+      assert(replayed.sorted.sameElements(clean.sorted),
+        s"replayed ids changed the result:\n got=${replayed.sorted.mkString(";")}\n want=${clean.sorted.mkString(";")}")
+      assert(replayed.length == replayed.distinct.length, "duplicate output rows")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
+  }
+
   test("index artifact: bands (4/doc) + sets (1/doc), join-ready schemas") {
     val idx = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "idxspec").toAbsolutePath.toString
