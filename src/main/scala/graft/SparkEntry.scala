@@ -149,11 +149,6 @@ object SparkEntry {
       s, Seq(DicomQueries.Fixtures, Multimodal.ensureImageFixtures()))),
   )
 
-  /** Shared by `dedup_incremental` and `dedup_incremental_idx`: the full
-    * pair computation restricted to pairs touching the "new batch"
-    * (doc_id % 10 = 7) — the engine must reproduce it while NEVER
-    * generating an index×index candidate (and, for `_idx`, while reading
-    * the index from its persisted parquet form). */
   /** Shared by `stream_neardup_filter` and `stream_neardup_ttl`: the
     * single-batch drain's first-owner-wins rule == "min lower id sharing
     * any LSH band bucket" — the same band CTEs as the batch minhash
@@ -176,6 +171,11 @@ object SparkEntry {
         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
         |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Shared by `dedup_incremental` and `dedup_incremental_idx`: the full
+    * pair computation restricted to pairs touching the "new batch"
+    * (doc_id % 10 = 7) — the engine must reproduce it while NEVER
+    * generating an index×index candidate (and, for `_idx`, while reading
+    * the index from its persisted parquet form). */
   private val IncrementalOracleSql: String =
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk

@@ -855,9 +855,14 @@ object Multimodal {
                 val ch = math.max(1, dicomShort("SamplesPerPixel", parsed))
                 val bits = math.max(8, dicomShort("BitsAllocated", parsed))
                 val frames = math.max(1, dicomShort("NumberOfFrames", parsed))
-                (DecodedAsset(p, m, w, h, ch, bits, frames, "dicom-header",
-                  w.toLong * h * ch * (bits / 8) * frames),
-                 dicomFrameChecksums(parsed))
+                // same negative-geometry guard as decodeOne: a parsable
+                // DICOM declaring a negative dimension (signed-VR quirk)
+                // degrades to the deterministic stub, not negative rows
+                if (w >= 0 && h >= 0)
+                  (DecodedAsset(p, m, w, h, ch, bits, frames, "dicom-header",
+                    w.toLong * h * ch * (bits / 8) * frames),
+                   dicomFrameChecksums(parsed))
+                else (decodeOne(p, m, c), Map.empty[Int, String])
               case None => (decodeOne(p, m, c), Map.empty[Int, String])
             }
           else (decodeOne(p, m, c), Map.empty[Int, String])

@@ -59,17 +59,26 @@ object StreamQueries {
     // staged dir: the file stream source lists the dir it is given and
     // does not recurse into a nested `<table>.parquet/` level.
     if (java.nio.file.Files.isDirectory(src)) {
-      val listing = java.nio.file.Files.list(src)
+      // recurse: a PARTITIONED Spark table nests part files under
+      // date=.../ levels — flatten every data file directly into the
+      // staged dir (names uniquified with a depth-order counter so
+      // same-named parts from different partitions can't collide)
+      val walk = java.nio.file.Files.walk(src)
+      var staged = 0
       try {
-        val it = listing.iterator()
+        val it = walk.iterator()
         while (it.hasNext) {
           val p = it.next()
           if (java.nio.file.Files.isRegularFile(p) &&
               !p.getFileName.toString.startsWith("_") &&
-              !p.getFileName.toString.startsWith("."))
-            java.nio.file.Files.copy(p, in.resolve(p.getFileName.toString))
+              !p.getFileName.toString.startsWith(".")) {
+            java.nio.file.Files.copy(p, in.resolve(f"$staged%05d_" + p.getFileName.toString))
+            staged += 1
+          }
         }
-      } finally listing.close() // Files.list leaks a directory fd otherwise
+      } finally walk.close() // Files.walk leaks directory fds otherwise
+      require(staged > 0,
+        s"stageInput: no data files found under $src — the stream would silently drain zero rows")
     } else java.nio.file.Files.copy(src, in.resolve(file))
     val name = s"stream_${prefix}_" + java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
