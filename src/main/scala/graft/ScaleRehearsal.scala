@@ -128,6 +128,80 @@ object ScaleRehearsal {
       f"[rehearsal] stream_neardup state: sf0.1 $sr01 buckets/$sb01 B (${fmt(ss01)}s, $sn01 hits)  " +
       f"sf1 $sr1 buckets/$sb1 B (${fmt(ss1)}s, $sn1 hits)  rows ×${fmt(sr1.toDouble / math.max(1, sr01))}")
 
+    // Day-2 persisted-index read path (r6 verdict #1): pre-build the sf1
+    // index ONCE (timed separately), then time ONLY the read+query side
+    // — incrementalPairsFromIndex against the existing artifact — with
+    // bytes-read from task input metrics. Two batch widths hit both
+    // routes: the 10% gate batch overflows the pushdown cap (sequential
+    // sets scan), the 0.1% batch rides the In-pushdown row-group
+    // skipping the doc_id-range-sorted layout exists for.
+    def diskBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val w = java.nio.file.Files.walk(root)
+        try {
+          var sum = 0L
+          val it = w.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (java.nio.file.Files.isRegularFile(f)) sum += java.nio.file.Files.size(f)
+          }
+          sum
+        } finally w.close()
+      }
+    }
+    def bytesReadDuring[A](f: => A): (A, Long) = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) acc.addAndGet(m.inputMetrics.bytesRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = f
+        // the listener bus is async — poll until the counter stabilizes
+        var prev = -1L; var cur = acc.get(); var spins = 0
+        while (prev != cur && spins < 40) {
+          Thread.sleep(250); prev = cur; cur = acc.get(); spins += 1
+        }
+        (r, cur)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(spark, "dayidx"), "idx").toAbsolutePath.toString
+    val sf1docs = spark.read.parquet(s"$Sf1/documents.parquet")
+    val isBatch10 = pmod(col("doc_id"), lit(10)) === lit(7)
+    val tb0 = System.nanoTime()
+    graft.operators.Dedup.writeIndex(spark, sf1docs.filter(!isBatch10), idxDir)
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+    val (bandsBytes, setsBytes) = (diskBytes(s"$idxDir/bands"), diskBytes(s"$idxDir/sets"))
+    // control: what one full pass over the batch's source table costs in
+    // input bytes — the floor any day-2 run pays before touching the
+    // index (sum(length(text)) forces a real data-column read; a bare
+    // count() would be answered from parquet footers alone)
+    val (_, docsScanBytes) = bytesReadDuring(
+      sf1docs.agg(sum(length(col("text")))).head())
+    def day2(label: String, batch: org.apache.spark.sql.DataFrame): (String, Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val (n, bytes) = bytesReadDuring {
+        graft.operators.Dedup.incrementalPairsFromIndex(spark, idxDir, batch).count()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      System.err.println(f"[rehearsal] day2 $label%-12s ${fmt(sec)}s  $n rows  ${bytes / 1048576}%d MiB read " +
+        f"(index: bands ${bandsBytes / 1048576}%d MiB + sets ${setsBytes / 1048576}%d MiB; one docs scan ${docsScanBytes / 1048576}%d MiB)")
+      (label, sec, n, bytes)
+    }
+    val day2Rows = Seq(
+      day2("batch_10pct", sf1docs.filter(isBatch10)),
+      day2("batch_0p1pct", sf1docs.filter(pmod(col("doc_id"), lit(1000)) === lit(7))))
+    System.err.println(f"[rehearsal] day2 index build+write: ${fmt(buildSec)}s")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxDir))
+
     val qjson = rows.map { case (n, s01, r01, s1, r1, ratio) =>
       s""""$n":{"sf01_sec":${fmt(s01)},"sf01_rows":$r01,"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
@@ -135,7 +209,12 @@ object ScaleRehearsal {
       s""""$g":{"sf01":$c01,"sf1":$c1}"""
     }.mkString("{", ",", "}")
     val sjson = s""""stream_neardup_state":{"sf01":{"sec":${fmt(ss01)},"hits":$sn01,"state_rows":$sr01,"state_bytes":$sb01},"sf1":{"sec":${fmt(ss1)},"hits":$sn1,"state_rows":$sr1,"state_bytes":$sb1}}"""
-    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$sjson}"""
+    val djson = day2Rows.map { case (l, sec, n, bytes) =>
+      s""""$l":{"sec":${fmt(sec)},"rows":$n,"bytes_read":$bytes}"""
+    }.mkString(
+      s""""day2_index":{"build_sec":${fmt(buildSec)},"bands_bytes":$bandsBytes,"sets_bytes":$setsBytes,"docs_scan_bytes":$docsScanBytes,"runs":{""",
+      ",", "}}")
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$sjson,$djson}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)

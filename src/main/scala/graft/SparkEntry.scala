@@ -136,6 +136,10 @@ object SparkEntry {
     // corpus span so the gate result — and oracle — match the NoTimeout
     // filter exactly; re-admission semantics pinned in NearDupStreamSpec
     "stream_neardup_ttl" -> (StreamQueries.streamNearDupTtl _),
+    // expiry-hardened twin: 8 event-time-ordered micro-batches with a
+    // ONE-batch-width horizon, so buckets provably expire mid-drain and
+    // re-admission is hash-gated (epoch closed form in the oracle)
+    "stream_neardup_ttl_expiry" -> (StreamQueries.streamNearDupTtlExpiry _),
     "stream_stream_join"   -> (StreamQueries.streamStreamJoin _),
     "stream_static_join"   -> (StreamQueries.streamStaticJoin _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
@@ -149,11 +153,10 @@ object SparkEntry {
       s, Seq(DicomQueries.Fixtures, Multimodal.ensureImageFixtures()))),
   )
 
-  /** Shared by `stream_neardup_filter` and `stream_neardup_ttl`: the
-    * single-batch drain's first-owner-wins rule == "min lower id sharing
-    * any LSH band bucket" — the same band CTEs as the batch minhash
-    * oracle. */
-  private val NearDupStreamOracleSql: String =
+  /** The minhash band CTEs (documents → (doc_id, band, band_hash)) every
+    * near-dup stream oracle builds on — identical hash family to the
+    * batch minhash operators. */
+  private val NearDupBandCtes: String =
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
         |  FROM documents),
@@ -165,11 +168,50 @@ object SparkEntry {
         |bands AS (SELECT doc_id, perm // 2 AS band,
         |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
         |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
-        |  FROM sig GROUP BY 1, 2)
-        |SELECT b.doc_id AS doc_id, min(a.doc_id) AS near_dup_of
+        |  FROM sig GROUP BY 1, 2)""".stripMargin
+
+  /** Shared by `stream_neardup_filter` and `stream_neardup_ttl`: the
+    * single-batch drain's first-owner-wins rule == "min lower id sharing
+    * any LSH band bucket" — the same band CTEs as the batch minhash
+    * oracle. */
+  private val NearDupStreamOracleSql: String = NearDupBandCtes + "\n" +
+      """SELECT b.doc_id AS doc_id, min(a.doc_id) AS near_dup_of
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** `stream_neardup_ttl_expiry`: the closed form of the EventTimeTimeout
+    * state machine under the query's replay geometry — 8 doc_id-range
+    * micro-batches, event time = epoch + doc_id seconds, horizon = one
+    * batch width `w`. Per bucket (members id-sorted): a member opens a
+    * new EPOCH iff its batch is ≥ 2 past its predecessor's (the timeout
+    * only fires in a batch where the key has no data) and the eviction
+    * watermark of the last dataless batch — max id before batch(cur)−1,
+    * minus w — STRICTLY passed the predecessor's timeout (pred + w);
+    * Spark's timeout comparison is strict (`timeoutTimestamp <
+    * watermark`), hence `>` not `>=`. Every non-opener reports its
+    * epoch's opener; the drain folds min over bands. */
+  private val NearDupTtlExpiryOracleSql: String = NearDupBandCtes + ",\n" +
+      """params AS (SELECT (max(doc_id) + 8) // 8 AS w FROM documents),
+        |bmax AS (SELECT doc_id // (SELECT w FROM params) AS b, max(doc_id) AS mx
+        |         FROM documents GROUP BY 1),
+        |memb AS (SELECT band, band_hash, doc_id,
+        |  lag(doc_id) OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS prev
+        |  FROM bands),
+        |seg AS (SELECT band, band_hash, doc_id, prev,
+        |  (prev IS NULL OR (
+        |     doc_id // (SELECT w FROM params) - prev // (SELECT w FROM params) >= 2
+        |     AND coalesce((SELECT max(mx) FROM bmax
+        |                   WHERE b <= doc_id // (SELECT w FROM params) - 2), -1)
+        |         > prev + 2 * (SELECT w FROM params))) AS is_start
+        |  FROM memb),
+        |ep AS (SELECT doc_id, is_start,
+        |  max(CASE WHEN is_start THEN doc_id END) OVER
+        |    (PARTITION BY band, band_hash ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS owner
+        |  FROM seg)
+        |SELECT doc_id, min(owner) AS near_dup_of
+        |FROM ep WHERE NOT is_start GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** Shared by `dedup_incremental` and `dedup_incremental_idx`: the full
     * pair computation restricted to pairs touching the "new batch"
@@ -1040,6 +1082,10 @@ object SparkEntry {
     // identical statement: the TTL drain's horizon exceeds the corpus
     // event-time span, so nothing expires in the finite gate drain
     "stream_neardup_ttl" -> NearDupStreamOracleSql,
+
+    // mid-corpus horizon: expiry fires mid-drain; the oracle states the
+    // state machine's closed form under the 8-batch replay geometry
+    "stream_neardup_ttl_expiry" -> NearDupTtlExpiryOracleSql,
 
     "dicom_parse_da_fn" ->
       """SELECT o_orderkey,

@@ -348,7 +348,11 @@ object Dedup {
     * a 100 TB corpus. Bands are written bucketed-friendly (sorted within
     * files by the join key) but remain plain parquet — the (band,
     * band_hash) join shuffles only the DAILY batch side when the index
-    * relation is large. */
+    * relation is large. Sets are RANGE-SORTED on doc_id (disjoint file
+    * ranges, sorted row groups) so the day-2 read path's pushed
+    * candidate-id In filter skips whole row groups via parquet min/max
+    * stats — the layout that makes "index bytes touched ∝ candidates"
+    * literally true below the pushdown cap. */
   def writeIndex(s: SparkSession, corpus: DataFrame, path: String): Unit = {
     // partition on the FULL (band, band_hash) join key: `band` alone has
     // 4 distinct values, which would funnel a corpus-sized shuffle into
@@ -358,6 +362,8 @@ object Dedup {
       .sortWithinPartitions(col("band"), col("band_hash"))
       .write.mode("overwrite").parquet(s"$path/bands")
     shingleSetsOf(s, corpus)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/sets")
   }
 
@@ -366,9 +372,14 @@ object Dedup {
     * hash-identical output by construction (both relations are
     * deterministic functions of the corpus; IncrementalIndexSpec and the
     * `dedup_incremental_idx` oracle pin it). Index documents never
-    * re-shingle: verification reads `sets` restricted to candidate ids,
-    * so a day's run touches index bytes proportional to CANDIDATES, not
-    * corpus size. */
+    * re-shingle: when the index-side candidate count is at or below
+    * `spark.graft.dedup.index.pushdownMaxIds`, their ids are pushed into
+    * the parquet scan as an In filter, and the doc_id-range-sorted file
+    * layout ([[writeIndex]]) turns that into row-group skipping — index
+    * bytes READ ∝ candidates, not corpus size (measured per round in
+    * ScaleRehearsal's day-2 section). Above the cap the read degrades to
+    * one sequential columnar scan of `sets` restricted by a broadcast
+    * semi-join — still index bytes, never corpus re-shingling. */
   def incrementalPairsFromIndex(s: SparkSession, indexPath: String,
                                 batch: DataFrame): DataFrame = {
     import s.implicits._
@@ -376,13 +387,13 @@ object Dedup {
     // persisted index is treated as batch (its stale index rows are
     // ignored) — exactly the relation [[incrementalPairs]] sees when its
     // `index` excludes batch ids, so persisted ≡ recomputed holds even
-    // under replays. Without the anti-joins a replayed id would appear
+    // under replays. Without the exclusion a replayed id would appear
     // in the sets relation twice (duplicated output rows) and pair with
-    // itself in candidate generation.
+    // itself in candidate generation. The pushdown path inherits the
+    // contract for free: its id list is candIds MINUS batch ids, so
+    // stale rows never leave the scan.
     val batchIds = broadcast(batch.select($"doc_id").distinct())
     val indexBands = s.read.parquet(s"$indexPath/bands")
-      .join(batchIds, Seq("doc_id"), "left_anti")
-    val indexSets = s.read.parquet(s"$indexPath/sets")
       .join(batchIds, Seq("doc_id"), "left_anti")
     val batchBands = bandsOf(s, batch)
     val cross = batchBands.as("n")
@@ -394,10 +405,48 @@ object Dedup {
     val cand = ckptHinted(cross.union(within).distinct().coalesce(4))
     val candIds = cand.select($"doc_a".as("doc_id"))
       .union(cand.select($"doc_b".as("doc_id"))).distinct()
-    val sets = indexSets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val idxCandIds = candIds.join(batchIds, Seq("doc_id"), "left_anti")
+    // bounded probe: collect at most cap+1 ids — enough to decide the
+    // route without ever pulling an unbounded id list onto the driver
+    val cap = s.conf.get("spark.graft.dedup.index.pushdownMaxIds", "10000").toInt
+    val probe = idxCandIds.select($"doc_id")
+      .limit(cap + 1).collect().map(_.getLong(0))
+    val indexSets =
+      if (probe.isEmpty)
+        s.read.parquet(s"$indexPath/sets").filter(lit(false))
+      else if (probe.length <= cap)
+        s.read.parquet(s"$indexPath/sets")
+          .filter($"doc_id".isin(probe.toIndexedSeq: _*))
+      else
+        s.read.parquet(s"$indexPath/sets")
+          .join(batchIds, Seq("doc_id"), "left_anti")
+          .join(broadcast(idxCandIds), Seq("doc_id"), "left_semi")
+    val sets = indexSets
       .unionByName(shingleSetsOf(
         s, batch.join(broadcast(candIds), Seq("doc_id"), "left_semi")))
-    minhashVerifyWithSets(s, sets, cand)
+    // the sets parquet scan executes eagerly inside minhashVerifyWithSets
+    // (ckptHinted), so scoping the In-pushdown threshold around the call
+    // covers it; the returned frame only re-reads checkpointed blocks
+    withParquetInPushdown(s, math.max(probe.length, 10)) {
+      minhashVerifyWithSets(s, sets, cand)
+    }
+  }
+
+  /** Run `f` with `spark.sql.parquet.pushdown.inFilterThreshold` raised
+    * to `n`: parquet pushes an In predicate as an or-of-eq chain (which
+    * row-group min/max stats can evaluate) only up to the threshold —
+    * past it the filter collapses to a min..max range that skips nothing
+    * when candidate ids span the id space. Restored in `finally`; safe
+    * under the engine's serial per-query execution (same contract as
+    * StreamQueries' conf scoping). */
+  private def withParquetInPushdown[A](s: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, n.toString)
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** Query twin of [[minhashIncremental]] through the persisted-index

@@ -513,6 +513,56 @@ object StreamQueries {
       name, horizonMs = spanMs + 48L * 3600 * 1000, deleteDirs = Seq(in))
   }
 
+  /** TTL near-dup with expiry PROVABLY FIRING mid-drain — the
+    * oracle-gated hardening of [[streamNearDupTtl]] (whose gate horizon
+    * deliberately outlives the corpus). The corpus replays as 8
+    * doc_id-range micro-batches (event time = epoch + doc_id seconds,
+    * so range order IS event-time order) with horizon = ONE batch width
+    * — buckets idle for ≥ 2 batches expire once the watermark passes,
+    * and their next arrival re-admits silently as the new owner.
+    *
+    * Those semantics have a CLOSED FORM the DuckDB oracle states with
+    * window functions: a bucket member opens a new epoch iff
+    * `batch(cur) − batch(prev) ≥ 2` (a dataless batch existed for the
+    * timeout to fire in — a key with data never times out) AND
+    * `P(batch(cur) − 1) ≥ prev + 2·horizon` where `P(b)` = max event
+    * time before batch `b` (the watermark is `P − horizon` and the
+    * timeout fires at `prev + horizon`, so the two horizons compound);
+    * every non-opening member reports its epoch's opener. The Spark
+    * side computes NOTHING from that formula — it runs the real
+    * EventTimeTimeout state machine; the driver hash-compares the two. */
+  def streamNearDupTtlExpiry(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val batchRead = s.read.parquet(s"$dir/documents.parquet")
+    val maxId = batchRead.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+    val nBatches = 8
+    val w = (maxId + nBatches) / nBatches // = ceil((maxId+1)/nBatches)
+    val base = graft.util.Fs.scratchDir(s, "dicomq")
+    val in = java.nio.file.Files.createTempDirectory(base, "neardupexp").toAbsolutePath
+    (0 until nBatches).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(base, "neardupexpb")
+      try {
+        batchRead.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+          .coalesce(1).write.parquet(tmp.resolve("out").toString)
+        val part = java.nio.file.Files.list(tmp.resolve("out"))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dest = in.resolve(f"part-$i%04d.parquet")
+        java.nio.file.Files.copy(part, dest)
+        // explicit strictly-increasing mtimes: the file source orders by
+        // modification time, and sub-ms writes could otherwise tie
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      } finally graft.util.Fs.deleteRecursively(tmp)
+    }
+    val name = "stream_neardupexp_" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val stream = s.readStream.schema(batchRead.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+      .withColumn("event_time",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    nearDupDrainTtl(s, stream, name, horizonMs = w * 1000L, deleteDirs = Seq(in))
+  }
+
   /** The TTL drain core ([[streamNearDupTtl]]), exposed for the
     * re-admission spec. `stream` must carry doc_id, text, and an
     * `event_time` timestamp; the watermark delay doubles as the bucket

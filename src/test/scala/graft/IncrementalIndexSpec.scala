@@ -61,6 +61,60 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
   }
 
+  test("pushdown route ≡ semi-join fallback route, row for row") {
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "idxroute").toAbsolutePath.toString
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val isBatch = pmod(col("doc_id"), lit(10)) === lit(7)
+      Dedup.writeIndex(spark, docs.filter(!isBatch), idx)
+      // default cap → pushdown (fixture candidate count is far below 10k)
+      val pushed = Dedup.incrementalPairsFromIndex(spark, idx, docs.filter(isBatch))
+        .collect().map(_.toString).sorted
+      Dedup.unpersistIntermediates(spark)
+      // cap 0 → every non-empty candidate set overflows → fallback route
+      spark.conf.set("spark.graft.dedup.index.pushdownMaxIds", "0")
+      val fellBack =
+        try Dedup.incrementalPairsFromIndex(spark, idx, docs.filter(isBatch))
+          .collect().map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.dedup.index.pushdownMaxIds")
+      Dedup.unpersistIntermediates(spark)
+      assert(pushed.nonEmpty, "fixture corpus has batch-involving near-dups")
+      assert(pushed.sameElements(fellBack),
+        s"routes disagree:\n push=${pushed.mkString(";")}\n fall=${fellBack.mkString(";")}")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
+  }
+
+  test("sets files are doc_id-range-sorted: sorted within, disjoint across") {
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "idxsort").toAbsolutePath.toString
+    try {
+      val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      Dedup.writeIndex(spark, corpus, idx)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$idx/sets"))
+        .iterator()
+      val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val ids = spark.read.parquet(p.toString)
+            .select("doc_id").collect().map(_.getLong(0))
+          if (ids.nonEmpty) {
+            assert(ids.sameElements(ids.sorted),
+              s"${p.getFileName}: doc_id not sorted within file")
+            ranges += ((ids.head, ids.last))
+          }
+        }
+      }
+      assert(ranges.nonEmpty)
+      val sorted = ranges.sortBy(_._1).toIndexedSeq
+      sorted.indices.drop(1).foreach { i =>
+        assert(sorted(i - 1)._2 < sorted(i)._1,
+          s"file ranges overlap: ..${sorted(i - 1)._2} vs ${sorted(i)._1}..")
+      }
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
+  }
+
   test("index artifact: bands (4/doc) + sets (1/doc), join-ready schemas") {
     val idx = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "idxspec").toAbsolutePath.toString

@@ -133,4 +133,24 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.sameElements(b),
       "48h-horizon TTL drain must match the NoTimeout filter on a finite corpus")
   }
+
+  test("TTL expiry query: expiry provably fires mid-drain") {
+    // mid-corpus horizon (one batch width of the 8-batch replay): buckets
+    // idle ≥ 2 batches expire, so (a) end-of-drain live state sits BELOW
+    // the no-expiry bucket count, and (b) cross-epoch pairs vanish —
+    // strictly fewer reported docs than the NoTimeout drain. The
+    // semantics themselves are hash-gated by the DuckDB closed-form
+    // oracle; this pins that the gate fixture actually exercises expiry.
+    val noExpiry = StreamQueries.streamNearDup(spark, sf)
+      .collect().map(_.toString).sorted
+    val bucketsNoExpiry = StreamQueries.lastNearDupState.map(_._1).getOrElse(-1L)
+    val expiry = StreamQueries.streamNearDupTtlExpiry(spark, sf)
+      .collect().map(_.toString).sorted
+    val liveAfterExpiry = StreamQueries.lastNearDupState.map(_._1).getOrElse(-1L)
+    assert(expiry.nonEmpty, "expiry drain reported nothing")
+    assert(expiry.length < noExpiry.length,
+      s"no pair crossed an expired epoch: ${expiry.length} vs ${noExpiry.length}")
+    assert(liveAfterExpiry > 0 && liveAfterExpiry < bucketsNoExpiry,
+      s"no bucket expired: $liveAfterExpiry live vs $bucketsNoExpiry without TTL")
+  }
 }
