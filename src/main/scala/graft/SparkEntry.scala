@@ -116,6 +116,10 @@ object SparkEntry {
     "text_repetition"  -> (TextAnalysis.repetition _),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
+    // listing-free twin: routing + content reads driven by a (path,
+    // length) manifest — the 10M+-object entry point (ManifestSpec pins
+    // rows+errors parity with the listed route)
+    "dicom_manifest_extract" -> (DicomQueries.manifestExtract _),
     "dicom_errors"         -> (DicomQueries.errors _),
     "dicom_partitioned_sql" -> (DicomQueries.partitionedSql _),
     "dicom_crawl_schema"   -> (DicomQueries.crawlSchema _),

@@ -104,46 +104,49 @@ object DicomPipeline {
         Left(DicomError(key, "transform", s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
 
-  /** Zero-length files never produce scan splits (Spark file-source
-    * planning skips them), yet the reference's canonical failure fixture
-    * is an EMPTY `DICOMDIR` whose error record we must emit
-    * (README.md:116). List them explicitly — listing only the empties is
-    * driver-cheap (the source lists the directory anyway). */
-  /** One driver walk, two route lists: zero-length files (whose error
-    * records the file source would silently skip) and OVERSIZED files
-    * (> maxInline bytes) for the S11 streamed route. */
-  private def listRoutes(spark: SparkSession, inputPath: String,
-                         maxInline: Long): (Seq[String], Seq[String]) = {
+  /** One fork-free driver walk over `inputPath`: every visible file as
+    * (path, length), hidden-pruned exactly like Spark's InMemoryFileIndex
+    * (`_`/`.` prefixes invisible at ANY discovered level; the explicitly
+    * named root is always accepted — Spark applies its path filter to
+    * discovered children, not to the path you name).
+    *
+    * listStatusIterator, NOT listFiles(recursive): the located variant
+    * materializes a LocatedFileStatus per file, which on the local
+    * filesystem loads permissions by FORKING `ls -ld` per file — the
+    * 9.5k-object extraction rehearsal measured 37 s of driver time in
+    * that walk (~4 ms/fork) against ~1 s for the plain status walk.
+    * Only isFile/getLen are needed here, and they never fork. */
+  private def walkFiles(spark: SparkSession, inputPath: String): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(inputPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // listStatusIterator, NOT listFiles(recursive): the located variant
-    // materializes a LocatedFileStatus per file, which on the local
-    // filesystem loads permissions by FORKING `ls -ld` per file — the
-    // 9.5k-object extraction rehearsal measured 37 s of driver time in
-    // that walk (~4 ms/fork) against ~1 s for the plain status walk.
-    // Only isFile/getLen are needed here, and they never fork.
-    if (!fs.exists(p)) (Nil, Nil)
+    if (!fs.exists(p)) Nil
     else {
-      val empties = Seq.newBuilder[String]
-      val larges = Seq.newBuilder[String]
-      // mirror Spark's InMemoryFileIndex hidden-path rule (`_`/`.`
-      // prefixes are invisible to the packed scan) so BOTH routes see
-      // the same file universe — an oversized `_temporary` leftover must
-      // not produce rows the packed route would never have produced
+      val files = Seq.newBuilder[(String, Long)]
       def hidden(name: String): Boolean =
         name.startsWith("_") || name.startsWith(".")
-      // the explicitly-passed root is always accepted (Spark applies its
-      // path filter to DISCOVERED children, not to the path you name)
       def walk(st: org.apache.hadoop.fs.FileStatus, isRoot: Boolean): Unit =
         if (!isRoot && hidden(st.getPath.getName)) ()
         else if (st.isDirectory) {
           val it = fs.listStatusIterator(st.getPath)
           while (it.hasNext) walk(it.next(), isRoot = false)
-        } else if (st.getLen == 0) empties += st.getPath.toString
-        else if (st.getLen > maxInline) larges += st.getPath.toString
+        } else files += ((st.getPath.toString, st.getLen))
       walk(fs.getFileStatus(p), isRoot = true)
-      (empties.result(), larges.result())
+      files.result()
     }
+  }
+
+  /** Zero-length files never produce scan splits (Spark file-source
+    * planning skips them), yet the reference's canonical failure fixture
+    * is an EMPTY `DICOMDIR` whose error record we must emit
+    * (README.md:116). One driver walk, two route lists: the empties and
+    * the OVERSIZED files (> maxInline bytes) for the S11 streamed route
+    * — an oversized `_temporary` leftover must not produce rows the
+    * packed route would never have produced (shared hidden rule). */
+  private def listRoutes(spark: SparkSession, inputPath: String,
+                         maxInline: Long): (Seq[String], Seq[String]) = {
+    val files = walkFiles(spark, inputPath)
+    (files.collect { case (p, 0L) => p },
+     files.collect { case (p, len) if len > maxInline => p })
   }
 
   /** Size threshold above which an object leaves the packed scan for the
@@ -196,6 +199,84 @@ object DicomPipeline {
         rows = base.rows ++ extra.flatMap { case Right(rs) => rs; case Left(_) => Nil },
         errors = base.errors ++ extra.flatMap { case Left(e) => Some(e); case Right(_) => None })
     }
+  }
+
+  /** Local/HDFS convenience builder for [[extractFromManifest]]: the same
+    * fork-free, hidden-pruned walk the listed route uses, materialized as
+    * a (path, length) DataFrame. For production 10M+-object corpora the
+    * manifest should come from an INVENTORY instead (e.g. an S3 Inventory
+    * parquet table, the analog of the reference's per-object S3 event
+    * stream, `src/app.py:97-108`) — the whole point of the manifest entry
+    * is that the driver never walks the store at all. */
+  def manifestOf(spark: SparkSession, inputPath: String): DataFrame = {
+    val files = walkFiles(spark, inputPath)
+    spark.createDataFrame(files).toDF("path", "length")
+  }
+
+  /** Manifest-driven twin of [[extract]] — the 10M+-object batch entry
+    * point. Routing decisions (empty / packed / oversized) come from the
+    * manifest's `length` column, and small-object content is read INSIDE
+    * tasks, so the driver performs ZERO filesystem listing or metadata
+    * calls: its only per-corpus state is the manifest DataFrame (itself
+    * typically a parquet scan). This removes the InMemoryFileIndex
+    * driver-listing ceiling the directory entry point inherits from
+    * Spark's file sources.
+    *
+    * Route parity with [[extract]]: all three routes funnel into the same
+    * [[processObject]]/[[processStreamedObject]] per-object code, and the
+    * hidden rule applies SEGMENT-WISE to manifest rows (an inventoried
+    * `_temporary/part.dcm` leftover stays invisible exactly as the packed
+    * scan's recursive walk would hide it — inventories are produced by
+    * listing stores wholesale, so Spark-job detritus WILL appear in
+    * them; a corpus deliberately rooted under a dot-directory must be
+    * inventoried with paths relative to that root). ManifestSpec pins
+    * rows+errors equality against the listed route on the same corpus.
+    *
+    * Partitioning: small objects pack many-per-task, task count sized by
+    * manifest byte totals (≈ `spark.sql.files.maxPartitionBytes` per
+    * task — the same economics as Spark's own file packing, computed
+    * from the manifest instead of a listing); oversized objects keep the
+    * S11 one-object-per-task isolation. */
+  def extractFromManifest(spark: SparkSession, manifest: DataFrame,
+                          bucket: String = "local", region: String = "local"): Extracted = {
+    // named imports: functions.bucket would shadow the lineage parameter
+    import org.apache.spark.sql.functions.{coalesce, col, count, exists, lit, split, sum}
+    val maxInline = maxInlineBytes(spark)
+    val hiddenSegment = exists(split(col("path"), "/"),
+      s => s.startsWith("_") || s.startsWith("."))
+    val m = manifest
+      .select(col("path").cast("string").as("path"), col("length").cast("long").as("length"))
+      .filter(!hiddenSegment)
+    val confSer = new graft.sources.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val small = m.filter(col("length") > 0 && col("length") <= maxInline)
+    // two scalar aggregates are the ONLY driver-side materialization —
+    // they size the task layout, never enumerate objects
+    val st = small.agg(count(lit(1)), coalesce(sum(col("length")), lit(0L))).head()
+    val (nSmall, smallBytes) = (st.getLong(0), st.getLong(1))
+    val bytesPerTask = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val smallParts = math.max(1, math.min(nSmall,
+      math.max(spark.sparkContext.defaultParallelism.toLong,
+        1L + smallBytes / bytesPerTask)).toInt)
+    val smallRdd = small.select("path").rdd.map(_.getString(0))
+      .repartition(smallParts)
+      .map(p => processObject(bucket, region, p,
+        graft.sources.DicomSourceUtil.readBytes(p, confSer.value)))
+    val emptyRdd = m.filter(col("length") === 0).select("path").rdd
+      .map(_.getString(0))
+      .map(p => processObject(bucket, region, p, Array.emptyByteArray))
+    val large = m.filter(col("length") > maxInline).select("path")
+    val nLarge = math.min(large.count(), 1L << 20).toInt
+    val largeRdd =
+      if (nLarge == 0)
+        spark.sparkContext.emptyRDD[Either[DicomError, Seq[ImageRow]]]
+      else large.rdd.map(_.getString(0)).repartition(nLarge)
+        .map(p => processStreamedObject(bucket, region, p, confSer.value))
+    val all = smallRdd ++ emptyRdd ++ largeRdd
+    Extracted(
+      rows = all.flatMap { case Right(rs) => rs; case Left(_) => Nil },
+      errors = all.flatMap { case Left(e) => Some(e); case Right(_) => None })
   }
 
   /** Same extraction over an already-loaded (path, content) DataFrame —

@@ -25,9 +25,26 @@ object DicomQueries {
   /** Full extraction (route→expand→parse→flatten→finalize) over all 7
     * fixture objects: 10 images, deterministic projection. */
   def extractFlat(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val df = DicomPipeline.toDataFrame(s,
       DicomPipeline.extract(s, Fixtures, "ref-bucket", "ref-region").rows)
+    flatProjection(s, df)
+  }
+
+  /** The manifest-driven twin of [[extractFlat]]: identical extraction,
+    * but routed through [[DicomPipeline.extractFromManifest]] — the
+    * driver's only input is a (path, length) inventory, never a listing.
+    * Must return byte-for-byte what the listed route returns (ManifestSpec
+    * pins the full rows+errors equality; this entry keeps the driver's
+    * rows check on the path every round). */
+  def manifestExtract(s: SparkSession, dir: String): DataFrame = {
+    val manifest = DicomPipeline.manifestOf(s, Fixtures)
+    val df = DicomPipeline.toDataFrame(s,
+      DicomPipeline.extractFromManifest(s, manifest, "ref-bucket", "ref-region").rows)
+    flatProjection(s, df)
+  }
+
+  private def flatProjection(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
     df.select(
         element_at(split($"source_s3_key", "/"), -1).as("source_key"),
         $"source_s3_archive_path".as("archive_path"),

@@ -427,7 +427,7 @@ object StreamQueries {
     * SPILLS: RocksDB keeps the working set on local disk with an
     * in-heap block cache, where the default HDFSBackedStateStoreProvider
     * pins every version of every partition's map in executor heap. */
-  private def withRocksDbState[A](s: SparkSession)(f: => A): A = {
+  private[graft] def withRocksDbState[A](s: SparkSession)(f: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
@@ -444,8 +444,12 @@ object StreamQueries {
     * it with a multi-file `maxFilesPerTrigger=1` source and pin the
     * cross-batch first-seen semantics. Runs on RocksDB state
     * ([[withRocksDbState]]). */
-  private[graft] def nearDupDrain(s: SparkSession, stream: DataFrame,
-      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = withRocksDbState(s) {
+  /** The bands→bucket-state pipeline of [[nearDupDrain]] as an UNSUNK
+    * Dataset — split out so NearDupRestartSpec can attach its own
+    * checkpointed foreachBatch sink and drive stop → restart (the
+    * memory sink the drain uses cannot recover from a checkpoint). */
+  private[graft] def nearDupHits(s: SparkSession,
+      stream: DataFrame): org.apache.spark.sql.Dataset[NearDupHit] = {
     import s.implicits._
     def update(key: (Int, String), rows: Iterator[BandRow],
                state: GroupState[Long]): Iterator[NearDupHit] = {
@@ -459,11 +463,16 @@ object StreamQueries {
       state.update(owner)
       out.result().iterator
     }
-
-    val q = nearDupBands(stream, passthrough = Nil)
+    nearDupBands(stream, passthrough = Nil)
       .as[BandRow]
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  private[graft] def nearDupDrain(s: SparkSession, stream: DataFrame,
+      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = withRocksDbState(s) {
+    import s.implicits._
+    val q = nearDupHits(s, stream)
       .writeStream
       .outputMode("update")
       .format("memory")

@@ -113,7 +113,7 @@ object ExtractionRehearsal {
       System.err.println(f"[rehearsal] $label%-22s $sec%.2f s")
       (r, sec)
     }
-    val (ex0, _) = phase("extract() construction") {
+    val (ex0, consSec) = phase("extract() construction") {
       graft.pipeline.DicomPipeline.extract(
         spark, input.toString, "rehearsal", "local")
     }
@@ -130,6 +130,28 @@ object ExtractionRehearsal {
         .option("compression", "snappy").parquet(scratch.resolve("out_phased").toString)
     }
     graft.util.Fs.deleteRecursively(out)
+
+    // ——— manifest route (the 10M+-object entry point) at the same scale:
+    // inventory build is a ONE-TIME walk (production reads an existing
+    // inventory parquet instead); "construction" is the listing-free
+    // driver cost — two scalar aggregates over the manifest scan decide
+    // the whole task layout, so it stays flat as object count grows,
+    // where the listed route's construction embeds the serial driver
+    // walk + InMemoryFileIndex listing. Parity with the listed route is
+    // asserted at rehearsal scale, not just fixture scale.
+    val manifestPq = scratch.resolve("manifest").toString
+    val (_, invSec) = phase("manifest inventory walk") {
+      graft.pipeline.DicomPipeline.manifestOf(spark, input.toString)
+        .write.mode("overwrite").parquet(manifestPq)
+    }
+    val (mex, mConsSec) = phase("manifest construction") {
+      graft.pipeline.DicomPipeline.extractFromManifest(
+        spark, spark.read.parquet(manifestPq), "rehearsal", "local")
+    }
+    val (mImages, mExSec) = phase("manifest extract") { mex.rows.count() }
+    val mErrs = mex.errors.count()
+    require(mImages == nImages && mErrs == 0,
+      s"manifest route parity broke at scale: $mImages/$nImages images, $mErrs errors")
 
     val t0 = System.nanoTime()
     val (df, errDf) = graft.pipeline.DicomPipeline.run(
@@ -152,6 +174,8 @@ object ExtractionRehearsal {
       s"""{"metric":"extraction_rehearsal","objects":$nObjects,"images":$nImages,""" +
       s""""rows_written":$rows,"errors":$nErr,"gen_sec":${fmt(genSec)},""" +
       s""""list_sec":${fmt(listSec)},"listed":$listed,"wall_sec":${fmt(wall)},""" +
+      s""""list_construct_sec":${fmt(consSec)},"manifest_inventory_sec":${fmt(invSec)},""" +
+      s""""manifest_construct_sec":${fmt(mConsSec)},"manifest_extract_sec":${fmt(mExSec)},""" +
       s""""objects_per_sec":${fmt(nObjects / wall)},"images_per_sec":${fmt(nImages / wall)},""" +
       s""""extract_sec":${fmt(exSec)},"finalize_sec":${fmt(finSec)},"write_sec":${fmt(wrSec)},""" +
       s""""out_files":$outFiles,"out_partitions":$partitions,""" +

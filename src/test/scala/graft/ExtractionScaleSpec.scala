@@ -31,7 +31,8 @@ class ExtractionScaleSpec extends AnyFunSuite {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/pipeline/DicomPipeline.scala")),
       "UTF-8")
-    val walk = src.substring(src.indexOf("def listRoutes"),
+    // walkFiles is the shared walk (listRoutes and manifestOf both ride it)
+    val walk = src.substring(src.indexOf("def walkFiles"),
       src.indexOf("def maxInlineBytes"))
       .linesIterator.map(_.replaceFirst("//.*$", "")) // the Scaladoc/comments
       .mkString("\n")                                 // NAME the banned API
