@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One decade past [[ScaleRehearsal]]: an sf10 corpus (100× the bench
+  * scale — 500k documents, 200k embeddings) for the BUCKETED dedup
+  * family only (minhash pairs, incremental-via-persisted-index,
+  * transitive components, semantic keep-set). The intentionally-heavy
+  * non-bucketed entries (guarded-quadratic cosine, simhash full pair
+  * dump) are out of scope by design — this run answers one question:
+  * do the bucketed operators' wall time and candidate volume keep
+  * tracking Σn_b² when the corpus grows another 10×, with the
+  * documented dial adjustments (embedding LSH bits up, rare-gram df cap
+  * scaled with the duplication factor)?
+  *
+  * Generation matches ScaleRehearsal's deterministic scheme (hash-based
+  * decisions, no RNG) at 100 replicas: ~30% byte-identical replicas
+  * (exact-dup mass), the rest near-dups via a replica token; embeddings
+  * get ±0.025/dim hash noise, renormalized. Output under target/.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.Sf10Rehearsal"
+  * Output: one JSON line + target/sf10_rehearsal.json
+  */
+object Sf10Rehearsal {
+
+  private val Sf01 = "/root/testdata/sf0.1"
+  private var Sf10 = "target/sf10"
+
+  private val Family = Seq(
+    "dedup_minhash_lsh", "dedup_incremental_idx",
+    "dedup_components", "dedup_semantic")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensureSf10(spark)
+
+    def fmt(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def timeOne(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      (sec, n)
+    }
+    timeOne("dedup_exact", "/root/testdata/sf0.01") // JIT warm-up
+
+    val rows = Family.map { name =>
+      val (s1, n1) = timeOne(name, scratch(spark, "sf1"))
+      val (s10, n10) = timeOne(name, Sf10)
+      val ratio = if (s1 > 0) s10 / s1 else -1.0
+      System.err.println(f"[sf10] $name%-22s sf1 ${fmt(s1)}s ($n1 rows)  sf10 ${fmt(s10)}s ($n10 rows)  ×${fmt(ratio)}")
+      (name, s1, n1, s10, n10, ratio)
+    }
+
+    // embedding LSH candidate volume: the bits dial must keep Σn_b²
+    // sub-quadratic another decade out (all-pairs at 200k vectors is
+    // 2.0e10 — the bucketed count must sit orders of magnitude below)
+    def candidates(tables: Int, bits: Int): Long = {
+      spark.conf.set("spark.graft.lsh.tables", tables.toString)
+      spark.conf.set("spark.graft.lsh.bits", bits.toString)
+      try graft.operators.Similarity.embedLshCandidates(spark, Sf10, minSim = None).count()
+      finally {
+        spark.conf.unset("spark.graft.lsh.tables")
+        spark.conf.unset("spark.graft.lsh.bits")
+      }
+    }
+    val nVecs = spark.read.parquet(s"$Sf10/embeddings.parquet").count()
+    val cand = Seq(
+      ("sf1_dial(4x9)", candidates(4, 9)),
+      ("sf10_dial(4x12)", candidates(4, 12)))
+    cand.foreach { case (g, c) =>
+      System.err.println(f"[sf10] candidates $g: $c (all-pairs ${nVecs * (nVecs - 1) / 2}%d)")
+    }
+
+    // the rare-gram df cap's CANDIDATE VOLUME at each dial setting,
+    // from the df histogram's closed form Σ C(df,2) — no pairs
+    // generated. The naive "scale the cap with the duplication factor"
+    // extrapolation (20 → 200 → 2000) was attempted as a full run and
+    // spilled >36 GB of candidate pairs before exhausting disk: at 100×
+    // duplication every former-rare gram's df sits near 100, so the
+    // cap-2000 volume is ~dup² × the base volume. The histogram shows
+    // the blow-up; the full query then runs only at the cap the
+    // histogram says is tractable.
+    val dfHist = graft.operators.Dedup.ngramGramDf(spark, Sf10)
+      .select(col("df")).cache()
+    val vols = Seq(20L, 200L, 2000L).map { cap =>
+      val v = dfHist.filter(col("df") <= cap)
+        .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)))
+        .head().getLong(0)
+      System.err.println(s"[sf10] ngram candidate volume at maxDf=$cap: $v")
+      (cap, v)
+    }
+    dfHist.unpersist()
+    spark.conf.set("spark.graft.dedup.ngram.maxDf", "200")
+    val tN = System.nanoTime()
+    val ngram = SparkEntry.queries("dedup_ngram_jaccard")(spark, Sf10).count()
+    val ngramSec = (System.nanoTime() - tN) / 1e9
+    spark.conf.unset("spark.graft.dedup.ngram.maxDf")
+    graft.operators.Dedup.unpersistIntermediates(spark)
+    spark.catalog.clearCache()
+    System.err.println(f"[sf10] dedup_ngram_jaccard maxDf=200: $ngram rows in ${fmt(ngramSec)}s")
+
+    val qjson = rows.map { case (n, s1, r1, s10, r10, ratio) =>
+      s""""$n":{"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"sf10_sec":${fmt(s10)},"sf10_rows":$r10,"ratio":${fmt(ratio)}}"""
+    }.mkString("{", ",", "}")
+    val cjson = cand.map { case (g, c) => s""""$g":$c""" }.mkString("{", ",", "}")
+    val vjson = vols.map { case (cap, v) => s""""maxdf_$cap":$v""" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}}}"""
+    println(json)
+    val out = java.nio.file.Paths.get("target/sf10_rehearsal.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  private def scratch(s: SparkSession, name: String): String =
+    graft.util.Fs.scratchDir(s, name).toString
+
+  /** 100-replica twin of ScaleRehearsal.ensureSf1 (same deterministic
+    * scheme, one decade further). Also ensures sf1 exists — the ratio
+    * baseline — by replicating the generation contract. */
+  private def ensureSf10(s: SparkSession): Unit = {
+    import s.implicits._
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(scratch(s, "sf1"), "_REHEARSAL_OK")),
+      "run graft.ScaleRehearsal first: sf10 ratios baseline against its sf1 corpus")
+    Sf10 = scratch(s, "sf10")
+    val done = java.nio.file.Paths.get(s"$Sf10/_REHEARSAL_OK")
+    if (java.nio.file.Files.exists(done)) return
+    val reps = s.range(100).withColumnRenamed("id", "replica")
+
+    val docs = s.read.parquet(s"$Sf01/documents.parquet")
+    val nDocs = docs.agg(max($"doc_id")).head().getLong(0) + 1L
+    docs.crossJoin(broadcast(reps))
+      .withColumn("keep",
+        $"replica" === 0 ||
+          pmod(hash(concat($"doc_id", lit(":"), $"replica")), lit(10)) < 3)
+      .withColumn("text",
+        when($"keep", $"text")
+          .otherwise(concat($"text", lit(" rep"), $"replica")))
+      .withColumn("doc_id", $"doc_id" + $"replica" * nDocs)
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Sf10/documents.parquet")
+
+    val emb = s.read.parquet(s"$Sf01/embeddings.parquet")
+    val nVecs = emb.agg(max($"vec_id")).head().getLong(0) + 1L
+    emb.crossJoin(broadcast(reps))
+      .withColumn("vec_id", $"vec_id" + $"replica" * nVecs)
+      .withColumn("embedding",
+        when($"replica" === 0, $"embedding").otherwise(
+          transform($"embedding", (v, i) =>
+            v + (pmod(hash(concat($"vec_id", lit(":"), i)), lit(1001)) - 500)
+              .cast("float") / 20000f)))
+      .withColumn("nrm",
+        sqrt(aggregate($"embedding", lit(0.0d), (a, v) => a + v.cast("double") * v)))
+      .withColumn("embedding", transform($"embedding", v => (v / $"nrm").cast("float")))
+      .select("vec_id", "embedding", "label")
+      .repartition(32).write.mode("overwrite").parquet(s"$Sf10/embeddings.parquet")
+    java.nio.file.Files.write(done, "ok\n".getBytes("UTF-8"))
+  }
+}

@@ -407,8 +407,14 @@ object Dedup {
       .union(cand.select($"doc_b".as("doc_id"))).distinct()
     val idxCandIds = candIds.join(batchIds, Seq("doc_id"), "left_anti")
     // bounded probe: collect at most cap+1 ids — enough to decide the
-    // route without ever pulling an unbounded id list onto the driver
-    val cap = s.conf.get("spark.graft.dedup.index.pushdownMaxIds", "10000").toInt
+    // route without ever pulling an unbounded id list onto the driver.
+    // HARD-clamped at 2000: parquet evaluates a pushed In as a recursive
+    // or-chain of per-value leaves, so a many-thousand-value predicate
+    // overflows the scan task's stack (measured: 10k values SOE'd the
+    // sf10 rehearsal) — past the clamp the semi-join route is strictly
+    // safer and barely slower
+    val cap = math.min(2000,
+      s.conf.get("spark.graft.dedup.index.pushdownMaxIds", "1000").toInt)
     val probe = idxCandIds.select($"doc_id")
       .limit(cap + 1).collect().map(_.getLong(0))
     val indexSets =
@@ -713,6 +719,22 @@ object Dedup {
       .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
       .coalesce(4)
+  }
+
+  /** The (gram → df) histogram behind [[ngramCandidates]]'s rare-gram
+    * filter. Candidate-pair volume at any df cap is the closed form
+    * Σ C(df,2) over grams with df ≤ cap — one aggregation over this
+    * relation, no pair ever generated. Rehearsals use it to measure how
+    * the cap dial scales: at the sf10 rehearsal the cap-2000 FULL query
+    * spilled >36 GB of candidate pairs before exhausting disk, while
+    * this histogram quantifies the same blow-up in seconds (the volume
+    * grows ~quadratically in the duplication factor — see BENCH_NOTES
+    * round 7). */
+  private[graft] def ngramGramDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramGramSets(s, ngramDocs(s, dir))
+      .select(explode($"g_set").as("gram"))
+      .groupBy($"gram").agg(count(lit(1)).as("df"))
   }
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {

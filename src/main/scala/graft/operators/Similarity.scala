@@ -91,7 +91,9 @@ object Similarity {
   /** The shared keep-set rule: within each cluster drop every vector
     * with a LOWER-id neighbor at cosine ≥ τ. Input must carry
     * (vec_id, cluster, embedding, nrm). One equi-join shuffle on the
-    * cluster key (comparisons ≤ Σn_c²), threshold pruned inside the
+    * SALTED cluster key (comparisons ≤ Σn_c², spread over
+    * `spark.graft.dedup.semantic.salt` tasks per cluster — see the
+    * inline note), threshold pruned inside the
     * join project, keep-set via left-anti. Kept rows provably have no
     * kept same-cluster neighbor ≥ τ (a kept vector has NO lower-id
     * neighbor ≥ τ at all — the invariant SemanticDedupSpec checks). */
@@ -102,8 +104,26 @@ object Similarity {
     // sides and the anti-join left — cached (tracked, released via
     // Dedup.unpersistIntermediates) it is one corpus scan, not three
     val ec = Dedup.tracked(e)
-    val dropped = ec.as("a")
-      .join(ec.as("b"), $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+    // The pair join's shuffle key is SALTED: real corpora have few
+    // clusters, each carrying QUADRATIC work, so an unsalted join on the
+    // bare cluster key collapses all comparisons onto cluster-count
+    // tasks (measured at the sf10 rehearsal: 2×10⁹ dot products on ~10
+    // keys → one busy core, 790 s wall). AQE's skew splitter never
+    // fires here — its trigger is partition BYTES, and a 20k-row
+    // cluster is ~5 MB on disk while holding C(20k,2) ≈ 2×10⁸ dot
+    // products of CPU. Exploding the probe side ×S and hashing each
+    // build row to ONE salt spreads every cluster's pair space over S
+    // tasks; each (a, b) pair still meets exactly once, at
+    // salt = b.vec_id % S, so the result is bit-identical.
+    val saltN = math.max(1,
+      s.conf.get("spark.graft.dedup.semantic.salt", "16").toInt)
+    val aSide = ec.withColumn("salt",
+      explode(lit((0 until saltN).toArray))).as("a")
+    val bSide = ec.withColumn("salt",
+      pmod($"vec_id", lit(saltN.toLong)).cast("int")).as("b")
+    val dropped = aSide
+      .join(bSide, $"a.cluster" === $"b.cluster" &&
+        $"a.salt" === $"b.salt" && $"a.vec_id" < $"b.vec_id")
       .filter(round(
         call_function("graft_dot", $"a.embedding", $"b.embedding") /
           ($"a.nrm" * $"b.nrm"), 4) >= tau)

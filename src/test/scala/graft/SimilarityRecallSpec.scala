@@ -36,6 +36,11 @@ class SimilarityRecallSpec extends AnyFunSuite {
     // recorded (not just bounded) so the round-over-round trend is visible
     // in the test log: ScalaTest prints info() with the test result
     info(f"recall@10: kmeans-IVF(nprobe=2) = $rKmeans%.2f, per-label probe-2 = $rLabel%.2f")
+    // ... and persisted as an artifact so the trend lands in BENCH_NOTES
+    // per round instead of staying buried in test logs
+    java.nio.file.Files.write(java.nio.file.Paths.get("target", "recall.json"),
+      f"""{"metric":"recall_at_10","kmeans_ivf_nprobe2":$rKmeans%.2f,"per_label_probe2":$rLabel%.2f}%n"""
+        .getBytes("UTF-8"))
     assert(rKmeans >= rLabel,
       s"learned quantizer recall $rKmeans must be >= per-label recall $rLabel")
   }
