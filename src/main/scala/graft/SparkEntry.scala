@@ -78,6 +78,11 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    // pre-flight for the rare-gram df cap: candidate volume per df value
+    // in closed form (n_grams × C(df,2)) — no pair generated; the sf10
+    // rehearsal's 36 GB cap-2000 spill is answered by this relation in
+    // seconds (BENCH_NOTES round 7)
+    "dedup_ngram_df_hist" -> (Dedup.ngramDfHist _),
     "dedup_embed_cosine"  -> (Dedup.embedCosine _),
     "corpus_clean"        -> (Dedup.corpusClean _),
     // ——— dataset curation ———
@@ -673,6 +678,14 @@ object SparkEntry {
         |    round(CAST(n_inter AS DOUBLE) / (ca.n_g + cb.n_g - n_inter), 4) AS jaccard
         |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_ngram_df_hist" ->
+      """WITH g0 AS (SELECT doc_id, text, unnest(range(len(text) - 4)) AS i
+        |            FROM documents WHERE len(text) >= 5),
+        |grams AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT) + 1, 5) AS gram FROM g0),
+        |dfs AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1)
+        |SELECT df, count(*) AS n_grams, count(*) * (df * (df - 1) // 2) AS pair_volume
+        |FROM dfs GROUP BY df ORDER BY df""".stripMargin,
 
     "dedup_embed_cosine" ->
       """WITH n AS (

@@ -737,6 +737,23 @@ object Dedup {
       .groupBy($"gram").agg(count(lit(1)).as("df"))
   }
 
+  /** User-facing pre-flight for the [[ngramJaccard]] df-cap dial: the
+    * gram-df histogram rolled up to one row per df value, carrying the
+    * closed-form candidate-pair volume n_grams × C(df,2). Candidate
+    * volume at any cap is the running sum of `pair_volume` up to it —
+    * so the tractability of a cap is answered by a relation whose size
+    * is the number of DISTINCT df values, before a single pair exists.
+    * Two narrow shuffles (gram df, then df rollup); the first is the
+    * same gram shuffle [[ngramCandidates]] pays anyway. */
+  def ngramDfHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramGramDf(s, dir)
+      .groupBy($"df")
+      .agg(count(lit(1)).as("n_grams"))
+      .withColumn("pair_volume", $"n_grams" * expr("df * (df - 1) DIV 2"))
+      .orderBy($"df")
+  }
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // The corpus-wide gram-array table is NEVER materialized (same lesson
