@@ -53,4 +53,24 @@ class SemanticDedupSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
     assert(again == kept, "keep-set must be deterministic across runs")
   }
+
+  test("keep-set is salt-invariant: every pair meets exactly once at any salt width") {
+    // the within-cluster pair join spreads each cluster's quadratic pair
+    // space over `spark.graft.dedup.semantic.salt` tasks (sf10 finding:
+    // AQE's byte-keyed skew splitter never fires on CPU-quadratic but
+    // byte-small clusters); the claim that makes that safe — each (a, b)
+    // pair meets exactly once, at salt = b.vec_id % S — is pinned here by
+    // running the oracle-gated query at salt widths 1 (unsalted), 3
+    // (non-divisor of the fixture size), and the default 16
+    def run(salt: Int): Seq[(Long, Int)] = {
+      spark.conf.set("spark.graft.dedup.semantic.salt", salt.toString)
+      try SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toSeq.sorted
+      finally spark.conf.unset("spark.graft.dedup.semantic.salt")
+    }
+    val unsalted = run(1)
+    assert(unsalted.nonEmpty)
+    assert(run(3) == unsalted, "salt=3 keep-set diverged from unsalted")
+    assert(run(16) == unsalted, "salt=16 keep-set diverged from unsalted")
+  }
 }
