@@ -83,6 +83,9 @@ object SparkEntry {
     // rehearsal's 36 GB cap-2000 spill is answered by this relation in
     // seconds (BENCH_NOTES round 7)
     "dedup_ngram_df_hist" -> (Dedup.ngramDfHist _),
+    // span-level exact substring dedup: maximal ≥5-token word spans
+    // shared across documents (gram-df gate → gaps-and-islands merge)
+    "dedup_substring"     -> ((s, d) => Dedup.substringSpans(s, d)),
     "dedup_embed_cosine"  -> (Dedup.embedCosine _),
     "corpus_clean"        -> (Dedup.corpusClean _),
     // ——— dataset curation ———
@@ -119,6 +122,13 @@ object SparkEntry {
     "text_scrub"       -> (TextAnalysis.scrub _),
     "text_normalize"   -> (TextAnalysis.normalize _),
     "text_repetition"  -> (TextAnalysis.repetition _),
+    // per-doc top-3 tf-idf terms; ranked by the integer (tf, df, term)
+    // triple so rank order can never flip on a libm ulp
+    "text_tfidf_topk"  -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
+    // perplexity-proxy: mean −ln p(word) under the corpus unigram LM
+    "text_surprisal"   -> (TextAnalysis.unigramSurprisal _),
+    // five-rule first-fail filter cascade with per-stage attrition
+    "corpus_quality_funnel" -> (Curation.qualityFunnel _),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
     // listing-free twin: routing + content reads driven by a (path,
@@ -687,6 +697,30 @@ object SparkEntry {
         |SELECT df, count(*) AS n_grams, count(*) * (df * (df - 1) // 2) AS pair_volume
         |FROM dfs GROUP BY df ORDER BY df""".stripMargin,
 
+    "dedup_substring" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tkl
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, tkl, unnest(range(len(tkl) - 4)) AS i
+        |       FROM tk WHERE len(tkl) >= 5),
+        |grams AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |  array_to_string(list_slice(tkl, CAST(i AS INT) + 1, CAST(i AS INT) + 5), ' ') AS g
+        |  FROM g0),
+        |dup AS (SELECT g FROM (
+        |  SELECT g, count(DISTINCT doc_id) AS dd FROM grams GROUP BY 1) WHERE dd >= 2),
+        |dg AS (SELECT doc_id, i FROM grams JOIN dup USING (g)),
+        |isl AS (SELECT doc_id, i,
+        |  CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 5 THEN 1 ELSE 0 END AS brk
+        |  FROM dg WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |isl2 AS (SELECT doc_id, i,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM isl),
+        |spans AS (SELECT doc_id, island, min(i) AS s, max(i) + 4 AS e
+        |          FROM isl2 GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  CAST(max(e - s + 1) AS BIGINT) AS longest_span
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_embed_cosine" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -1017,6 +1051,62 @@ object SparkEntry {
         |g AS (SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 8)) AS g FROM g0)
         |SELECT doc_id, min(g) AS fingerprint, count(*) AS n_grams
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |ranked AS (SELECT doc_id, word, tf, df,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, word ASC) AS rank
+        |  FROM tf JOIN dfx USING (word))
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, word AS term, tf, df,
+        |  round(tf * ln(n_docs / df), 4) AS tfidf
+        |FROM ranked, nd WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |cnt AS (SELECT word, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(ln(t / c)), 4) AS surprisal
+        |FROM tok JOIN cnt USING (word), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "corpus_quality_funnel" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tkl
+        |  FROM documents),
+        |stats AS (SELECT doc_id,
+        |  CAST(len(tkl) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(tkl, x -> len(x))) AS DOUBLE) / len(tkl), 4) AS mean_tok_len,
+        |  round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / len(text), 4) AS punct_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / len(text), 4) AS alpha_ratio,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_nums
+        |  FROM tk0),
+        |ff AS (SELECT doc_id,
+        |  CASE WHEN n_tokens < 10 THEN 1
+        |       WHEN mean_tok_len < 2.0 OR mean_tok_len > 15.0 THEN 2
+        |       WHEN punct_ratio > 0.2 THEN 3
+        |       WHEN alpha_ratio < 0.5 THEN 4
+        |       WHEN n_long_nums > 0 THEN 5
+        |       ELSE 0 END AS ff FROM stats),
+        |stages(stage, rule) AS (VALUES (1, 'min_tokens'), (2, 'tok_len'),
+        |  (3, 'punct_ratio'), (4, 'alpha_ratio'), (5, 'digit_runs')),
+        |fc AS (SELECT stage, rule, COALESCE(f.n, 0) AS n_fail
+        |  FROM stages LEFT JOIN (SELECT ff, count(*) AS n FROM ff GROUP BY 1) f
+        |  ON f.ff = stages.stage),
+        |run AS (SELECT stage, rule, n_fail,
+        |  (SELECT count(*) FROM ff) - COALESCE(sum(n_fail) OVER (ORDER BY stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+        |  FROM fc)
+        |SELECT CAST(stage AS BIGINT) AS stage, rule,
+        |  CAST(n_in AS BIGINT) AS n_in, CAST(n_fail AS BIGINT) AS n_fail,
+        |  CAST(n_in - n_fail AS BIGINT) AS n_out
+        |FROM run ORDER BY stage""".stripMargin,
 
     "stream_events_window" ->
       """SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket,

@@ -105,6 +105,63 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Quality-filter funnel — the attrition accounting a cleaning
+    * pipeline ships with its corpus card: five C4/Gopher-ish rules
+    * applied in a FIXED order with first-fail attribution, reported as
+    * one row per stage (docs entering, failing, surviving). Stage
+    * ordering matters and is part of the contract: a doc failing both
+    * the token floor and the punctuation gate counts ONLY against the
+    * earlier rule, so the rows compose: n_out(k) = n_in(k+1), and
+    * n_out(5) is exactly the keep-set size.
+    *
+    * Stat expressions deliberately mirror [[TextAnalysis.quality]] /
+    * [[TextAnalysis.scrub]] (rounded to 4 before thresholding, the same
+    * engine-portable regex character classes). Rules that divide are
+    * ordered BEHIND the token floor, so the degenerate 0-token /
+    * 0-length divisions are never compared on either engine.
+    *
+    * Scale shape: one narrow scan to per-doc stats, one 6-row partial-
+    * aggregated rollup; the 5-row funnel itself is driver-trivial. */
+  def qualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val stats = docs(s, dir)
+      .select($"doc_id", $"text",
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+      .select($"doc_id",
+        size($"tk").cast("long").as("n_tokens"),
+        round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
+          .as("mean_tok_len"),
+        round(size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+          length($"text"), 4).as("punct_ratio"),
+        round(size(regexp_extract_all($"text", lit("[a-zA-Z]"), lit(0))).cast("double") /
+          length($"text"), 4).as("alpha_ratio"),
+        size(regexp_extract_all($"text", lit("[0-9]{6,}"), lit(0))).cast("long")
+          .as("n_long_nums"))
+    val ff = stats.select(
+      when($"n_tokens" < 10, 1L)
+        .when($"mean_tok_len" < 2.0 || $"mean_tok_len" > 15.0, 2L)
+        .when($"punct_ratio" > 0.2, 3L)
+        .when($"alpha_ratio" < 0.5, 4L)
+        .when($"n_long_nums" > 0, 5L)
+        .otherwise(0L).as("ff"))
+    val ffc = ff.groupBy($"ff").agg(count(lit(1)).as("n"))
+    val total = ff.agg(count(lit(1)).as("n_docs"))
+    val stages = Seq((1L, "min_tokens"), (2L, "tok_len"), (3L, "punct_ratio"),
+      (4L, "alpha_ratio"), (5L, "digit_runs")).toDF("stage", "rule")
+    // the cumulative window runs over exactly 5 rows — single-partition
+    // by construction, not an at-scale hazard
+    val w = W.orderBy($"stage").rowsBetween(W.unboundedPreceding, -1)
+    stages
+      .join(ffc.withColumnRenamed("ff", "stage"), Seq("stage"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_in", $"n_docs" - coalesce(sum($"n").over(w), lit(0L)))
+      .select($"stage", $"rule", $"n_in", $"n".as("n_fail"),
+        ($"n_in" - $"n").as("n_out"))
+      .orderBy($"stage")
+  }
+
   /** Benchmark-contamination check: which corpus documents share enough
     * rolling character 8-grams with a benchmark set (stand-in: doc_id
     * divisible by 199) to look like eval leakage. The benchmark side is

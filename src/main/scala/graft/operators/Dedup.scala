@@ -798,6 +798,58 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Span-level exact substring dedup — the "duplicated training spans"
+    * shape: maximal WORD spans of length ≥ k whose every k-token window
+    * appears in ≥ 2 DISTINCT documents (within-doc repeats alone do not
+    * qualify — they are [[TextAnalysis.repetition]]'s job). Published
+    * suffix-array formulations scan one giant concatenation; the
+    * Spark-native plan is sliding k-grams with positions → gram-df gate →
+    * per-doc gaps-and-islands merge of the surviving windows:
+    *
+    *  1. one narrow scan emits (doc_id, i, h60(gram)) — the shuffle
+    *     carries an 8-byte gram hash, never gram text;
+    *  2. one hash-shuffle computes each gram's distinct-doc count and
+    *     keeps only cross-doc grams (on a replica-heavy corpus this
+    *     relation is a small fraction of all grams);
+    *  3. an equi-join restricts gram starts to the duplicated subset,
+    *     then a per-doc window merges overlapping/adjacent windows
+    *     [i, i+k-1] into maximal spans (new island iff the gap to the
+    *     previous start exceeds k). The window partitions by doc_id
+    *     over the SURVIVING starts only — per-doc state, never corpus-
+    *     wide, so it parallelizes across documents at any scale.
+    *
+    * Output: one row per document that carries at least one duplicated
+    * span — span count, duplicated-token total, longest span. All-long
+    * columns, so the oracle hash has no float boundary to sit on. */
+  def substringSpans(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i")
+    val grams = docs(s, dir)
+      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
+      .filter(size($"tk") >= k)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(tk) - $k), " +
+        s"i -> ${h60(s"array_join(slice(tk, i + 1, $k), ' ')")})"))
+        .as(Seq("i", "g")))
+    val dup = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("dd"))
+      .filter($"dd" >= 2).select($"g")
+    grams.join(dup, Seq("g"))
+      .select($"doc_id", $"i".cast("long").as("i"))
+      .withColumn("brk", when(
+        lag($"i", 1).over(w).isNull || $"i" - lag($"i", 1).over(w) > k, 1L)
+        .otherwise(0L))
+      .withColumn("island", sum($"brk").over(w))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"i").as("s"), (max($"i") + lit(k - 1L)).as("e"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"e" - $"s" + 1L).as("dup_tokens"),
+        max($"e" - $"s" + 1L).as("longest_span"))
+      .orderBy($"doc_id")
+  }
+
   /** End-to-end corpus cleaning — the composition a training-data
     * pipeline actually runs: C4-style quality filter → exact dedup
     * (keep lowest doc_id per digest) → MinHash near-dup removal (drop the

@@ -177,6 +177,68 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Lowercased whitespace tokens, one row per token INSTANCE — the
+    * shared front of the corpus-statistics operators below. */
+  private def tokenInstances(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id",
+      explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
+  }
+
+  /** Per-document top-3 tf-idf terms — the keyword-extraction pass a
+    * corpus profiler runs. tf = in-doc occurrences, df = documents
+    * containing the term, score = tf · ln(N/df).
+    *
+    * Ranking is by the INTEGER triple (tf desc, df asc, term asc), not
+    * by the double score: tf·ln(N/df) is monotone in tf and 1/df, so
+    * the ordering agrees wherever the score distinguishes pairs, and
+    * where scores tie (or differ only past the 52nd bit) the integer
+    * ordering is engine-stable — a double-ordered rank could flip
+    * between Spark's and the oracle's libm at the ulp level. The score
+    * itself is still emitted (rounded) for the user.
+    *
+    * Scale shape: two partial-aggregated shuffles (doc×term counts,
+    * then term df) + one equi-join on term + a per-doc window over at
+    * most |distinct terms in doc| rows. N is one footer-cheap count. */
+  def tfidfTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val nDocs = docs(s, dir).count()
+    val tf = tokenInstances(s, dir)
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"word".asc)
+    tf.join(df, Seq("word"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"rank", $"word".as("term"), $"tf", $"df",
+        round($"tf" * log(lit(nDocs.toDouble) / $"df"), 4).as("tfidf"))
+      .orderBy($"doc_id", $"rank")
+  }
+
+  /** Per-document mean unigram surprisal under the corpus's OWN unigram
+    * LM — the perplexity-proxy quality filter (CCNet shape) without an
+    * external model: p(w) = c(w)/T over the whole corpus, score =
+    * mean over token instances of −ln p(w). Low scores flag boilerplate
+    * built from the corpus's most common words; high scores flag noise.
+    *
+    * Scale shape: one shuffle for corpus term counts, one equi-join of
+    * the token stream against them (both partial-aggregated / spillable
+    * at any corpus size), one per-doc rollup. The corpus total rides a
+    * one-row broadcast — never a driver-side constant fold of data. */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = tokenInstances(s, dir)
+    val cnt = tok.groupBy($"word").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum($"c").cast("double").as("t"))
+    tok.join(cnt, Seq("word"))
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log($"t" / $"c")), 4).as("surprisal"))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprint: minimum md5 over rolling character 8-grams
     * (winnowing-style min-sampling). Equal fingerprints ⇒ high overlap
     * candidates. Runs as ONE narrow codegen'd pass via the native
