@@ -808,9 +808,12 @@ object Dedup {
     *
     *  1. one narrow scan emits (doc_id, i, h60(gram)) — the shuffle
     *     carries an 8-byte gram hash, never gram text;
-    *  2. one hash-shuffle computes each gram's distinct-doc count and
-    *     keeps only cross-doc grams (on a replica-heavy corpus this
-    *     relation is a small fraction of all grams);
+    *  2. one hash-shuffle keeps only cross-doc grams. "≥ 2 distinct
+    *     docs" is tested as min(doc_id) ≠ max(doc_id) — exactly
+    *     equivalent, but min/max partial-aggregate map-side in ONE
+    *     exchange where countDistinct costs two (a (g, doc_id) distinct
+    *     shuffle plus a re-shuffle on g). On a replica-heavy corpus the
+    *     surviving relation is a small fraction of all grams;
     *  3. an equi-join restricts gram starts to the duplicated subset,
     *     then a per-doc window merges overlapping/adjacent windows
     *     [i, i+k-1] into maximal spans (new island iff the gap to the
@@ -833,8 +836,8 @@ object Dedup {
         s"i -> ${h60(s"array_join(slice(tk, i + 1, $k), ' ')")})"))
         .as(Seq("i", "g")))
     val dup = grams.groupBy($"g")
-      .agg(countDistinct($"doc_id").as("dd"))
-      .filter($"dd" >= 2).select($"g")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .filter($"mn" =!= $"mx").select($"g")
     grams.join(dup, Seq("g"))
       .select($"doc_id", $"i".cast("long").as("i"))
       .withColumn("brk", when(

@@ -176,4 +176,41 @@ class PlanQualitySpec extends AnyFunSuite {
       graft.operators.Dedup.unpersistIntermediates(spark)
     }
   }
+
+  test("substring spans: one-exchange gram gate, broadcast dup set, per-doc window") {
+    val p = plan("dedup_substring")
+    // the cross-doc gate is min(doc_id) ≠ max(doc_id) — map-side
+    // partial min/max in ONE exchange; a countDistinct regression
+    // would re-grow the extra (g, doc_id) distinct shuffle
+    assert(p.contains("partial_min(doc_id") && p.contains("partial_max(doc_id"),
+      "gram gate must partial-aggregate min/max(doc_id) map-side")
+    assert(!p.contains("count(distinct"),
+      "gate must not expand to a two-exchange countDistinct")
+    // surviving gram starts join the dup set by hash, never a product
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+    // the islands merge is per-document state, not corpus-wide
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "gaps-and-islands window must partition by doc_id")
+  }
+
+  test("tfidf top-k: map-side WindowGroupLimit prunes before the final rank") {
+    val p = plan("text_tfidf_topk")
+    // rank<=k over (doc_id) must push a partial group-limit below the
+    // shuffle so only k rows per doc per task reach the window exchange
+    assert(p.contains("WindowGroupLimit") &&
+           "WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "partial+final WindowGroupLimit expected for the rank<=k filter")
+    assert(p.contains("BroadcastHashJoin"),
+      "df relation must broadcast into the tf join")
+  }
+
+  test("surprisal: corpus total rides a broadcast, counts hash-join the token stream") {
+    val p = plan("text_surprisal")
+    // the one-row total may only appear as a broadcast nested-loop
+    // build side; the word-count join itself must stay a hash join
+    assert(p.contains("BroadcastHashJoin"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1 &&
+           !p.contains("CartesianProduct"))
+  }
 }
