@@ -86,6 +86,9 @@ object SparkEntry {
     // span-level exact substring dedup: maximal ≥5-token word spans
     // shared across documents (gram-df gate → gaps-and-islands merge)
     "dedup_substring"     -> ((s, d) => Dedup.substringSpans(s, d)),
+    // the removal form: every token under a cross-doc duplicated window
+    // cut, text re-joined — a drop-in replacement corpus
+    "dedup_substring_scrub" -> ((s, d) => Dedup.substringScrub(s, d)),
     "dedup_embed_cosine"  -> (Dedup.embedCosine _),
     "corpus_clean"        -> (Dedup.corpusClean _),
     // ——— dataset curation ———
@@ -94,6 +97,9 @@ object SparkEntry {
     "corpus_pack"          -> ((s, d) => Curation.pack(s, d)),
     "corpus_contamination" -> (Curation.contamination _),
     "corpus_mix"           -> (Curation.mix _),
+    // temperature-2 language flattening: rate = min(1, sqrt(N/(L·n_l)))
+    // from exact-rounded IEEE ops only — engine-portable by construction
+    "corpus_mix_temperature" -> (Curation.mixTemperature _),
     // ——— similarity search ———
     "sim_topk_brute"      -> (Similarity.topkBrute _),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
@@ -721,6 +727,33 @@ object SparkEntry {
         |  CAST(max(e - s + 1) AS BIGINT) AS longest_span
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "dedup_substring_scrub" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tkl
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, tkl, unnest(range(len(tkl) - 4)) AS i
+        |       FROM tk WHERE len(tkl) >= 5),
+        |grams AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |  array_to_string(list_slice(tkl, CAST(i AS INT) + 1, CAST(i AS INT) + 5), ' ') AS g
+        |  FROM g0),
+        |dup AS (SELECT g FROM (
+        |  SELECT g, min(doc_id) AS mn, max(doc_id) AS mx FROM grams GROUP BY 1)
+        |  WHERE mn <> mx),
+        |dg AS (SELECT doc_id, i FROM grams JOIN dup USING (g)),
+        |cov AS (SELECT DISTINCT doc_id, i + d AS idx
+        |        FROM dg, (SELECT unnest(range(5)) AS d) x),
+        |toks AS (SELECT doc_id, CAST(generate_subscripts(tkl, 1) - 1 AS BIGINT) AS idx,
+        |         unnest(tkl) AS w FROM tk),
+        |kept AS (SELECT t.doc_id, t.idx, t.w FROM toks t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+        |  WHERE c.idx IS NULL),
+        |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY idx) AS clean_text,
+        |        count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        |  CAST(len(list_filter(string_split(d.text, ' '), x -> len(x) > 0))
+        |       - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "dedup_embed_cosine" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -844,6 +877,18 @@ object SparkEntry {
         |FROM d
         |WHERE h < (CASE WHEN m = 0 THEN 1.0 WHEN m = 1 THEN 0.5
         |                WHEN m = 2 THEN 0.25 ELSE 0.1 END) * 10000
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix_temperature" ->
+      """WITH l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_l) AS DOUBLE) AS n,
+        |        CAST(count(*) AS DOUBLE) AS n_lang FROM l),
+        |rates AS (SELECT lang, least(1.0, sqrt(n / (n_lang * n_l))) AS r
+        |          FROM l, tot)
+        |SELECT doc_id, lang, round(r, 6) AS rate
+        |FROM documents JOIN rates USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 15))::BIGINT
+        |      % 1000000 < CAST(r * 1000000.0 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
 
     "corpus_sample_strat" ->

@@ -78,6 +78,37 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Temperature-flattened language mixing — the multilingual-LM
+    * sampling rule: flatten the language distribution halfway toward
+    * uniform in log space (exponent 1/2, i.e. temperature 2) with
+    * per-language acceptance rate min(1, sqrt(N / (L·n_l))) — languages
+    * at or below the uniform share N/L are kept whole, the dominant
+    * language is downsampled so its kept mass grows only as sqrt(n_l).
+    *
+    * The rate is computed ONLY from correctly-rounded IEEE ops over
+    * integer inputs (divide, multiply, sqrt — sqrt is exact-rounded by
+    * the standard, unlike pow) so Spark and any oracle engine agree
+    * bit-for-bit; no libm boundary can flip an acceptance. Acceptance
+    * itself is the deterministic h60 doc hash against floor(rate·1e6).
+    *
+    * Scale shape: one language-count aggregation (map-side combined, L
+    * rows), rates broadcast back over the corpus — no corpus shuffle at
+    * all; the scan streams through a broadcast hash join and a filter. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byLang = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val tot = byLang.agg(sum($"n_l").cast("double").as("n"),
+      count(lit(1)).cast("double").as("n_lang"))
+    val rates = byLang.crossJoin(broadcast(tot))
+      .select($"lang", least(lit(1.0), sqrt($"n" / ($"n_lang" * $"n_l"))).as("r"))
+    docs(s, dir)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(expr(s"${h60("concat(cast(doc_id as string), ':', lang)")} % 1000000") <
+        ($"r" * lit(1e6)).cast("long"))
+      .select($"doc_id", $"lang", round($"r", 6).as("rate"))
+      .orderBy($"doc_id")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget chunks
     * (budget 2048 whitespace tokens), packed in doc_id order WITHIN a
     * shard (`doc_id mod 16`). chunk = floor(tokens-before-this-doc /

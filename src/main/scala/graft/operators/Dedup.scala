@@ -798,6 +798,26 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Surviving duplicated-gram starts: (doc_id, i) for every k-gram
+    * window whose hash appears in ≥ 2 distinct documents — the shared
+    * front of [[substringSpans]] (island merge) and [[substringScrub]]
+    * (token removal). Steps 1–2 of [[substringSpans]]'s Scaladoc. */
+  private def dupStarts(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val grams = docs(s, dir)
+      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
+      .filter(size($"tk") >= k)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(tk) - $k), " +
+        s"i -> ${h60(s"array_join(slice(tk, i + 1, $k), ' ')")})"))
+        .as(Seq("i", "g")))
+    val dup = grams.groupBy($"g")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .filter($"mn" =!= $"mx").select($"g")
+    grams.join(dup, Seq("g"))
+      .select($"doc_id", $"i".cast("long").as("i"))
+  }
+
   /** Span-level exact substring dedup — the "duplicated training spans"
     * shape: maximal WORD spans of length ≥ k whose every k-token window
     * appears in ≥ 2 DISTINCT documents (within-doc repeats alone do not
@@ -828,18 +848,7 @@ object Dedup {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"i")
-    val grams = docs(s, dir)
-      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
-      .filter(size($"tk") >= k)
-      .select($"doc_id", posexplode(expr(
-        s"transform(sequence(0, size(tk) - $k), " +
-        s"i -> ${h60(s"array_join(slice(tk, i + 1, $k), ' ')")})"))
-        .as(Seq("i", "g")))
-    val dup = grams.groupBy($"g")
-      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
-      .filter($"mn" =!= $"mx").select($"g")
-    grams.join(dup, Seq("g"))
-      .select($"doc_id", $"i".cast("long").as("i"))
+    dupStarts(s, dir, k)
       .withColumn("brk", when(
         lag($"i", 1).over(w).isNull || $"i" - lag($"i", 1).over(w) > k, 1L)
         .otherwise(0L))
@@ -850,6 +859,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum($"e" - $"s" + 1L).as("dup_tokens"),
         max($"e" - $"s" + 1L).as("longest_span"))
+      .orderBy($"doc_id")
+  }
+
+  /** The removal form of [[substringSpans]] — the treatment ExactSubstr-
+    * style pipelines apply: every token covered by a cross-document
+    * duplicated k-gram window is cut, and the document is re-joined from
+    * the survivors. Returns EVERY document (untouched docs pass through
+    * whole) so the output is a drop-in replacement corpus.
+    *
+    * The covered-token set is built by exploding each surviving start
+    * into its k token indices and de-duplicating — k× rows of the
+    * SURVIVING starts only (a small fraction of the corpus), never a
+    * per-token range probe. Removal is then a pure equi LeftAnti on
+    * (doc_id, idx) — no range join, no per-doc nested loop — and the
+    * text is re-joined from an index-sorted struct array so the result
+    * is deterministic under any partitioning. */
+  def substringScrub(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val covered = dupStarts(s, dir, k)
+      .select($"doc_id", explode(expr(s"sequence(i, i + ${k - 1})")).as("idx"))
+      .distinct()
+    val toks = docs(s, dir)
+      .select($"doc_id", posexplode(
+        expr("filter(split(text, ' '), x -> length(x) > 0)")).as(Seq("idx", "w")))
+      .select($"doc_id", $"idx".cast("long").as("idx"), $"w")
+    toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"idx", $"w"))).as("kept"))
+      .select($"doc_id",
+        expr("array_join(transform(kept, t -> t.w), ' ')").as("clean_text"),
+        size($"kept").cast("long").as("n_kept"))
+      .join(docs(s, dir).select($"doc_id",
+        expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as bigint)")
+          .as("n_tokens")), Seq("doc_id"), "right")
+      .select($"doc_id",
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"))
       .orderBy($"doc_id")
   }
 

@@ -64,6 +64,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(m(0L) < m(1L) && m(1L) < m(2L))
   }
 
+  test("temperature mix: dominant language downsampled at sqrt rate, minors kept whole") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "cstats").toString
+    // 100 docs: 80 en, 10 fr, 10 de → en rate = sqrt(100/(3*80)) ≈ 0.6455,
+    // fr/de at 10 < 100/3 → rate 1 (kept whole, bit-for-bit)
+    (0L until 100L).map(i =>
+        (i, s"doc $i", if (i < 80) "en" else if (i < 90) "fr" else "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val rows = Curation.mixTemperature(spark, base).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang("fr").length == 10 && byLang("de").length == 10,
+      "below-share languages must be kept whole")
+    assert(byLang("fr").forall(_.getAs[Double]("rate") == 1.0))
+    val enRate = byLang("en").head.getAs[Double]("rate")
+    assert(enRate == math.rint(math.sqrt(100.0 / (3.0 * 80.0)) * 1e6) / 1e6)
+    // the hash gate realizes the rate to within sampling noise
+    val kept = byLang("en").length
+    assert(kept > 80 * 0.4 && kept < 80 * 0.9, s"en kept $kept of 80")
+  }
+
   test("funnel: first-fail attribution and the composition law") {
     val good = "the quick brown fox jumps over the lazy dog again" // 10 tokens, clean
     val dir = stage(Seq(

@@ -205,6 +205,21 @@ class PlanQualitySpec extends AnyFunSuite {
       "df relation must broadcast into the tf join")
   }
 
+  test("temperature mix: corpus streams through a broadcast join, never shuffles") {
+    val p = plan("corpus_mix_temperature")
+    // the L-row rate relation broadcasts; the acceptance hash gate rides
+    // the join condition so rejected rows die inside the scan stage
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
+      "the document relation must not shuffle for the rate join")
+  }
+
+  test("substring scrub: covered-token removal is an equi anti-join, no range probe") {
+    val p = plan("dedup_substring_scrub")
+    assert(p.contains("LeftAnti"), "token removal must plan as LeftAnti")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("surprisal: corpus total rides a broadcast, counts hash-join the token stream") {
     val p = plan("text_surprisal")
     // the one-row total may only appear as a broadcast nested-loop

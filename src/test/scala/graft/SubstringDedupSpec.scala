@@ -71,6 +71,21 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(rows(5L) == ((2L, 10L, 5L)))
   }
 
+  test("scrub removes exactly the covered tokens and passes other docs through") {
+    val m = Dedup.substringScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed")))).toMap
+    assert(m.size == 6, "scrub must return every document")
+    // doc 0 loses the 7 shared tokens, keeps its unique frame
+    assert(m(0L) == (("a1 a2 a3 a4", 7L)))
+    assert(m(1L) == (("b1 b2 b3", 7L)))
+    // within-doc repeats and unshared docs pass through untouched
+    assert(m(2L)._2 == 0L && m(2L)._1 == "c1 c2 c3 c4 c5 cx c1 c2 c3 c4 c5")
+    assert(m(3L)._2 == 0L)
+    // doc 5 keeps only its 1-token separator between the two shared runs
+    assert(m(5L) == (("f1", 10L)))
+  }
+
   test("contiguous duplicated windows (gap exactly k) do merge") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory(
