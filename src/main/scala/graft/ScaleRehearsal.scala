@@ -39,9 +39,14 @@ object ScaleRehearsal {
     "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_embed_lsh", "dedup_semantic",
     "dedup_semantic_kmeans", "corpus_clean",
+    // the replica-heavy sf1 corpus is the substring family's WORST case
+    // (nearly every gram crosses documents) — measured deliberately
+    "dedup_substring", "dedup_substring_scrub",
     "corpus_split", "corpus_sample_strat", "corpus_pack",
-    "corpus_contamination", "corpus_mix",
+    "corpus_contamination", "corpus_mix", "corpus_mix_temperature",
+    "corpus_quality_funnel",
     "text_fingerprint", "text_langid", "text_quality", "text_tokens",
+    "text_tfidf_topk", "text_surprisal",
     "sim_topk_brute", "sim_ann_lsh", "sim_ivf_topk", "sim_ivf_probe2",
     "sim_ivf_kmeans", "sim_knn_join", "sim_label_centroids", "sim_centroids_udaf")
 
@@ -106,6 +111,28 @@ object ScaleRehearsal {
     spark.conf.unset("spark.graft.dedup.ngram.maxDf")
     spark.catalog.clearCache()
     System.err.println(f"[rehearsal] dedup_ngram_jaccard sf1 with maxDf=200: $ngramScaled rows in ${fmt(ngramScaledSec)}s")
+
+    // The family loop consumes queries with count(), and the scrub's row
+    // count does not depend on clean_text — Catalyst prunes the whole
+    // string re-assembly, so the loop's scrub row measures only the gram
+    // gate. Time the FULL materialization explicitly (a sum over
+    // clean_text lengths forces every document to be re-joined) so the
+    // recorded number is the one a pipeline writing the scrubbed corpus
+    // would pay.
+    def scrubFull(dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val r = graft.operators.Dedup.substringScrub(spark, dir)
+        .agg(sum(length(col("clean_text"))).as("chars"),
+          sum(col("n_removed")).as("removed")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (sec, r.getAs[Long]("removed"))
+    }
+    val (scr01, rem01) = scrubFull(Sf01)
+    val (scr1, rem1) = scrubFull(Sf1)
+    System.err.println(
+      f"[rehearsal] scrub full materialization: sf0.1 ${fmt(scr01)}s ($rem01 tokens removed)  " +
+      f"sf1 ${fmt(scr1)}s ($rem1 removed)  ×${fmt(scr1 / math.max(scr01, 1e-9))}")
 
     // Streaming near-dup STATE growth (r5 verdict #2): drain the corpus
     // through the RocksDB-backed filter at both scales and record the
@@ -214,7 +241,8 @@ object ScaleRehearsal {
     }.mkString(
       s""""day2_index":{"build_sec":${fmt(buildSec)},"bands_bytes":$bandsBytes,"sets_bytes":$setsBytes,"docs_scan_bytes":$docsScanBytes,"runs":{""",
       ",", "}}")
-    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$sjson,$djson}"""
+    val scrubJson = s""""scrub_full":{"sf01":{"sec":${fmt(scr01)},"removed":$rem01},"sf1":{"sec":${fmt(scr1)},"removed":$rem1}}"""
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)
