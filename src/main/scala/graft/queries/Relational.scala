@@ -207,15 +207,22 @@ object Relational {
       .limit(50)
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS); Spark reads it as a long
-    * (ns since epoch) under `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in Verify/Bench sessions). Normalize either representation to
-    * an exact bigint of epoch-nanoseconds — integer arithmetic only, so
-    * results are bit-identical to DuckDB's epoch_ns(ts). */
+  /** events.parquet has carried three physical shapes of `ts` across
+    * testdata generations: TIMESTAMP(NANOS) (read as a long of epoch-ns
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * Verify/Bench sessions), TIMESTAMP (µs, UTC-adjusted), and
+    * TIMESTAMP_NTZ (µs, no zone — what the current generator writes).
+    * Normalize all three to an exact bigint of epoch-nanoseconds.
+    * The NTZ branch casts to TIMESTAMP first: under the UTC session
+    * timezone every session here pins, that cast maps wall time to the
+    * identical epoch micros DuckDB's epoch_ns(ts) computes on the same
+    * naive value — integer arithmetic only, bit-identical results. */
   private def eventsNs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val e = t(s, dir, "events")
     val tsNs = e.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => col("ts")
+      case LongType => col("ts")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
       case _ => unix_micros(col("ts")) * lit(1000L)
     }
     e.withColumn("ts_ns", tsNs)

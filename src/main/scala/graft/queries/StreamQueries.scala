@@ -111,6 +111,23 @@ object StreamQueries {
       deleteDirs = Seq(java.nio.file.Paths.get(out)))
   }
 
+  /** The streaming twin of `Relational.eventsNs`: whatever physical
+    * `ts` the driver's generator wrote — epoch-ns long (TIMESTAMP(NANOS)
+    * under `nanosAsLong`), TIMESTAMP (µs), or TIMESTAMP_NTZ (µs, naive;
+    * the current generation) — restore the exact epoch-ns bigint `ts`
+    * every streaming query below is written against. The NTZ cast to
+    * TIMESTAMP is exact under the UTC session timezone all entry points
+    * pin; integer arithmetic only, bit-identical to DuckDB epoch_ns. */
+  private def withTsNs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
+
   /** Event-time tumbling aggregation as a STREAMING query: the events
     * table drained through `readStream` (AvailableNow) into a complete-
     * mode in-memory sink. Must produce exactly the batch `q14` result —
@@ -120,7 +137,7 @@ object StreamQueries {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "win")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val q = s.readStream.schema(schema).parquet(in.toString)
+    val q = withTsNs(s.readStream.schema(schema).parquet(in.toString))
       .groupBy((expr("ts div 300000000000") * 300).as("bucket"), $"event_type")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
       .writeStream
@@ -165,7 +182,7 @@ object StreamQueries {
       Iterator.single(UserSessions(uid, st.nSessions, st.nEvents))
     }
 
-    val q = s.readStream.schema(schema).parquet(in.toString)
+    val q = withTsNs(s.readStream.schema(schema).parquet(in.toString))
       .select($"event_id", $"ts", $"user_id").as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
@@ -217,7 +234,7 @@ object StreamQueries {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "wmdedup")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val q = s.readStream.schema(schema).parquet(in.toString)
+    val q = withTsNs(s.readStream.schema(schema).parquet(in.toString))
       .select($"user_id", $"event_type",
         timestamp_micros(expr("ts div 1000")).as("event_time"))
       .withWatermark("event_time", "1 hour")
@@ -255,7 +272,7 @@ object StreamQueries {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "ssjoin")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def side(): DataFrame = s.readStream.schema(schema).parquet(in.toString)
+    def side(): DataFrame = withTsNs(s.readStream.schema(schema).parquet(in.toString))
     val errors = side()
       .filter($"event_type" === "error")
       .select($"event_id", $"user_id",

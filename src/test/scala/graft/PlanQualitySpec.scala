@@ -133,8 +133,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_hll_sketch_agg"),
       "daily sketches must partial-aggregate before the exchange")
     assert(p.contains("hll_union_agg"))
-    // only the three referenced event columns reach the scan
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"))
+    // only the three referenced event columns reach the scan; `ts`'s
+    // physical type has varied across testdata generations (ns-long
+    // under nanosAsLong, timestamp, timestamp_ntz) — pin the pruning,
+    // not the driver's parquet writer
+    assert("ReadSchema: struct<ts:[a-z_0-9()]+,user_id:bigint,event_type:string>".r
+      .findFirstIn(p).isDefined, "events scan must read exactly (ts, user_id, event_type)")
   }
 
   test("q29 recursive CTE: fact table aggregates before the spine join") {
