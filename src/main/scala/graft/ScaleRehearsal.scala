@@ -178,12 +178,19 @@ object ScaleRehearsal {
         } finally w.close()
       }
     }
-    def bytesReadDuring[A](f: => A): (A, Long) = {
+    // (result, input bytes read, shuffle bytes written) over the block —
+    // shuffle write is the axis the index-side bloom runtime filter
+    // moves: pruned index rows never reach the candidate exchange
+    def bytesReadDuring[A](f: => A): (A, Long, Long) = {
       val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val shuf = new java.util.concurrent.atomic.AtomicLong(0L)
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null) acc.addAndGet(m.inputMetrics.bytesRead)
+          if (m != null) {
+            acc.addAndGet(m.inputMetrics.bytesRead)
+            shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
         }
       }
       spark.sparkContext.addSparkListener(l)
@@ -194,7 +201,7 @@ object ScaleRehearsal {
         while (prev != cur && spins < 40) {
           Thread.sleep(250); prev = cur; cur = acc.get(); spins += 1
         }
-        (r, cur)
+        (r, cur, shuf.get())
       } finally spark.sparkContext.removeSparkListener(l)
     }
     val idxDir = java.nio.file.Files.createTempDirectory(
@@ -209,23 +216,34 @@ object ScaleRehearsal {
     // input bytes — the floor any day-2 run pays before touching the
     // index (sum(length(text)) forces a real data-column read; a bare
     // count() would be answered from parquet footers alone)
-    val (_, docsScanBytes) = bytesReadDuring(
+    val (_, docsScanBytes, _) = bytesReadDuring(
       sf1docs.agg(sum(length(col("text")))).head())
-    def day2(label: String, batch: org.apache.spark.sql.DataFrame): (String, Double, Long, Long) = {
+    // each batch width runs as a bloom on/off A/B: the runtime filter's
+    // claim is shuffle-volume reduction on the index side, so record
+    // shuffle-write bytes alongside wall + input bytes for both arms
+    def day2(label: String, batch: org.apache.spark.sql.DataFrame,
+             bloom: Boolean): (String, Double, Long, Long, Long) = {
+      spark.conf.set("spark.graft.dedup.index.bloom.enabled", bloom.toString)
       val t0 = System.nanoTime()
-      val (n, bytes) = bytesReadDuring {
+      val (n, bytes, shufBytes) = bytesReadDuring {
         graft.operators.Dedup.incrementalPairsFromIndex(spark, idxDir, batch).count()
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.conf.unset("spark.graft.dedup.index.bloom.enabled")
       graft.operators.Dedup.unpersistIntermediates(spark)
       spark.catalog.clearCache()
-      System.err.println(f"[rehearsal] day2 $label%-12s ${fmt(sec)}s  $n rows  ${bytes / 1048576}%d MiB read " +
+      val tag = s"$label${if (bloom) "" else "_nobloom"}"
+      System.err.println(f"[rehearsal] day2 $tag%-20s ${fmt(sec)}s  $n rows  ${bytes / 1048576}%d MiB read  " +
+        f"${shufBytes / 1048576}%d MiB shuffled " +
         f"(index: bands ${bandsBytes / 1048576}%d MiB + sets ${setsBytes / 1048576}%d MiB; one docs scan ${docsScanBytes / 1048576}%d MiB)")
-      (label, sec, n, bytes)
+      (tag, sec, n, bytes, shufBytes)
     }
+    val batch0p1 = sf1docs.filter(pmod(col("doc_id"), lit(1000)) === lit(7))
     val day2Rows = Seq(
-      day2("batch_10pct", sf1docs.filter(isBatch10)),
-      day2("batch_0p1pct", sf1docs.filter(pmod(col("doc_id"), lit(1000)) === lit(7))))
+      day2("batch_10pct", sf1docs.filter(isBatch10), bloom = true),
+      day2("batch_10pct", sf1docs.filter(isBatch10), bloom = false),
+      day2("batch_0p1pct", batch0p1, bloom = true),
+      day2("batch_0p1pct", batch0p1, bloom = false))
     System.err.println(f"[rehearsal] day2 index build+write: ${fmt(buildSec)}s")
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxDir))
 
@@ -236,8 +254,8 @@ object ScaleRehearsal {
       s""""$g":{"sf01":$c01,"sf1":$c1}"""
     }.mkString("{", ",", "}")
     val sjson = s""""stream_neardup_state":{"sf01":{"sec":${fmt(ss01)},"hits":$sn01,"state_rows":$sr01,"state_bytes":$sb01},"sf1":{"sec":${fmt(ss1)},"hits":$sn1,"state_rows":$sr1,"state_bytes":$sb1}}"""
-    val djson = day2Rows.map { case (l, sec, n, bytes) =>
-      s""""$l":{"sec":${fmt(sec)},"rows":$n,"bytes_read":$bytes}"""
+    val djson = day2Rows.map { case (l, sec, n, bytes, shufBytes) =>
+      s""""$l":{"sec":${fmt(sec)},"rows":$n,"bytes_read":$bytes,"shuffle_bytes":$shufBytes}"""
     }.mkString(
       s""""day2_index":{"build_sec":${fmt(buildSec)},"bands_bytes":$bandsBytes,"sets_bytes":$setsBytes,"docs_scan_bytes":$docsScanBytes,"runs":{""",
       ",", "}}")

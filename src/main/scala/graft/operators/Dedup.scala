@@ -198,7 +198,7 @@ object Dedup {
     * cost (the md5 is CSE'd across the four mins that share it);
     * DuckDB twin: min(substr(md5((perm//4)||'|'||shingle),
     * (perm%4)*8+1, 8)) */
-  private def bandsOf(s: SparkSession, d: DataFrame): DataFrame = {
+  private[graft] def bandsOf(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
     val mhAggs = (0 to 7).map { p =>
       val h = md5(concat(lit(s"${p / 4}|"), $"shingle"))
@@ -321,6 +321,39 @@ object Dedup {
     incrementalPairs(s, all.filter(!isBatch), all.filter(isBatch))
   }
 
+  /** BLOOM RUNTIME FILTER for the incremental candidate join: a bloom
+    * built over the BATCH side's (band, band_hash) keys, applied to the
+    * INDEX band relation before the equi-join. At 100 TB the index band
+    * relation is corpus-sized while the daily batch is still far too
+    * wide to broadcast (4 rows/doc × millions of docs), so the candidate
+    * join shuffles BOTH sides — and shuffling the corpus-sized index
+    * daily is the dominant cost. The bloom is a few MiB regardless of
+    * batch width (driver-built from the cached batch bands, broadcast
+    * once), and prunes the index side to ~matching buckets + fpp right
+    * above the scan, BEFORE the exchange: shuffled index rows become
+    * ∝ candidates, not ∝ corpus. Correctness is structural — a false
+    * positive only passes a row the join drops anyway, and false
+    * negatives are impossible (`mightContain` never rejects an inserted
+    * key) — and hash-gated: `dedup_incremental`/`dedup_incremental_idx`
+    * compare against the DuckDB full-run-restricted oracle. Dials:
+    * `spark.graft.dedup.index.bloom.enabled` (default true),
+    * `spark.graft.dedup.index.bloom.fpp` (default 0.01). */
+  private[graft] def bloomPruneByBatch(s: SparkSession, indexBands: DataFrame,
+                                batchBands: DataFrame): DataFrame = {
+    if (!s.conf.get("spark.graft.dedup.index.bloom.enabled", "true").toBoolean)
+      return indexBands
+    val fpp = s.conf.get("spark.graft.dedup.index.bloom.fpp", "0.01").toDouble
+    // one 64-bit key per band row; bandsOf emits exactly 4 rows/doc, so
+    // the cached-relation count is the exact expectedNumItems bound
+    val key = xxhash64(col("band"), col("band_hash"))
+    val n = batchBands.count()
+    if (n == 0L) return indexBands.filter(lit(false)) // empty batch: no candidates
+    val bloom = batchBands.stat.bloomFilter(key, n, fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    indexBands.filter(mightContain(key))
+  }
+
   /** The library API behind [[minhashIncremental]]: near-dup pairs that
     * involve at least one `batch` document, against an `index` corpus
     * that is never paired with itself. Both frames are (doc_id, text)
@@ -328,8 +361,8 @@ object Dedup {
     * band relation of the previous run instead of recomputing. */
   def incrementalPairs(s: SparkSession, index: DataFrame, batch: DataFrame): DataFrame = {
     import s.implicits._
-    val batchBands = bandsOf(s, batch)
-    val indexBands = bandsOf(s, index)
+    val batchBands = tracked(bandsOf(s, batch))
+    val indexBands = bloomPruneByBatch(s, bandsOf(s, index), batchBands)
     val cross = batchBands.as("n")
       .join(indexBands.as("i"), Seq("band", "band_hash"))
       .select(
@@ -346,9 +379,11 @@ object Dedup {
     * `path`. This is the production artifact [[incrementalPairs]]'
     * Scaladoc promises: tomorrow's batch reads it instead of re-banding
     * a 100 TB corpus. Bands are written bucketed-friendly (sorted within
-    * files by the join key) but remain plain parquet — the (band,
-    * band_hash) join shuffles only the DAILY batch side when the index
-    * relation is large. Sets are RANGE-SORTED on doc_id (disjoint file
+    * files by the join key) but remain plain parquet — on the day-2 read
+    * the [[bloomPruneByBatch]] runtime filter cuts the index rows
+    * entering the candidate exchange to ~matching buckets + fpp, so the
+    * corpus-sized relation never shuffles whole. Sets are RANGE-SORTED
+    * on doc_id (disjoint file
     * ranges, sorted row groups) so the day-2 read path's pushed
     * candidate-id In filter skips whole row groups via parquet min/max
     * stats — the layout that makes "index bytes touched ∝ candidates"
@@ -393,9 +428,10 @@ object Dedup {
     // contract for free: its id list is candIds MINUS batch ids, so
     // stale rows never leave the scan.
     val batchIds = broadcast(batch.select($"doc_id").distinct())
-    val indexBands = s.read.parquet(s"$indexPath/bands")
+    val batchBands = tracked(bandsOf(s, batch))
+    val indexBands = bloomPruneByBatch(s,
+      s.read.parquet(s"$indexPath/bands"), batchBands)
       .join(batchIds, Seq("doc_id"), "left_anti")
-    val batchBands = bandsOf(s, batch)
     val cross = batchBands.as("n")
       .join(indexBands.as("i"), Seq("band", "band_hash"))
       .select(

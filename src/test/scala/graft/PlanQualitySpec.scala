@@ -181,6 +181,44 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("index bloom runtime filter: prunes the index bands before the exchange, never a match") {
+    import org.apache.spark.sql.functions._
+    // the final dedup_incremental_idx plan checkpoints candidates away,
+    // so pin the bloom on the PRE-checkpoint composition it actually
+    // guards: batch-keyed bloom over the persisted band relation
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "idxbloom").toAbsolutePath.toString
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val isBatch = pmod(col("doc_id"), lit(10)) === lit(7)
+      graft.operators.Dedup.writeIndex(spark, docs.filter(!isBatch), idx)
+      val indexBands = spark.read.parquet(s"$idx/bands")
+      val batchBands = graft.operators.Dedup.bandsOf(spark, docs.filter(isBatch))
+      val pruned = graft.operators.Dedup.bloomPruneByBatch(spark, indexBands, batchBands)
+      // plan shape: the bloom is a post-scan Filter on the bands read —
+      // its xxhash64 key expression exists nowhere else in this plan
+      val p = pruned.queryExecution.executedPlan.toString
+      assert(p.contains("xxhash64"),
+        "bloom filter (keyed on xxhash64(band, band_hash)) must sit on the bands scan")
+      // no false negatives: every index band row whose key a batch row
+      // shares survives the bloom — join parity pruned vs unpruned
+      val joinKeys = Seq("band", "band_hash")
+      val viaPruned = pruned.join(batchBands.select(joinKeys.map(col): _*).distinct(), joinKeys)
+      val viaFull = indexBands.join(batchBands.select(joinKeys.map(col): _*).distinct(), joinKeys)
+      assert(viaPruned.count() === viaFull.count(),
+        "bloom must never drop an index row that joins a batch band")
+      // and it actually prunes: non-matching buckets dominate the index,
+      // so the surviving fraction must be far below 1 (fpp-bounded tail)
+      val (kept, total) = (pruned.count(), indexBands.count())
+      assert(kept < total / 2,
+        s"bloom kept $kept of $total index band rows — not pruning")
+      graft.operators.Dedup.unpersistIntermediates(spark)
+    } finally {
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
+      graft.operators.Dedup.unpersistIntermediates(spark)
+    }
+  }
+
   test("substring spans: one-exchange gram gate, broadcast dup set, per-doc window") {
     val p = plan("dedup_substring")
     // the cross-doc gate is min(doc_id) ≠ max(doc_id) — map-side
