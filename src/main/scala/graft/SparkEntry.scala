@@ -133,6 +133,10 @@ object SparkEntry {
     "text_tfidf_topk"  -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     // perplexity-proxy: mean −ln p(word) under the corpus unigram LM
     "text_surprisal"   -> (TextAnalysis.unigramSurprisal _),
+    // EXACT top-20 frequent words: Misra-Gries pass (O(m) mergeable
+    // state, token stream never shuffles) + exact recount of the ≤ m
+    // candidates, certificate-checked (kth count > summary err)
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     // five-rule first-fail filter cascade with per-stage attrition
     "corpus_quality_funnel" -> (Curation.qualityFunnel _),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
@@ -1096,6 +1100,13 @@ object SparkEntry {
         |g AS (SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 8)) AS g FROM g0)
         |SELECT doc_id, min(g) AS fingerprint, count(*) AS n_grams
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+        |SELECT word, n FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin,
 
     "text_tfidf_topk" ->
       """WITH tok AS (

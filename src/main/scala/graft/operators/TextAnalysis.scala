@@ -216,6 +216,55 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** EXACT corpus-wide top-k frequent words via the two-pass
+    * sketch-then-recount pattern — the only exact heavy-hitters shape
+    * that works at 100 TB, where a full `GROUP BY word` would shuffle
+    * every token and a one-pass sketch alone (q34's CMS) is only
+    * approximate.
+    *
+    * Pass 1: a [[graft.functions.MisraGries]] summary (bounded O(m)
+    * state, map-side partial merge — the token stream never shuffles,
+    * only ≤ m-entry partials do). Its candidate set provably contains
+    * every word with true count > err. Pass 2: exact recount of the
+    * ≤ m candidates only (broadcast semi-join gate on the token stream,
+    * then a candidate-sized aggregation). The CERTIFICATE makes the
+    * result exact rather than probably-right: the k-th recounted count
+    * must strictly exceed the summary's err, so no absent word (true
+    * count ≤ err) can reach the top k. Fails loudly with the measured
+    * err if m was too small for the corpus — raise m, never silently
+    * emit an approximation labeled exact. Oracle: plain DuckDB
+    * top-k-by-count, hash-compared. */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 20,
+                   m: Int = 4096): DataFrame = {
+    import s.implicits._
+    val mg = udaf(new graft.functions.MisraGries(m))
+    val tok = docs(s, dir).select(
+      expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+    val sm = tok.agg(mg($"tk").as("s")).select($"s.words", $"s.err")
+      .as[(Array[String], Long)].head()
+    val (candidates, err) = sm
+    val exact = tokenInstances(s, dir)
+      .join(broadcast(candidates.toSeq.toDF("word")), Seq("word"), "left_semi")
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(k)
+      .cache()
+    // empty corpus: no tokens were ever summarized (err 0, no
+    // candidates) — the exact top-k of nothing is nothing
+    if (candidates.isEmpty && err == 0L) return exact
+    val kthRow = exact.agg(min($"n")).head()
+    val kth = if (kthRow.isNullAt(0)) 0L else kthRow.getLong(0)
+    // two ways an unlisted word (true count ≤ err) could sneak into the
+    // top k: displace a listed row (impossible once kth > err), or fill
+    // an EMPTY slot when fewer than k candidates survived — which only
+    // err == 0 (nothing was ever trimmed, the summary is the full exact
+    // vocabulary) rules out
+    require((exact.count() == k || err == 0L) && kth > err,
+      s"heavy-hitters certificate failed: k-th count $kth vs summary err $err — " +
+        s"raise the Misra-Gries budget m (=$m) above the corpus's heavy tail")
+    exact
+  }
+
   /** Per-document mean unigram surprisal under the corpus's OWN unigram
     * LM — the perplexity-proxy quality filter (CCNet shape) without an
     * external model: p(w) = c(w)/T over the whole corpus, score =
