@@ -109,6 +109,11 @@ object SparkEntry {
     // the fixed-iteration training loop is not SQL-expressible in DuckDB;
     // SimilarityRecallSpec pins recall@10 >= the per-label probe-2 path)
     "sim_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopk(s, d)),
+    // IVF-PQ: learned coarse lists + product-quantized codes scored by
+    // the codegen'd ADC expression, exact re-rank of the shortlist
+    // (k-means training → rows-only; recall ladder + rerank-all ≡ exact
+    // identity pinned in SimilarityRecallSpec)
+    "sim_ivf_pq"          -> ((s, d) => Similarity.ivfPqTopk(s, d)),
     "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
     "dedup_semantic"      -> (Similarity.semanticDedup _),
     // learned-cluster variant (k-means assignment; training loop not

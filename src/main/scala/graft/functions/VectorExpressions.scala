@@ -80,6 +80,72 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) scoring for product-quantized vectors:
+  * `graft_pq_adc(codes, lut)` = Σ_m lut[m·ksub + codes[m]], the inner
+  * loop of every PQ scan. `codes` is the vector's PACKED byte blob of
+  * per-subspace codebook assignments (`binary` — one byte per subspace,
+  * codebooks ≤ 256 entries; the layout a persisted PQ index would store
+  * on disk); `lut` is the query's flattened lookup table
+  * (subspace-major, `ksub` entries per subspace — inferred as
+  * lut.length / codes.length so the layout is self-describing). The
+  * whole point of PQ at 100 TB is that THIS loop runs over ~8-byte
+  * codes instead of KB-scale float arrays — so it must stay inside
+  * whole-stage codegen, like [[DotProduct]], never a UDF. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc expects (binary codes, array<double> lut), got $l / $r")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[Array[Byte]]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.length
+    if (m == 0) 0.0
+    else {
+      val ksub = lut.numElements() / m
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        s += lut.getDouble(i * ksub + (codes(i) & 0xFF))
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val ksub = ctx.freshName("ksub")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $m = $a.length;
+        double $s = 0.0;
+        if ($m > 0) {
+          int $ksub = $b.numElements() / $m;
+          for (int $i = 0; $i < $m; $i++) {
+            $s += $b.getDouble($i * $ksub + ($a[$i] & 0xFF));
+          }
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register the graft native expressions (`graft_dot`,
     * `graft_gram_min_md5`) for the session. Truly idempotent: skips
@@ -96,5 +162,6 @@ object VectorExpressions {
     once("graft_gram_min_md5", exprs => GramMinMd5(exprs(0), exprs(1)))
     once("graft_char_grams", exprs => CharGrams(exprs(0), exprs(1)))
     once("graft_sorted_inter", exprs => SortedInterCount(exprs(0), exprs(1)))
+    once("graft_pq_adc", exprs => PqAdc(exprs(0), exprs(1)))
   }
 }

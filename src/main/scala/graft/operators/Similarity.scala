@@ -372,12 +372,26 @@ object Similarity {
   private[graft] def kmeansCentroids(
       s: SparkSession, dir: String, k: Int = 10, iters: Int = 5): Array[Array[Double]] = {
     import s.implicits._
+    kmeansOnVecs(s, emb(s, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])], k, iters)
+  }
+
+  /** [[kmeansCentroids]]' core over an arbitrary (id, vector) dataset —
+    * shared with the per-subspace product-quantizer training, which runs
+    * it over SLICES of the embedding. Same scale shape and determinism
+    * contract: md5-seeded init, one narrow partial-sum pass per Lloyd
+    * iteration, k-row reduces, 8-decimal rounded means. */
+  private[graft] def kmeansOnVecs(
+      s: SparkSession, vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int, iters: Int): Array[Array[Double]] = {
+    import s.implicits._
     // persist: the training set is read `iters+1` times (init + every
     // Lloyd pass) — without it each pass is a full parquet re-scan of
-    // the corpus, the difference between 1 scan and 6 at 100 TB
-    val data = emb(s, dir)
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      .persist()
+    // the corpus, the difference between 1 scan and 6 at 100 TB.
+    // Column names are normalized so callers can hand in any (id, vec)
+    // dataset (the md5-seeded init references them by name).
+    val data = vecs.toDF("vec_id", "embedding")
+      .as[(Long, Array[Float])].persist()
     var cent: Array[Array[Double]] = data
       .withColumn("h", md5($"vec_id".cast("string")))
       .orderBy($"h").limit(k)
@@ -464,6 +478,109 @@ object Similarity {
     val q = s.createDataset(Seq((qVec._2, qVec._3))).toDF("q_emb", "q_nrm")
     assigned
       .filter($"vec_id" =!= 0 && $"cluster".isin(probes: _*))
+      .join(broadcast(q))
+      .select($"vec_id",
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** IVF-PQ: the memory-compression tier of the ANN family and the
+    * shape that actually fits 100 TB of vectors in scan bandwidth —
+    * coarse IVF restricts WHICH vectors are scored, product quantization
+    * shrinks WHAT is scanned per vector (`pqM` one-byte codes, ~48×
+    * smaller than the dim-64 float array), and an exact re-rank of the
+    * top `rerank` ADC candidates restores ranking fidelity.
+    *
+    * Pipeline (all deterministic — md5-seeded inits, rounded means):
+    *  1. normalize to unit vectors (so PQ inner products approximate
+    *     cosine);
+    *  2. train one `ksub`-centroid quantizer PER SUBSPACE of dim/pqM
+    *     dims via [[kmeansOnVecs]] over embedding slices;
+    *  3. encode: one narrow pass assigns each subspace slice its nearest
+    *     sub-centroid → `array<tinyint>` codes (at production scale this
+    *     is the persisted index artifact, like [[graft.operators.Dedup
+    *     .writeIndex]]'s bands — built once, scanned daily);
+    *  4. coarse probe: [[kmeansCentroids]]-style learned IVF restricts
+    *     the scan to `nprobe` inverted lists;
+    *  5. ADC scan: the query's flattened lookup table (pqM × ksub
+    *     partial dots, broadcast as a literal) scored against codes by
+    *     the codegen'd `graft_pq_adc` — the scan touches codes only;
+    *  6. exact re-rank of the top `rerank` candidates (a candidate-sized
+    *     broadcast join back to the full vectors).
+    * Training is iterative (not SQL-expressible) → rows-only entry; the
+    * recall ladder and the rerank-all ≡ exact degenerate identity are
+    * pinned in SimilarityRecallSpec. */
+  def ivfPqTopk(s: SparkSession, dir: String, pqM: Int = 8, ksub: Int = 16,
+                nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+      .filter($"nrm" > 0)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x / nrm as float))").as("unit"))
+      .as[(Long, Array[Float])]
+      .persist()
+    val dim = e.head()._2.length
+    require(dim % pqM == 0, s"pqM=$pqM must divide dim=$dim")
+    val sub = dim / pqM
+    // per-subspace codebooks: ksub centroids over the slice
+    val books: Array[Array[Array[Double]]] = (0 until pqM).toArray.map { m =>
+      kmeansOnVecs(s,
+        e.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub)) },
+        ksub, iters = 3)
+    }
+    val bcBooks = s.sparkContext.broadcast(books)
+    // coarse quantizer over the unit vectors (reuses the same trainer)
+    val coarse = kmeansOnVecs(s, e, k = 10, iters = 3)
+    val bcCoarse = s.sparkContext.broadcast(coarse)
+    // one narrow pass: PQ-encode + coarse-assign (the persisted "index")
+    val encoded = e.map { case (id, v) =>
+      val bks = bcBooks.value
+      val codes = new Array[Byte](bks.length)
+      val w = v.length / bks.length
+      var m = 0
+      while (m < bks.length) {
+        codes(m) = nearestCentroid(
+          java.util.Arrays.copyOfRange(v, m * w, (m + 1) * w), bks(m)).toByte
+        m += 1
+      }
+      (id, codes, nearestCentroid(v, bcCoarse.value))
+    }.toDF("vec_id", "codes", "cluster")
+    // query side: probe set + flattened ADC lookup table, all driver-tiny
+    val qUnit = e.filter(_._1 == 0L).head()._2
+    val probes = coarse.indices.sortBy { i =>
+      val c = coarse(i)
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = qUnit(j) - c(j); d += t * t; j += 1 }
+      d
+    }.take(nprobe)
+    val lut = new Array[Double](pqM * ksub)
+    for (m <- 0 until pqM; c <- 0 until ksub) {
+      val cent = books(m)(c)
+      var d = 0.0; var j = 0
+      while (j < sub) { d += qUnit(m * sub + j) * cent(j); j += 1 }
+      lut(m * ksub + c) = d
+    }
+    // ADC top-`rerank` over codes only (TakeOrdered — no score shuffle),
+    // collected eagerly: ≤ rerank ids is driver-bounded by construction
+    val shortlistIds = encoded
+      .filter($"vec_id" =!= 0 && $"cluster".isin(probes: _*))
+      .select($"vec_id",
+        call_function("graft_pq_adc", $"codes", typedLit(lut)).as("adc"))
+      .orderBy($"adc".desc, $"vec_id")
+      .limit(rerank)
+      .select($"vec_id").as[Long].collect()
+    e.unpersist(false)
+    // exact cosine re-rank of just the shortlist: the In filter pushes
+    // into the parquet scan, so the re-rank touches candidate rows only
+    val full = emb(s, dir)
+      .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+    val q = full.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    full
+      .filter($"vec_id".isin(shortlistIds.toIndexedSeq: _*))
       .join(broadcast(q))
       .select($"vec_id",
         expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
