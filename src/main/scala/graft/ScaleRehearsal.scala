@@ -48,7 +48,8 @@ object ScaleRehearsal {
     "text_fingerprint", "text_langid", "text_quality", "text_tokens",
     "text_tfidf_topk", "text_surprisal",
     "sim_topk_brute", "sim_ann_lsh", "sim_ivf_topk", "sim_ivf_probe2",
-    "sim_ivf_kmeans", "sim_knn_join", "sim_label_centroids", "sim_centroids_udaf")
+    "sim_ivf_kmeans", "sim_ivf_pq", "sim_knn_join", "sim_label_centroids",
+    "sim_centroids_udaf")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -220,20 +221,30 @@ object ScaleRehearsal {
       sf1docs.agg(sum(length(col("text")))).head())
     // each batch width runs as a bloom on/off A/B: the runtime filter's
     // claim is shuffle-volume reduction on the index side, so record
-    // shuffle-write bytes alongside wall + input bytes for both arms
+    // shuffle-write bytes alongside wall + input bytes for both arms.
+    // `smj` arms disable AUTO broadcast (explicit broadcast() hints in
+    // the verify stage survive) — the production condition where the
+    // daily batch bands exceed the broadcast threshold and the
+    // candidate join becomes a real exchange; at fixture scale Spark
+    // broadcasts the batch side and the target exchange never exists,
+    // which is itself worth recording (the bloom's two driver jobs are
+    // its only cost there)
     def day2(label: String, batch: org.apache.spark.sql.DataFrame,
-             bloom: Boolean): (String, Double, Long, Long, Long) = {
+             bloom: Boolean, smj: Boolean = false): (String, Double, Long, Long, Long) = {
       spark.conf.set("spark.graft.dedup.index.bloom.enabled", bloom.toString)
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      if (smj) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val t0 = System.nanoTime()
       val (n, bytes, shufBytes) = bytesReadDuring {
         graft.operators.Dedup.incrementalPairsFromIndex(spark, idxDir, batch).count()
       }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.conf.unset("spark.graft.dedup.index.bloom.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       graft.operators.Dedup.unpersistIntermediates(spark)
       spark.catalog.clearCache()
-      val tag = s"$label${if (bloom) "" else "_nobloom"}"
-      System.err.println(f"[rehearsal] day2 $tag%-20s ${fmt(sec)}s  $n rows  ${bytes / 1048576}%d MiB read  " +
+      val tag = s"$label${if (smj) "_smj" else ""}${if (bloom) "" else "_nobloom"}"
+      System.err.println(f"[rehearsal] day2 $tag%-26s ${fmt(sec)}s  $n rows  ${bytes / 1048576}%d MiB read  " +
         f"${shufBytes / 1048576}%d MiB shuffled " +
         f"(index: bands ${bandsBytes / 1048576}%d MiB + sets ${setsBytes / 1048576}%d MiB; one docs scan ${docsScanBytes / 1048576}%d MiB)")
       (tag, sec, n, bytes, shufBytes)
@@ -242,8 +253,12 @@ object ScaleRehearsal {
     val day2Rows = Seq(
       day2("batch_10pct", sf1docs.filter(isBatch10), bloom = true),
       day2("batch_10pct", sf1docs.filter(isBatch10), bloom = false),
+      day2("batch_10pct", sf1docs.filter(isBatch10), bloom = true, smj = true),
+      day2("batch_10pct", sf1docs.filter(isBatch10), bloom = false, smj = true),
       day2("batch_0p1pct", batch0p1, bloom = true),
-      day2("batch_0p1pct", batch0p1, bloom = false))
+      day2("batch_0p1pct", batch0p1, bloom = false),
+      day2("batch_0p1pct", batch0p1, bloom = true, smj = true),
+      day2("batch_0p1pct", batch0p1, bloom = false, smj = true))
     System.err.println(f"[rehearsal] day2 index build+write: ${fmt(buildSec)}s")
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxDir))
 
