@@ -114,6 +114,10 @@ object SparkEntry {
     // (k-means training → rows-only; recall ladder + rerank-all ≡ exact
     // identity pinned in SimilarityRecallSpec)
     "sim_ivf_pq"          -> ((s, d) => Similarity.ivfPqTopk(s, d)),
+    // persisted-PQ-index twin (build + write + read in one run, like
+    // dedup_incremental_idx): codes partitioned by coarse list so probe
+    // filters prune whole directories; persisted ≡ recomputed pinned
+    "sim_pq_index"        -> (Similarity.pqTopkViaIndex _),
     "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
     "dedup_semantic"      -> (Similarity.semanticDedup _),
     // learned-cluster variant (k-means assignment; training loop not

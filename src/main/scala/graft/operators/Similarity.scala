@@ -514,14 +514,38 @@ object Similarity {
   def ivfPqTopk(s: SparkSession, dir: String, pqM: Int = 8, ksub: Int = 16,
                 nprobe: Int = 4, rerank: Int = 50): DataFrame = {
     import s.implicits._
+    val e = unitVecs(s, dir).persist()
+    val model = trainPq(s, e, pqM, ksub)
+    val encoded = encodePq(s, e, model)
+    val qUnit = e.filter(_._1 == 0L).head()._2
+    e.unpersist(false)
+    pqSearch(s, dir, encoded, model, qUnit, nprobe, rerank)
+  }
+
+  /** The trained quantizers: `books(m)(c)` is sub-centroid c of subspace
+    * m; `coarse` is the IVF list quantizer over full unit vectors. */
+  private[graft] case class PqModel(books: Array[Array[Array[Double]]],
+                                    coarse: Array[Array[Double]])
+
+  /** Unit-normalized embeddings (zero vectors dropped) — the space PQ
+    * codes and coarse lists are built in, so ADC inner products
+    * approximate cosine. */
+  private def unitVecs(s: SparkSession, dir: String):
+      org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
+    import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    val e = emb(s, dir)
+    emb(s, dir)
       .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
       .filter($"nrm" > 0)
       .select($"vec_id",
         expr("transform(embedding, x -> cast(x / nrm as float))").as("unit"))
       .as[(Long, Array[Float])]
-      .persist()
+  }
+
+  private def trainPq(s: SparkSession,
+                      e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                      pqM: Int, ksub: Int): PqModel = {
+    import s.implicits._
     val dim = e.head()._2.length
     require(dim % pqM == 0, s"pqM=$pqM must divide dim=$dim")
     val sub = dim / pqM
@@ -531,12 +555,20 @@ object Similarity {
         e.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub)) },
         ksub, iters = 3)
     }
-    val bcBooks = s.sparkContext.broadcast(books)
     // coarse quantizer over the unit vectors (reuses the same trainer)
-    val coarse = kmeansOnVecs(s, e, k = 10, iters = 3)
-    val bcCoarse = s.sparkContext.broadcast(coarse)
-    // one narrow pass: PQ-encode + coarse-assign (the persisted "index")
-    val encoded = e.map { case (id, v) =>
+    PqModel(books, kmeansOnVecs(s, e, k = 10, iters = 3))
+  }
+
+  /** One narrow pass: PQ-encode + coarse-assign every vector →
+    * (vec_id, codes binary, cluster) — the relation [[writePqIndex]]
+    * persists and every ADC scan reads. */
+  private def encodePq(s: SparkSession,
+                       e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                       model: PqModel): DataFrame = {
+    import s.implicits._
+    val bcBooks = s.sparkContext.broadcast(model.books)
+    val bcCoarse = s.sparkContext.broadcast(model.coarse)
+    e.map { case (id, v) =>
       val bks = bcBooks.value
       val codes = new Array[Byte](bks.length)
       val w = v.length / bks.length
@@ -548,23 +580,34 @@ object Similarity {
       }
       (id, codes, nearestCentroid(v, bcCoarse.value))
     }.toDF("vec_id", "codes", "cluster")
-    // query side: probe set + flattened ADC lookup table, all driver-tiny
-    val qUnit = e.filter(_._1 == 0L).head()._2
-    val probes = coarse.indices.sortBy { i =>
-      val c = coarse(i)
+  }
+
+  /** Shared ADC query tail: probe the `nprobe` nearest coarse lists,
+    * ADC-rank their codes (TakeOrdered — no score shuffle), exact-rerank
+    * the ≤ `rerank` shortlist against the full vectors (In-filter pushed
+    * into the parquet scan). */
+  private def pqSearch(s: SparkSession, dir: String, encoded: DataFrame,
+                       model: PqModel, qUnit: Array[Float],
+                       nprobe: Int, rerank: Int): DataFrame = {
+    import s.implicits._
+    val pqM = model.books.length
+    val ksub = model.books(0).length
+    val sub = qUnit.length / pqM
+    val probes = model.coarse.indices.sortBy { i =>
+      val c = model.coarse(i)
       var d = 0.0; var j = 0
       while (j < c.length) { val t = qUnit(j) - c(j); d += t * t; j += 1 }
       d
     }.take(nprobe)
     val lut = new Array[Double](pqM * ksub)
     for (m <- 0 until pqM; c <- 0 until ksub) {
-      val cent = books(m)(c)
+      val cent = model.books(m)(c)
       var d = 0.0; var j = 0
       while (j < sub) { d += qUnit(m * sub + j) * cent(j); j += 1 }
       lut(m * ksub + c) = d
     }
-    // ADC top-`rerank` over codes only (TakeOrdered — no score shuffle),
-    // collected eagerly: ≤ rerank ids is driver-bounded by construction
+    // ADC top-`rerank` over codes only, collected eagerly: ≤ rerank ids
+    // is driver-bounded by construction
     val shortlistIds = encoded
       .filter($"vec_id" =!= 0 && $"cluster".isin(probes: _*))
       .select($"vec_id",
@@ -572,7 +615,6 @@ object Similarity {
       .orderBy($"adc".desc, $"vec_id")
       .limit(rerank)
       .select($"vec_id").as[Long].collect()
-    e.unpersist(false)
     // exact cosine re-rank of just the shortlist: the In filter pushes
     // into the parquet scan, so the re-rank touches candidate rows only
     val full = emb(s, dir)
@@ -586,6 +628,79 @@ object Similarity {
         expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)
+  }
+
+  /** PERSIST the PQ index: the encoded code relation PARTITIONED BY
+    * coarse cluster (probe-time filters prune whole directories — scan
+    * bytes ∝ probed lists, the PQ twin of [[graft.operators.Dedup
+    * .writeIndex]]'s candidate-proportional read) plus a codebook
+    * sidecar (pqM×ksub + coarse rows — driver-tiny, the part a day-2
+    * query collects to build its lookup table). Encode is one narrow
+    * pass; at 100 TB this runs once and every subsequent query reads
+    * 8-byte codes from the probed partitions only. */
+  def writePqIndex(s: SparkSession, dir: String, path: String,
+                   pqM: Int = 8, ksub: Int = 16): Unit = {
+    import s.implicits._
+    val e = unitVecs(s, dir).persist()
+    val model = trainPq(s, e, pqM, ksub)
+    encodePq(s, e, model)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+    e.unpersist(false)
+    val bookRows = for (m <- 0 until pqM; c <- 0 until ksub)
+      yield ("book", m, c, model.books(m)(c).toSeq)
+    val coarseRows = model.coarse.indices.map(c => ("coarse", 0, c, model.coarse(c).toSeq))
+    (bookRows ++ coarseRows).toDF("kind", "m", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Query a PERSISTED PQ index ([[writePqIndex]]): collect the tiny
+    * codebook sidecar, read ONLY the probed code partitions (partition
+    * pruning does the list restriction — no full-index scan), share
+    * [[pqSearch]]'s ADC + exact-rerank tail. Same dials + same corpus →
+    * output identical to the recomputing [[ivfPqTopk]], pinned in
+    * SimilarityRecallSpec. */
+  def pqTopkFromIndex(s: SparkSession, dir: String, path: String,
+                      nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val side = s.read.parquet(s"$path/codebooks")
+      .select($"kind", $"m", $"c", $"vec").collect()
+    val bookRows = side.filter(_.getString(0) == "book")
+    val pqM = bookRows.map(_.getInt(1)).max + 1
+    val ksub = bookRows.map(_.getInt(2)).max + 1
+    val books = Array.ofDim[Array[Double]](pqM, ksub)
+    bookRows.foreach(r => books(r.getInt(1))(r.getInt(2)) = r.getSeq[Double](3).toArray)
+    val coarse = side.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
+      .map(_.getSeq[Double](3).toArray)
+    val model = PqModel(books.map(_.toArray), coarse)
+    // the query vector is normalized driver-side (one O(1) row read)
+    val qRaw = emb(s, dir).filter($"vec_id" === 0)
+      .select($"embedding").as[Array[Float]].head()
+    val qn = math.sqrt(qRaw.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+    val qUnit = qRaw.map(x => (x / qn).toFloat)
+    val encoded = s.read.parquet(s"$path/codes")
+      .select($"vec_id", $"codes", $"cluster".cast("int").as("cluster"))
+    pqSearch(s, dir, encoded, model, qUnit, nprobe, rerank)
+  }
+
+  /** Query twin of [[ivfPqTopk]] through the persisted-index path:
+    * build the PQ index (in production, yesterday's artifact — the
+    * driver gate reads one directory), then answer the query from codes
+    * + codebooks alone. Output is pinned IDENTICAL to the recomputing
+    * path in SimilarityRecallSpec (both are deterministic functions of
+    * the corpus at the same dials). The localCheckpoint materializes the
+    * result before the finally-delete so the returned frame's scan never
+    * outlives the index files. */
+  def pqTopkViaIndex(s: SparkSession, dir: String): DataFrame = {
+    val idxPath = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "pqidx"), "idx").toAbsolutePath.toString
+    try {
+      writePqIndex(s, dir, idxPath)
+      // tracked like every dedup checkpoint: released deterministically
+      // by Dedup.unpersistIntermediates in Bench/Verify finally blocks
+      Dedup.trackCheckpoint(pqTopkFromIndex(s, dir, idxPath).localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxPath))
   }
 
   /** Per-label centroid similarity: average embedding per label (exact,

@@ -73,6 +73,32 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(r >= 0.5, s"ivf-pq recall collapsed: $r")
   }
 
+  test("persisted PQ index: identical to the recomputing path, probe prunes partitions") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "pqidx").toString
+    try {
+      Similarity.writePqIndex(spark, sf, idx)
+      val viaIndex = Similarity.pqTopkFromIndex(spark, sf, idx)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val recomputed = Similarity.ivfPqTopk(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // both are deterministic functions of the corpus at the same
+      // dials — persisted ≡ recomputed must hold row for row
+      assert(viaIndex.toSeq == recomputed.toSeq)
+      // the probe-time cluster filter must reach the codes scan as a
+      // PARTITION filter (directory pruning), never a post-scan filter
+      // over the whole index
+      val codes = spark.read.parquet(s"$idx/codes")
+        .filter(col("cluster").isin(0, 1))
+      val plan = codes.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("cluster"),
+        "cluster probe must prune code partitions at the source")
+    } finally {
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
+    }
+  }
+
   test("k-means training is deterministic across runs") {
     val a = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 3)
     val b = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 3)
