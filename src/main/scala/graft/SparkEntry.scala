@@ -94,6 +94,9 @@ object SparkEntry {
     // ——— dataset curation ———
     "corpus_split"         -> (Curation.split _),
     "corpus_sample_strat"  -> (Curation.sampleStratified _),
+    // exact-k cap per (lang, source) via hashed-rank window; the
+    // WindowGroupLimit map-side prune is the 100 TB shape (plan-pinned)
+    "corpus_group_cap"     -> ((s, d) => Curation.groupCap(s, d)),
     "corpus_pack"          -> ((s, d) => Curation.pack(s, d)),
     "corpus_contamination" -> (Curation.contamination _),
     "corpus_mix"           -> (Curation.mix _),
@@ -908,6 +911,14 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(lang || ':' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_group_cap" ->
+      """SELECT doc_id, lang, source, rk FROM (
+        |  SELECT doc_id, lang, source,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, source, rk""".stripMargin,
 
     "corpus_pack" ->
       """WITH t AS (

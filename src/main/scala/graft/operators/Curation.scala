@@ -55,6 +55,30 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** PER-GROUP DOCUMENT CAP: keep exactly `k` documents per
+    * (lang, source) group, chosen by hashed rank — the curation step
+    * that caps over-represented domains (one spam-heavy source cannot
+    * dominate the mix) while under-k groups pass through whole. The
+    * selection is a deterministic reservoir analog: rank by
+    * md5(doc_id) within the group (doc_id tiebreak), keep rank ≤ k —
+    * re-runs, re-partitions, and engines agree bit-for-bit.
+    *
+    * Scale shape: rank-≤-k over a window triggers Spark's
+    * WindowGroupLimit — each map partition pre-prunes to its own top-k
+    * per group BEFORE the exchange, so the shuffle carries at most
+    * k × groups × partitions rows, never the corpus (plan-pinned in
+    * CurationSpec). */
+  def groupCap(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    docs(s, dir)
+      .select($"doc_id", $"lang", $"source")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .orderBy($"lang", $"source", $"rk")
+  }
+
   /** Source-weighted mixture sampling — the data-mixing step of a
     * pre-training pipeline: each source gets a sampling weight (here a
     * deterministic 1.0/0.5/0.25/0.1 band keyed on the numeric source

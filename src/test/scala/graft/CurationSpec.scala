@@ -48,6 +48,20 @@ class CurationSpec extends AnyFunSuite {
       "a global cumulative sum would serialize the corpus through one partition")
   }
 
+  test("group cap: exactly k per over-k stratum, map-side WindowGroupLimit prune") {
+    val out = Curation.groupCap(spark, sf, k = 5)
+    val perGroup = out.groupBy("lang", "source").count().collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_.getLong(2) <= 5))
+    // the fixture has strata larger than k — the cap must actually bind
+    assert(perGroup.exists(_.getLong(2) == 5L), "no stratum reached the cap")
+    // rank-<=-k must plan as WindowGroupLimit: every map partition
+    // pre-prunes its own per-group top-k BEFORE the exchange, so the
+    // shuffle carries k x groups x partitions rows, never the corpus
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "the per-group cap must pre-prune map-side, not rank the whole corpus")
+  }
+
   test("contamination: benchmark side broadcasts; pairs clear the threshold") {
     val df = Curation.contamination(spark, sf)
     val p = df.queryExecution.executedPlan.toString
