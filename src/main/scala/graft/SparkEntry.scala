@@ -181,6 +181,10 @@ object SparkEntry {
     // ONE-batch-width horizon, so buckets provably expire mid-drain and
     // re-admission is hash-gated (epoch closed form in the oracle)
     "stream_neardup_ttl_expiry" -> (StreamQueries.streamNearDupTtlExpiry _),
+    // bounded-state online top-k: per-word-shard Misra-Gries summaries
+    // as flatMapGroupsWithState state (S × O(m) counters live, ever);
+    // exact while no shard trims → shares the batch heavy-hitters oracle
+    "stream_heavy_hitters" -> (StreamQueries.streamHeavyHitters _),
     "stream_stream_join"   -> (StreamQueries.streamStreamJoin _),
     "stream_static_join"   -> (StreamQueries.streamStaticJoin _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
@@ -215,6 +219,16 @@ object SparkEntry {
     * single-batch drain's first-owner-wins rule == "min lower id sharing
     * any LSH band bucket" — the same band CTEs as the batch minhash
     * oracle. */
+  /** Shared by `text_heavy_hitters` (Misra-Gries + certified recount)
+    * and `stream_heavy_hitters` (per-shard MG state, exact while no
+    * shard trims): exact corpus top-20 words by count. */
+  private val HeavyHittersOracleSql: String =
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+      |  FROM documents),
+      |c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+      |SELECT word, n FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin
+
   private val NearDupStreamOracleSql: String = NearDupBandCtes + "\n" +
       """SELECT b.doc_id AS doc_id, min(a.doc_id) AS near_dup_of
         |FROM bands a JOIN bands b
@@ -1121,12 +1135,10 @@ object SparkEntry {
         |SELECT doc_id, min(g) AS fingerprint, count(*) AS n_grams
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "text_heavy_hitters" ->
-      """WITH w AS (
-        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
-        |  FROM documents),
-        |c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
-        |SELECT word, n FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "text_heavy_hitters" -> HeavyHittersOracleSql,
+    // the streaming twin is exact on this corpus (no shard ever trims:
+    // vocabulary ≪ m), so the finite drain shares the oracle verbatim
+    "stream_heavy_hitters" -> HeavyHittersOracleSql,
 
     "text_tfidf_topk" ->
       """WITH tok AS (

@@ -639,4 +639,80 @@ object StreamQueries {
         .orderBy($"doc_id"),
       dropView = Some(name), deleteDirs = deleteDirs)
   }
+
+  /** One token routed to its word-shard (shard = hash(word) mod S, so a
+    * word's counts NEVER split across shards). */
+  case class TokenRow(shard: Int, word: String)
+  /** Per-shard carried state: the Misra-Gries summary + a monotone
+    * processed-token counter identifying the LAST emission at drain. */
+  final class ShardHHState(var mg: graft.functions.MGState,
+                           var nSeen: Long) extends Serializable
+  case class ShardHHEmit(shard: Int, n_seen: Long, words: Array[String],
+                         counts: Array[Long], err: Long)
+
+  /** STREAMING HEAVY HITTERS: the bounded-state online twin of the
+    * batch `text_heavy_hitters`. Tokens route to word-shards
+    * (shard = hash(word) mod S — a word's count never splits), and each
+    * shard carries ONE Misra-Gries summary as flatMapGroupsWithState
+    * state: live state is S × O(m) counters regardless of how much
+    * stream has passed, the bound that makes corpus-scale online top-k
+    * possible at all. At drain the final per-shard summaries union
+    * (shards partition the vocabulary — no cross-shard merge) into the
+    * global top-20.
+    *
+    * Exactness contract: counts are EXACT while no shard ever trims
+    * (per-shard distinct words ≤ m — the fixture's vocabulary is far
+    * under it, so this finite drain shares the batch query's DuckDB
+    * oracle verbatim); a vocabulary overflowing m degrades to the
+    * documented Misra-Gries lower bounds with a per-shard err, the
+    * guarantee MisraGriesSpec pins on the shared core. */
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val m = s.conf.get("spark.graft.stream.hh.m", "4096").toInt
+    val shards = s.conf.get("spark.graft.stream.hh.shards", "8").toInt
+    val (in, name) = stageInput(s, dir, "documents.parquet", "hh")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val agg = new graft.functions.MisraGries(m)
+
+    def update(shard: Int, rows: Iterator[TokenRow],
+               state: GroupState[ShardHHState]): Iterator[ShardHHEmit] = {
+      val st = state.getOption.getOrElse(new ShardHHState(agg.zero, 0L))
+      val tokens = rows.map(_.word).toArray
+      st.mg = agg.reduce(st.mg, tokens)
+      st.nSeen += tokens.length
+      state.update(st)
+      val sm = agg.finish(st.mg)
+      Iterator.single(ShardHHEmit(shard, st.nSeen, sm.words, sm.counts, sm.err))
+    }
+
+    implicit val stateEnc: org.apache.spark.sql.Encoder[ShardHHState] =
+      org.apache.spark.sql.Encoders.kryo[ShardHHState]
+    val q = s.readStream.schema(schema).parquet(in.toString)
+      .select(explode(expr(
+        "filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
+      .select(pmod(xxhash64($"word"), lit(shards)).cast("int").as("shard"), $"word")
+      .as[TokenRow]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update-mode memory sink: keep each shard's LAST emission (final
+    // state), union the disjoint summaries, global exact top-20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"n_seen".desc)
+    materializeAndRelease(s,
+      s.table(name)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select(explode(arrays_zip($"words", $"counts")).as("wc"))
+        .select($"wc.words".as("word"), $"wc.counts".as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(20),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
 }

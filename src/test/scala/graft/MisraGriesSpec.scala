@@ -103,6 +103,31 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 100L), "each heavy appears once per doc")
   }
 
+  test("streaming heavy hitters: bounded per-shard state, heavies survive a trimming drain") {
+    // the oracle pins exact equality on the no-trim corpus; this pins
+    // the DEGRADED contract: with a hostile m the stream still emits
+    // lower-bound counts and never loses a word heavy enough to clear
+    // the per-shard decrement mass
+    val docs = (0 until 100).map { i =>
+      (i.toLong, s"hot warm tepid light${i % 50} light${(i * 3) % 50} light${(i * 7) % 50}")
+    }
+    val dir = stage(docs)
+    val exact = Map("hot" -> 100L, "warm" -> 100L, "tepid" -> 100L)
+    spark.conf.set("spark.graft.stream.hh.m", "8")
+    try {
+      val out = graft.queries.StreamQueries.streamHeavyHitters(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // lower bounds only — a streamed count above the true count would
+      // mean state leaked across shards or batches
+      out.foreach { case (w, n) =>
+        assert(n <= exact.getOrElse(w, 100L), s"'$w' overcounted: $n")
+      }
+      // the three heavies clear any possible per-shard err here and must
+      // all surface
+      exact.keys.foreach(w => assert(out.contains(w), s"heavy '$w' lost in trims"))
+    } finally spark.conf.unset("spark.graft.stream.hh.m")
+  }
+
   test("certificate fails loudly when the budget cannot separate the tail") {
     // uniform distribution: every word ties, no budget below the
     // vocabulary can certify a top-k — must throw, never emit approx
