@@ -166,6 +166,10 @@ object SparkEntry {
     "dicom_stream_ingest"  -> (StreamQueries.streamIngest _),
     "stream_events_window" -> (StreamQueries.streamEventsWindow _),
     "stream_sessionize"    -> (StreamQueries.streamSessionize _),
+    // engine-native session_window twin of the custom sessionizer —
+    // both stateful mechanisms share q15's oracle (gap = 30 min + 1 µs
+    // so half-open window ends match q15's strictly-greater rule)
+    "stream_session_window" -> (StreamQueries.streamSessionWindow _),
     "stream_dedup"         -> (StreamQueries.streamDedup _),
     "stream_dedup_watermarked" -> (StreamQueries.streamDedupWatermarked _),
     // streaming NEAR-dup (MinHash-LSH bucket state): each doc reports the
@@ -219,6 +223,20 @@ object SparkEntry {
     * single-batch drain's first-owner-wins rule == "min lower id sharing
     * any LSH band bucket" — the same band CTEs as the batch minhash
     * oracle. */
+  /** Shared by `stream_sessionize` (custom flatMapGroupsWithState) and
+    * `stream_session_window` (engine-native session_window): per-user
+    * 30-minute-gap session counts — the same numbers q15 computes in
+    * batch, so every sessionization mechanism is gated by one SQL. */
+  private val SessionizeOracleSql: String =
+    """WITH x AS (
+      |  SELECT user_id, epoch_ns(ts) AS ets,
+      |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN prev IS NULL OR ets - prev > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Shared by `text_heavy_hitters` (Misra-Gries + certified recount)
     * and `stream_heavy_hitters` (per-shard MG state, exact while no
     * shard trims): exact corpus top-20 words by count. */
@@ -1201,15 +1219,10 @@ object SparkEntry {
         |event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
-    "stream_sessionize" ->
-      """WITH x AS (
-        |  SELECT user_id, epoch_ns(ts) AS ets,
-        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
-        |  FROM events)
-        |SELECT user_id,
-        |  CAST(sum(CASE WHEN prev IS NULL OR ets - prev > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-        |  count(*) AS n_events
-        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_sessionize" -> SessionizeOracleSql,
+    // built-in session_window machinery, same session semantics →
+    // same oracle (see the gap note on streamSessionWindow)
+    "stream_session_window" -> SessionizeOracleSql,
 
     "text_repetition" ->
       """WITH tk AS (

@@ -640,6 +640,43 @@ object StreamQueries {
       dropView = Some(name), deleteDirs = deleteDirs)
   }
 
+  /** BUILT-IN SESSION WINDOWS: the engine-native twin of
+    * [[streamSessionize]] — the same per-user 30-minute-gap
+    * sessionization, but through Spark's `session_window` aggregation
+    * (dynamic-gap merging window state) instead of hand-rolled
+    * flatMapGroupsWithState. Per-user session counts must equal the
+    * batch q15 result, so BOTH stateful mechanisms are hash-gated
+    * against one DuckDB oracle.
+    *
+    * Boundary subtlety the gap encodes: `session_window` ends are
+    * half-open (an event at exactly lastEvent + gap opens a NEW
+    * session) while q15's rule extends a session on an exact-30-minute
+    * gap (`> 1800000000000` ns, strictly). A gap of 30 min + 1 µs makes
+    * the built-in window extend on equality too — bit-identical session
+    * boundaries at the data's µs grain. */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val (in, name) = stageInput(s, dir, "events.parquet", "sesswin")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val q = withTsNs(s.readStream.schema(schema).parquet(in.toString))
+      .select($"user_id", timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .groupBy(session_window($"event_time", "1800000001 microseconds"), $"user_id")
+      .agg(count(lit(1)).as("n_ev"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndRelease(s,
+      s.table(name)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n_ev").as("n_events"))
+        .orderBy($"user_id"),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
+
   /** One token routed to its word-shard (shard = hash(word) mod S, so a
     * word's counts NEVER split across shards). */
   case class TokenRow(shard: Int, word: String)
