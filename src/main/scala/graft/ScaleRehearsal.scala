@@ -185,6 +185,7 @@ object ScaleRehearsal {
     def bytesReadDuring[A](f: => A): (A, Long, Long) = {
       val acc = new java.util.concurrent.atomic.AtomicLong(0L)
       val shuf = new java.util.concurrent.atomic.AtomicLong(0L)
+      val events = new java.util.concurrent.atomic.AtomicLong(0L)
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
@@ -192,17 +193,23 @@ object ScaleRehearsal {
             acc.addAndGet(m.inputMetrics.bytesRead)
             shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           }
+          events.incrementAndGet()
         }
       }
       spark.sparkContext.addSparkListener(l)
       try {
         val r = f
-        // the listener bus is async — poll until the counter stabilizes
-        var prev = -1L; var cur = acc.get(); var spins = 0
+        // the listener bus is async — poll until the EVENT COUNT
+        // stabilizes. Input bytes alone would be the wrong sentinel:
+        // shuffle-writing reduce-stage tasks read no file input, so
+        // their late events move only `shuf` and a bytes-based loop
+        // could exit while they are still queued, under-reporting the
+        // shuffle column the bloom A/B is built from
+        var prev = -1L; var cur = events.get(); var spins = 0
         while (prev != cur && spins < 40) {
-          Thread.sleep(250); prev = cur; cur = acc.get(); spins += 1
+          Thread.sleep(250); prev = cur; cur = events.get(); spins += 1
         }
-        (r, cur, shuf.get())
+        (r, acc.get(), shuf.get())
       } finally spark.sparkContext.removeSparkListener(l)
     }
     val idxDir = java.nio.file.Files.createTempDirectory(
@@ -235,12 +242,17 @@ object ScaleRehearsal {
       val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (smj) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val t0 = System.nanoTime()
-      val (n, bytes, shufBytes) = bytesReadDuring {
-        graft.operators.Dedup.incrementalPairsFromIndex(spark, idxDir, batch).count()
-      }
+      // restore in finally: one failed arm must not leave broadcast
+      // joins globally disabled (or the bloom pinned) for every
+      // remaining measurement in the run
+      val (n, bytes, shufBytes) =
+        try bytesReadDuring {
+          graft.operators.Dedup.incrementalPairsFromIndex(spark, idxDir, batch).count()
+        } finally {
+          spark.conf.unset("spark.graft.dedup.index.bloom.enabled")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.conf.unset("spark.graft.dedup.index.bloom.enabled")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       graft.operators.Dedup.unpersistIntermediates(spark)
       spark.catalog.clearCache()
       val tag = s"$label${if (smj) "_smj" else ""}${if (bloom) "" else "_nobloom"}"

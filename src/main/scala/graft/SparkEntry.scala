@@ -166,9 +166,9 @@ object SparkEntry {
     "dicom_stream_ingest"  -> (StreamQueries.streamIngest _),
     "stream_events_window" -> (StreamQueries.streamEventsWindow _),
     "stream_sessionize"    -> (StreamQueries.streamSessionize _),
-    // engine-native session_window twin of the custom sessionizer —
-    // both stateful mechanisms share q15's oracle (gap = 30 min + 1 µs
-    // so half-open window ends match q15's strictly-greater rule)
+    // engine-native session_window twin of the custom sessionizer
+    // (gap = 30 min + 1 µs so half-open window ends match the
+    // strictly-greater gap rule); oracle-gated at µs grain
     "stream_session_window" -> (StreamQueries.streamSessionWindow _),
     "stream_dedup"         -> (StreamQueries.streamDedup _),
     "stream_dedup_watermarked" -> (StreamQueries.streamDedupWatermarked _),
@@ -223,10 +223,9 @@ object SparkEntry {
     * single-batch drain's first-owner-wins rule == "min lower id sharing
     * any LSH band bucket" — the same band CTEs as the batch minhash
     * oracle. */
-  /** Shared by `stream_sessionize` (custom flatMapGroupsWithState) and
-    * `stream_session_window` (engine-native session_window): per-user
-    * 30-minute-gap session counts — the same numbers q15 computes in
-    * batch, so every sessionization mechanism is gated by one SQL. */
+  /** `stream_sessionize`'s oracle (q15's ns-grain SQL): per-user
+    * 30-minute-gap session counts. `stream_session_window` carries its
+    * own µs-grain twin of this SQL — see its registration note. */
   private val SessionizeOracleSql: String =
     """WITH x AS (
       |  SELECT user_id, epoch_ns(ts) AS ets,
@@ -1220,9 +1219,21 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     "stream_sessionize" -> SessionizeOracleSql,
-    // built-in session_window machinery, same session semantics →
-    // same oracle (see the gap note on streamSessionWindow)
-    "stream_session_window" -> SessionizeOracleSql,
+    // built-in session_window machinery, gated at ITS OWN grain: the
+    // engine computes on µs event times (the finest Spark timestamp),
+    // so the oracle compares µs-truncated gaps — q15's ns-grain SQL
+    // would silently diverge on a sub-µs-grain ts generation (an event
+    // pair 1800000000500 ns apart is a new session at ns grain but
+    // one merged window at µs grain). Same numbers on µs-grain data.
+    "stream_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS eus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL OR eus - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "text_repetition" ->
       """WITH tk AS (

@@ -387,11 +387,16 @@ object Similarity {
     import s.implicits._
     // persist: the training set is read `iters+1` times (init + every
     // Lloyd pass) — without it each pass is a full parquet re-scan of
-    // the corpus, the difference between 1 scan and 6 at 100 TB.
+    // the corpus, the difference between 1 scan and 6 at 100 TB. When
+    // the CALLER already persisted the input (trainPq trains pqM
+    // subspaces plus the coarse quantizer off one cached corpus), the
+    // iteration reads hit that upstream cache through the cheap rename
+    // projection — persisting again here would hold a second full copy.
     // Column names are normalized so callers can hand in any (id, vec)
     // dataset (the md5-seeded init references them by name).
-    val data = vecs.toDF("vec_id", "embedding")
-      .as[(Long, Array[Float])].persist()
+    val callerCached = vecs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val renamed = vecs.toDF("vec_id", "embedding").as[(Long, Array[Float])]
+    val data = if (callerCached) renamed else renamed.persist()
     var cent: Array[Array[Double]] = data
       .withColumn("h", md5($"vec_id".cast("string")))
       .orderBy($"h").limit(k)
@@ -428,7 +433,7 @@ object Similarity {
       }
       cent = next
     }
-    data.unpersist(false)
+    if (!callerCached) data.unpersist(false)
     cent
   }
 
@@ -518,8 +523,12 @@ object Similarity {
     val model = trainPq(s, e, pqM, ksub)
     val encoded = encodePq(s, e, model)
     val qUnit = e.filter(_._1 == 0L).head()._2
+    // pqSearch's shortlist collect is the encode pass's first (and only)
+    // action — unpersisting before it would re-scan and re-normalize
+    // the whole corpus from parquet instead of reading the cache
+    val out = pqSearch(s, dir, encoded, model, qUnit, nprobe, rerank)
     e.unpersist(false)
-    pqSearch(s, dir, encoded, model, qUnit, nprobe, rerank)
+    out
   }
 
   /** The trained quantizers: `books(m)(c)` is sub-centroid c of subspace
@@ -674,11 +683,16 @@ object Similarity {
     val coarse = side.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
       .map(_.getSeq[Double](3).toArray)
     val model = PqModel(books.map(_.toArray), coarse)
-    // the query vector is normalized driver-side (one O(1) row read)
+    // the query vector is normalized driver-side (one O(1) row read).
+    // Divide in DOUBLE and round once to float — exactly what unitVecs'
+    // `cast(x / nrm as float)` computes — or the two paths' query unit
+    // vectors differ by ulps and the pinned persisted ≡ recomputed
+    // identity would hold only while no ADC near-tie sits at the
+    // shortlist boundary
     val qRaw = emb(s, dir).filter($"vec_id" === 0)
       .select($"embedding").as[Array[Float]].head()
-    val qn = math.sqrt(qRaw.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
-    val qUnit = qRaw.map(x => (x / qn).toFloat)
+    val qn = math.sqrt(qRaw.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    val qUnit = qRaw.map(x => (x.toDouble / qn).toFloat)
     val encoded = s.read.parquet(s"$path/codes")
       .select($"vec_id", $"codes", $"cluster".cast("int").as("cluster"))
     pqSearch(s, dir, encoded, model, qUnit, nprobe, rerank)

@@ -243,12 +243,14 @@ object TextAnalysis {
     val sm = tok.agg(mg($"tk").as("s")).select($"s.words", $"s.err")
       .as[(Array[String], Long)].head()
     val (candidates, err) = sm
-    val exact = tokenInstances(s, dir)
+    // tracked like the dedup intermediates: released deterministically
+    // by Dedup.unpersistIntermediates in per-query finally blocks, so a
+    // long-lived session composing operators never accumulates orphans
+    val exact = Dedup.tracked(tokenInstances(s, dir)
       .join(broadcast(candidates.toSeq.toDF("word")), Seq("word"), "left_semi")
       .groupBy($"word").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"word")
-      .limit(k)
-      .cache()
+      .limit(k))
     // empty corpus: no tokens were ever summarized (err 0, no
     // candidates) — the exact top-k of nothing is nothing
     if (candidates.isEmpty && err == 0L) return exact

@@ -644,16 +644,19 @@ object StreamQueries {
     * [[streamSessionize]] — the same per-user 30-minute-gap
     * sessionization, but through Spark's `session_window` aggregation
     * (dynamic-gap merging window state) instead of hand-rolled
-    * flatMapGroupsWithState. Per-user session counts must equal the
-    * batch q15 result, so BOTH stateful mechanisms are hash-gated
-    * against one DuckDB oracle.
+    * flatMapGroupsWithState — so the engine's merging-window state
+    * machinery is itself hash-gated.
     *
-    * Boundary subtlety the gap encodes: `session_window` ends are
-    * half-open (an event at exactly lastEvent + gap opens a NEW
-    * session) while q15's rule extends a session on an exact-30-minute
-    * gap (`> 1800000000000` ns, strictly). A gap of 30 min + 1 µs makes
-    * the built-in window extend on equality too — bit-identical session
-    * boundaries at the data's µs grain. */
+    * Boundary subtleties the gap and the oracle encode:
+    * `session_window` ends are half-open (an event at exactly
+    * lastEvent + gap opens a NEW session) while the q15 rule extends a
+    * session on an exact-gap tie — the 30 min + 1 µs gap makes the
+    * built-in window extend on equality too. And the engine computes on
+    * µs event times (Spark's finest timestamp grain), so this entry's
+    * oracle compares µs-TRUNCATED gaps (`epoch_us`): on a sub-µs ts
+    * generation q15's ns-grain SQL would call a 1800000000500 ns pair a
+    * new session where the µs engine merges it. On µs-grain data the
+    * numbers equal q15's. */
   def streamSessionWindow(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "sesswin")
@@ -714,9 +717,15 @@ object StreamQueries {
     def update(shard: Int, rows: Iterator[TokenRow],
                state: GroupState[ShardHHState]): Iterator[ShardHHEmit] = {
       val st = state.getOption.getOrElse(new ShardHHState(agg.zero, 0L))
-      val tokens = rows.map(_.word).toArray
-      st.mg = agg.reduce(st.mg, tokens)
-      st.nSeen += tokens.length
+      // feed the batch's tokens in m-sized chunks: live memory stays
+      // O(m) (the summary plus one chunk) — materializing the whole
+      // shard-batch token stream first would be O(batch), the exact
+      // unbounded growth the per-shard summary exists to prevent
+      rows.grouped(m).foreach { chunk =>
+        val tokens = chunk.iterator.map(_.word).toArray
+        st.mg = agg.reduce(st.mg, tokens)
+        st.nSeen += tokens.length
+      }
       state.update(st)
       val sm = agg.finish(st.mg)
       Iterator.single(ShardHHEmit(shard, st.nSeen, sm.words, sm.counts, sm.err))
