@@ -42,11 +42,11 @@ object ScaleRehearsal {
     // the replica-heavy sf1 corpus is the substring family's WORST case
     // (nearly every gram crosses documents) — measured deliberately
     "dedup_substring", "dedup_substring_scrub",
-    "corpus_split", "corpus_sample_strat", "corpus_pack",
+    "corpus_split", "corpus_sample_strat", "corpus_group_cap", "corpus_pack",
     "corpus_contamination", "corpus_mix", "corpus_mix_temperature",
     "corpus_quality_funnel",
     "text_fingerprint", "text_langid", "text_quality", "text_tokens",
-    "text_tfidf_topk", "text_surprisal",
+    "text_tfidf_topk", "text_surprisal", "text_heavy_hitters",
     "sim_topk_brute", "sim_ann_lsh", "sim_ivf_topk", "sim_ivf_probe2",
     "sim_ivf_kmeans", "sim_ivf_pq", "sim_knn_join", "sim_label_centroids",
     "sim_centroids_udaf")
