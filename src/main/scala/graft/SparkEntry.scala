@@ -121,6 +121,13 @@ object SparkEntry {
     // dedup_incremental_idx): codes partitioned by coarse list so probe
     // filters prune whole directories; persisted ≡ recomputed pinned
     "sim_pq_index"        -> (Similarity.pqTopkViaIndex _),
+    // one-pass fixed-state second-moment partials vs DuckDB's naive
+    // quadratic definition — the partial-aggregation path is hash-gated
+    "sim_gram_matrix"     -> (Similarity.gramMatrix _),
+    // PCA projection onto top-4 components (deterministic power
+    // iteration on the driver-assembled covariance; training loop not
+    // SQL-expressible → rows-only; PcaSpec pins the math)
+    "sim_pca_project"     -> ((s, d) => Similarity.pcaProject(s, d)),
     "dedup_embed_lsh"     -> (Similarity.embedLshNearDup _),
     "dedup_semantic"      -> (Similarity.semanticDedup _),
     // learned-cluster variant (k-means assignment; training loop not
@@ -1004,6 +1011,21 @@ object SparkEntry {
         |  FROM tabs a JOIN tabs b
         |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the naive quadratic definition of the gram matrix — equality with
+    // Spark's one-pass fixed-state partial aggregation is the gate.
+    // Sums of double products round at 6 decimals, ~7 orders above the
+    // partial-order fp noise on these O(10) entries
+    "sim_gram_matrix" ->
+      """WITH a AS (
+        |  SELECT row_number() OVER () AS rid,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        |  round(sum(a.v * b.v), 6) AS s
+        |FROM a JOIN a b USING (rid) WHERE a.i <= b.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sim_knn_join" ->
       """WITH n AS (

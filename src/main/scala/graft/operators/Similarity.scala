@@ -717,6 +717,157 @@ object Similarity {
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxPath))
   }
 
+  /** One-pass second-moment accumulation: per-partition (n, Σx,
+    * upper-triangle Σx·xᵀ) partials — dim·(dim+3)/2 doubles of state
+    * (~17 KB at dim 64) regardless of corpus size — reduced to one
+    * driver-held triple. THE scalable shape for gram/covariance/PCA
+    * inputs: the row data never shuffles, only fixed-size partials do
+    * (same contract as [[kmeansOnVecs]]' Lloyd partials). */
+  private def momentsOf(s: SparkSession, dir: String): (Long, Array[Double], Array[Double]) = {
+    import s.implicits._
+    val data = emb(s, dir).select($"embedding").as[Array[Float]]
+    val (n, sums, prods) = data.mapPartitions { rows =>
+      var n = 0L
+      var dim = -1
+      var sums: Array[Double] = null
+      var prods: Array[Double] = null
+      rows.foreach { v =>
+        if (dim < 0) {
+          dim = v.length
+          sums = new Array[Double](dim)
+          prods = new Array[Double](dim * (dim + 1) / 2)
+        }
+        n += 1
+        var i = 0
+        var t = 0
+        while (i < dim) {
+          val vi = v(i).toDouble
+          sums(i) += vi
+          var j = i
+          while (j < dim) { prods(t) += vi * v(j); j += 1; t += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single((n, sums, prods))
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      var t = 0
+      while (t < a._3.length) { a._3(t) += b._3(t); t += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+    (n, sums, prods)
+  }
+
+  /** GRAM MATRIX of the embedding column: upper-triangle entries
+    * (i ≤ j, 1-based) of Σ v·vᵀ over the corpus — the exact input every
+    * second-order method (PCA, whitening, ridge) consumes. Computed by
+    * [[momentsOf]]' one-pass fixed-state partials (the corpus never
+    * shuffles); the DuckDB oracle recomputes it by the quadratic
+    * unnest² join — equality pins the partial-aggregation path against
+    * the naive definition. Sums round to 6 decimals, ~7 orders above
+    * the fp noise of partial-order variation on O(10)-magnitude
+    * entries. */
+  def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, _, prods) = momentsOf(s, dir)
+    val dim = ((math.sqrt(8.0 * prods.length + 1) - 1) / 2).round.toInt
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield (i + 1L, j + 1L,
+      math.rint(prods(i * dim - i * (i - 1) / 2 + (j - i)) * 1e6) / 1e6)
+    s.createDataset(rows).toDF("i", "j", "s").orderBy($"i", $"j")
+  }
+
+  /** PCA PROJECTION: project every embedding onto the top `k` principal
+    * components of the corpus covariance — the dimensionality-reduction
+    * pass ahead of clustering/ANN when 64 dims is 60 too many. The
+    * covariance assembles on the driver from [[momentsOf]]' one-pass
+    * partials (dim×dim doubles — driver-trivial at any corpus size);
+    * eigenvectors come from deterministic power iteration with
+    * deflation (fixed start vector and iteration count — no RNG, so
+    * re-runs and engines agree); projection is one narrow broadcast
+    * map. Training is iterative → rows-only; PcaSpec pins component
+    * orthonormality, descending eigenvalues, equality with a
+    * definitional covariance, and projection parity. */
+  def pcaProject(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import s.implicits._
+    val (n, sums, prods) = momentsOf(s, dir)
+    require(n > 1, s"PCA needs at least 2 vectors, got $n")
+    val dim = sums.length
+    val mean = sums.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = (prods(t) - n * mean(i) * mean(j)) / (n - 1)
+      cov(i)(j) = c; cov(j)(i) = c
+      t += 1
+    }
+    val (components, eigenvalues) = topEigen(cov, k)
+    val bcComp = s.sparkContext.broadcast(components)
+    val bcMean = s.sparkContext.broadcast(mean)
+    val out = emb(s, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val comp = bcComp.value
+        val mu = bcMean.value
+        val p = comp.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < c.length) { d += (v(i) - mu(i)) * c(i); i += 1 }
+          math.rint(d * 1e6) / 1e6
+        }
+        (id, p)
+      }
+      .toDF("vec_id", "components")
+    // eigenvalues ride along as a constant column so the variance
+    // captured is part of the gated result, not a side channel
+    out.withColumn("eigenvalues",
+        typedLit(eigenvalues.map(v => math.rint(v * 1e6) / 1e6)))
+      .orderBy($"vec_id")
+  }
+
+  /** Top-k eigenpairs of a symmetric matrix by power iteration with
+    * deflation: start from the deterministic all-ones direction, 200
+    * fixed iterations per component, deflate λ·uuᵀ and repeat. Sign
+    * fixed by the first non-zero coordinate (eigenvectors are only
+    * defined up to sign — pin it or parity breaks). */
+  private def topEigen(m: Array[Array[Double]], k: Int): (Array[Array[Double]], Array[Double]) = {
+    val dim = m.length
+    val a = m.map(_.clone())
+    val comps = Array.ofDim[Array[Double]](k)
+    val vals = new Array[Double](k)
+    for (c <- 0 until k) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var it = 0
+      while (it < 200) {
+        val w = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += a(i)(j) * v(j); j += 1 }
+          w(i) = s
+          i += 1
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = if (nrm > 0) w.map(_ / nrm) else v
+        it += 1
+      }
+      var lambda = 0.0
+      for (i <- 0 until dim; j <- 0 until dim) lambda += v(i) * a(i)(j) * v(j)
+      // sign pin: first coordinate with |x| above fp dust is positive
+      val lead = v.indexWhere(x => math.abs(x) > 1e-9)
+      if (lead >= 0 && v(lead) < 0) v = v.map(-_)
+      comps(c) = v
+      vals(c) = lambda
+      for (i <- 0 until dim; j <- 0 until dim) a(i)(j) -= lambda * v(i) * v(j)
+    }
+    (comps, vals)
+  }
+
   /** Per-label centroid similarity: average embedding per label (exact,
     * dimension-wise), then cosine of each label centroid against the
     * global centroid. Exercises vector aggregation at scale (one shuffle
