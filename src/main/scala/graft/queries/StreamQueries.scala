@@ -706,12 +706,13 @@ object StreamQueries {
     * oracle verbatim); a vocabulary overflowing m degrades to the
     * documented Misra-Gries lower bounds with a per-shard err, the
     * guarantee MisraGriesSpec pins on the shared core. */
-  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+  /** The stateful CORE of [[streamHeavyHitters]], exposed so the
+    * restart spec can drive it against an explicit checkpoint: shard
+    * the streamed documents' tokens and carry one Misra-Gries summary
+    * per shard, emitting the shard's summary each micro-batch. */
+  def hhSummaries(s: SparkSession, docStream: DataFrame,
+                  m: Int, shards: Int): org.apache.spark.sql.Dataset[ShardHHEmit] = {
     import s.implicits._
-    val m = s.conf.get("spark.graft.stream.hh.m", "4096").toInt
-    val shards = s.conf.get("spark.graft.stream.hh.shards", "8").toInt
-    val (in, name) = stageInput(s, dir, "documents.parquet", "hh")
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val agg = new graft.functions.MisraGries(m)
 
     def update(shard: Int, rows: Iterator[TokenRow],
@@ -733,13 +734,23 @@ object StreamQueries {
 
     implicit val stateEnc: org.apache.spark.sql.Encoder[ShardHHState] =
       org.apache.spark.sql.Encoders.kryo[ShardHHState]
-    val q = s.readStream.schema(schema).parquet(in.toString)
+    docStream
       .select(explode(expr(
         "filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
       .select(pmod(xxhash64($"word"), lit(shards)).cast("int").as("shard"), $"word")
       .as[TokenRow]
       .groupByKey(_.shard)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val m = s.conf.get("spark.graft.stream.hh.m", "4096").toInt
+    val shards = s.conf.get("spark.graft.stream.hh.shards", "8").toInt
+    val (in, name) = stageInput(s, dir, "documents.parquet", "hh")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val q = hhSummaries(s, s.readStream.schema(schema).parquet(in.toString),
+        m, shards)
       .writeStream
       .outputMode("update")
       .format("memory")
