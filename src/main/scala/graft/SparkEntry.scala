@@ -64,6 +64,9 @@ object SparkEntry {
     // hitters — rows-only; SketchBoundsSpec checks n ≤ est_n ≤ n + eps·N
     // and merged-equals-single-pass
     "q34_cms_heavy_hitters" -> (Relational.q34CmsHeavyHitters _),
+    // mergeable GK quantile partials + union UDAF (order-dependent
+    // estimates → rows-only; ε·n rank bound pinned in QuantileSketchSpec)
+    "q35_quantile_partials" -> (Relational.q35QuantilePartials _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),

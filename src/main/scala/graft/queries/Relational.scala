@@ -391,6 +391,36 @@ object Relational {
       .orderBy($"n".desc, $"word")
   }
 
+  /** MERGEABLE QUANTILE partials (q33 HLL / q34 CMS precedent, for the
+    * order-statistics axis): per-shard Greenwald-Khanna summaries of
+    * lineitem prices — built where the data lives, a few KB each —
+    * union via [[graft.functions.QuantileUnion]] WITHOUT rescanning
+    * rows, then the merged summary answers p50/p90/p99. The production
+    * story: partials persist beside each day's shard like the sketch
+    * columns in q33/q34, and any subset unions on demand. Estimates are
+    * GK-order-dependent across partitions → rows-only entry; the ε·n
+    * rank guarantee (union INCLUDED) is pinned in QuantileSketchSpec. */
+  def q35QuantilePartials(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = udaf(graft.functions.QuantileBuild)
+    val union = udaf(graft.functions.QuantileUnion)
+    val partials = t(s, dir, "lineitem")
+      .select(($"l_orderkey" % 16).as("shard"), $"l_extendedprice".cast("double").as("v"))
+      .groupBy($"shard")
+      .agg(build($"v").as("sk"))
+    val merged = partials
+      .agg(union($"sk").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val rows =
+      if (merged == null || merged.isEmpty) Seq.empty[(Double, Double)]
+      else {
+        val qs = graft.functions.QuantileSketch.deser(merged)
+        Seq(0.5, 0.9, 0.99).map(p =>
+          (p, math.rint(qs.query(p).getOrElse(Double.NaN) * 100) / 100))
+      }
+    s.createDataset(rows).toDF("quantile", "estimate").orderBy($"quantile")
+  }
+
   /** JSON function surface: extract a field from the events.props JSON
     * column, cast, and aggregate per event type. */
   def q21JsonFns(s: SparkSession, dir: String): DataFrame = {
