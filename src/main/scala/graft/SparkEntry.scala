@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{DicomQueries, Relational, StreamQueries}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Maintenance, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +106,16 @@ object SparkEntry {
     // temperature-2 language flattening: rate = min(1, sqrt(N/(L·n_l)))
     // from exact-rounded IEEE ops only — engine-portable by construction
     "corpus_mix_temperature" -> (Curation.mixTemperature _),
+    // Efraimidis-Spirakis weighted reservoir, octave-quantized weights so
+    // u^(1/w) is an iterated CORRECTLY-ROUNDED sqrt — bit-portable keys
+    "corpus_sample_weighted" -> (Curation.sampleWeighted _),
+    // ——— table maintenance ———
+    // latest-wins changelog apply (MERGE without the table format):
+    // one changelog exchange (window + join share the key partitioning)
+    "cdc_merge"            -> (Maintenance.cdcMerge _),
+    // ordered-step funnel: three stacked conditional window minima on
+    // one user_id exchange — no self-joins
+    "events_funnel"        -> (Relational.eventsFunnel _),
     // ——— similarity search ———
     "sim_topk_brute"      -> (Similarity.topkBrute _),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
@@ -161,6 +171,12 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     // five-rule first-fail filter cascade with per-stage attrition
     "corpus_quality_funnel" -> (Curation.qualityFunnel _),
+    // word → (df, tf, bounded posting list); the cap rides
+    // WindowGroupLimit so stopword postings never exceed cap map-side
+    "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    // 5-iteration weighted PageRank in 64-bit fixed-point (float Σ is
+    // summation-order-sensitive → never hash-portable; integer div is)
+    "graph_pagerank"      -> ((s, d) => Graph.pagerank(s, d)),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
     // listing-free twin: routing + content reads driven by a (path,
@@ -211,6 +227,39 @@ object SparkEntry {
     "mm_embed_ann"    -> ((s, d) => Multimodal.assetNeighbors(
       s, Seq(DicomQueries.Fixtures, Multimodal.ensureImageFixtures()))),
   )
+
+  /** `graph_pagerank`'s oracle: the fixed-point integer recurrence of
+    * [[graft.operators.Graph.pagerank]] with the iteration loop unrolled
+    * into chained CTEs (r0 → r5). Every arithmetic step is 64-bit
+    * integer (sums re-cast to BIGINT — DuckDB widens Σ BIGINT to
+    * INT128), so both engines compute the identical bit pattern. */
+  private val PagerankOracleSql: String = {
+    val scale = graft.operators.Graph.Scale
+    val iters = (1 to 5).map { k =>
+      s"""m$k AS (SELECT dst, CAST(sum((r * w) // outw) AS BIGINT) AS in_mass
+         |  FROM en JOIN r${k - 1} ON src = node GROUP BY dst),
+         |r$k AS (SELECT nd.node,
+         |  CAST((SELECT (15 * $scale) // (100 * cnt) FROM n)
+         |    + (85 * COALESCE(m$k.in_mass, 0)) // 100 AS BIGINT) AS r
+         |  FROM nds nd LEFT JOIN m$k ON nd.node = m$k.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(c_nationkey AS BIGINT) AS src,
+       |  CAST(s_nationkey AS BIGINT) AS dst, count(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+       |en AS (SELECT e.src, e.dst, e.w, ow.outw FROM e JOIN ow USING (src)),
+       |n AS (SELECT count(*) AS cnt FROM nation),
+       |nds AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name FROM nation),
+       |r0 AS (SELECT node, CAST((SELECT $scale // cnt FROM n) AS BIGINT) AS r FROM nds),
+       |$iters
+       |SELECT node AS n_nationkey, n_name, r AS rank_fp,
+       |  CAST(r AS DOUBLE) / $scale.0 AS rank
+       |FROM nds JOIN r5 USING (node)
+       |ORDER BY rank_fp DESC, n_nationkey""".stripMargin
+  }
 
   /** The minhash band CTEs (documents → (doc_id, band, band_hash)) every
     * near-dup stream oracle builds on — identical hash family to the
@@ -952,6 +1001,87 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(lang || ':' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    // The octave CASE chain and the iterated-sqrt chain are generated by
+    // the SAME Scala helpers the Spark plan parses (Curation.octaveSql /
+    // sqrtChainSql) — only the 52-bit md5 fold is spelled per-engine.
+    "corpus_sample_weighted" -> {
+      val u = "(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1) / 4503599627370496.0"
+      s"""WITH keyed AS (SELECT lang, doc_id, n_chars,
+         |  ${Curation.sqrtChainSql(Curation.octaveSql("n_chars"), s"($u)")} AS skey
+         |  FROM documents),
+         |ranked AS (SELECT lang, doc_id, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
+         |  FROM keyed)
+         |SELECT lang, rk, doc_id, n_chars FROM ranked
+         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+    },
+
+    "cdc_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS base_status,
+        |         round(o_totalprice, 2) AS base_price
+        |  FROM orders WHERE o_orderkey % 4 != 0),
+        |latest AS (
+        |  SELECT key, op, new_price, new_qty FROM (
+        |    SELECT l_orderkey AS key,
+        |      CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+        |      floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100 AS new_price,
+        |      l_quantity AS new_qty,
+        |      row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber DESC,
+        |          CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END,
+        |          floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100,
+        |          l_quantity) AS rn
+        |    FROM lineitem)
+        |  WHERE rn = 1)
+        |SELECT key,
+        |  CASE WHEN op IS NULL THEN 'keep'
+        |       WHEN base_status IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  CASE WHEN op IS NULL THEN base_price ELSE new_price END AS price,
+        |  CASE WHEN op IS NULL THEN NULL ELSE new_qty END AS qty
+        |FROM base FULL OUTER JOIN latest USING (key)
+        |WHERE op IS NULL OR op = 'U'
+        |ORDER BY key""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ns END)
+        |         OVER (PARTITION BY user_id) AS v_ns FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_ns > v_ns
+        |         AND ts_ns - v_ns <= 604800000000000 THEN ts_ns END)
+        |         OVER (PARTITION BY user_id) AS c_ns FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_ns > c_ns
+        |         AND ts_ns - v_ns <= 604800000000000 THEN ts_ns END)
+        |         OVER (PARTITION BY user_id) AS p_ns FROM w2)
+        |SELECT user_id, min(v_ns) AS view_ns, min(c_ns) AS click_ns,
+        |  min(p_ns) AS purchase_ns,
+        |  CAST(CASE WHEN min(p_ns) IS NOT NULL THEN 3
+        |       WHEN min(c_ns) IS NOT NULL THEN 2
+        |       WHEN min(v_ns) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_step
+        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "text_inverted_index" ->
+      """WITH inst AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |dt AS (SELECT doc_id, word, count(*) AS tf FROM inst GROUP BY 1, 2),
+        |stats AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total FROM dt GROUP BY 1),
+        |top AS (SELECT word,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM (SELECT word, doc_id,
+        |          row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rk
+        |        FROM dt)
+        |  WHERE rk <= 20 GROUP BY word)
+        |SELECT word, df, tf_total, postings
+        |FROM stats JOIN top USING (word) ORDER BY word""".stripMargin,
+
+    // 5 unrolled fixed-point iterations — the SAME integer recurrence the
+    // Spark loop runs (see Graph.pagerank on why floats can't hash-gate
+    // an iterative Σ). Generated, not hand-copied.
+    "graph_pagerank" -> PagerankOracleSql,
 
     "corpus_group_cap" ->
       """SELECT doc_id, lang, source, rk FROM (

@@ -249,4 +249,65 @@ object Curation {
       .filter($"bench_frac" >= 0.25)
       .orderBy($"doc_id", $"bench_doc")
   }
+
+  /** SQL for the octave (floor log2) of `e`, clamped to [[OctMin]]..
+    * [[OctMax]] — an unrolled integer comparison chain, shared verbatim
+    * by the Spark plan and the DuckDB oracle. Integer compares only;
+    * no engine's log() is consulted. */
+  private[graft] def octaveSql(e: String): String =
+    (OctMin until OctMax).foldRight(s"$OctMax") { (k, rest) =>
+      s"CASE WHEN $e < ${1L << (k + 1)} THEN $k ELSE $rest END"
+    }
+
+  private val OctMin = 5  // weights clamp to [2^5, 2^12] — the n_chars
+  private val OctMax = 12 // range any realistic doc corpus spans
+
+  /** `CASE k WHEN j THEN sqrt^j(u) ...` — u^(1/2^k) as an iterated-sqrt
+    * chain. IEEE 754 requires sqrt to be CORRECTLY ROUNDED (unlike exp/
+    * ln/pow, which are allowed a ulp and do differ between libm and the
+    * JVM), so every branch is bit-identical on any conforming engine. */
+  private[graft] def sqrtChainSql(k: String, u: String): String = {
+    val branches = (OctMin to OctMax).map { j =>
+      s"WHEN $j THEN ${"sqrt(" * j}$u${")" * j}"
+    }.mkString(" ")
+    s"CASE $k $branches END"
+  }
+
+  /** WEIGHTED sample without replacement, top-20 per language stratum,
+    * inclusion probability proportional to document length — the
+    * Efraimidis-Spirakis exponential-key scheme (key = u^(1/w), keep
+    * the k largest keys), the standard one-pass distributed weighted
+    * reservoir.
+    *
+    * Reproducibility is the hard part: u^(1/w) through exp/ln is NOT
+    * engine-portable (libm vs JVM differ in the last ulp, and a ulp at
+    * a selection boundary flips the sample). Two deterministic moves
+    * make every key bit-exact on any IEEE-754 engine:
+    *   1. u = (md5_52(doc) + 1) / 2^52 — a 52-bit hash fits the double
+    *      mantissa exactly, and dividing by a power of two is exact;
+    *   2. weights quantize to OCTAVES (w = 2^k, k = clamped floor log2
+    *      of n_chars), so u^(1/w) = sqrt applied k times — and IEEE
+    *      sqrt is correctly rounded everywhere.
+    * The octave grid costs at most 2× weight distortion vs raw lengths
+    * — noise for a sampling rate dial — and buys a sample that is
+    * bit-reproducible across engines, versions, and cluster sizes (the
+    * dataset-versioning property; DuckDB replays it hash-for-hash).
+    *
+    * Plan shape: narrow scan computing (k, u, key) per row, then ONE
+    * hash exchange on `lang` for the per-stratum top-k rank — and the
+    * WindowGroupLimit rule prunes to ≤ 20 rows per stratum map-side
+    * before the exchange, so at 100 TB the shuffle carries
+    * k × strata rows, not the corpus. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = "((cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 13), 16, 10) as bigint) + 1) / 4503599627370496.0)"
+    docs(s, dir)
+      .withColumn("k_oct", expr(octaveSql("n_chars")))
+      .withColumn("skey", expr(sqrtChainSql("k_oct", u)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"skey".desc, $"doc_id")))
+      .filter($"rk" <= 20)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
+      .orderBy($"lang", $"rk")
+  }
 }

@@ -306,4 +306,39 @@ object TextAnalysis {
         (length($"text") - lit(7)).cast("long").as("n_grams"))
       .orderBy($"doc_id")
   }
+
+  /** INVERTED INDEX build: word → document frequency, total term
+    * frequency, and a BOUNDED posting list (the first `cap` doc ids in
+    * id order, comma-joined) — the retrieval-side artifact a corpus
+    * search / contamination-lookup service is built on.
+    *
+    * The posting-list bound is the scale contract: a stopword's full
+    * posting list is corpus-sized, so an uncapped `collect_list` per
+    * word is an executor OOM waiting for the first "the". Instead the
+    * per-word doc ids pass through a row_number window capped at `cap`
+    * — Spark's WindowGroupLimit rule prunes to ≤ cap rows per word
+    * map-side, BEFORE the exchange, so the posting shuffle carries at
+    * most cap × vocab rows no matter how skewed the corpus. df/tf come
+    * from a separate partial-aggregated branch that never materializes
+    * a list at all. Two word-keyed shuffles + one vocab-sized join. */
+  def invertedIndex(s: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docTerm = docs(s, dir).select($"doc_id",
+        explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val stats = docTerm.groupBy($"word")
+      .agg(count(lit(1)).cast("long").as("df"),
+           sum($"tf").cast("long").as("tf_total"))
+    val postings = docTerm
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"word").orderBy($"doc_id")))
+      .filter($"rk" <= cap)
+      .groupBy($"word")
+      .agg(array_join(
+        transform(sort_array(collect_list($"doc_id")), x => x.cast("string")),
+        ",").as("postings"))
+    stats.join(postings, "word").orderBy($"word")
+  }
 }

@@ -684,4 +684,43 @@ object Relational {
       ) c
       ORDER BY n_name, c_acctbal DESC, c_custkey""")
   }
+
+  /** ORDERED-STEP FUNNEL over the events stream: per user, the first
+    * 'view', the first 'click' strictly after it, the first 'purchase'
+    * strictly after that click — each within a 7-day horizon of the
+    * first view. The product-analytics query every event pipeline ends
+    * up running; sequential-pattern matching expressed as three stacked
+    * conditional window minima.
+    *
+    * All three `min(CASE ...)` windows partition on `user_id` with no
+    * ordering, so the plan is ONE hash exchange of events followed by
+    * three Window operators and a final partial-aggregated groupBy on
+    * the same key — at 100 TB the per-user event history never leaves
+    * its partition and no step requires a self-join (the naive funnel
+    * is three joins of events against itself). Integer epoch-ns
+    * arithmetic only — bit-identical in the DuckDB oracle. */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+    val horizonNs = 7L * 24 * 3600 * 1000000000L
+    eventsNs(s, dir)
+      .withColumn("v_ns",
+        min(when($"event_type" === "view", $"ts_ns")).over(byUser))
+      .withColumn("c_ns",
+        min(when($"event_type" === "click" && $"ts_ns" > $"v_ns" &&
+                 $"ts_ns" - $"v_ns" <= horizonNs, $"ts_ns")).over(byUser))
+      .withColumn("p_ns",
+        min(when($"event_type" === "purchase" && $"ts_ns" > $"c_ns" &&
+                 $"ts_ns" - $"v_ns" <= horizonNs, $"ts_ns")).over(byUser))
+      .groupBy($"user_id")
+      .agg(min($"v_ns").as("view_ns"),   // constant per user; min = the
+           min($"c_ns").as("click_ns"),  // deterministic way to say so
+           min($"p_ns").as("purchase_ns"))
+      .select($"user_id", $"view_ns", $"click_ns", $"purchase_ns",
+        when($"purchase_ns".isNotNull, 3L)
+          .when($"click_ns".isNotNull, 2L)
+          .when($"view_ns".isNotNull, 1L)
+          .otherwise(0L).as("funnel_step"))
+      .orderBy($"user_id")
+  }
 }
