@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{DicomQueries, Relational, StreamQueries}
-import graft.operators.{Curation, Dedup, Graph, Maintenance, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, Graph, Maintenance, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -116,6 +116,10 @@ object SparkEntry {
     // ordered-step funnel: three stacked conditional window minima on
     // one user_id exchange — no self-joins
     "events_funnel"        -> (Relational.eventsFunnel _),
+    // Morton-code zone map: per-cell min/max envelopes showing the
+    // 2-D skipping a Z-ordered rewrite buys (write path in zorderWrite;
+    // measured pruning in ZorderSpec)
+    "layout_zorder"        -> (Maintenance.zorderMap _),
     // ——— similarity search ———
     "sim_topk_brute"      -> (Similarity.topkBrute _),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
@@ -174,6 +178,10 @@ object SparkEntry {
     // word → (df, tf, bounded posting list); the cap rides
     // WindowGroupLimit so stopword postings never exceed cap map-side
     "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    // BPE tokenizer training on the word-freq dictionary (corpus touched
+    // once; K vocab-sized rounds). Round-k input depends on k-1 prior
+    // argmaxes → rows-only; BpeSpec pins reference-impl parity
+    "text_bpe_learn"      -> ((s, d) => Bpe.learn(s, d)),
     // 5-iteration weighted PageRank in 64-bit fixed-point (float Σ is
     // summation-order-sensitive → never hash-portable; integer div is)
     "graph_pagerank"      -> ((s, d) => Graph.pagerank(s, d)),
@@ -215,6 +223,10 @@ object SparkEntry {
     // as flatMapGroupsWithState state (S × O(m) counters live, ever);
     // exact while no shard trims → shares the batch heavy-hitters oracle
     "stream_heavy_hitters" -> (StreamQueries.streamHeavyHitters _),
+    // append-mode windowed percentiles: emission cutoff (window end ≤
+    // max event − delay, ms grain) reproduced in the oracle — the
+    // append window lifecycle itself is hash-gated
+    "stream_quantiles"     -> (StreamQueries.streamQuantiles _),
     "stream_stream_join"   -> (StreamQueries.streamStreamJoin _),
     "stream_static_join"   -> (StreamQueries.streamStaticJoin _),
     // ——— multimodal columns (binary + typed metadata; decode stubbed) ———
@@ -1062,6 +1074,24 @@ object SparkEntry {
         |       WHEN min(v_ns) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_step
         |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the emission cutoff mirrors Spark's final watermark exactly:
+    // ms-truncated max event time minus the 1 h delay; windows whose
+    // end exceeds it are withheld (append semantics), a tail the batch
+    // grouping would emit — so a leak here is a hash mismatch
+    "stream_quantiles" ->
+      """WITH e AS (SELECT epoch_ns(ts) AS ts_ns, value FROM events),
+        |m AS (SELECT (max(ts_ns) // 1000000) - 3600000 AS wm_ms FROM e),
+        |g AS (SELECT ts_ns // 3600000000000 AS hb, count(*) AS n,
+        |        list(value ORDER BY value) AS vals
+        |      FROM e GROUP BY 1)
+        |SELECT hb * 3600 AS win_start, CAST(n AS BIGINT) AS n,
+        |  vals[CAST(floor(0.5 * (n - 1)) AS INT) + 1] AS p50,
+        |  vals[CAST(floor(0.95 * (n - 1)) AS INT) + 1] AS p95,
+        |  vals[CAST(floor(0.99 * (n - 1)) AS INT) + 1] AS p99
+        |FROM g, m
+        |WHERE (hb + 1) * 3600000 <= wm_ms
+        |ORDER BY win_start""".stripMargin,
+
     "text_inverted_index" ->
       """WITH inst AS (SELECT doc_id,
         |  unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
@@ -1082,6 +1112,26 @@ object SparkEntry {
     // Spark loop runs (see Graph.pagerank on why floats can't hash-gate
     // an iterative Σ). Generated, not hand-copied.
     "graph_pagerank" -> PagerankOracleSql,
+
+    // z-interleave + min-max normalization generated by the same
+    // Maintenance builders the Spark plan parses — only the shift and
+    // integer-divide spellings differ
+    "layout_zorder" -> {
+      import graft.operators.Maintenance.{normSql, zValueSql, ZBits}
+      val idiv = (a: String, b: String) => s"($a // $b)"
+      val z = zValueSql("xn", "yn", ZBits, (e, i) => s"($e >> $i)")
+      s"""WITH b AS (SELECT min(l_orderkey) AS lo_ok, max(l_orderkey) AS hi_ok,
+         |  min(l_partkey) AS lo_pk, max(l_partkey) AS hi_pk FROM lineitem),
+         |nk AS (SELECT l_orderkey, l_partkey,
+         |  ${normSql("l_orderkey", "lo_ok", "hi_ok", idiv)} AS xn,
+         |  ${normSql("l_partkey", "lo_pk", "hi_pk", idiv)} AS yn
+         |  FROM lineitem, b)
+         |SELECT $z // ${1L << (2 * ZBits - 6)} AS zcell,
+         |  count(*) AS n_rows,
+         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+         |FROM nk GROUP BY 1 ORDER BY zcell""".stripMargin
+    },
 
     "corpus_group_cap" ->
       """SELECT doc_id, lang, source, rk FROM (

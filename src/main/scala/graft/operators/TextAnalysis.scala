@@ -324,10 +324,16 @@ object TextAnalysis {
   def invertedIndex(s: SparkSession, dir: String, cap: Int = 20): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docTerm = docs(s, dir).select($"doc_id",
+    // tracked-cache the doc-term relation: both consumers (stats,
+    // postings) otherwise re-explode AND re-exchange the whole token
+    // stream — column pruning rewrites the two subtrees differently, so
+    // ReuseExchange can never kick in. One corpus pass, one (doc, word)
+    // exchange, spill-safe cache (this is the postings staging relation
+    // a day-2 index build would land as a table anyway).
+    val docTerm = Dedup.tracked(docs(s, dir).select($"doc_id",
         explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
       .groupBy($"doc_id", $"word")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val stats = docTerm.groupBy($"word")
       .agg(count(lit(1)).cast("long").as("df"),
            sum($"tf").cast("long").as("tf_total"))

@@ -217,7 +217,7 @@ object Relational {
     * timezone every session here pins, that cast maps wall time to the
     * identical epoch micros DuckDB's epoch_ns(ts) computes on the same
     * naive value — integer arithmetic only, bit-identical results. */
-  private def eventsNs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsNs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val e = t(s, dir, "events")
     val tsNs = e.schema("ts").dataType match {

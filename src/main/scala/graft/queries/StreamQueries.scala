@@ -772,4 +772,55 @@ object StreamQueries {
         .limit(20),
       dropView = Some(name), deleteDirs = Seq(in))
   }
+
+  /** STREAMING WINDOWED PERCENTILES, append mode: exact p50/p95/p99 of
+    * `value` per 1-hour event-time window, emitted only when the 1-hour
+    * watermark closes the window — the APPEND-MODE window lifecycle
+    * (accumulate → watermark passes end → emit once → evict state),
+    * which no other gated query exercises (the window twins run
+    * complete-mode; the TTL twins gate state expiry, not window
+    * emission).
+    *
+    * The append contract is itself oracle-gated: a drained stream emits
+    * exactly the windows whose end ≤ final watermark = max event time
+    * − delay (ms grain — Spark tracks watermarks in milliseconds), and
+    * the DuckDB oracle reproduces that cutoff in closed form from the
+    * same data, so a wrong emission boundary (a tail window leaking, an
+    * off-by-one at the cutoff) hash-fails the gate.
+    *
+    * State per live window is its value list — rate × horizon bounded,
+    * evicted at emission (this is the exact-percentile tier; the
+    * sketch-bounded tier is q35's mergeable GK partials). Percentile
+    * selection is pure indexing into the sorted list (idx = ⌊q·(n−1)⌋,
+    * the lower order statistic) — no float arithmetic beyond one
+    * multiply both engines round identically, and the values themselves
+    * pass through untouched bit-for-bit. */
+  def streamQuantiles(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val (in, name) = stageInput(s, dir, "events.parquet", "quant")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val q = withTsNs(s.readStream.schema(schema).parquet(in.toString))
+      .select(timestamp_micros(expr("ts div 1000")).as("event_time"), $"value")
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window($"event_time", "1 hour"))
+      .agg(sort_array(collect_list($"value")).as("vals"))
+      .select(
+        expr("unix_micros(window.start) div 1000000").as("win_start"),
+        $"vals")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def pick(qf: Double) =
+      expr(s"vals[cast(floor($qf * (size(vals) - 1)) as int)]")
+    materializeAndRelease(s,
+      s.table(name)
+        .select($"win_start", size($"vals").cast("long").as("n"),
+          pick(0.5).as("p50"), pick(0.95).as("p95"), pick(0.99).as("p99"))
+        .orderBy($"win_start"),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
 }

@@ -58,6 +58,22 @@ class WatermarkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_quantiles withholds exactly the windows past the final watermark") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamQueries.streamQuantiles(spark, sf)
+      .select($"win_start").as[Long].collect().toSet
+    // batch hourly buckets + the closed-form cutoff the oracle uses
+    val e = graft.queries.Relational.eventsNs(spark, sf)
+      .selectExpr("ts_ns div 3600000000000 as hb", "ts_ns").cache()
+    val all = e.select($"hb" * 3600).as[Long].distinct().collect().toSet
+    val wmMs = e.agg(max($"ts_ns" / 1000000)).as[Double].head().toLong - 3600000L
+    e.unpersist()
+    val expected = all.filter(ws => (ws + 3600) * 1000 <= wmMs)
+    assert(got == expected, "append emission must equal the watermark cutoff set")
+    assert(got.size < all.size, "the tail window(s) must be withheld, not emitted")
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: key evicted after watermark passes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
