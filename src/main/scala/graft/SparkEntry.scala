@@ -113,6 +113,15 @@ object SparkEntry {
     // latest-wins changelog apply (MERGE without the table format):
     // one changelog exchange (window + join share the key partitioning)
     "cdc_merge"            -> (Maintenance.cdcMerge _),
+    // SCD Type-2 history: every version + validity interval from the
+    // same changelog, one key window; WHERE is_current=1 ≡ cdc_merge
+    "cdc_scd2"             -> (Maintenance.cdcScd2 _),
+    // hourly grid + forward fill per user: one user_id exchange feeds
+    // agg, grid explode, join and the running-fill window
+    "events_gapfill"       -> (Maintenance.eventsGapfill _),
+    // ANALYZE-style long-format column profile: one scan, stack(),
+    // per-value partial-agg exchange, value-level rollup + top-1
+    "table_profile"        -> (Maintenance.tableProfile _),
     // ordered-step funnel: three stacked conditional window minima on
     // one user_id exchange — no self-joins
     "events_funnel"        -> (Relational.eventsFunnel _),
@@ -185,6 +194,10 @@ object SparkEntry {
     // 5-iteration weighted PageRank in 64-bit fixed-point (float Σ is
     // summation-order-sensitive → never hash-portable; integer div is)
     "graph_pagerank"      -> ((s, d) => Graph.pagerank(s, d)),
+    // per-node triangle counts on the ≥2-support co-purchase graph:
+    // degree-oriented wedge join (Σ outdeg² ≤ O(|E|^1.5) regardless of
+    // skew); orientation never changes the triangle set
+    "graph_triangles"     -> (Graph.triangles _),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
     // listing-free twin: routing + content reads driven by a (path,
@@ -1057,6 +1070,81 @@ object SparkEntry {
         |WHERE op IS NULL OR op = 'U'
         |ORDER BY key""".stripMargin,
 
+    // shares cdc_merge's changelog derivation verbatim; the window total
+    // order (seq, op, price, qty) is the same one latest-wins uses, so
+    // the two operators provably agree on "latest" (Scd2Spec pins
+    // is_current=1 ≡ the cdc_merge snapshot)
+    "cdc_scd2" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS key, CAST(-1 AS BIGINT) AS seq, 'I' AS op,
+        |         round(o_totalprice, 2) AS price, CAST(NULL AS DOUBLE) AS qty
+        |  FROM orders WHERE o_orderkey % 4 != 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END,
+        |    floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100,
+        |    l_quantity
+        |  FROM lineitem),
+        |v AS (
+        |  SELECT key, op, price, qty,
+        |    CAST(row_number() OVER (PARTITION BY key
+        |      ORDER BY seq, op DESC, price DESC, qty DESC) - 1 AS BIGINT)
+        |      AS ver
+        |  FROM u),
+        |w AS (SELECT *, lead(ver) OVER (PARTITION BY key ORDER BY ver)
+        |        AS valid_to_ver FROM v)
+        |SELECT key, ver, op, price, qty, valid_to_ver,
+        |  CAST(valid_to_ver IS NULL AS BIGINT) AS is_current
+        |FROM w WHERE op != 'D' ORDER BY key, ver""".stripMargin,
+
+    // the fill copies doubles (no arithmetic), so IGNORE NULLS last_value
+    // is hash-exact against Spark's last(ignoreNulls) running window
+    "events_gapfill" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
+        |            epoch_ns(ts) // 3600000000000 AS hb FROM events),
+        |obs AS (SELECT user_id, hb, value FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id, hb
+        |     ORDER BY ts_ns DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+        |span AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi
+        |         FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hb FROM span),
+        |j AS (SELECT g.user_id, g.hb, o.value FROM grid g
+        |      LEFT JOIN obs o ON g.user_id = o.user_id AND g.hb = o.hb)
+        |SELECT user_id, hb * 3600 AS win_start,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value,
+        |  CAST(value IS NOT NULL AS BIGINT) AS observed
+        |FROM j ORDER BY user_id, win_start""".stripMargin,
+
+    // numeric columns profile through their canonical string form on
+    // BOTH engines (bigint -> decimal digits, identical), so min/max
+    // being lexicographic is a shared convention, not drift
+    "table_profile" ->
+      """WITH stacked AS (
+        |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+        |pv AS (SELECT col_name, value, count(*) AS n
+        |       FROM stacked GROUP BY 1, 2),
+        |stats AS (SELECT col_name,
+        |    CAST(sum(CASE WHEN value IS NULL THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_nulls,
+        |    CAST(count(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_distinct,
+        |    min(value) AS min_value, max(value) AS max_value
+        |  FROM pv GROUP BY 1),
+        |md AS (SELECT col_name, value AS top_value,
+        |         CAST(n AS BIGINT) AS top_count FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY col_name
+        |      ORDER BY n DESC, value) AS rk FROM pv WHERE value IS NOT NULL)
+        |  WHERE rk = 1)
+        |SELECT col_name, n_nulls, n_distinct, min_value, max_value,
+        |       top_value, top_count
+        |FROM stats LEFT JOIN md USING (col_name) ORDER BY col_name""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
         |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ns END)
@@ -1112,6 +1200,24 @@ object SparkEntry {
     // Spark loop runs (see Graph.pagerank on why floats can't hash-gate
     // an iterative Σ). Generated, not hand-copied.
     "graph_pagerank" -> PagerankOracleSql,
+
+    // plain u<v edges here vs degree-oriented edges in the plan: any
+    // total order enumerates each triangle exactly once, so the sets
+    // (and per-node counts) are identical — orientation is cost-only
+    "graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
+        |      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT part_id, count(*) AS n_triangles FROM (
+        |  SELECT a AS part_id FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // z-interleave + min-max normalization generated by the same
     // Maintenance builders the Spark plan parses — only the shift and

@@ -87,6 +87,172 @@ object Maintenance {
       .orderBy($"key")
   }
 
+  /** TIME-GRID RESAMPLE + FORWARD FILL (gap fill): regularize each
+    * user's irregular event stream onto an hourly grid spanning that
+    * user's own [first, last] event hour, carrying the last observed
+    * value across empty hours — the standard pre-step for any
+    * fixed-step sequence model (metric forecasting, session features)
+    * over event logs.
+    *
+    * Three shapes, none of which puts event-rate volume on the wire:
+    *   1. per-(user, hour) "observed" value = the value of the LAST
+    *      event in that hour, as a `max_by(value, (ts, event_id))`
+    *      AGGREGATE — (ts, event_id) is a total order so both engines
+    *      pick the same row, and because it is an aggregate (not a
+    *      row_number window) the partial combine collapses each hour
+    *      map-side: the exchange carries distinct (user, hour) buckets,
+    *      not events;
+    *   2. per-user span (min/max hour) -> `sequence()` + explode
+    *      generates the grid WITHOUT a cross join or a driver loop:
+    *      grid rows are born distributed, sized rate-independent
+    *      (span-hours per user, not events);
+    *   3. grid LEFT JOIN observed (bucket-sized both sides), then
+    *      `last(value, ignoreNulls)` over (user ORDER BY hour) forward-
+    *      fills. The frame is unbounded-preceding→current — Spark
+    *      evaluates it in one running pass per partition, no re-scan
+    *      per row.
+    *
+    * The fill itself COPIES doubles (no arithmetic), so the result is
+    * hash-exact against the DuckDB oracle's IGNORE NULLS window.
+    * Scale: state per user is one running value; grid volume is
+    * users × span-hours, independent of event rate — the operator gets
+    * CHEAPER relative to input as streams densify. Leading unobserved
+    * hours fill with null (no value yet), matching the oracle. */
+  def eventsGapfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.queries.Relational.eventsNs(s, dir)
+      .withColumn("hb", expr("ts_ns div 3600000000000"))
+
+    val obs = e.groupBy($"user_id", $"hb")
+      .agg(max_by($"value", struct($"ts_ns", $"event_id")).as("value"))
+
+    val grid = e.groupBy($"user_id")
+      .agg(min($"hb").as("lo"), max($"hb").as("hi"))
+      .select($"user_id", explode(expr("sequence(lo, hi)")).as("hb"))
+
+    grid.join(obs, Seq("user_id", "hb"), "left")
+      .select($"user_id", ($"hb" * 3600).as("win_start"),
+        last($"value", ignoreNulls = true).over(
+          Window.partitionBy($"user_id").orderBy($"hb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("value"),
+        $"value".isNotNull.cast("long").as("observed"))
+      .orderBy($"user_id", $"win_start")
+  }
+
+  /** SCD TYPE-2 HISTORY BUILD: the versioned-dimension twin of
+    * [[cdcMerge]] — instead of folding the changelog to a latest-wins
+    * snapshot, emit EVERY version each key ever held, with its validity
+    * interval and a current flag. Same deterministic fixture: base =
+    * 3/4 of orders (version 0), changelog = lineitem rows as ordered
+    * ops on the order key (delete when l_returnflag = 'R').
+    *
+    * One window shuffle on key does all the work: ops get a dense
+    * per-key version number (row_number over the same total order
+    * cdcMerge uses for latest-wins, so the two operators provably agree
+    * on "latest"), the base rows join in as version 0, and a single
+    * `lead(ver)` closes each interval. Delete ops are TOMBSTONES: they
+    * close the prior version's interval (their version number is
+    * consumed by lead) but emit no row themselves — filtered AFTER the
+    * lead window, which is what makes a key whose history ends in D
+    * have no current row, exactly the rows cdcMerge drops.
+    *
+    * Scale: ops and base hash on the same key; the window and the
+    * full-outer-shaped union are one exchange each at 100 TB (bucketed
+    * dimension -> zero base exchange). History output is
+    * changelog-sized, never corpus×versions. `is_current` per key is
+    * `valid_to_ver IS NULL`, so the [[cdcMerge]] snapshot is exactly
+    * `WHERE is_current = 1` of this relation — the invariant
+    * Scd2Spec pins. */
+  def cdcScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // base rows enter the SAME version window as the changelog with a
+    // sentinel seq = -1 (below every l_linenumber), so ONE window
+    // exchange numbers the whole history — windowing ops separately and
+    // unioning after costs a second corpus exchange for no semantics
+    val base = t(s, dir, "orders")
+      .filter($"o_orderkey" % 4 =!= 0)
+      .select($"o_orderkey".as("key"), lit(-1L).as("seq"), lit("I").as("op"),
+              round($"o_totalprice", 2).as("price"),
+              lit(null).cast("double").as("qty"))
+
+    val ops = t(s, dir, "lineitem")
+      .select($"l_orderkey".as("key"),
+              $"l_linenumber".cast("long").as("seq"),
+              when($"l_returnflag" === "R", "D").otherwise("U").as("op"),
+              (floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100
+                 + 0.5).cast("double") / 100).as("price"),
+              $"l_quantity".as("qty"))
+
+    // ascending version order whose LAST element is exactly the row
+    // cdcMerge's (seq DESC, op ASC, price ASC, qty ASC) rn=1 picks:
+    // ties on seq order DESCENDING by payload so the minimal-payload
+    // tie lands last — that equality is what Scd2Spec pins. A base row
+    // gets ver 0; a changelog-only key starts its history at ver 0 too
+    // (dense per-key numbering, no reserved slot for an absent base).
+    // The lead() window shares the partitioning AND the sort order of
+    // the row_number window, so Spark plans one exchange + one sort.
+    base.unionByName(ops)
+      .withColumn("ver", (row_number().over(
+        Window.partitionBy($"key")
+          .orderBy($"seq", $"op".desc, $"price".desc, $"qty".desc))
+        - 1).cast("long"))
+      .withColumn("valid_to_ver", lead($"ver", 1).over(
+        Window.partitionBy($"key").orderBy($"ver")))
+      .filter($"op" =!= "D")
+      .select($"key", $"ver", $"op", $"price", $"qty", $"valid_to_ver",
+        $"valid_to_ver".isNull.cast("long").as("is_current"))
+      .orderBy($"key", $"ver")
+  }
+
+  /** TABLE PROFILER (ANALYZE-style column statistics, long format): one
+    * row per column of `documents` with null count, exact distinct
+    * count, lexicographic min/max, and the modal value with its count —
+    * the pre-flight every curation pipeline runs before touching a new
+    * 100 TB corpus (which join keys are safe, which columns are
+    * degenerate, what the skew key will be).
+    *
+    * Shape: ONE scan feeds a `stack()` (Expand) into (column, value)
+    * pairs — 5× rows but each row is two fields, and the expansion
+    * happens AFTER the parquet scan so column pruning still holds. Two
+    * partial-aggregated shuffles follow: per-(column, value) counts
+    * (this is the only corpus-sized exchange; partial aggs collapse
+    * repeats map-side), then per-column rollup of the distinct/min/max/
+    * null stats from the value-level relation — at that point rows =
+    * distinct values, already ≪ corpus. The mode is a size-1
+    * WindowGroupLimit over the same value-level relation (map-side
+    * top-1 per column, ties broken on value asc so both engines agree).
+    * Numeric columns profile through their canonical string form
+    * (documented: min/max are lexicographic — a profiler convention,
+    * not a bug; the oracle casts identically). */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val stacked = t(s, dir, "documents")
+      .select(expr(
+        s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', cast($c as string)").mkString(", ") +
+        ") as (col_name, value)"))
+
+    val perValue = Dedup.tracked(
+      stacked.groupBy($"col_name", $"value").agg(count(lit(1)).as("n")))
+
+    val stats = perValue.groupBy($"col_name").agg(
+      sum(when($"value".isNull, $"n").otherwise(0L)).as("n_nulls"),
+      count(when($"value".isNotNull, lit(1))).as("n_distinct"),
+      min($"value").as("min_value"),
+      max($"value").as("max_value"))
+
+    val mode = perValue
+      .filter($"value".isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"col_name").orderBy($"n".desc, $"value")))
+      .filter($"rk" === 1)
+      .select($"col_name", $"value".as("top_value"), $"n".as("top_count"))
+
+    stats.join(mode, Seq("col_name"), "left").orderBy($"col_name")
+  }
+
   /** Morton (Z-order) interleave of the low `bits` bits of `x` and `y`
     * as a SQL expression — bit i of x lands at position 2i, bit i of y
     * at 2i+1. `shr` spells the right-shift (Spark: `shiftright(e, i)`;

@@ -41,6 +41,33 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("triangles: degree-oriented counts match a naive id-ordered enumeration") {
+    import spark.implicits._
+    // re-derive the gated edge set and count triangles the obvious way
+    // (u<v orientation) — the operator's degree orientation must find
+    // the IDENTICAL per-node counts, proving orientation is cost-only
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+    val edges = li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .count().filter($"count" >= 2)
+      .select($"u".as[Long], $"v".as[Long]).collect()
+    val adj = edges.toSet
+    val naive = scala.collection.mutable.Map.empty[Long, Long]
+    for ((a, b) <- adj; c <- adj.collect { case (`b`, x) => x }
+         if adj.contains((a, c))) {
+      Seq(a, b, c).foreach(n => naive(n) = naive.getOrElse(n, 0L) + 1L)
+    }
+    val got = Graph.triangles(spark, sf).collect()
+      .map(r => r.getAs[Long]("part_id") -> r.getAs[Long]("n_triangles"))
+      .toMap
+    assert(got == naive.toMap)
+    assert(got.nonEmpty, "fixture graph must close at least one triangle")
+    // sanity: the count triples — Σ per-node counts = 3 × #triangles
+    assert(got.values.sum % 3 == 0)
+  }
+
   test("inverted index: df/tf consistent, postings capped, sorted, within df") {
     val rows = TextAnalysis.invertedIndex(spark, sf, cap = 20).collect()
     assert(rows.nonEmpty)

@@ -120,4 +120,106 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(math.abs(key - math.pow(0.25, 1.0 / 32)) < 1e-15)
   }
+
+  test("cdc_scd2: is_current=1 slice IS the cdc_merge snapshot") {
+    // the two operators share the changelog derivation and the per-key
+    // total order, so the SCD2 current slice must equal latest-wins,
+    // key for key and value for value — the invariant that makes the
+    // history table a strict superset of the snapshot
+    val snapshot = Maintenance.cdcMerge(spark, sf).collect()
+      .map(r => r.getAs[Long]("key") ->
+        ((r.getAs[String]("action"),
+          r.getAs[Double]("price"),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val current = Maintenance.cdcScd2(spark, sf).collect()
+      .filter(_.getAs[Long]("is_current") == 1L)
+    assert(current.length == snapshot.size)
+    current.foreach { r =>
+      val key = r.getAs[Long]("key")
+      val (action, price, qty) = snapshot(key)
+      assert(r.getAs[Double]("price") == price, s"price mismatch key=$key")
+      val scdQty = Option(r.get(4)).map(_.asInstanceOf[Double])
+      assert(scdQty == qty, s"qty mismatch key=$key")
+      // current base rows (op I) are exactly the snapshot's untouched
+      // keeps (ver 0 alone doesn't identify them: a changelog-only key
+      // starts its dense history at ver 0 too)
+      val isBase = r.getAs[String]("op") == "I"
+      assert(isBase == (action == "keep"), s"action mismatch key=$key")
+    }
+  }
+
+  test("cdc_scd2: intervals chain gaplessly and D-terminated keys have no current row") {
+    val rows = Maintenance.cdcScd2(spark, sf).collect()
+      .groupBy(_.getAs[Long]("key"))
+    var sawDeleted = false
+    rows.foreach { case (key, hist) =>
+      val byVer = hist.sortBy(_.getAs[Long]("ver"))
+      // each non-final version's valid_to points at a LATER version
+      // (not necessarily ver+1: a consumed D tombstone leaves a hole)
+      byVer.foreach { r =>
+        Option(r.get(5)).map(_.asInstanceOf[Long]).foreach { to =>
+          assert(to > r.getAs[Long]("ver"), s"interval inverted key=$key")
+        }
+      }
+      // at most one current row per key; zero means history ended in D
+      val nCurrent = byVer.count(_.getAs[Long]("is_current") == 1L)
+      assert(nCurrent <= 1, s"two current rows key=$key")
+      if (nCurrent == 0) sawDeleted = true
+      else assert(byVer.last.getAs[Long]("is_current") == 1L)
+    }
+    assert(sawDeleted, "fixture must exercise the D-terminated branch")
+  }
+
+  test("events_gapfill: grid complete per user, fill carries last observed value") {
+    val rows = Maintenance.eventsGapfill(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    var sawGap = false
+    byUser.foreach { case (u, rs) =>
+      val starts = rs.map(_.getAs[Long]("win_start")).sorted
+      // hourly grid with no holes between the user's first and last hour
+      assert(starts.zip(starts.tail).forall { case (a, b) => b - a == 3600 },
+        s"grid hole for user $u")
+      // first and last grid rows are observed by construction (span ends)
+      val sorted = rs.sortBy(_.getAs[Long]("win_start"))
+      assert(sorted.head.getAs[Long]("observed") == 1L)
+      assert(sorted.last.getAs[Long]("observed") == 1L)
+      // forward fill: every unobserved row repeats the nearest earlier
+      // observed value; observed rows carry their own value
+      var lastVal: Option[Double] = None
+      sorted.foreach { r =>
+        val v = Option(r.get(2)).map(_.asInstanceOf[Double])
+        if (r.getAs[Long]("observed") == 1L) lastVal = v
+        else {
+          sawGap = true
+          assert(v == lastVal, s"fill mismatch user=$u ts=${r.get(1)}")
+        }
+      }
+    }
+    assert(sawGap, "fixture must contain at least one empty hour")
+  }
+
+  test("table_profile: stats agree with direct per-column computation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Maintenance.tableProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(got.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    for (c <- got.keySet) {
+      val vcol = docs.select(col(c).cast("string").as("v"))
+      val nNulls = vcol.filter($"v".isNull).count()
+      val nDistinct = vcol.filter($"v".isNotNull).distinct().count()
+      val r = got(c)
+      assert(r.getAs[Long]("n_nulls") == nNulls, s"nulls $c")
+      assert(r.getAs[Long]("n_distinct") == nDistinct, s"distinct $c")
+      // the mode really is the max-frequency value (ties -> smallest)
+      val freq = vcol.filter($"v".isNotNull).groupBy($"v").count()
+        .orderBy($"count".desc, $"v").limit(1).collect().head
+      assert(r.getAs[String]("top_value") == freq.getAs[String]("v"), s"mode $c")
+      assert(r.getAs[Long]("top_count") == freq.getAs[Long]("count"), s"mode n $c")
+    }
+    // doc_id is a key: distinct == rows, so the profiler proves keyness
+    assert(got("doc_id").getAs[Long]("n_distinct") == docs.count())
+  }
 }
