@@ -81,6 +81,10 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    // LOSSLESS prefix-filtered similarity join (PPJoin family): no df
+    // cap, no recall dial — candidates provably superset at τ=4/5, all
+    // thresholds integer; oracle is the naive pairwise Jaccard
+    "dedup_jaccard_prefix" -> (Dedup.jaccardPrefix _),
     // pre-flight for the rare-gram df cap: candidate volume per df value
     // in closed form (n_grams × C(df,2)) — no pair generated; the sf10
     // rehearsal's 36 GB cap-2000 spill is answered by this relation in
@@ -125,6 +129,10 @@ object SparkEntry {
     // ordered-step funnel: three stacked conditional window minima on
     // one user_id exchange — no self-joins
     "events_funnel"        -> (Relational.eventsFunnel _),
+    // median/MAD robust outlier flags per event type: exact index-based
+    // order statistics (no interpolation) so the gate is ulp-free; the
+    // GK-sketch family (q35) is the 100 TB route this anchors
+    "events_outliers"      -> (Relational.eventsOutliers _),
     // Morton-code zone map: per-cell min/max envelopes showing the
     // 2-D skipping a Z-ordered rewrite buys (write path in zorderWrite;
     // measured pruning in ZorderSpec)
@@ -191,6 +199,11 @@ object SparkEntry {
     // once; K vocab-sized rounds). Round-k input depends on k-1 prior
     // argmaxes → rows-only; BpeSpec pins reference-impl parity
     "text_bpe_learn"      -> ((s, d) => Bpe.learn(s, d)),
+    // serving half of the tokenizer: distinct words encoded once with
+    // the learned merges, corpus pays a vocab join; integer counts only
+    // (rows-only like learn — the merge table is data-dependent;
+    // BpeSpec pins train→encode parity vs the independent reference)
+    "text_bpe_encode"     -> ((s, d) => Bpe.encode(s, d)),
     // 5-iteration weighted PageRank in 64-bit fixed-point (float Σ is
     // summation-order-sensitive → never hash-portable; integer div is)
     "graph_pagerank"      -> ((s, d) => Graph.pagerank(s, d)),
@@ -826,6 +839,27 @@ object SparkEntry {
         |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // naive all-shared-token enumeration — the prefix filter on the
+    // Spark side is lossless, so the sets must match exactly; both
+    // final predicates are the integer 9I ≥ 4(na+nb)
+    "dedup_jaccard_prefix" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_inter
+        |  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+        |    AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE 9 * n_inter >= 4 * (sa.n + sb.n)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_ngram_df_hist" ->
       """WITH g0 AS (SELECT doc_id, text, unnest(range(len(text) - 4)) AS i
         |            FROM documents WHERE len(text) >= 5),
@@ -1166,6 +1200,23 @@ object SparkEntry {
     // ms-truncated max event time minus the 1 h delay; windows whose
     // end exceeds it are withheld (append semantics), a tail the batch
     // grouping would emit — so a leak here is a hash mismatch
+    "events_outliers" ->
+      """WITH v AS (SELECT event_type, event_id, value FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |         list(value ORDER BY value) AS vals FROM v GROUP BY 1),
+        |med AS (SELECT event_type,
+        |         vals[CAST((n - 1) // 2 AS INT) + 1] AS med FROM st),
+        |ad AS (SELECT v.event_type, event_id, value, med,
+        |         abs(value - med) AS ad FROM v JOIN med USING (event_type)),
+        |st2 AS (SELECT event_type, count(*) AS n,
+        |         list(ad ORDER BY ad) AS ads FROM ad GROUP BY 1),
+        |mad AS (SELECT event_type,
+        |         ads[CAST((n - 1) // 2 AS INT) + 1] AS mad FROM st2)
+        |SELECT event_id, a.event_type, value, a.med, m.mad
+        |FROM ad a JOIN mad m USING (event_type)
+        |WHERE a.ad > 3 * m.mad
+        |ORDER BY event_id""".stripMargin,
+
     "stream_quantiles" ->
       """WITH e AS (SELECT epoch_ns(ts) AS ts_ns, value FROM events),
         |m AS (SELECT (max(ts_ns) // 1000000) - 3600000 AS wm_ms FROM e),

@@ -100,4 +100,50 @@ object Bpe {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("rank")
   }
+
+  /** ENCODE with a learned merge table — the serving half of the
+    * tokenizer, and the pipeline's per-document token accounting
+    * (sequence-length budgeting, packing inputs, cost estimates).
+    *
+    * The dictionary trick again, in reverse: the merge table (k rows)
+    * ships in the encoder closure, each DISTINCT word is encoded ONCE
+    * (fold the merges in rank order, each a leftmost-first scan — the
+    * exact [[mergeOnce]] the trainer applied, so train→encode is
+    * self-consistent by construction), and the corpus only pays a
+    * word-level join against that vocab-sized dictionary. Per-doc
+    * output is integer-only (word and BPE-token counts): no float ever
+    * crosses engines, and the doc rollup partial-aggregates.
+    *
+    * Rows-only like [[learn]] (the merge table is k data-dependent
+    * argmaxes — no SQL oracle can express round k); BpeSpec pins exact
+    * parity of the whole train→encode path against the independent
+    * single-threaded reference on crafted docs, plus the token-count
+    * bounds (n_words ≤ n_tokens ≤ chars + words). */
+  def encode(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val merges = learn(s, dir, k)
+      .select($"left", $"right").as[(String, String)].collect()
+
+    val dict = wordFreq(s, dir).as[(String, Long)]
+      .map { case (w, _) =>
+        val syms = merges.foldLeft(w.map(_.toString) :+ Eow: Seq[String]) {
+          case (ss, (a, b)) => mergeOnce(ss, a, b)
+        }
+        (w, syms.length.toLong)
+      }
+      .toDF("word", "n_sym")
+
+    // (doc, word) pre-agg BEFORE the dictionary join: the partial agg
+    // collapses repeated words map-side, so the join and both exchanges
+    // carry per-doc DISTINCT words, never raw token volume
+    s.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", explode(expr(
+        "filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+      .join(dict, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_words"),
+           sum($"n" * $"n_sym").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
 }

@@ -834,6 +834,97 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** PREFIX-FILTERED SET-SIMILARITY JOIN (the PPJoin/All-Pairs family):
+    * all document pairs whose WORD-SET Jaccard ≥ 4/5, found without a
+    * df cap and without approximation — the prefix filter is LOSSLESS.
+    *
+    * The bound (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07):
+    * order every doc's tokens by a global rank (df ASC, token ASC —
+    * rarest first) and keep only the first
+    * `prefix_len = n − ceil(τ·n) + 1` tokens. Two τ-similar sets MUST
+    * share a token inside both prefixes — if they disagreed on all
+    * prefix tokens, the overlap could be at most the suffix length
+    * ceil(τ·n) − 1 on either side, below the overlap τ forces. So
+    * candidates = pairs sharing a PREFIX token, a strict superset of
+    * the answer, and exact verification loses nothing. Rare-first
+    * ordering makes those prefixes land on the df histogram's tail —
+    * the same tokens the [[ngramCandidates]] df cap keeps, but with
+    * per-doc proof instead of a recall dial.
+    *
+    * All thresholds are INTEGER (τ = 4/5 exactly): prefix_len uses
+    * ceil(4n/5) = (4n+4) div 5, the candidate-time size gate is
+    * 5·min(na,nb) ≥ 4·max(na,nb), and the final test 5·I ≥ 4·(na+nb−I)
+    * ⇔ 9·I ≥ 4·(na+nb) — no float ever decides membership, so the
+    * DuckDB oracle (naive all-shared-token pairwise Jaccard) agrees
+    * bit-for-bit; the reported double is display-only.
+    *
+    * Scale shapes: token df is one partial-agged word exchange; prefix
+    * extraction is one doc_id exchange of (token, df) rows; candidate
+    * generation joins PREFIX tokens only, with the size gate inside the
+    * join condition so length-incompatible pairs die before the
+    * exchange; verification re-derives sorted word arrays for CANDIDATE
+    * docs only and walks them with the codegen'd merge
+    * (`graft_sorted_inter`) — the corpus-wide array table is never
+    * materialized (the [[ngramJaccard]] lesson). At 100 TB the string
+    * tokens would carry as 60-bit hashes ([[h60]]) to shrink the
+    * exchanges; strings keep the operator readable at this scale and
+    * the plan identical. */
+  def jaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val d = docs(s, dir)
+      .select($"doc_id",
+        expr("array_sort(array_distinct(filter(split(text, ' '), x -> length(x) > 0)))")
+          .as("w_set"))
+      .filter(size($"w_set") >= 1)
+      .withColumn("n_w", size($"w_set").cast("long"))
+
+    val toks = d.select($"doc_id", $"n_w", explode($"w_set").as("w"))
+    val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"w")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      .orderBy($"df", $"w")
+    val prefixes = ckptHinted(
+      toks
+        .withColumn("df", count(lit(1)).over(byTok))
+        .withColumn("rk", row_number().over(byDoc))
+        // prefix_len = n − ceil(4n/5) + 1, all integer (div, not /:
+        // Column./ is double division)
+        .filter($"rk" <= expr("n_w - (n_w * 4 + 4) div 5 + 1"))
+        .select($"doc_id", $"n_w", $"w"))
+
+    val cand = ckptHinted(
+      prefixes.as("pa").join(prefixes.as("pb"),
+          $"pa.w" === $"pb.w" && $"pa.doc_id" < $"pb.doc_id" &&
+          // length gate: J ≥ 4/5 needs 5·min ≥ 4·max — inside the join
+          // condition so incompatible pairs never leave the build
+          lit(5) * least($"pa.n_w", $"pb.n_w") >=
+            lit(4) * greatest($"pa.n_w", $"pb.n_w"))
+        .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"))
+        .distinct()
+        .coalesce(4))
+
+    val candIds = cand.select($"doc_a".as("doc_id"))
+      .union(cand.select($"doc_b")).distinct()
+    val candSets = ckptHinted(
+      d.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"w_set", $"n_w")
+        .coalesce(4),
+      maxBroadcastRows = HeavyRowBroadcastCap)
+
+    cand
+      .join(candSets.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(candSets.as("cb"), $"doc_b" === $"cb.doc_id")
+      .select($"doc_a", $"doc_b",
+        call_function("graft_sorted_inter", $"ca.w_set", $"cb.w_set")
+          .cast("long").as("n_inter"),
+        ($"ca.n_w" + $"cb.n_w").as("n_sum"))
+      .filter(lit(9) * $"n_inter" >= lit(4) * $"n_sum")
+      .select($"doc_a", $"doc_b", $"n_inter",
+        round($"n_inter".cast("double") / ($"n_sum" - $"n_inter"), 4)
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Surviving duplicated-gram starts: (doc_id, i) for every k-gram
     * window whose hash appears in ≥ 2 distinct documents — the shared
     * front of [[substringSpans]] (island merge) and [[substringScrub]]

@@ -723,4 +723,47 @@ object Relational {
           .otherwise(0L).as("funnel_step"))
       .orderBy($"user_id")
   }
+
+  /** ROBUST OUTLIER DETECTION (median/MAD) per event type: flag events
+    * whose value sits more than 3 median-absolute-deviations from the
+    * per-type median — the data-quality screen that survives the exact
+    * pathology mean/stddev screens die on (the outliers you're hunting
+    * inflate the very statistics meant to catch them; the breakdown
+    * point of the median is 50% vs 0% for the mean).
+    *
+    * Hash-exact portability: the median is a pure INDEX into the sorted
+    * values (position (n−1) div 2 + 1, integer arithmetic — no
+    * interpolation, no percentile_approx), |v − med| is one correctly-
+    * rounded IEEE subtraction, and the 3·MAD gate multiplies by an
+    * exact small integer — no operation anywhere admits an engine ulp.
+    *
+    * Plan: two per-type ranking windows (values, then absolute
+    * deviations) produce the 5-row med/MAD relations, which broadcast
+    * back onto the event scan; the flag filter is a narrow projection.
+    * Exact per-group order statistics force a per-group sort, so
+    * parallelism is bounded by the type cardinality (WindowExec spills
+    * rather than OOMs on a giant group); at 100 TB the same query runs
+    * on the mergeable GK sketch partials (`q35_quantile_partials`) at a
+    * quantile-accuracy cost — THIS form is the exact, oracle-gated
+    * anchor the sketch path is graded against. */
+  def eventsOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events").select($"event_id", $"event_type", $"value")
+    val byType = Window.partitionBy($"event_type")
+
+    def medianOf(df: DataFrame, c: String, as: String): DataFrame =
+      df.withColumn("rn", row_number().over(byType.orderBy(col(c))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .filter($"rn" === expr("(n - 1) div 2 + 1"))
+        .select($"event_type", col(c).as(as))
+
+    val med = medianOf(e, "value", "med")
+    val ad = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs($"value" - $"med"))
+    val mad = medianOf(ad, "ad", "mad")
+    ad.join(broadcast(mad), Seq("event_type"))
+      .filter($"ad" > lit(3.0) * $"mad")
+      .select($"event_id", $"event_type", $"value", $"med", $"mad")
+      .orderBy($"event_id")
+  }
 }

@@ -70,4 +70,38 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.mergeOnce(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
     assert(Bpe.mergeOnce(Seq("x"), "a", "b") == Seq("x"))
   }
+
+  test("encode matches an independent train→encode on every fixture doc") {
+    import spark.implicits._
+    // independent path: reference trainer's merges applied by a plain
+    // fold over each doc's words — no Spark in the expectation
+    val wf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(expr(
+        "filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toMap
+    val merges = referenceBpe(wf, 8).map { case (_, a, b, _) => (a, b) }
+    def encodeWord(w: String): Int =
+      merges.foldLeft(w.map(_.toString) :+ Bpe.Eow: Seq[String]) {
+        case (ss, (a, b)) => Bpe.mergeOnce(ss, a, b)
+      }.length
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+      .map { case (id, t) =>
+        val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+        id -> ((ws.length.toLong, ws.map(encodeWord(_).toLong).sum))
+      }.filter(_._2._1 > 0).toMap
+
+    val got = Bpe.encode(spark, sf, 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens")))).toMap
+    assert(got == want)
+    // bounds: ≥ 1 token per word; ≤ chars + one Eow per word, and the
+    // 8 learned merges must actually compress SOMETHING
+    assert(got.values.forall { case (w, t) => t >= w })
+    assert(got.values.map(_._2).sum <
+      want.keys.map(id => want(id)._1).sum +
+        spark.read.parquet(s"$sf/documents.parquet")
+          .select(sum(length(lower($"text")))).as[Long].collect().head)
+  }
 }
