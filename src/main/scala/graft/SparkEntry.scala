@@ -841,12 +841,16 @@ object SparkEntry {
 
     // naive all-shared-token enumeration — the prefix filter on the
     // Spark side is lossless, so the sets must match exactly; both
-    // final predicates are the integer 9I ≥ 4(na+nb)
+    // final predicates are the integer 9I ≥ 4(na+nb). Tokens are the
+    // shared 60-bit md5 hash (the h60 twin), so both engines intersect
+    // the SAME sets and parity holds even under a hash collision
     "dedup_jaccard_prefix" ->
       """WITH toks AS (
-        |  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '),
-        |    x -> len(x) > 0)) AS w
-        |  FROM documents),
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS w
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |          x -> len(x) > 0)) AS w
+        |        FROM documents)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    count(*) AS n_inter

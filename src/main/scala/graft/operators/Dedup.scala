@@ -865,16 +865,19 @@ object Dedup {
     * exchange; verification re-derives sorted word arrays for CANDIDATE
     * docs only and walks them with the codegen'd merge
     * (`graft_sorted_inter`) — the corpus-wide array table is never
-    * materialized (the [[ngramJaccard]] lesson). At 100 TB the string
-    * tokens would carry as 60-bit hashes ([[h60]]) to shrink the
-    * exchanges; strings keep the operator readable at this scale and
-    * the plan identical. */
+    * materialized (the [[ngramJaccard]] lesson). Tokens carry as 60-bit
+    * hashes ([[h60]], mirrored in the oracle like every hashed family
+    * here) — long-array merge walks measured ~2× the string walks, the
+    * exchanges shrink to 8 B/token, and parity is unconditional because
+    * BOTH engines intersect the same hash sets. */
   def jaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
     val d = docs(s, dir)
       .select($"doc_id",
-        expr("array_sort(array_distinct(filter(split(text, ' '), x -> length(x) > 0)))")
+        expr("array_sort(array_distinct(transform(" +
+             "filter(split(text, ' '), x -> length(x) > 0), " +
+             s"x -> ${h60("x")})))")
           .as("w_set"))
       .filter(size($"w_set") >= 1)
       .withColumn("n_w", size($"w_set").cast("long"))
@@ -890,25 +893,41 @@ object Dedup {
         // prefix_len = n − ceil(4n/5) + 1, all integer (div, not /:
         // Column./ is double division)
         .filter($"rk" <= expr("n_w - (n_w * 4 + 4) div 5 + 1"))
-        .select($"doc_id", $"n_w", $"w"))
+        .select($"doc_id", $"n_w", $"w", $"rk"))
 
-    val cand = ckptHinted(
-      prefixes.as("pa").join(prefixes.as("pb"),
-          $"pa.w" === $"pb.w" && $"pa.doc_id" < $"pb.doc_id" &&
-          // length gate: J ≥ 4/5 needs 5·min ≥ 4·max — inside the join
-          // condition so incompatible pairs never leave the build
-          lit(5) * least($"pa.n_w", $"pb.n_w") >=
-            lit(4) * greatest($"pa.n_w", $"pb.n_w"))
-        .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"))
-        .distinct()
-        .coalesce(4))
+    // candidate pairs STREAM from the join through one distinct into
+    // the verify — never checkpointed, never consumed twice (the ngram
+    // path materializes candidates because its id relations feed two
+    // consumers; here there is exactly one). `prefixes` is broadcast-
+    // hinted (ckptHinted), so the self-join is a BHJ whose probe side
+    // spreads a hot token's rows across all partitions — no skewed SMJ
+    // task ever owns a token's full pair block.
+    val cand = prefixes.as("pa").join(prefixes.as("pb"),
+        $"pa.w" === $"pb.w" && $"pa.doc_id" < $"pb.doc_id" &&
+        // length gate: J ≥ 4/5 needs 5·min ≥ 4·max — inside the join
+        // condition so incompatible pairs never leave the build
+        lit(5) * least($"pa.n_w", $"pb.n_w") >=
+          lit(4) * greatest($"pa.n_w", $"pb.n_w") &&
+        // POSITIONAL filter (the PPJoin refinement): at the FIRST
+        // token a τ-similar pair shares, overlap ≤ 1 + min(suffix
+        // lengths past the match), so 9·(1 + min) ≥ 4·(na + nb) must
+        // hold there. Applying it to EVERY instance is still lossless
+        // for pair existence — the first-shared-token instance always
+        // passes — while later instances (which contribute nothing
+        // but duplicate verify walks) die here, before the exchange
+        lit(9) * (lit(1) + least($"pa.n_w" - $"pa.rk",
+                                 $"pb.n_w" - $"pb.rk")) >=
+          lit(4) * ($"pa.n_w" + $"pb.n_w"))
+      .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"))
+      .distinct()
 
-    val candIds = cand.select($"doc_a".as("doc_id"))
-      .union(cand.select($"doc_b")).distinct()
+    // no candidate-id semi-join here (unlike the ngram path, where rare
+    // grams prune docs): prefix_len = n − ceil(4n/5) + 1 ≥ 1 for every
+    // non-empty doc, so EVERY doc is its own candidate and the verify
+    // side is the whole (doc, sorted hash set) relation, materialized
+    // once — recomputing it per join side would double the scan
     val candSets = ckptHinted(
-      d.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-        .select($"doc_id", $"w_set", $"n_w")
-        .coalesce(4),
+      d.select($"doc_id", $"w_set", $"n_w").coalesce(4),
       maxBroadcastRows = HeavyRowBroadcastCap)
 
     cand
