@@ -133,6 +133,12 @@ object SparkEntry {
     // order statistics (no interpolation) so the gate is ulp-free; the
     // GK-sketch family (q35) is the 100 TB route this anchors
     "events_outliers"      -> (Relational.eventsOutliers _),
+    // 24h rolling count/cent-sum per user: one sort, one Window, both
+    // features share the RANGE frame; integer sums only (sliding double
+    // sums ulp-diverge between engines)
+    "events_rolling"       -> (Relational.eventsRolling _),
+    // first-event-week cohorts × distinct active users per offset week
+    "events_retention"     -> (Relational.eventsRetention _),
     // Morton-code zone map: per-cell min/max envelopes showing the
     // 2-D skipping a Z-ordered rewrite buys (write path in zorderWrite;
     // measured pruning in ZorderSpec)
@@ -1204,6 +1210,26 @@ object SparkEntry {
     // ms-truncated max event time minus the 1 h delay; windows whose
     // end exceeds it are withheld (append semantics), a tail the batch
     // grouping would emit — so a leak here is a hash mismatch
+    "events_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, ts_ns,
+        |  count(*) OVER w AS n_24h,
+        |  CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS cents_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+        |  RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_outliers" ->
       """WITH v AS (SELECT event_type, event_id, value FROM events),
         |st AS (SELECT event_type, count(*) AS n,

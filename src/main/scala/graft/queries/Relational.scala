@@ -724,6 +724,57 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** ROLLING 24 H WINDOW FEATURES per user: for every event, the count
+    * and cent-sum of that user's events in the strictly-preceding 24 h
+    * — the standard online-feature shape (velocity checks, rate limits,
+    * session intensity) computed batch-side for training parity.
+    *
+    * One user_id exchange; both features are RANGE-frame windows over
+    * the same (user, ts) sort, so Spark plans a single Window operator
+    * on a single sort. The frame is [ts − 24 h, ts − 1] in epoch-ns:
+    * closed below, strictly excluding the current instant — peers at
+    * the exact same nanosecond are excluded WITH the current row, which
+    * is the only peer semantics RANGE frames can state identically in
+    * both engines. Sums are INTEGER (value in cents via the portable
+    * floor(x·100 + 0.5)): a sliding DOUBLE sum is engine-dependent
+    * (Spark re-accumulates each frame in sort order, DuckDB combines
+    * segment-tree nodes — different addition orders, ulp divergence),
+    * so no double is ever summed. */
+  def eventsRolling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayNs = 86400L * 1000000000L
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns")
+      .rangeBetween(-dayNs, -1)
+    eventsNs(s, dir)
+      .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .select($"event_id", $"user_id", $"ts_ns",
+        count(lit(1)).over(byUser).as("n_24h"),
+        coalesce(sum($"cents").over(byUser), lit(0L)).as("cents_24h"))
+      .orderBy($"event_id")
+  }
+
+  /** COHORT RETENTION MATRIX: users grouped by the week of their FIRST
+    * event (the cohort), counted as retained in every later week they
+    * appear — the (cohort_week, week_offset) → distinct-users grid
+    * every growth dashboard draws.
+    *
+    * Two exchanges total: a per-user min (partial-agged, one row per
+    * user crosses the wire) broadcast back onto the event scan, then
+    * one partial-agged distinct-count per (cohort, offset) cell — the
+    * matrix is weeks² rows regardless of corpus. Week arithmetic is
+    * pure integer division on epoch-ns. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weekNs = 7L * 86400L * 1000000000L
+    val e = eventsNs(s, dir)
+      .select($"user_id", expr(s"ts_ns div $weekNs").as("wk"))
+    val cohort = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    e.join(broadcast(cohort), Seq("user_id"))
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
   /** ROBUST OUTLIER DETECTION (median/MAD) per event type: flag events
     * whose value sits more than 3 median-absolute-deviations from the
     * per-type median — the data-quality screen that survives the exact
