@@ -120,6 +120,10 @@ object SparkEntry {
     // SCD Type-2 history: every version + validity interval from the
     // same changelog, one key window; WHERE is_current=1 ≡ cdc_merge
     "cdc_scd2"             -> (Maintenance.cdcScd2 _),
+    // incremental MV refresh: checkpointed day-1 partials ⊕ delta
+    // partials ≡ full recompute (the oracle IS the recompute) — all
+    // stored measures integer-mergeable, ratios derived at read time
+    "mv_incremental"       -> (Maintenance.mvIncremental _),
     // hourly grid + forward fill per user: one user_id exchange feeds
     // agg, grid explode, join and the running-fill window
     "events_gapfill"       -> (Maintenance.eventsGapfill _),
@@ -1113,6 +1117,22 @@ object SparkEntry {
         |FROM base FULL OUTER JOIN latest USING (key)
         |WHERE op IS NULL OR op = 'U'
         |ORDER BY key""".stripMargin,
+
+    // the oracle is the FULL RECOMPUTE over the whole table — passing
+    // means the split state⊕delta plan reconstructs it bit-for-bit
+    "mv_incremental" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_price_cents,
+        |  min(epoch_ns(l_shipdate) // 86400000000000) AS min_ship_day,
+        |  max(epoch_ns(l_shipdate) // 86400000000000) AS max_ship_day,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
+        |    AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // shares cdc_merge's changelog derivation verbatim; the window total
     // order (seq, op, price, qty) is the same one latest-wins uses, so

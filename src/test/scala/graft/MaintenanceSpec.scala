@@ -222,4 +222,23 @@ class MaintenanceSpec extends AnyFunSuite {
     // doc_id is a key: distinct == rows, so the profiler proves keyness
     assert(got("doc_id").getAs[Long]("n_distinct") == docs.count())
   }
+
+  test("mv_incremental: the refresh plan scans the base exactly once (the delta)") {
+    val df = Maintenance.mvIncremental(spark, sf)
+    // the day-1 state is checkpointed at build time, so the refresh's
+    // executed plan must contain ONE lineitem file scan (the delta
+    // branch) — a second would mean the incremental path silently
+    // degenerated to a full recompute
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "(?i)FileScan parquet".r.findAllIn(plan).size +
+      "Scan parquet".r.findAllIn(plan).size
+    assert(scans >= 1, s"no parquet scan found in:\n$plan")
+    assert(plan.split("lineitem.parquet").length - 1 <= 1,
+      s"refresh must not rescan the base:\n$plan")
+    // and the view itself is complete: groups cover the full flag set
+    val rows = df.collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet
+      .contains(("R", "F")))
+    assert(rows.forall(_.getAs[Long]("n_rows") > 0))
+  }
 }
