@@ -47,6 +47,13 @@ object ScaleRehearsal {
     "corpus_quality_funnel",
     "text_fingerprint", "text_langid", "text_quality", "text_tokens",
     "text_tfidf_topk", "text_surprisal", "text_heavy_hitters",
+    // round-7 additions: the lossless prefix join (worst-case dense
+    // output), tokenizer encode, the events family (population-scaled
+    // replicas), the graph/CDC/MV lineitem family
+    "dedup_jaccard_prefix", "text_bpe_encode", "table_profile",
+    "events_gapfill", "events_rolling", "events_retention",
+    "events_outliers", "events_funnel",
+    "graph_triangles", "cdc_merge", "cdc_scd2", "mv_incremental",
     "sim_topk_brute", "sim_ann_lsh", "sim_ivf_topk", "sim_ivf_probe2",
     "sim_ivf_kmeans", "sim_ivf_pq", "sim_knn_join", "sim_label_centroids",
     "sim_centroids_udaf")
@@ -299,7 +306,9 @@ object ScaleRehearsal {
   private def ensureSf1(s: SparkSession): Unit = {
     import s.implicits._
     Sf1 = graft.util.Fs.scratchDir(s, "sf1").toString
-    val done = java.nio.file.Paths.get(s"$Sf1/_REHEARSAL_OK")
+    // v2 marker: v1 scratch dirs predate the events/lineitem/orders
+    // replicas and must regenerate
+    val done = java.nio.file.Paths.get(s"$Sf1/_REHEARSAL_OK_V2")
     if (java.nio.file.Files.exists(done)) return
     val reps = s.range(10).withColumnRenamed("id", "replica")
 
@@ -335,6 +344,39 @@ object ScaleRehearsal {
       .withColumn("embedding", transform($"embedding", v => (v / $"nrm").cast("float")))
       .select("vec_id", "embedding", "label")
     noisy.repartition(16).write.mode("overwrite").parquet(s"$Sf1/embeddings.parquet")
+
+    // events ×10: disjoint user populations per replica (id-strided),
+    // same time span — the growth shape of a service gaining users, so
+    // per-user state (gapfill grids, rolling frames, retention cells)
+    // scales in POPULATION while span-driven costs stay fixed
+    val ev = s.read.parquet(s"$Sf01/events.parquet")
+    val nUsers = ev.agg(max($"user_id")).head().getLong(0) + 1L
+    val nEvents = ev.agg(max($"event_id")).head().getLong(0) + 1L
+    ev.crossJoin(broadcast(reps))
+      .withColumn("user_id", $"user_id" + $"replica" * nUsers)
+      .withColumn("event_id", $"event_id" + $"replica" * nEvents)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$Sf1/events.parquet")
+
+    // lineitem/orders ×10: order keys strided, part/supplier keys SHARED
+    // — replicated orders re-hit the same parts, so co-purchase support
+    // (graph_triangles' edge gate) inflates with volume exactly as a
+    // growing order book would; changelog keys stay unique per replica
+    // for the CDC family
+    val li = s.read.parquet(s"$Sf01/lineitem.parquet")
+    val nOrders = li.agg(max($"l_orderkey")).head().getLong(0) + 1L
+    li.crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", $"l_orderkey" + $"replica" * nOrders)
+      .drop("replica")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$Sf1/lineitem.parquet")
+    s.read.parquet(s"$Sf01/orders.parquet").crossJoin(broadcast(reps))
+      .withColumn("o_orderkey", $"o_orderkey" + $"replica" * nOrders)
+      .drop("replica")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$Sf1/orders.parquet")
+
     java.nio.file.Files.write(done, "ok\n".getBytes("UTF-8"))
   }
 }

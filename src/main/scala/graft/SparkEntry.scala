@@ -251,6 +251,9 @@ object SparkEntry {
     // corpus span so the gate result — and oracle — match the NoTimeout
     // filter exactly; re-admission semantics pinned in NearDupStreamSpec
     "stream_neardup_ttl" -> (StreamQueries.streamNearDupTtl _),
+    // streaming CDC latest-wins: one state row per key via an
+    // associative+commutative fold; shares cdc_merge's oracle
+    "stream_cdc_latest" -> (StreamQueries.streamCdcLatest _),
     // expiry-hardened twin: 8 event-time-ordered micro-batches with a
     // ONE-batch-width horizon, so buckets provably expire mid-drain and
     // re-admission is hash-gated (epoch closed form in the oracle)
@@ -352,6 +355,38 @@ object SparkEntry {
       |  FROM documents),
       |c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
       |SELECT word, n FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  /** Shared by `cdc_merge` (batch latest-wins) and `stream_cdc_latest`
+    * (the stateful streaming twin): one oracle, two execution models —
+    * the fold's associativity/commutativity is exactly the claim the
+    * shared gate checks. */
+  private val CdcMergeOracleSql: String =
+    """WITH base AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS base_status,
+        |         round(o_totalprice, 2) AS base_price
+        |  FROM orders WHERE o_orderkey % 4 != 0),
+        |latest AS (
+        |  SELECT key, op, new_price, new_qty FROM (
+        |    SELECT l_orderkey AS key,
+        |      CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+        |      floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100 AS new_price,
+        |      l_quantity AS new_qty,
+        |      row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber DESC,
+        |          CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END,
+        |          floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100,
+        |          l_quantity) AS rn
+        |    FROM lineitem)
+        |  WHERE rn = 1)
+        |SELECT key,
+        |  CASE WHEN op IS NULL THEN 'keep'
+        |       WHEN base_status IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  CASE WHEN op IS NULL THEN base_price ELSE new_price END AS price,
+        |  CASE WHEN op IS NULL THEN NULL ELSE new_qty END AS qty
+        |FROM base FULL OUTER JOIN latest USING (key)
+        |WHERE op IS NULL OR op = 'U'
+        |ORDER BY key""".stripMargin
 
   private val NearDupStreamOracleSql: String = NearDupBandCtes + "\n" +
       """SELECT b.doc_id AS doc_id, min(a.doc_id) AS near_dup_of
@@ -1090,33 +1125,11 @@ object SparkEntry {
          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
     },
 
-    "cdc_merge" ->
-      """WITH base AS (
-        |  SELECT o_orderkey AS key, o_orderstatus AS base_status,
-        |         round(o_totalprice, 2) AS base_price
-        |  FROM orders WHERE o_orderkey % 4 != 0),
-        |latest AS (
-        |  SELECT key, op, new_price, new_qty FROM (
-        |    SELECT l_orderkey AS key,
-        |      CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
-        |      floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100 AS new_price,
-        |      l_quantity AS new_qty,
-        |      row_number() OVER (PARTITION BY l_orderkey
-        |        ORDER BY l_linenumber DESC,
-        |          CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END,
-        |          floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100,
-        |          l_quantity) AS rn
-        |    FROM lineitem)
-        |  WHERE rn = 1)
-        |SELECT key,
-        |  CASE WHEN op IS NULL THEN 'keep'
-        |       WHEN base_status IS NULL THEN 'insert'
-        |       ELSE 'update' END AS action,
-        |  CASE WHEN op IS NULL THEN base_price ELSE new_price END AS price,
-        |  CASE WHEN op IS NULL THEN NULL ELSE new_qty END AS qty
-        |FROM base FULL OUTER JOIN latest USING (key)
-        |WHERE op IS NULL OR op = 'U'
-        |ORDER BY key""".stripMargin,
+    "cdc_merge" -> CdcMergeOracleSql,
+    // the stream maintains ONE state row per key via an associative+
+    // commutative latest-wins fold, so any micro-batch interleaving
+    // lands on the batch answer — shares the batch oracle verbatim
+    "stream_cdc_latest" -> CdcMergeOracleSql,
 
     // the oracle is the FULL RECOMPUTE over the whole table — passing
     // means the split state⊕delta plan reconstructs it bit-for-bit

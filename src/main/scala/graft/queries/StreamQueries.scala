@@ -152,6 +152,96 @@ object StreamQueries {
       dropView = Some(name), deleteDirs = Seq(in))
   }
 
+  /** One changelog op for the streaming CDC operator. */
+  case class CdcOp(key: Long, seq: Long, op: String, price: Double,
+                   qty: Double)
+
+  /** STREAMING CDC LATEST-WINS (mapGroupsWithState): the online twin of
+    * [[graft.operators.Maintenance.cdcMerge]] — the changelog arrives
+    * as a stream, per-key state holds the current winning op (ONE row
+    * per key, the provable minimum for latest-wins), and the drained
+    * state folds into the base snapshot batch-side. The comparator is
+    * the exact total order the batch merge ranks by (max seq; ties →
+    * minimal (op, price, qty)), applied as a running fold — a property
+    * the batch path gets from row_number and the stream gets for free
+    * because the fold is ASSOCIATIVE AND COMMUTATIVE in arrival order:
+    * any interleaving of micro-batches lands on the same winner, which
+    * is what lets this entry share cdc_merge's DuckDB oracle verbatim.
+    * State is bounded by live keys (a production deployment would add
+    * TTL eviction for retired keys, the [[streamNearDupTtl]] pattern). */
+  def streamCdcLatest(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val (in, name) = stageInput(s, dir, "lineitem.parquet", "cdc")
+    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+
+    // the winning op under cdc_merge's total order: larger seq wins;
+    // equal seq → LEXICALLY SMALLER (op, price, qty) wins (that is the
+    // row the batch rn=1 picks under seq DESC, op ASC, price ASC, qty ASC)
+    val tieOrd: Ordering[(String, Double, Double)] =
+      Ordering.Tuple3(Ordering.String, Ordering.Double.TotalOrdering,
+        Ordering.Double.TotalOrdering)
+    def better(a: CdcOp, b: CdcOp): CdcOp =
+      if (a.seq > b.seq) a
+      else if (a.seq < b.seq) b
+      else if (tieOrd.compare((a.op, a.price, a.qty),
+                              (b.op, b.price, b.qty)) <= 0) a
+      else b
+
+    def update(key: Long, ops: Iterator[CdcOp],
+               state: GroupState[CdcOp]): CdcOp = {
+      val st = (state.getOption.iterator ++ ops).reduce(better)
+      state.update(st)
+      st
+    }
+
+    val q = s.readStream.schema(schema).parquet(in.toString)
+      .select($"l_orderkey".as("key"),
+        $"l_linenumber".cast("long").as("seq"),
+        when($"l_returnflag" === "R", "D").otherwise("U").as("op"),
+        (floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100
+           + 0.5).cast("double") / 100).as("price"),
+        $"l_quantity".as("qty"))
+      .as[CdcOp]
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // final winner per key = best emission under the same total order
+    // (the carried state only ever "improves", so this equals the last
+    // emission — selected deterministically, not by sink row order)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"key")
+      .orderBy($"seq".desc, $"op", $"price", $"qty")
+    val latest = s.table(name)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"key", $"op", $"price".as("new_price"), $"qty".as("new_qty"))
+
+    val base = s.read.parquet(s"$dir/orders.parquet")
+      .filter($"o_orderkey" % 4 =!= 0)
+      .select($"o_orderkey".as("key"),
+              $"o_orderstatus".as("base_status"),
+              round($"o_totalprice", 2).as("base_price"))
+    materializeAndRelease(s,
+      base.join(latest, Seq("key"), "full_outer")
+        .filter($"op".isNull || $"op" === "U")
+        .select(
+          $"key",
+          when($"op".isNull, "keep")
+            .when($"base_status".isNull, "insert")
+            .otherwise("update").as("action"),
+          when($"op".isNull, $"base_price").otherwise($"new_price")
+            .as("price"),
+          when($"op".isNull, lit(null).cast("double")).otherwise($"new_qty")
+            .as("qty"))
+        .orderBy($"key"),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
+
   /** Per-user event shape for the stateful operator (ts is epoch-ns long
     * under nanosAsLong). */
   case class UserEvent(event_id: Long, ts: Long, user_id: Long)
