@@ -67,6 +67,9 @@ object SparkEntry {
     // mergeable GK quantile partials + union UDAF (order-dependent
     // estimates → rows-only; ε·n rank bound pinned in QuantileSketchSpec)
     "q35_quantile_partials" -> (Relational.q35QuantilePartials _),
+    // distributed 2D Pareto frontier: range-partition + per-partition
+    // sweep, global pass over the tiny union of local frontiers
+    "q36_skyline"       -> (Relational.q36Skyline _),
     // ——— dedup extensions ———
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -90,6 +93,10 @@ object SparkEntry {
     // rehearsal's 36 GB cap-2000 spill is answered by this relation in
     // seconds (BENCH_NOTES round 7)
     "dedup_ngram_df_hist" -> (Dedup.ngramDfHist _),
+    // edit-distance ≤ 1 name join via symmetric-delete signatures —
+    // proven candidate superset (no recall dial), exact levenshtein
+    // verify; candidates output-bound (Σ signature-df²), never |n|²
+    "dedup_edit_join"     -> (Dedup.editJoin _),
     // span-level exact substring dedup: maximal ≥5-token word spans
     // shared across documents (gram-df gate → gaps-and-islands merge)
     "dedup_substring"     -> ((s, d) => Dedup.substringSpans(s, d)),
@@ -130,6 +137,9 @@ object SparkEntry {
     // ANALYZE-style long-format column profile: one scan, stack(),
     // per-value partial-agg exchange, value-level rollup + top-1
     "table_profile"        -> (Maintenance.tableProfile _),
+    // keyed snapshot diff (added/removed/updated audit): one
+    // co-partitioned full-outer SMJ, narrow classify, unchanged filtered
+    "table_diff"           -> (Maintenance.tableDiff _),
     // ordered-step funnel: three stacked conditional window minima on
     // one user_id exchange — no self-joins
     "events_funnel"        -> (Relational.eventsFunnel _),
@@ -221,6 +231,9 @@ object SparkEntry {
     // degree-oriented wedge join (Σ outdeg² ≤ O(|E|^1.5) regardless of
     // skew); orientation never changes the triangle set
     "graph_triangles"     -> (Graph.triangles _),
+    // 4-round synchronous LPA communities; per-node argmax as an order
+    // embedding into one BIGINT (no ranking window), all-integer rounds
+    "graph_lpa"           -> ((s, d) => Graph.lpa(s, d)),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
     // listing-free twin: routing + content reads driven by a (path,
@@ -310,6 +323,34 @@ object SparkEntry {
        |  CAST(r AS DOUBLE) / $scale.0 AS rank
        |FROM nds JOIN r5 USING (node)
        |ORDER BY rank_fp DESC, n_nationkey""".stripMargin
+  }
+
+  /** `graph_lpa`'s oracle: the same 4 synchronous label-propagation
+    * rounds as [[graft.operators.Graph.lpa]] unrolled into CTEs. The
+    * per-node (max count, min label) argmax is the identical order
+    * embedding into one BIGINT (packed = c·2^32 + (2^32−1−lbl)) — all
+    * integer, so the iterative query hash-matches exactly. */
+  private val LpaOracleSql: String = {
+    val m = graft.operators.Graph.LpaPack
+    val m1 = m - 1
+    val rounds = (1 to 4).map { k =>
+      s"""v$k AS (SELECT e.node, l.lbl, count(*) AS c
+         |  FROM und e JOIN l${k - 1} l ON e.nbr = l.node GROUP BY 1, 2),
+         |l$k AS (SELECT node,
+         |  CAST($m1 - (max(c * $m + ($m1 - lbl)) % $m) AS BIGINT) AS lbl
+         |  FROM v$k GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS (SELECT u AS node, v AS nbr FROM pairs
+       |        UNION ALL SELECT v, u FROM pairs),
+       |l0 AS (SELECT DISTINCT node, CAST(node AS BIGINT) AS lbl FROM und),
+       |$rounds,
+       |sz AS (SELECT lbl, count(*) AS community_size FROM l4 GROUP BY 1)
+       |SELECT node AS part_id, lbl AS community, community_size
+       |FROM l4 JOIN sz USING (lbl) ORDER BY part_id""".stripMargin
   }
 
   /** The minhash band CTEs (documents → (doc_id, band, band_hash)) every
@@ -909,6 +950,15 @@ object SparkEntry {
         |WHERE 9 * n_inter >= 4 * (sa.n + sb.n)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the naive pairwise form the symmetric-delete signatures avoid —
+    // same integer Levenshtein DP on both engines
+    "dedup_edit_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_ngram_df_hist" ->
       """WITH g0 AS (SELECT doc_id, text, unnest(range(len(text) - 4)) AS i
         |            FROM documents WHERE len(text) >= 5),
@@ -1332,6 +1382,37 @@ object SparkEntry {
         |  UNION ALL SELECT b FROM t
         |  UNION ALL SELECT c FROM t)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_lpa" -> LpaOracleSql,
+
+    // the naive O(n²) dominance anti-join the distributed sweep avoids;
+    // comparisons only, no arithmetic → exact on doubles
+    "q36_skyline" ->
+      """SELECT p_partkey, p_retailprice, CAST(p_size AS INT) AS p_size
+        |FROM part a
+        |WHERE NOT EXISTS (SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "table_diff" ->
+      """WITH va AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 4),
+        |vb AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT COALESCE(va.o_orderkey, vb.o_orderkey) AS o_orderkey,
+        |  CASE WHEN va.o_orderkey IS NULL THEN 'added'
+        |       WHEN vb.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'updated' END AS change_type,
+        |  va.o_totalprice AS old_price, vb.o_totalprice AS new_price
+        |FROM va FULL JOIN vb ON va.o_orderkey = vb.o_orderkey
+        |WHERE va.o_orderkey IS NULL OR vb.o_orderkey IS NULL
+        |   OR va.o_totalprice <> vb.o_totalprice
+        |   OR va.o_orderstatus <> vb.o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
 
     // z-interleave + min-max normalization generated by the same
     // Maintenance builders the Spark plan parses — only the shift and

@@ -1110,4 +1110,56 @@ object Dedup {
       .filter($"cos_sim" >= 0.45)
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** EDIT-DISTANCE SIMILARITY JOIN (entity-resolution shape): every
+    * customer-name pair within Levenshtein distance ≤ 1, found WITHOUT
+    * the naive |n|² comparison via symmetric-delete signatures (the
+    * SymSpell family): sig(x) = {x} ∪ {x with one character deleted}.
+    * For k = 1 the filter is a PROVEN superset — any single edit between
+    * a and b is witnessed by a shared signature (substitution at i:
+    * both sides delete position i; insert/delete: the shorter string IS
+    * a deletion of the longer; equality: the identity signature) — so,
+    * like [[jaccardPrefix]], there is no recall dial: sharing a
+    * signature is necessary, exact `levenshtein` (codegen'd on Spark,
+    * built-in on DuckDB, same integer DP) is sufficient.
+    *
+    * Scale shapes: |x|+1 signatures per string (bounded by name length,
+    * NOT corpus size) carried as 60-bit hashes ([[h60]] — collisions
+    * only add candidates, the exact verify removes them); candidates =
+    * Σ_sig df² where a signature's df counts only strings within one
+    * edit of each other — the join is OUTPUT-bound, never |n|²-bound.
+    * The one corpus exchange is the signature self-join; the pair
+    * distinct and the verify run on candidate ids only. k = 2 would
+    * square the signature count per string (the documented dial);
+    * prefix-partition families (PassJoin) are the published route past
+    * that. */
+  def editJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = s.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey".as("id"), $"c_name".as("nm"))
+
+    // {x} ∪ one-char deletions, de-duplicated per string (a run of equal
+    // characters yields equal deletion strings), hashed to 8 B each
+    val sigs = ckptHinted(
+      c.select($"id", explode(expr(
+          "array_distinct(concat(array(nm), " +
+          "transform(sequence(1, length(nm)), " +
+          "i -> concat(substring(nm, 1, i - 1), substring(nm, i + 1)))))"))
+          .as("sig"))
+        .select($"id", expr(h60("sig")).as("sg")))
+
+    val cand = sigs.as("a").join(sigs.as("b"),
+        $"a.sg" === $"b.sg" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .distinct()
+
+    val names = ckptHinted(c)
+    cand
+      .join(names.as("na"), $"id_a" === $"na.id")
+      .join(names.as("nb"), $"id_b" === $"nb.id")
+      .select($"id_a", $"id_b",
+        levenshtein($"na.nm", $"nb.nm").cast("long").as("dist"))
+      .filter($"dist" <= 1)
+      .orderBy($"id_a", $"id_b")
+  }
 }

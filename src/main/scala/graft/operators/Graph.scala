@@ -151,4 +151,63 @@ object Graph {
       .groupBy($"part_id").agg(count(lit(1)).as("n_triangles"))
       .orderBy($"part_id")
   }
+
+  /** Label bound for [[lpa]]'s packed argmax: labels are node ids and
+    * stay below 2^32; votes stay below 2^30 (bounded by degree). */
+  val LpaPack = 4294967296L // 2^32
+
+  /** COMMUNITY DETECTION by synchronous label propagation (LPA), four
+    * fixed rounds, over the same support ≥ 2 part co-purchase graph as
+    * [[triangles]]: each node starts labeled with its own id and each
+    * round adopts the most frequent label among its neighbors (ties →
+    * smallest label, the deterministic convention BOTH engines encode
+    * identically).
+    *
+    * The per-node argmax is an ORDER EMBEDDING into one BIGINT instead
+    * of a ranking window: packed = c·2^32 + (2^32 − 1 − lbl), so
+    * max(packed) IS (max count, then min label) and each round costs two
+    * partial-aggregated hash shuffles — (node, lbl) vote counts, then
+    * the node argmax — with zero sort. Like [[pagerank]], every step is
+    * 64-bit integer arithmetic (count, multiply, add, mod), so a 4-deep
+    * iterative query hash-matches the oracle's unrolled CTEs exactly;
+    * headroom: c < 2^30, lbl < 2^32 ⇒ packed < 2^62.
+    *
+    * Scale shape: the undirected edge relation is built once and cached;
+    * the label state is strictly node-sized and is the small join side
+    * every round (AQE broadcasts it at these scales; at web scale it
+    * co-partitions with the edges on nbr). Synchronous min-tie LPA can
+    * oscillate on bipartite structure — a FIXED round count (the
+    * published convention for the sync variant) keeps the operator
+    * deterministic rather than fixpoint-dependent. */
+  def lpa(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    import s.implicits._
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+
+    val pairs = li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"u", $"v")
+    val und = Dedup.tracked(
+      pairs.select($"u".as("node"), $"v".as("nbr"))
+        .unionAll(pairs.select($"v".as("node"), $"u".as("nbr"))))
+
+    var lbl = und.select($"node").distinct()
+      .select($"node", $"node".cast("long").as("lbl"))
+    for (_ <- 1 to iters) {
+      lbl = und
+        .join(lbl.select($"node".as("n2"), $"lbl"), $"nbr" === $"n2")
+        .groupBy($"node", $"lbl").agg(count(lit(1)).as("c"))
+        .groupBy($"node")
+        .agg(expr(s"cast(${LpaPack - 1} - " +
+          s"(max(c * $LpaPack + (${LpaPack - 1} - lbl)) % $LpaPack) as bigint)")
+          .as("lbl"))
+    }
+    val sz = lbl.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
+    lbl.join(sz, "lbl")
+      .select($"node".as("part_id"), $"lbl".as("community"), $"community_size")
+      .orderBy($"part_id")
+  }
 }

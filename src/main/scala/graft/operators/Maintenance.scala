@@ -390,6 +390,44 @@ object Maintenance {
     out
   }
 
+  /** KEYED SNAPSHOT DIFF — the audit/validation operator every
+    * table-maintenance family needs: classify each key across two
+    * snapshot versions as added / removed / updated (unchanged rows are
+    * filtered — at warehouse scale they are the overwhelming majority
+    * and carry no signal). The two versions are derived deterministically
+    * from the orders table (version A drops keys ≡ 4 mod 5; version B
+    * drops keys ≡ 0 mod 5 and bumps the price on keys ≡ 0 mod 3), so
+    * both engines construct identical inputs — the +1.0 bump is a single
+    * IEEE add, bit-identical everywhere.
+    *
+    * Plan shape: one co-partitioned full-outer sort-merge join on the
+    * key — both sides shuffle exactly once (zero times on bucketed
+    * tables); classification and the unchanged-filter are narrow
+    * projections over the join output. Nothing is ever collected; the
+    * diff of two 100 TB snapshots is one SMJ. */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    val va = o.filter($"o_orderkey" % 5 =!= 4)
+    val vb = o.filter($"o_orderkey" % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 3 === 0, $"o_totalprice" + lit(1.0))
+          .otherwise($"o_totalprice"))
+    va.as("a").join(vb.as("b"), $"a.o_orderkey" === $"b.o_orderkey", "full_outer")
+      .select(
+        coalesce($"a.o_orderkey", $"b.o_orderkey").as("o_orderkey"),
+        when($"a.o_orderkey".isNull, lit("added"))
+          .when($"b.o_orderkey".isNull, lit("removed"))
+          .when($"a.o_totalprice" =!= $"b.o_totalprice" ||
+                $"a.o_orderstatus" =!= $"b.o_orderstatus", lit("updated"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        $"a.o_totalprice".as("old_price"),
+        $"b.o_totalprice".as("new_price"))
+      .filter($"change_type" =!= "unchanged")
+      .orderBy($"o_orderkey")
+  }
+
   /** Attach normalized interleave inputs xn/yn. The key bounds come from
     * one min/max aggregation (at warehouse scale: footer/metadata-cheap,
     * one short job) broadcast-joined onto the scan — the same integer

@@ -817,4 +817,58 @@ object Relational {
       .select($"event_id", $"event_type", $"value", $"med", $"mad")
       .orderBy($"event_id")
   }
+
+  /** 2D SKYLINE (Pareto frontier) of parts on (p_retailprice MINIMIZE,
+    * p_size MAXIMIZE): a part survives iff no other part is at-most-as-
+    * expensive AND at-least-as-large with at least one strict — the
+    * classic multi-criteria "best offers" operator. The naive form is an
+    * O(n²) dominance anti-join; the sorted 2D form is a linear sweep,
+    * and the sweep DISTRIBUTES because skylines compose: skyline(A ∪ B)
+    * = skyline(skyline(A) ∪ skyline(B)) (dominance is transitive, so a
+    * locally-dominated point is globally dominated by the same witness's
+    * local survivor).
+    *
+    * Plan: one range-repartition on price (the only corpus exchange —
+    * it doubles as the sort's clustering; equal prices co-locate, so a
+    * later partition is STRICTLY more expensive than every earlier one),
+    * a per-partition price-asc/size-desc sweep (mapPartitions — genuine
+    * imperative per-partition state: two ints), then the SAME sweep over
+    * the union of per-partition frontiers, a relation bounded by the
+    * frontier sizes, never the corpus. Ties: equal (price, size)
+    * duplicates dominate nothing strictly, so ALL survive — both the
+    * sweep (size == groupMax) and the oracle's NOT EXISTS agree.
+    * Comparisons only, no arithmetic → hash-exact on doubles. */
+  def q36Skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = t(s, dir, "part")
+      .select($"p_partkey".cast("long"), $"p_retailprice".cast("double"),
+        $"p_size".cast("int"))
+      .as[(Long, Double, Int)]
+
+    // rows arrive sorted (price asc, size desc); survivors are rows whose
+    // price-group max size strictly exceeds every strictly-cheaper row's
+    // size, plus exact duplicates of a surviving (price, size) point
+    def sweep(it: Iterator[(Long, Double, Int)]): Iterator[(Long, Double, Int)] = {
+      var runMax = Int.MinValue // max size among strictly cheaper prices
+      var curPrice = Double.NaN
+      var groupMax = Int.MinValue
+      it.flatMap { case r @ (_, price, size) =>
+        if (!(price == curPrice)) { // new price group (NaN != NaN seeds it)
+          runMax = math.max(runMax, groupMax)
+          curPrice = price
+          groupMax = size
+        }
+        if (size == groupMax && groupMax > runMax) Some(r) else None
+      }
+    }
+
+    val local = p.repartitionByRange(8, $"p_retailprice")
+      .sortWithinPartitions($"p_retailprice", $"p_size".desc)
+      .mapPartitions(sweep)
+    local.repartition(1)
+      .sortWithinPartitions($"_2", $"_3".desc)
+      .mapPartitions(sweep)
+      .toDF("p_partkey", "p_retailprice", "p_size")
+      .orderBy($"p_partkey")
+  }
 }

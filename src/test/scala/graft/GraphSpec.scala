@@ -41,6 +41,51 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("lpa: hand-computed communities on a triangle plus an oscillating pair") {
+    import spark.implicits._
+    // support ≥ 2 edges need each pair co-purchased in TWO orders; build
+    // K3 on {1,2,3} and an isolated edge {10,11}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+    val li = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((2L * i, u), (2L * i, v), (2L * i + 1, u), (2L * i + 1, v))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("lpa").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // hand-run of 4 sync min-tie rounds: K3 collapses to label 1 by
+    // round 3; the pair {10,11} swaps labels each round (the documented
+    // sync-LPA oscillation) and lands on identity after an even count
+    val got = Graph.lpa(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+                      (10L, 10L, 1L), (11L, 11L, 1L)))
+  }
+
+  test("lpa: labels are node ids and never cross connected components") {
+    import spark.implicits._
+    val out = Graph.lpa(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.nonEmpty)
+    // every community label is itself a node of the graph
+    assert(out.values.toSet.subsetOf(out.keySet))
+    // a node's label must be reachable from it (same component): check
+    // via union-find over the re-derived gated edge set
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+    val edges = li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .count().filter($"count" >= 2)
+      .select($"u".as[Long], $"v".as[Long]).collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((u, v) <- edges) parent(find(u)) = find(v)
+    assert(out.forall { case (node, lbl) => find(node) == find(lbl) })
+  }
+
   test("triangles: degree-oriented counts match a naive id-ordered enumeration") {
     import spark.implicits._
     // re-derive the gated edge set and count triangles the obvious way

@@ -241,4 +241,34 @@ class MaintenanceSpec extends AnyFunSuite {
       .contains(("R", "F")))
     assert(rows.forall(_.getAs[Long]("n_rows") > 0))
   }
+
+  test("tableDiff: classification matches the snapshot construction exactly") {
+    val rows = Maintenance.tableDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the derived versions make class membership a pure key property:
+    // added ⇔ key ≡ 4 (mod 5), removed ⇔ key ≡ 0 (mod 5),
+    // updated ⇔ key in both and ≡ 0 (mod 3); nothing else may appear
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val cls = r.getString(1)
+      val expect =
+        if (k % 5 == 4) "added"
+        else if (k % 5 == 0) "removed"
+        else if (k % 3 == 0) "updated"
+        else fail(s"unchanged key $k leaked into the diff")
+      assert(cls == expect, s"key $k classed $cls, expected $expect")
+      cls match {
+        case "added"   => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "removed" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "updated" =>
+          assert(r.getDouble(3) == r.getDouble(2) + 1.0) // the exact bump
+      }
+    }
+    // and the diff covers EVERY key the construction perturbs
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey").collect().map(_.getLong(0))
+    val expected = o.count(k =>
+      k % 5 == 4 || k % 5 == 0 || k % 3 == 0)
+    assert(rows.length == expected)
+  }
 }
