@@ -234,6 +234,9 @@ object SparkEntry {
     // 4-round synchronous LPA communities; per-node argmax as an order
     // embedding into one BIGINT (no ranking window), all-integer rounds
     "graph_lpa"           -> ((s, d) => Graph.lpa(s, d)),
+    // 3-core peeling, fixed rounds + fixpoint-or-throw; converged rounds
+    // are idempotent, which lets a fixed-depth oracle gate a fixpoint
+    "graph_kcore"         -> ((s, d) => Graph.kcore(s, d)),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
     // listing-free twin: routing + content reads driven by a (path,
@@ -351,6 +354,35 @@ object SparkEntry {
        |sz AS (SELECT lbl, count(*) AS community_size FROM l4 GROUP BY 1)
        |SELECT node AS part_id, lbl AS community, community_size
        |FROM l4 JOIN sz USING (lbl) ORDER BY part_id""".stripMargin
+  }
+
+  /** `graph_kcore`'s oracle: [[graft.operators.Graph.KcoreRounds]]
+    * peeling rounds unrolled into CTEs — each round recomputes degrees
+    * over surviving edges and keeps edges whose BOTH endpoints still
+    * clear k = 3. The Spark side throws if the fixpoint needs more
+    * rounds, and a converged round is a no-op, so fixed depth ≡
+    * fixpoint. */
+  private val KcoreOracleSql: String = {
+    // every e_i is referenced 3× by round i+1 — WITHOUT `MATERIALIZED`,
+    // DuckDB's CTE inlining expands the chain 3^rounds times and dies
+    // on file handles before it dies on CPU
+    val rounds = (1 to graft.operators.Graph.KcoreRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY 1),
+         |g$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM g$i) AND v IN (SELECT node FROM g$i))""".stripMargin
+    }.mkString(",\n")
+    val last = s"e${graft.operators.Graph.KcoreRounds}"
+    s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$rounds
+       |SELECT node AS part_id, count(*) AS core_degree FROM (
+       |  SELECT u AS node FROM $last UNION ALL SELECT v FROM $last)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** The minhash band CTEs (documents → (doc_id, band, band_hash)) every
@@ -1384,6 +1416,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "graph_lpa" -> LpaOracleSql,
+
+    "graph_kcore" -> KcoreOracleSql,
 
     // the naive O(n²) dominance anti-join the distributed sweep avoids;
     // comparisons only, no arithmetic → exact on doubles

@@ -210,4 +210,76 @@ object Graph {
       .select($"node".as("part_id"), $"lbl".as("community"), $"community_size")
       .orderBy($"part_id")
   }
+
+  /** Peeling rounds for [[kcore]] — FIXED so the oracle can unroll the
+    * same depth; the operator throws if the fixpoint needs more (the
+    * [[Dedup.components]] fixpoint-or-throw convention: a silently
+    * unconverged answer is worse than a loud one). */
+  val KcoreRounds = 12
+
+  /** K-CORE DECOMPOSITION (k = 3) of the support ≥ 2 co-purchase graph:
+    * iteratively peel nodes of degree < k until the remaining subgraph
+    * (the k-core) is stable — the standard graph-curation gate (the
+    * k-core is where community/triangle signal lives; the peeled fringe
+    * is noise). Output: each surviving node with its within-core degree.
+    *
+    * Peeling is the textbook cascade: removing a weak node can drop a
+    * neighbor below k, so the loop re-derives degrees over SURVIVING
+    * edges each round and semi-joins the edge relation on both
+    * endpoints against the still-good node set. Each round is one
+    * partial-agged degree exchange plus two semi-joins against the
+    * node-sized good set (AQE broadcasts it); the surviving edge
+    * relation is localCheckpointed per round ([[Dedup.components]]'
+    * lineage discipline — 12 rounds of stacked joins would otherwise
+    * compound the plan). Rounds are FIXED at [[KcoreRounds]] with a
+    * fixpoint-or-throw tail: counting, joining and comparing integers
+    * only, so the whole iterative result is hash-gated against the
+    * oracle's unrolled CTEs. A converged round is idempotent — extra
+    * unrolled rounds are no-ops, which is what lets a fixed-depth
+    * oracle gate a fixpoint computation. */
+  def kcore(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+
+    var edges = li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"u", $"v")
+
+    def degrees(e: DataFrame): DataFrame =
+      e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+
+    // edges only ever shrink, so an unchanged count IS the fixpoint —
+    // the remaining fixed rounds would be no-ops (the same idempotence
+    // the fixed-depth oracle relies on), so skipping them cannot change
+    // the result, only the wall clock
+    var prev = -1L
+    var converged = false
+    var round = 0
+    while (round < KcoreRounds && !converged) {
+      val good = degrees(edges).filter($"deg" >= k).select($"node")
+      edges = Dedup.trackCheckpoint(
+        edges
+          .join(good.select($"node".as("gu")), $"u" === $"gu", "left_semi")
+          .join(good.select($"node".as("gv")), $"v" === $"gv", "left_semi")
+          .localCheckpoint())
+      val n = edges.count()
+      converged = n == prev
+      prev = n
+      round += 1
+    }
+    val fin = degrees(edges)
+    if (!converged) {
+      val stragglers = fin.filter($"deg" < k).count()
+      require(stragglers == 0L,
+        s"k-core peeling did not converge in $KcoreRounds rounds " +
+        s"($stragglers nodes still below degree $k) — raise KcoreRounds")
+    }
+    fin.select($"node".as("part_id"), $"deg".as("core_degree"))
+      .orderBy($"part_id")
+  }
 }

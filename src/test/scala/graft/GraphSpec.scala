@@ -86,6 +86,32 @@ class GraphSpec extends AnyFunSuite {
     assert(out.forall { case (node, lbl) => find(node) == find(lbl) })
   }
 
+  test("kcore: fixed-round peel equals a naive run-to-fixpoint peel") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+    var edges = li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .count().filter($"count" >= 2)
+      .select($"u".as[Long], $"v".as[Long]).collect().toSet
+    // naive: peel until NOTHING changes (no round bound at all)
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val next = edges.filter { case (u, v) => deg(u) >= 3 && deg(v) >= 3 }
+      changed = next != edges
+      edges = next
+    }
+    val want = edges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.kcore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    assert(got.values.forall(_ >= 3)) // the defining 3-core property
+  }
+
   test("triangles: degree-oriented counts match a naive id-ordered enumeration") {
     import spark.implicits._
     // re-derive the gated edge set and count triangles the obvious way
