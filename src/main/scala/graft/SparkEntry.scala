@@ -293,6 +293,11 @@ object SparkEntry {
     // full multimodal -> embed -> ANN chain over fixtures + real images
     "mm_embed_ann"    -> ((s, d) => Multimodal.assetNeighbors(
       s, Seq(DicomQueries.Fixtures, Multimodal.ensureImageFixtures()))),
+    // perceptual-hash (dHash) image near-dup: 8-band Hamming LSH join,
+    // lossless at distance ≤ 6, exact bit_count verify; rows-only (the
+    // hash embeds JVM ImageIO decode) — semantics pinned in PhashSpec
+    "mm_phash_neardup" -> ((s, d) => Multimodal.phashNearDup(
+      s, Seq(Multimodal.ensureImageFixtures(), Multimodal.ensurePhashFixtures()))),
   )
 
   /** `graph_pagerank`'s oracle: the fixed-point integer recurrence of

@@ -956,4 +956,145 @@ object Multimodal {
           v => round(v.cast("double"), 6))).as("embedding_json"))
       .orderBy($"path")
   }
+
+  /** 64-bit DIFFERENCE HASH (dHash) of an image: bilinear-downsample to
+    * a 9×8 grayscale canvas, then bit i = "pixel right of me is
+    * brighter" over the 8×8 adjacent-column comparisons. The standard
+    * cheap perceptual fingerprint: stable under rescaling, re-encoding
+    * (PNG↔BMP↔JPEG) and mild noise, far for structurally different
+    * images. Deterministic for a given JVM (same Graphics2D bilinear
+    * core as [[resample]]); None when no JDK codec claims the bytes. */
+  def dHash(content: Array[Byte]): Option[Long] =
+    scala.util.Try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+        g.dispose()
+        val d = out.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        var h = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if ((d(y * 9 + x + 1) & 0xff) > (d(y * 9 + x) & 0xff))
+              h |= (1L << bit)
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(h)
+      }
+    }.toOption.flatten
+
+  /** Deterministic fixtures for the perceptual-hash family: one SMOOTH
+    * low-frequency gradient rendered at two scales and three container
+    * formats (re-encode + rescale must land within the Hamming
+    * threshold), a lightly-perturbed copy (mild noise must too), and the
+    * INVERTED gradient (structurally different — must stay far). Smooth
+    * content is the point: the modular high-frequency pattern the other
+    * image fixtures use aliases under downsampling, which is exactly the
+    * instability dHash does not promise to survive. */
+  def ensurePhashFixtures(): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val names = Seq("smooth-a.png", "smooth-a.bmp", "smooth-small.png",
+      "smooth-noisy.png", "inverted.png")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-phash-fixtures")
+    if (!names.forall(n => Files.exists(dir.resolve(n)))) {
+      def smooth(w: Int, h: Int, invert: Boolean, noise: Boolean) = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val gx = x * 255 / (w - 1)
+            val r = if (invert) 255 - gx else gx
+            val gch = y * 255 / (h - 1)
+            val b = (gx + gch) / 2
+            // deterministic ±8 perturbation on a sparse pixel lattice
+            val dn = if (noise && (x * 31 + y * 17) % 97 == 0) 8 else 0
+            img.setRGB(x, y,
+              (math.min(255, r + dn) << 16) | (math.min(255, gch + dn) << 8) |
+                math.min(255, b + dn))
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      val stage = Files.createTempDirectory("graft-phash-stage")
+      try {
+        Files.createDirectories(dir)
+        def install(n: String, img: java.awt.image.BufferedImage, fmt: String): Unit = {
+          val tmp = stage.resolve(n)
+          javax.imageio.ImageIO.write(img, fmt, tmp.toFile)
+          try Files.move(tmp, dir.resolve(n), StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              if (!Files.exists(dir.resolve(n))) throw e
+          }
+        }
+        val a = smooth(240, 180, invert = false, noise = false)
+        install("smooth-a.png", a, "png")
+        install("smooth-a.bmp", a, "bmp")
+        install("smooth-small.png", smooth(120, 90, invert = false, noise = false), "png")
+        install("smooth-noisy.png", smooth(240, 180, invert = false, noise = true), "png")
+        install("inverted.png", smooth(240, 180, invert = true, noise = false), "png")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(stage).iterator().asScala.toSeq.reverse
+          .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+      }
+    }
+    dir.toString
+  }
+
+  /** PERCEPTUAL-HASH IMAGE NEAR-DUP — the multimodal twin of the
+    * minhash/simhash text family: dHash every decodable image, find
+    * pairs within Hamming distance ≤ 6 via an 8-band LSH join (8 bits
+    * per band; by pigeonhole 6 differing bits leave ≥ 2 of 8 bands
+    * intact, so banding is LOSSLESS at the threshold — the same
+    * no-recall-dial discipline as the text joins), then verify with the
+    * exact codegen'd `bit_count(a XOR b)`.
+    *
+    * Scale shapes: the hash is 8 bytes per asset regardless of image
+    * size; candidates = Σ_band-value df² — output-bound, the decode cost
+    * is one narrow scan. Rows-only (the hash embeds JVM ImageIO decode —
+    * no SQL oracle can reproduce it); PhashSpec pins the semantics:
+    * re-encode (PNG↔BMP) at distance 0, rescale and mild noise within
+    * the threshold, the inverted image excluded. */
+  def phashNearDup(s: SparkSession, dirs: Seq[String], maxDist: Int = 6): DataFrame = {
+    import s.implicits._
+    val hashUdf = udf((content: Array[Byte]) => dHash(content))
+    val hashed = Dedup.tracked(
+      loadAssets(s, dirs)
+        .select($"path", hashUdf($"content").as("h"))
+        .filter($"h".isNotNull))
+
+    val bands = hashed.select($"path",
+        posexplode(expr("transform(sequence(0, 7), " +
+          "i -> (shiftright(h, i * 8) & 255))")).as(Seq("band", "bits")))
+    // pairs sharing several bands dedup BEFORE the verify touches them
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+        $"a.path" < $"b.path")
+      .select($"a.path".as("path_a"), $"b.path".as("path_b"))
+      .distinct()
+    cand
+      .join(hashed.select($"path".as("path_a"), $"h".as("ha")), "path_a")
+      .join(hashed.select($"path".as("path_b"), $"h".as("hb")), "path_b")
+      .select($"path_a", $"path_b",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .filter($"hamming" <= maxDist)
+      .orderBy($"path_a", $"path_b")
+  }
 }
