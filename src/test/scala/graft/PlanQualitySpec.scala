@@ -270,4 +270,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1 &&
            !p.contains("CartesianProduct"))
   }
+
+  test("edit join: broadcast signature self-join, no cartesian, no sort-merge") {
+    val p = plan("dedup_edit_join")
+    // ckptHinted signatures broadcast at fixture scale; the candidate
+    // generator must be an equi-join on the hash, never a product
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("skyline: range partition is the only corpus exchange; no Window") {
+    val p = plan("q36_skyline")
+    // the sweep replaces the naive dominance join AND the global-window
+    // spelling — neither may appear
+    assert(!p.contains("Window"), "sweep must not plan as a window")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "skyline must not join anything")
+    assert(p.contains("rangepartitioning"), "local pass needs the range sort")
+  }
+
+  test("lpa: windowless argmax — no Window, no sort in the rounds") {
+    val p = plan("graph_lpa")
+    assert(!p.contains("Window"), "packed argmax must not plan as a ranking window")
+    assert(!p.contains("CartesianProduct"))
+    // two HashAggregates per round (votes + argmax) + edge build + size
+    assert("HashAggregate".r.findAllIn(p).length >= 8)
+  }
 }
