@@ -262,6 +262,10 @@ object SparkEntry {
     // min lower id sharing an LSH bucket — same band SQL as the batch
     // minhash family in the oracle
     "stream_neardup_filter" -> (StreamQueries.streamNearDup _),
+    // online symmetric-delete edit-distance filter: one (owner id, owner
+    // name) per live signature, exact Levenshtein check against the
+    // owner; the owner-check contract has a closed-form SQL oracle
+    "stream_editdup_filter" -> (StreamQueries.streamEditDup _),
     // the TTL twin: bucket state expires horizon-of-event-time after its
     // newest member (absolute state bound); the drain horizon exceeds the
     // corpus span so the gate result — and oracle — match the NoTimeout
@@ -1842,6 +1846,24 @@ object SparkEntry {
     // single-batch drain ⇒ first-owner-wins == "min lower id sharing any
     // LSH band bucket" — the same band CTEs as the batch minhash oracle
     "stream_neardup_filter" -> NearDupStreamOracleSql,
+
+    // the online owner-check contract stated verbatim: owner(sig) =
+    // min id carrying sig; dup_of = min owner within distance <= 1
+    "stream_editdup_filter" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+        |dels AS (SELECT id, nm, unnest(range(1, len(nm) + 1)) AS i FROM c),
+        |sigs AS (SELECT DISTINCT id, sig FROM (
+        |  SELECT id, nm AS sig FROM c
+        |  UNION ALL
+        |  SELECT id, substr(nm, 1, CAST(i AS INT) - 1) ||
+        |             substr(nm, CAST(i AS INT) + 1) AS sig FROM dels)),
+        |own AS (SELECT sig, min(id) AS owner FROM sigs GROUP BY 1),
+        |hits AS (SELECT s.id, o.owner
+        |  FROM sigs s JOIN own o USING (sig)
+        |  JOIN c a ON a.id = s.id JOIN c b ON b.id = o.owner
+        |  WHERE o.owner < s.id AND levenshtein(a.nm, b.nm) <= 1)
+        |SELECT id AS doc_id, min(owner) AS dup_of
+        |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // identical statement: the TTL drain's horizon exceeds the corpus
     // event-time span, so nothing expires in the finite gate drain

@@ -913,4 +913,107 @@ object StreamQueries {
         .orderBy($"win_start"),
       dropView = Some(name), deleteDirs = Seq(in))
   }
+
+  case class SigRow(id: Long, nm: String, sig: String)
+  case class EditDupHit(doc_id: Long, dup_of: Long)
+
+  /** Exact unit-cost Levenshtein — the same DP Spark's `levenshtein`
+    * and DuckDB's compute, rewritten here because the state-update
+    * function runs as plain Scala on the executor. */
+  private[graft] def lev(a: String, b: String): Int = {
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var j = 0
+    while (j <= b.length) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      j = 1
+      while (j <= b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        j += 1
+      }
+      Array.copy(cur, 0, prev, 0, b.length + 1)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** STREAMING EDIT-DISTANCE DEDUP FILTER — the online twin of
+    * [[graft.operators.Dedup.editJoin]], with the same state discipline
+    * as [[streamNearDup]]: one owner per live SIGNATURE (symmetric-
+    * delete: the name plus its one-char deletions), first owner wins.
+    * Each later arrival sharing a signature is checked against that
+    * owner with the EXACT Levenshtein DP (the state holds the owner's
+    * name — 2 strings per live signature) and reports (id, owner) only
+    * within distance 1; the drain folds hits to min(owner) per id.
+    *
+    * The operator's contract is deliberately the ONLINE one — "checked
+    * against each signature's first owner", not "against every prior
+    * name" (which would need unbounded per-signature state) — and that
+    * contract has a closed form the DuckDB oracle states verbatim:
+    * owner(sig) = min id carrying sig; dup_of(id) = min over shared
+    * sigs of owner within distance ≤ 1. In a single AvailableNow batch
+    * each signature group processes id-sorted, so the drain equals that
+    * SQL exactly; a signature owned by a COLLIDING non-match (shared
+    * sig, distance 2 — e.g. transposed neighbors) hides later true
+    * matches behind it in BOTH spellings, which is the documented
+    * online-approximation gap vs the batch join. State keys are the
+    * signature STRINGS (not hashes): collisions would merge buckets and
+    * silently diverge from the string-keyed oracle. */
+  def streamEditDup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val (in, name) = stageInput(s, dir, "customer.parquet", "editdup")
+    val schema = s.read.parquet(s"$dir/customer.parquet").schema
+    editDupDrain(s, s.readStream.schema(schema).parquet(in.toString),
+      name, deleteDirs = Seq(in))
+  }
+
+  /** The signatures→owner-state→drain core of [[streamEditDup]], taking
+    * any streaming customer frame — exposed so EditDupStreamSpec can
+    * drive it one file per trigger and pin the cross-batch first-seen
+    * semantics. */
+  private[graft] def editDupDrain(s: SparkSession, stream: DataFrame,
+      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = {
+    import s.implicits._
+    def update(key: String, rows: Iterator[SigRow],
+               state: GroupState[(Long, String)]): Iterator[EditDupHit] = {
+      val arr = rows.toSeq.sortBy(_.id)
+      var (ownerId, ownerNm) = state.getOption.getOrElse((Long.MaxValue, ""))
+      val out = Seq.newBuilder[EditDupHit]
+      arr.foreach { r =>
+        if (r.id < ownerId) { ownerId = r.id; ownerNm = r.nm }
+        else if (r.id > ownerId && lev(r.nm, ownerNm) <= 1)
+          out += EditDupHit(r.id, ownerId)
+      }
+      state.update((ownerId, ownerNm))
+      out.result().iterator
+    }
+
+    val q = withRocksDbState(s) {
+      stream
+        .select($"c_custkey".as("id"), $"c_name".as("nm"),
+          explode(expr(
+            "array_distinct(concat(array(c_name), " +
+            "transform(sequence(1, length(c_name)), " +
+            "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))))"))
+            .as("sig"))
+        .as[SigRow]
+        .groupByKey(_.sig)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    materializeAndRelease(s,
+      s.table(name)
+        .groupBy($"doc_id")
+        .agg(min($"dup_of").as("dup_of"))
+        .orderBy($"doc_id"),
+      dropView = Some(name), deleteDirs = deleteDirs)
+  }
 }
