@@ -147,6 +147,12 @@ object SparkEntry {
     // order statistics (no interpolation) so the gate is ulp-free; the
     // GK-sketch family (q35) is the 100 TB route this anchors
     "events_outliers"      -> (Relational.eventsOutliers _),
+    // first-order Markov transition matrix: one user_id exchange for the
+    // lead() window, denominators on the types²-sized pair relation
+    "events_transitions"   -> (Relational.eventsTransitions _),
+    // time-weighted average value per user: integer cent·second sums
+    // (float Σ v·Δt is order-sensitive, never hash-portable)
+    "events_twap"          -> (Relational.eventsTwap _),
     // 24h rolling count/cent-sum per user: one sort, one Window, both
     // features share the RANGE frame; integer sums only (sliding double
     // sums ulp-diverge between engines)
@@ -1370,6 +1376,34 @@ object SparkEntry {
         |FROM ad a JOIN mad m USING (event_type)
         |WHERE a.ad > 3 * m.mad
         |ORDER BY event_id""".stripMargin,
+
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id
+        |  FROM events),
+        |nx AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |    AS next_type FROM e),
+        |cnt AS (SELECT event_type, next_type, count(*) AS n
+        |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 4)
+        |    AS p
+        |FROM cnt ORDER BY event_type, next_type""".stripMargin,
+
+    "events_twap" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, cents,
+        |  (lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |    - ts_ns) // 1000000000 AS dt_s FROM e),
+        |agg AS (SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dt_s) AS BIGINT) AS total_seconds,
+        |  CAST(sum(cents * dt_s) AS BIGINT) AS cent_seconds
+        |  FROM d WHERE dt_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals, total_seconds,
+        |  round(CAST(cent_seconds AS DOUBLE) / total_seconds / 100.0, 4)
+        |    AS twap
+        |FROM agg WHERE total_seconds > 0 ORDER BY user_id""".stripMargin,
 
     "stream_quantiles" ->
       """WITH e AS (SELECT epoch_ns(ts) AS ts_ns, value FROM events),

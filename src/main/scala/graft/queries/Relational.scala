@@ -818,6 +818,64 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** EVENT-TYPE TRANSITION MATRIX (first-order Markov estimate): for
+    * every (from, to) event-type pair, how often a user's next event is
+    * `to` given the current is `from`, with the row-conditional
+    * probability. The sequencing shape every behavioral pipeline needs
+    * (next-action prediction features, funnel discovery).
+    *
+    * Plan: ONE user_id exchange carries the lead() window (ordered by
+    * (ts_ns, event_id) — the id tiebreak makes simultaneous events
+    * deterministic on both engines); the transition counts partial-
+    * aggregate map-side, and the conditional denominator is a window
+    * over the TYPE-PAIR relation (types² rows at any corpus size).
+    * Counts are integers; the probability is one division rounded at 4,
+    * the [[q16Subquery]] convention. */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val cnt = eventsNs(s, dir)
+      .select($"user_id", $"event_type", $"ts_ns", $"event_id")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+    cnt
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"event_type")), 4))
+      .orderBy($"event_type", $"next_type")
+  }
+
+  /** TIME-WEIGHTED AVERAGE VALUE per user (the billing/monitoring
+    * integral): each event's value holds until the user's next event;
+    * twap = Σ value·Δt / Σ Δt over the user's observed span. All
+    * arithmetic integer until the final division — values quantized to
+    * cents by the shared portable rule (floor(v·100 + 0.5), the
+    * [[Maintenance.cdcMerge]] convention), gaps to whole seconds
+    * (truncating div — sub-second gaps contribute zero, identically on
+    * both engines). Float Σ v·Δt would be summation-order-sensitive and
+    * could never hash-gate; 2^27 cents × 2^20 s keeps every term under
+    * 2^47. One user_id exchange shared by the lead() window and the
+    * per-user rollup. */
+  def eventsTwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsNs(s, dir)
+      .select($"user_id", $"ts_ns", $"event_id",
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .withColumn("dt_s",
+        expr("(lead(ts_ns, 1) over (partition by user_id order by ts_ns, event_id) - ts_ns) div 1000000000"))
+      .filter($"dt_s".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"dt_s").as("total_seconds"),
+        sum($"cents" * $"dt_s").as("cent_seconds"))
+      .filter($"total_seconds" > 0)
+      .select($"user_id", $"n_intervals", $"total_seconds",
+        round($"cent_seconds".cast("double") / $"total_seconds" / 100.0, 4)
+          .as("twap"))
+      .orderBy($"user_id")
+  }
+
   /** 2D SKYLINE (Pareto frontier) of parts on (p_retailprice MINIMIZE,
     * p_size MAXIMIZE): a part survives iff no other part is at-most-as-
     * expensive AND at-least-as-large with at least one strict — the
