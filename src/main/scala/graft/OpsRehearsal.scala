@@ -71,7 +71,10 @@ object OpsRehearsal {
   }
 
   private def ensureX10(s: SparkSession, dir: String): Unit = {
-    val ok = java.nio.file.Paths.get(dir, "_REHEARSAL_OK")
+    // versioned marker (the ScaleRehearsal convention): bump the suffix
+    // whenever the construction below changes, or a stale cached corpus
+    // would silently feed the recorded growth ratios
+    val ok = java.nio.file.Paths.get(dir, "_REHEARSAL_OK_V1")
     if (java.nio.file.Files.exists(ok)) return
     val reps = broadcast(s.range(10).select(col("id").as("rep")))
 

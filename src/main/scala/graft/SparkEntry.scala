@@ -351,7 +351,8 @@ object SparkEntry {
   private val LpaOracleSql: String = {
     val m = graft.operators.Graph.LpaPack
     val m1 = m - 1
-    val rounds = (1 to 4).map { k =>
+    val r = graft.operators.Graph.LpaRounds
+    val rounds = (1 to r).map { k =>
       s"""v$k AS (SELECT e.node, l.lbl, count(*) AS c
          |  FROM und e JOIN l${k - 1} l ON e.nbr = l.node GROUP BY 1, 2),
          |l$k AS (SELECT node,
@@ -366,9 +367,9 @@ object SparkEntry {
        |        UNION ALL SELECT v, u FROM pairs),
        |l0 AS (SELECT DISTINCT node, CAST(node AS BIGINT) AS lbl FROM und),
        |$rounds,
-       |sz AS (SELECT lbl, count(*) AS community_size FROM l4 GROUP BY 1)
+       |sz AS (SELECT lbl, count(*) AS community_size FROM l$r GROUP BY 1)
        |SELECT node AS part_id, lbl AS community, community_size
-       |FROM l4 JOIN sz USING (lbl) ORDER BY part_id""".stripMargin
+       |FROM l$r JOIN sz USING (lbl) ORDER BY part_id""".stripMargin
   }
 
   /** `graph_kcore`'s oracle: [[graft.operators.Graph.KcoreRounds]]

@@ -1133,19 +1133,25 @@ object Dedup {
     * square the signature count per string (the documented dial);
     * prefix-partition families (PassJoin) are the published route past
     * that. */
+  /** {x} ∪ one-char deletions, de-duplicated per string (a run of equal
+    * characters yields equal deletion strings) — THE symmetric-delete
+    * signature set, shared with [[graft.queries.StreamQueries]]'
+    * streaming filter (and mirrored by both DuckDB oracles) so the
+    * batch join, the online filter and their gates can never compute
+    * different signatures. */
+  private[graft] def deletionSigExpr(col: String): String =
+    s"array_distinct(concat(array($col), " +
+    s"transform(sequence(1, length($col)), " +
+    s"i -> concat(substring($col, 1, i - 1), substring($col, i + 1)))))"
+
   def editJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = s.read.parquet(s"$dir/customer.parquet")
       .select($"c_custkey".as("id"), $"c_name".as("nm"))
 
-    // {x} ∪ one-char deletions, de-duplicated per string (a run of equal
-    // characters yields equal deletion strings), hashed to 8 B each
+    // signatures carried as 8 B hashes (collisions only add candidates)
     val sigs = ckptHinted(
-      c.select($"id", explode(expr(
-          "array_distinct(concat(array(nm), " +
-          "transform(sequence(1, length(nm)), " +
-          "i -> concat(substring(nm, 1, i - 1), substring(nm, i + 1)))))"))
-          .as("sig"))
+      c.select($"id", explode(expr(deletionSigExpr("nm"))).as("sig"))
         .select($"id", expr(h60("sig")).as("sg")))
 
     val cand = sigs.as("a").join(sigs.as("b"),

@@ -113,20 +113,9 @@ object Graph {
     * carry no signal and would dominate the sparse regimes). */
   def triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
-      .select($"l_orderkey", $"l_partkey")
-
     // undirected edge relation, one row per (u < v) pair with support ≥ 2
-    val edges = Dedup.tracked(
-      li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
-        .filter($"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter($"w" >= 2)
-        .select($"u", $"v"))
-
-    val deg = edges.select($"u".as("node")).unionAll(edges.select($"v"))
-      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val edges = Dedup.tracked(coPurchaseEdges(s, dir))
+    val deg = degreesOf(edges)
 
     // orient low-(deg, id) -> high-(deg, id)
     val du = deg.select($"node".as("u"), $"deg".as("du"))
@@ -156,6 +145,34 @@ object Graph {
     * stay below 2^32; votes stay below 2^30 (bounded by degree). */
   val LpaPack = 4294967296L // 2^32
 
+  /** Round count shared by [[lpa]] and its unrolled-CTE oracle — one
+    * constant so operator and gate can never unroll different depths
+    * (the [[KcoreRounds]] convention). */
+  val LpaRounds = 4
+
+  /** The support ≥ 2 co-purchase edge relation (u < v, one row per
+    * pair) every graph operator here is defined over — shared so
+    * [[triangles]], [[lpa]] and [[kcore]] (and their oracles, which
+    * state the same CTE) can never drift onto different graphs. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+    li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"u", $"v")
+  }
+
+  /** Per-node degree over an (u, v) edge relation. */
+  private def degreesOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+  }
+
   /** COMMUNITY DETECTION by synchronous label propagation (LPA), four
     * fixed rounds, over the same support ≥ 2 part co-purchase graph as
     * [[triangles]]: each node starts labeled with its own id and each
@@ -179,17 +196,9 @@ object Graph {
     * oscillate on bipartite structure — a FIXED round count (the
     * published convention for the sync variant) keeps the operator
     * deterministic rather than fixpoint-dependent. */
-  def lpa(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+  def lpa(s: SparkSession, dir: String, iters: Int = LpaRounds): DataFrame = {
     import s.implicits._
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
-      .select($"l_orderkey", $"l_partkey")
-
-    val pairs = li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
-      .filter($"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter($"w" >= 2)
-      .select($"u", $"v")
+    val pairs = coPurchaseEdges(s, dir)
     val und = Dedup.tracked(
       pairs.select($"u".as("node"), $"v".as("nbr"))
         .unionAll(pairs.select($"v".as("node"), $"u".as("nbr"))))
@@ -239,19 +248,7 @@ object Graph {
     * oracle gate a fixpoint computation. */
   def kcore(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import s.implicits._
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
-      .select($"l_orderkey", $"l_partkey")
-
-    var edges = li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
-      .filter($"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter($"w" >= 2)
-      .select($"u", $"v")
-
-    def degrees(e: DataFrame): DataFrame =
-      e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
-        .groupBy($"node").agg(count(lit(1)).as("deg"))
+    var edges = coPurchaseEdges(s, dir)
 
     // edges only ever shrink, so an unchanged count IS the fixpoint —
     // the remaining fixed rounds would be no-ops (the same idempotence
@@ -261,7 +258,7 @@ object Graph {
     var converged = false
     var round = 0
     while (round < KcoreRounds && !converged) {
-      val good = degrees(edges).filter($"deg" >= k).select($"node")
+      val good = degreesOf(edges).filter($"deg" >= k).select($"node")
       edges = Dedup.trackCheckpoint(
         edges
           .join(good.select($"node".as("gu")), $"u" === $"gu", "left_semi")
@@ -272,7 +269,7 @@ object Graph {
       prev = n
       round += 1
     }
-    val fin = degrees(edges)
+    val fin = degreesOf(edges)
     if (!converged) {
       val stragglers = fin.filter($"deg" < k).count()
       require(stragglers == 0L,

@@ -993,10 +993,7 @@ object StreamQueries {
     val q = withRocksDbState(s) {
       stream
         .select($"c_custkey".as("id"), $"c_name".as("nm"),
-          explode(expr(
-            "array_distinct(concat(array(c_name), " +
-            "transform(sequence(1, length(c_name)), " +
-            "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))))"))
+          explode(expr(graft.operators.Dedup.deletionSigExpr("c_name")))
             .as("sig"))
         .as[SigRow]
         .groupByKey(_.sig)

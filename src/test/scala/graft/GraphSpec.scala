@@ -49,16 +49,18 @@ class GraphSpec extends AnyFunSuite {
     val li = edges.zipWithIndex.flatMap { case ((u, v), i) =>
       Seq((2L * i, u), (2L * i, v), (2L * i + 1, u), (2L * i + 1, v))
     }.toDF("l_orderkey", "l_partkey")
-    val dir = java.nio.file.Files.createTempDirectory("lpa").toString
-    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("lpa")
+    try {
+      li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
 
-    // hand-run of 4 sync min-tie rounds: K3 collapses to label 1 by
-    // round 3; the pair {10,11} swaps labels each round (the documented
-    // sync-LPA oscillation) and lands on identity after an even count
-    val got = Graph.lpa(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
-                      (10L, 10L, 1L), (11L, 11L, 1L)))
+      // hand-run of 4 sync min-tie rounds: K3 collapses to label 1 by
+      // round 3; the pair {10,11} swaps labels each round (the documented
+      // sync-LPA oscillation) and lands on identity after an even count
+      val got = Graph.lpa(spark, dir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+                        (10L, 10L, 1L), (11L, 11L, 1L)))
+    } finally graft.util.Fs.deleteRecursively(dir)
   }
 
   test("lpa: labels are node ids and never cross connected components") {

@@ -28,11 +28,13 @@ class SkylineSpec extends AnyFunSuite {
 
   private def run(rows: Seq[(Long, Double, Int)]): Set[(Long, Double, Int)] = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("sky").toString
-    rows.toDF("p_partkey", "p_retailprice", "p_size")
-      .write.mode("overwrite").parquet(s"$dir/part.parquet")
-    Relational.q36Skyline(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("sky")
+    try {
+      rows.toDF("p_partkey", "p_retailprice", "p_size")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      Relational.q36Skyline(spark, dir.toString).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    } finally graft.util.Fs.deleteRecursively(dir)
   }
 
   test("ties: duplicates survive, within-group and cross-group dominance hold") {
