@@ -97,6 +97,9 @@ object SparkEntry {
     // proven candidate superset (no recall dial), exact levenshtein
     // verify; candidates output-bound (Σ signature-df²), never |n|²
     "dedup_edit_join"     -> (Dedup.editJoin _),
+    // asymmetric containment join (excerpt detection): a's rare-first
+    // prefix probes b's full token relation; thresholds integer
+    "dedup_containment"   -> (Dedup.containment _),
     // span-level exact substring dedup: maximal ≥5-token word spans
     // shared across documents (gram-df gate → gaps-and-islands merge)
     "dedup_substring"     -> ((s, d) => Dedup.substringSpans(s, d)),
@@ -996,6 +999,27 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE 9 * n_inter >= 4 * (sa.n + sb.n)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the naive pairwise form the containment prefix filter avoids;
+    // same h60 token hashing as the jaccard oracle, ordered pairs
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS w
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |          x -> len(x) > 0)) AS w
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_inter
+        |  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / sa.n, 4) AS containment
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE sa.n < sb.n AND 10 * n_inter >= 9 * sa.n
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the naive pairwise form the symmetric-delete signatures avoid —

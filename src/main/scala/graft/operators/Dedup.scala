@@ -870,10 +870,30 @@ object Dedup {
     * here) — long-array merge walks measured ~2× the string walks, the
     * exchanges shrink to 8 B/token, and parity is unconditional because
     * BOTH engines intersect the same hash sets. */
-  def jaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_w, w, rk): each doc's hashed word tokens ranked
+    * rare-first (df asc, then token — THE global prefix order), built on
+    * two token-level exchanges (df over a word window, rank over a doc
+    * window). Shared by [[jaccardPrefix]] and [[containment]] so both
+    * prefix-filter operators (and their oracles) rank by the identical
+    * order. */
+  private def rankedTokens(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"w")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      .orderBy($"df", $"w")
+    d.select($"doc_id", $"n_w", explode($"w_set").as("w"))
+      .withColumn("df", count(lit(1)).over(byTok))
+      .withColumn("rk", row_number().over(byDoc))
+      .select($"doc_id", $"n_w", $"w", $"rk")
+  }
+
+  /** (doc_id, w_set: sorted distinct h60 word hashes, n_w): the shared
+    * input relation of the word-set similarity joins ([[jaccardPrefix]],
+    * [[containment]]) — one builder so both operators (and their
+    * oracles' token CTEs) hash and sort identically. */
+  private def hashedWordSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.functions.VectorExpressions.register(s)
-    val d = docs(s, dir)
+    docs(s, dir)
       .select($"doc_id",
         expr("array_sort(array_distinct(transform(" +
              "filter(split(text, ' '), x -> length(x) > 0), " +
@@ -881,19 +901,17 @@ object Dedup {
           .as("w_set"))
       .filter(size($"w_set") >= 1)
       .withColumn("n_w", size($"w_set").cast("long"))
+  }
 
-    val toks = d.select($"doc_id", $"n_w", explode($"w_set").as("w"))
-    val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"w")
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-      .orderBy($"df", $"w")
+  def jaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val d = hashedWordSets(s, dir)
+
+    // prefix_len = n − ceil(4n/5) + 1, all integer (div, not /:
+    // Column./ is double division)
     val prefixes = ckptHinted(
-      toks
-        .withColumn("df", count(lit(1)).over(byTok))
-        .withColumn("rk", row_number().over(byDoc))
-        // prefix_len = n − ceil(4n/5) + 1, all integer (div, not /:
-        // Column./ is double division)
-        .filter($"rk" <= expr("n_w - (n_w * 4 + 4) div 5 + 1"))
-        .select($"doc_id", $"n_w", $"w", $"rk"))
+      rankedTokens(d).filter($"rk" <= expr("n_w - (n_w * 4 + 4) div 5 + 1")))
 
     // candidate pairs STREAM from the join through one distinct into
     // the verify — never checkpointed, never consumed twice (the ngram
@@ -941,6 +959,59 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"n_inter",
         round($"n_inter".cast("double") / ($"n_sum" - $"n_inter"), 4)
           .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** CONTAINMENT JOIN (excerpt detection) — the ASYMMETRIC twin of
+    * [[jaccardPrefix]]: ordered pairs (a, b) where ≥ 90% of a's word
+    * set appears in b's AND a is strictly smaller (|a| < |b|) — "a is
+    * an excerpt of the larger b", the shape that catches quotes,
+    * boilerplate reuse, and partial copies that symmetric Jaccard
+    * misses (a 50-word quote inside a 5,000-word doc has Jaccard ≈ 1%
+    * but containment ≈ 100%).
+    *
+    * The candidate filter is again a THEOREM, not a dial: overlap must
+    * reach t = ceil(9·n_a/10), so a's first n_a − t + 1 tokens in
+    * global rarity order must hit SOMETHING in b — but unlike the
+    * Jaccard join there is no length gate to shrink b's side, so the
+    * probe joins a's short rare-first prefix (≈ n_a/10 + 1 tokens)
+    * against b's FULL token relation. That asymmetry is the documented
+    * cost model: candidates = Σ_tok df_prefix(tok) · df_all(tok), kept
+    * small exactly because prefixes are rare-first. All thresholds
+    * integer ((9n+9) div 10; verify 10·I ≥ 9·n_a), so the naive
+    * pairwise DuckDB oracle agrees bit-for-bit; the n_a < n_b gate and
+    * the b-capacity gate (n_b ≥ t) sit INSIDE the join condition. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val d = hashedWordSets(s, dir)
+
+    val ranked = ckptHinted(rankedTokens(d))
+    // a-side: rare-first prefix of length n − ceil(9n/10) + 1
+    val prefixes = ranked.filter($"rk" <= expr("n_w - (n_w * 9 + 9) div 10 + 1"))
+
+    val cand = prefixes.as("pa").join(ranked.as("pb"),
+        $"pa.w" === $"pb.w" && $"pa.doc_id" =!= $"pb.doc_id" &&
+        // strict excerpt shape (which also guarantees b has room for
+        // the required overlap: n_b > n_a ≥ ceil(9·n_a/10))
+        $"pa.n_w" < $"pb.n_w")
+      .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"))
+      .distinct()
+
+    val candSets = ckptHinted(
+      d.select($"doc_id", $"w_set", $"n_w").coalesce(4),
+      maxBroadcastRows = HeavyRowBroadcastCap)
+
+    cand
+      .join(candSets.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(candSets.as("cb"), $"doc_b" === $"cb.doc_id")
+      .select($"doc_a", $"doc_b",
+        call_function("graft_sorted_inter", $"ca.w_set", $"cb.w_set")
+          .cast("long").as("n_inter"),
+        $"ca.n_w".as("n_a"))
+      .filter(lit(10) * $"n_inter" >= lit(9) * $"n_a")
+      .select($"doc_a", $"doc_b", $"n_inter",
+        round($"n_inter".cast("double") / $"n_a", 4).as("containment"))
       .orderBy($"doc_a", $"doc_b")
   }
 

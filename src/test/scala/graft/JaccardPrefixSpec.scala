@@ -54,6 +54,33 @@ class JaccardPrefixSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must contain τ-similar pairs")
   }
 
+  test("containment prefix filter is lossless: output equals naive ordered pairs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as[Long],
+        split($"text", " ").as[Array[String]])
+      .collect()
+      .map { case (id, ws) => id -> ws.filter(_.nonEmpty).toSet }
+      .filter(_._2.nonEmpty)
+    // ordered (a, b): a strictly smaller, ≥ 90% of a inside b
+    val naive = (for {
+      (ida, sa) <- docs.iterator
+      (idb, sb) <- docs.iterator
+      if ida != idb && sa.size < sb.size
+      inter = (sa & sb).size
+      if 10L * inter >= 9L * sa.size
+    } yield (ida, idb) -> inter.toLong).toMap
+
+    val got = Dedup.containment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_inter"))
+      .toMap
+    assert(got == naive,
+      s"missing=${(naive.keySet -- got.keySet).take(5)} " +
+      s"extra=${(got.keySet -- naive.keySet).take(5)}")
+    assert(got.nonEmpty, "fixture must contain excerpt pairs")
+  }
+
   test("integer thresholds sit exactly on the τ = 4/5 boundary") {
     import spark.implicits._
     // J exactly 4/5 must be KEPT (≥, not >): sets of size 9 sharing 8
