@@ -246,6 +246,9 @@ object SparkEntry {
     // 3-core peeling, fixed rounds + fixpoint-or-throw; converged rounds
     // are idempotent, which lets a fixed-depth oracle gate a fixpoint
     "graph_kcore"         -> ((s, d) => Graph.kcore(s, d)),
+    // neighbor-Jaccard per edge (link-prediction feature): common
+    // neighbors counted only for existing edges, integer union
+    "graph_node_sim"      -> (Graph.nodeSim _),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
     // listing-free twin: routing + content reads driven by a (path,
@@ -1486,6 +1489,28 @@ object SparkEntry {
     "graph_lpa" -> LpaOracleSql,
 
     "graph_kcore" -> KcoreOracleSql,
+
+    "graph_node_sim" ->
+      """WITH pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u AS node, v AS nbr FROM pairs
+        |        UNION ALL SELECT v, u FROM pairs),
+        |deg AS (SELECT node, count(*) AS deg FROM und GROUP BY 1),
+        |cn AS (SELECT e.u, e.v, count(*) AS n_common
+        |  FROM pairs e
+        |  JOIN und a ON a.node = e.u
+        |  JOIN und b ON b.node = e.v AND b.nbr = a.nbr
+        |  GROUP BY 1, 2)
+        |SELECT e.u, e.v, COALESCE(n_common, 0) AS n_common,
+        |  round(CAST(COALESCE(n_common, 0) AS DOUBLE) /
+        |    (du.deg + dv.deg - COALESCE(n_common, 0)), 4) AS jaccard
+        |FROM pairs e
+        |LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+        |JOIN deg du ON du.node = e.u
+        |JOIN deg dv ON dv.node = e.v
+        |ORDER BY e.u, e.v""".stripMargin,
 
     // the naive O(n²) dominance anti-join the distributed sweep avoids;
     // comparisons only, no arithmetic → exact on doubles

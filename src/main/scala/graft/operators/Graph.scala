@@ -220,6 +220,43 @@ object Graph {
       .orderBy($"part_id")
   }
 
+  /** NODE SIMILARITY (neighbor Jaccard) for every edge of the
+    * co-purchase graph — the classic link-prediction / recommendation
+    * feature: sim(u, v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| with open
+    * neighborhoods (no self-loops, so common neighbors are exactly the
+    * wedges closing over the edge).
+    *
+    * Candidate-bounded: common neighbors are counted ONLY for existing
+    * edges — edge ⋈ und(u, w) ⋈ und(v, w), cost Σ_(u,v)∈E deg(u), never
+    * the Σ deg(w)² all-wedge explosion (the same restriction argument as
+    * [[triangles]]' orientation, here via the edge probe). Degrees and
+    * the union come from integer arithmetic (|∪| = deg(u) + deg(v) −
+    * common); zero-common edges survive via the left join, because a 0.0
+    * similarity on an existing edge is signal (a bridge), not noise. */
+  def nodeSim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Dedup.tracked(coPurchaseEdges(s, dir))
+    val und = Dedup.tracked(
+      edges.select($"u".as("node"), $"v".as("nbr"))
+        .unionAll(edges.select($"v".as("node"), $"u".as("nbr"))))
+    val deg = und.groupBy($"node").agg(count(lit(1)).as("deg"))
+
+    val cn = edges
+      .join(und.select($"node".as("u"), $"nbr".as("w")), "u")
+      .join(und.select($"node".as("v"), $"nbr".as("w")), Seq("v", "w"))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("n_common"))
+
+    edges
+      .join(cn, Seq("u", "v"), "left")
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+      .select($"u", $"v",
+        coalesce($"n_common", lit(0L)).as("n_common"),
+        round(coalesce($"n_common", lit(0L)).cast("double") /
+          ($"du" + $"dv" - coalesce($"n_common", lit(0L))), 4).as("jaccard"))
+      .orderBy($"u", $"v")
+  }
+
   /** Peeling rounds for [[kcore]] — FIXED so the oracle can unroll the
     * same depth; the operator throws if the fixpoint needs more (the
     * [[Dedup.components]] fixpoint-or-throw convention: a silently

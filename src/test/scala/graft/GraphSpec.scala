@@ -88,6 +88,32 @@ class GraphSpec extends AnyFunSuite {
     assert(out.forall { case (node, lbl) => find(node) == find(lbl) })
   }
 
+  test("nodeSim: per-edge neighbor Jaccard equals a naive set computation") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+    val edges = li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .count().filter($"count" >= 2)
+      .select($"u".as[Long], $"v".as[Long]).collect().toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naive = edges.map { case (u, v) =>
+      val c = (adj(u) & adj(v)).size
+      (u, v) -> (c.toLong, (adj(u) | adj(v)).size.toLong)
+    }.toMap
+    val got = Graph.nodeSim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == edges)
+    assert(got.forall { case (k, c) => naive(k)._1 == c })
+    // union identity deg(u)+deg(v)-common holds vs the true set union
+    val gotJ = Graph.nodeSim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(gotJ.forall { case (k, j) =>
+      math.abs(j - naive(k)._1.toDouble / naive(k)._2) < 1e-4 })
+  }
+
   test("kcore: fixed-round peel equals a naive run-to-fixpoint peel") {
     import spark.implicits._
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
