@@ -156,6 +156,9 @@ object SparkEntry {
     // time-weighted average value per user: integer cent·second sums
     // (float Σ v·Δt is order-sensitive, never hash-portable)
     "events_twap"          -> (Relational.eventsTwap _),
+    // interval-union active time per user: gaps-and-islands on one
+    // user_id exchange, epoch-ns integers end to end
+    "events_active_time"   -> (Relational.eventsActiveTime _),
     // 24h rolling count/cent-sum per user: one sort, one Window, both
     // features share the RANGE frame; integer sums only (sliding double
     // sums ulp-diverge between engines)
@@ -1432,6 +1435,28 @@ object SparkEntry {
         |  round(CAST(cent_seconds AS DOUBLE) / total_seconds / 100.0, 4)
         |    AS twap
         |FROM agg WHERE total_seconds > 0 ORDER BY user_id""".stripMargin,
+
+    "events_active_time" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |  epoch_ns(ts) + 1800000000000 AS end_ns FROM events),
+        |b AS (SELECT user_id, ts_ns, end_ns, event_id,
+        |  CASE WHEN max(end_ns) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR ts_ns > max(end_ns) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  THEN 1 ELSE 0 END AS brk FROM e),
+        |bi AS (SELECT user_id, ts_ns, end_ns,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+        |  FROM b),
+        |spans AS (SELECT user_id, burst, min(ts_ns) AS b_start,
+        |  max(end_ns) AS b_end FROM bi GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_bursts,
+        |  CAST(sum(b_end - b_start) // 1000000000 AS BIGINT)
+        |    AS active_seconds
+        |FROM spans GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "stream_quantiles" ->
       """WITH e AS (SELECT epoch_ns(ts) AS ts_ns, value FROM events),

@@ -876,6 +876,40 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** ACTIVE-TIME COVERAGE per user (interval union): every event opens a
+    * 30-minute activity window; the answer is the LENGTH OF THE UNION of
+    * those windows plus the burst count — the sessionization-adjacent
+    * "how long was the user actually active" metric where naive Σ window
+    * double-counts every overlap.
+    *
+    * Gaps-and-islands on one user_id exchange: a window starts a new
+    * burst iff it opens after the running max end of all earlier windows
+    * (strictly — touching intervals merge); burst id = running sum of
+    * starts; per-burst span = max end − min start. All epoch-ns integer
+    * arithmetic, so the union length is hash-exact. The per-user sort
+    * parallelizes across users; burst rows ≪ events leave the window. */
+  def eventsActiveTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = 30L * 60 * 1000000000L // 30 min in ns
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    eventsNs(s, dir)
+      .select($"user_id", $"ts_ns", $"event_id",
+        ($"ts_ns" + lit(win)).as("end_ns"))
+      .withColumn("brk",
+        when(max($"end_ns").over(prior).isNull ||
+             $"ts_ns" > max($"end_ns").over(prior), 1L).otherwise(0L))
+      .withColumn("burst", sum($"brk").over(byUser))
+      .groupBy($"user_id", $"burst")
+      .agg(min($"ts_ns").as("b_start"), max($"end_ns").as("b_end"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_bursts"),
+        // div, not /: Column./ is DOUBLE division, and a rounded double
+        // re-truncated can disagree with integer division at the edge
+        expr("sum(b_end - b_start) div 1000000000").as("active_seconds"))
+      .orderBy($"user_id")
+  }
+
   /** 2D SKYLINE (Pareto frontier) of parts on (p_retailprice MINIMIZE,
     * p_size MAXIMIZE): a part survives iff no other part is at-most-as-
     * expensive AND at-least-as-large with at least one strict — the
