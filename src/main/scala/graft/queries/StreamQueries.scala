@@ -969,12 +969,12 @@ object StreamQueries {
       name, deleteDirs = Seq(in))
   }
 
-  /** The signatures→owner-state→drain core of [[streamEditDup]], taking
-    * any streaming customer frame — exposed so EditDupStreamSpec can
-    * drive it one file per trigger and pin the cross-batch first-seen
-    * semantics. */
-  private[graft] def editDupDrain(s: SparkSession, stream: DataFrame,
-      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = {
+  /** The signatures→owner-state pipeline of [[editDupDrain]] as an
+    * UNSUNK Dataset — split out so EditDupRestartSpec can attach its own
+    * checkpointed foreachBatch sink and drive stop → restart (the
+    * memory sink the drain uses cannot recover from a checkpoint). */
+  private[graft] def editDupHits(s: SparkSession,
+      stream: DataFrame): org.apache.spark.sql.Dataset[EditDupHit] = {
     import s.implicits._
     def update(key: String, rows: Iterator[SigRow],
                state: GroupState[(Long, String)]): Iterator[EditDupHit] = {
@@ -989,15 +989,24 @@ object StreamQueries {
       state.update((ownerId, ownerNm))
       out.result().iterator
     }
+    stream
+      .select($"c_custkey".as("id"), $"c_name".as("nm"),
+        explode(expr(graft.operators.Dedup.deletionSigExpr("c_name")))
+          .as("sig"))
+      .as[SigRow]
+      .groupByKey(_.sig)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
 
+  /** The signatures→owner-state→drain core of [[streamEditDup]], taking
+    * any streaming customer frame — exposed so EditDupStreamSpec can
+    * drive it one file per trigger and pin the cross-batch first-seen
+    * semantics. */
+  private[graft] def editDupDrain(s: SparkSession, stream: DataFrame,
+      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = {
+    import s.implicits._
     val q = withRocksDbState(s) {
-      stream
-        .select($"c_custkey".as("id"), $"c_name".as("nm"),
-          explode(expr(graft.operators.Dedup.deletionSigExpr("c_name")))
-            .as("sig"))
-        .as[SigRow]
-        .groupByKey(_.sig)
-        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      editDupHits(s, stream)
         .writeStream
         .outputMode("update")
         .format("memory")

@@ -296,4 +296,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // two HashAggregates per round (votes + argmax) + edge build + size
     assert("HashAggregate".r.findAllIn(p).length >= 8)
   }
+
+  test("containment: equi-join candidates, broadcast verify, no cartesian") {
+    val p = plan("dedup_containment")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("node_sim: edge-probe equi-joins only, never an all-wedge product") {
+    val p = plan("graph_node_sim")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+  }
 }
