@@ -159,6 +159,12 @@ object SparkEntry {
     // interval-union active time per user: gaps-and-islands on one
     // user_id exchange, epoch-ns integers end to end
     "events_active_time"   -> (Relational.eventsActiveTime _),
+    // growth accounting: first-seen day per user, running total on the
+    // days-sized relation
+    "events_cumulative_users" -> (Relational.eventsCumulativeUsers _),
+    // RFM segmentation with deterministic ntile cuts; exact anchor of
+    // the q35 sketch route (the eventsOutliers split)
+    "events_rfm"           -> (Relational.eventsRfm _),
     // 24h rolling count/cent-sum per user: one sort, one Window, both
     // features share the RANGE frame; integer sums only (sliding double
     // sums ulp-diverge between engines)
@@ -252,6 +258,9 @@ object SparkEntry {
     // neighbor-Jaccard per edge (link-prediction feature): common
     // neighbors counted only for existing edges, integer union
     "graph_node_sim"      -> (Graph.nodeSim _),
+    // multi-source BFS hop distances, K fixed rounds of node-sized
+    // min-merge state against the cached edges
+    "graph_bfs"           -> (Graph.bfs _),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
     // listing-free twin: routing + content reads driven by a (path,
@@ -408,6 +417,33 @@ object SparkEntry {
        |SELECT node AS part_id, count(*) AS core_degree FROM (
        |  SELECT u AS node FROM $last UNION ALL SELECT v FROM $last)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** `graph_bfs`'s oracle: [[graft.operators.Graph.BfsRounds]] frontier
+    * rounds unrolled (MATERIALIZED — each d_i is referenced twice by
+    * round i+1). min() over BIGINT hop counts merges identically
+    * everywhere; a converged round is a no-op, so fixed depth gates the
+    * within-K fixpoint. */
+  private val BfsOracleSql: String = {
+    val rounds = (1 to graft.operators.Graph.BfsRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+         |    SELECT node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.node, l.d + 1 FROM und e JOIN d${i - 1} l ON e.nbr = l.node)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val last = s"d${graft.operators.Graph.BfsRounds}"
+    s"""WITH pairs AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (SELECT u AS node, v AS nbr FROM pairs
+       |        UNION ALL SELECT v, u FROM pairs),
+       |d0 AS MATERIALIZED (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS d
+       |  FROM part WHERE p_size = 50
+       |    AND p_partkey IN (SELECT node FROM und)),
+       |$rounds
+       |SELECT node AS part_id, d AS hops FROM $last ORDER BY part_id""".stripMargin
   }
 
   /** The minhash band CTEs (documents → (doc_id, band, band_hash)) every
@@ -1436,6 +1472,33 @@ object SparkEntry {
         |    AS twap
         |FROM agg WHERE total_seconds > 0 ORDER BY user_id""".stripMargin,
 
+    "events_cumulative_users" ->
+      """WITH fu AS (SELECT user_id,
+        |  min(epoch_ns(ts)) // 86400000000000 AS day FROM events GROUP BY 1),
+        |nd AS (SELECT day, count(*) AS new_users FROM fu GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM nd ORDER BY day""".stripMargin,
+
+    "events_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |mx AS (SELECT max(ts_ns) AS m FROM e),
+        |pu AS (SELECT user_id,
+        |  CAST(((SELECT m FROM mx) - max(ts_ns)) // 1000000000 AS BIGINT)
+        |    AS recency_s,
+        |  count(*) AS frequency,
+        |  CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, recency_s, frequency, monetary_cents,
+        |  CAST(ntile(5) OVER (ORDER BY recency_s, user_id) AS BIGINT)
+        |    AS r_bucket,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+        |    AS f_bucket,
+        |  CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT)
+        |    AS m_bucket
+        |FROM pu ORDER BY user_id""".stripMargin,
+
     "events_active_time" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
         |  epoch_ns(ts) + 1800000000000 AS end_ns FROM events),
@@ -1514,6 +1577,8 @@ object SparkEntry {
     "graph_lpa" -> LpaOracleSql,
 
     "graph_kcore" -> KcoreOracleSql,
+
+    "graph_bfs" -> BfsOracleSql,
 
     "graph_node_sim" ->
       """WITH pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v

@@ -257,6 +257,54 @@ object Graph {
       .orderBy($"u", $"v")
   }
 
+  /** Hop bound for [[bfs]] — FIXED so the oracle can unroll the same
+    * depth; reached-set growth is monotone, so like [[kcore]] a
+    * converged round is a no-op and fixed depth ≡ fixpoint-within-K. */
+  val BfsRounds = 6
+
+  /** MULTI-SOURCE BFS (shortest hop distance) over the co-purchase
+    * graph from the seed set {parts with p_size = 50} — "how many
+    * co-purchase hops from any anchor product", the traversal shape
+    * (reachability, influence radius, taxonomy distance) the iterative
+    * family was missing.
+    *
+    * Frontier expansion as relations: dist starts as the seeds at 0;
+    * each round joins the CURRENT dist against the undirected edges and
+    * keeps the min of (old dist, neighbor dist + 1) — a node-sized
+    * state relation joined once per round against the cached edges,
+    * [[pagerank]]'s exact shape. Integer distances, min() merges —
+    * every step has one defined answer, so the K-round result
+    * hash-gates against unrolled MATERIALIZED CTEs. Nodes beyond
+    * [[BfsRounds]] hops (or unreachable) are absent, the documented
+    * contract. Per-round localCheckpoint keeps K joins out of the
+    * compiled plan. */
+  def bfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Dedup.tracked(coPurchaseEdges(s, dir))
+    val und = Dedup.tracked(
+      edges.select($"u".as("node"), $"v".as("nbr"))
+        .unionAll(edges.select($"v".as("node"), $"u".as("nbr"))))
+    val seeds = s.read.parquet(s"$dir/part.parquet")
+      .filter($"p_size" === 50)
+      .select($"p_partkey".as("node"))
+      // seeds outside the support ≥ 2 graph never expand; keep only
+      // graph nodes so the output is a sub-relation of the node set
+      .join(und.select($"node").distinct(), Seq("node"), "left_semi")
+
+    var dist = seeds.select($"node", lit(0L).as("d"))
+    for (_ <- 1 to BfsRounds) {
+      val next = und
+        .join(dist.select($"node".as("n2"), $"d"), $"nbr" === $"n2")
+        .select($"node", ($"d" + 1L).as("d"))
+      dist = Dedup.trackCheckpoint(
+        dist.unionAll(next)
+          .groupBy($"node").agg(min($"d").as("d"))
+          .localCheckpoint())
+    }
+    dist.select($"node".as("part_id"), $"d".as("hops"))
+      .orderBy($"part_id")
+  }
+
   /** Peeling rounds for [[kcore]] — FIXED so the oracle can unroll the
     * same depth; the operator throws if the fixpoint needs more (the
     * [[Dedup.components]] fixpoint-or-throw convention: a silently

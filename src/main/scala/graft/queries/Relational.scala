@@ -876,6 +876,54 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** USER GROWTH ACCOUNTING: new users per epoch-day (first-ever event)
+    * and the running cumulative count — the canonical growth curve.
+    * One user_id exchange for the per-user min, then everything runs on
+    * the DAYS-sized relation: the running sum's global window orders a
+    * relation whose cardinality is the corpus's day span, not its rows.
+    * Epoch-day via integer div of epoch-ns — identical on both
+    * engines. */
+  def eventsCumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsNs(s, dir)
+      .groupBy($"user_id")
+      .agg(expr("min(ts_ns) div 86400000000000").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum($"new_users").over(Window.orderBy($"day")))
+      .orderBy($"day")
+  }
+
+  /** RFM SEGMENTATION: per-user recency (seconds since their last event,
+    * measured from the corpus's max event time), frequency (event
+    * count), monetary (cent-quantized value sum — the shared portable
+    * rounding), each bucketed 1–5 by `ntile` with a user_id tiebreak so
+    * the cut points are total-order-deterministic on both engines.
+    *
+    * Scale note: the per-user rollup is one partial-agged exchange, but
+    * exact global ntile sorts the USERS relation on a single reducer —
+    * this exact form is the oracle-gated anchor, and at 100 TB the
+    * bucket boundaries come from the mergeable GK quantile partials
+    * (`q35_quantile_partials`) instead, the same exact-vs-sketch split
+    * as [[eventsOutliers]]. */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = eventsNs(s, dir)
+    val maxTs = e.agg(max($"ts_ns")).head().getLong(0)
+    val perUser = e.groupBy($"user_id").agg(
+      expr(s"($maxTs - max(ts_ns)) div 1000000000").as("recency_s"),
+      count(lit(1)).as("frequency"),
+      sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("monetary_cents"))
+    perUser
+      .withColumn("r_bucket",
+        ntile(5).over(Window.orderBy($"recency_s", $"user_id")).cast("long"))
+      .withColumn("f_bucket",
+        ntile(5).over(Window.orderBy($"frequency".desc, $"user_id")).cast("long"))
+      .withColumn("m_bucket",
+        ntile(5).over(Window.orderBy($"monetary_cents".desc, $"user_id")).cast("long"))
+      .orderBy($"user_id")
+  }
+
   /** ACTIVE-TIME COVERAGE per user (interval union): every event opens a
     * 30-minute activity window; the answer is the LENGTH OF THE UNION of
     * those windows plus the burst count — the sessionization-adjacent

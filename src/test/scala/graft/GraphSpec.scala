@@ -114,6 +114,34 @@ class GraphSpec extends AnyFunSuite {
       math.abs(j - naive(k)._1.toDouble / naive(k)._2) < 1e-4 })
   }
 
+  test("bfs: fixed-round frontier equals a naive hop-bounded BFS") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+    val edges = li.as("a").join(li.as("b"), $"a.l_orderkey" === $"b.l_orderkey")
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .count().filter($"count" >= 2)
+      .select($"u".as[Long], $"v".as[Long]).collect()
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = spark.read.parquet(s"$sf/part.parquet")
+      .filter($"p_size" === 50).select($"p_partkey".as[Long]).collect()
+      .filter(adj.contains).toSet
+    // naive frontier BFS bounded at BfsRounds hops
+    val dist = scala.collection.mutable.Map(seeds.toSeq.map(_ -> 0L): _*)
+    var frontier = seeds
+    for (h <- 1L to Graph.BfsRounds) {
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = h)
+    }
+    val got = Graph.bfs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == dist.toMap)
+    assert(got.nonEmpty && got.values.exists(_ > 0),
+      "fixture graph must reach beyond the seed set")
+  }
+
   test("kcore: fixed-round peel equals a naive run-to-fixpoint peel") {
     import spark.implicits._
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
