@@ -834,6 +834,39 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** (doc_id, n_w, w, rk): each doc's hashed word tokens ranked
+    * rare-first (df asc, then token — THE global prefix order), built on
+    * two token-level exchanges (df over a word window, rank over a doc
+    * window). Shared by [[jaccardPrefix]] and [[containment]] so both
+    * prefix-filter operators (and their oracles) rank by the identical
+    * order. */
+  private def rankedTokens(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"w")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      .orderBy($"df", $"w")
+    d.select($"doc_id", $"n_w", explode($"w_set").as("w"))
+      .withColumn("df", count(lit(1)).over(byTok))
+      .withColumn("rk", row_number().over(byDoc))
+      .select($"doc_id", $"n_w", $"w", $"rk")
+  }
+
+  /** (doc_id, w_set: sorted distinct h60 word hashes, n_w): the shared
+    * input relation of the word-set similarity joins ([[jaccardPrefix]],
+    * [[containment]]) — one builder so both operators (and their
+    * oracles' token CTEs) hash and sort identically. */
+  private def hashedWordSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        expr("array_sort(array_distinct(transform(" +
+             "filter(split(text, ' '), x -> length(x) > 0), " +
+             s"x -> ${h60("x")})))")
+          .as("w_set"))
+      .filter(size($"w_set") >= 1)
+      .withColumn("n_w", size($"w_set").cast("long"))
+  }
+
   /** PREFIX-FILTERED SET-SIMILARITY JOIN (the PPJoin/All-Pairs family):
     * all document pairs whose WORD-SET Jaccard ≥ 4/5, found without a
     * df cap and without approximation — the prefix filter is LOSSLESS.
@@ -870,39 +903,6 @@ object Dedup {
     * here) — long-array merge walks measured ~2× the string walks, the
     * exchanges shrink to 8 B/token, and parity is unconditional because
     * BOTH engines intersect the same hash sets. */
-  /** (doc_id, n_w, w, rk): each doc's hashed word tokens ranked
-    * rare-first (df asc, then token — THE global prefix order), built on
-    * two token-level exchanges (df over a word window, rank over a doc
-    * window). Shared by [[jaccardPrefix]] and [[containment]] so both
-    * prefix-filter operators (and their oracles) rank by the identical
-    * order. */
-  private def rankedTokens(d: DataFrame): DataFrame = {
-    import d.sparkSession.implicits._
-    val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"w")
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-      .orderBy($"df", $"w")
-    d.select($"doc_id", $"n_w", explode($"w_set").as("w"))
-      .withColumn("df", count(lit(1)).over(byTok))
-      .withColumn("rk", row_number().over(byDoc))
-      .select($"doc_id", $"n_w", $"w", $"rk")
-  }
-
-  /** (doc_id, w_set: sorted distinct h60 word hashes, n_w): the shared
-    * input relation of the word-set similarity joins ([[jaccardPrefix]],
-    * [[containment]]) — one builder so both operators (and their
-    * oracles' token CTEs) hash and sort identically. */
-  private def hashedWordSets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir)
-      .select($"doc_id",
-        expr("array_sort(array_distinct(transform(" +
-             "filter(split(text, ' '), x -> length(x) > 0), " +
-             s"x -> ${h60("x")})))")
-          .as("w_set"))
-      .filter(size($"w_set") >= 1)
-      .withColumn("n_w", size($"w_set").cast("long"))
-  }
-
   def jaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)

@@ -173,6 +173,15 @@ object Graph {
       .groupBy($"node").agg(count(lit(1)).as("deg"))
   }
 
+  /** Undirected (node, nbr) expansion of an (u, v) edge relation —
+    * shared by [[lpa]], [[nodeSim]] and [[bfs]] so the three operators
+    * traverse the identical adjacency. */
+  private def undirectedOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"u".as("node"), $"v".as("nbr"))
+      .unionAll(e.select($"v".as("node"), $"u".as("nbr")))
+  }
+
   /** COMMUNITY DETECTION by synchronous label propagation (LPA), four
     * fixed rounds, over the same support ≥ 2 part co-purchase graph as
     * [[triangles]]: each node starts labeled with its own id and each
@@ -198,10 +207,7 @@ object Graph {
     * deterministic rather than fixpoint-dependent. */
   def lpa(s: SparkSession, dir: String, iters: Int = LpaRounds): DataFrame = {
     import s.implicits._
-    val pairs = coPurchaseEdges(s, dir)
-    val und = Dedup.tracked(
-      pairs.select($"u".as("node"), $"v".as("nbr"))
-        .unionAll(pairs.select($"v".as("node"), $"u".as("nbr"))))
+    val und = Dedup.tracked(undirectedOf(coPurchaseEdges(s, dir)))
 
     var lbl = und.select($"node").distinct()
       .select($"node", $"node".cast("long").as("lbl"))
@@ -236,10 +242,8 @@ object Graph {
   def nodeSim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = Dedup.tracked(coPurchaseEdges(s, dir))
-    val und = Dedup.tracked(
-      edges.select($"u".as("node"), $"v".as("nbr"))
-        .unionAll(edges.select($"v".as("node"), $"u".as("nbr"))))
-    val deg = und.groupBy($"node").agg(count(lit(1)).as("deg"))
+    val und = Dedup.tracked(undirectedOf(edges))
+    val deg = degreesOf(edges)
 
     val cn = edges
       .join(und.select($"node".as("u"), $"nbr".as("w")), "u")
@@ -280,10 +284,7 @@ object Graph {
     * compiled plan. */
   def bfs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = Dedup.tracked(coPurchaseEdges(s, dir))
-    val und = Dedup.tracked(
-      edges.select($"u".as("node"), $"v".as("nbr"))
-        .unionAll(edges.select($"v".as("node"), $"u".as("nbr"))))
+    val und = Dedup.tracked(undirectedOf(coPurchaseEdges(s, dir)))
     val seeds = s.read.parquet(s"$dir/part.parquet")
       .filter($"p_size" === 50)
       .select($"p_partkey".as("node"))

@@ -103,13 +103,12 @@ class GraphSpec extends AnyFunSuite {
       val c = (adj(u) & adj(v)).size
       (u, v) -> (c.toLong, (adj(u) | adj(v)).size.toLong)
     }.toMap
-    val got = Graph.nodeSim(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = Graph.nodeSim(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got.keySet == edges)
     assert(got.forall { case (k, c) => naive(k)._1 == c })
     // union identity deg(u)+deg(v)-common holds vs the true set union
-    val gotJ = Graph.nodeSim(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val gotJ = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(gotJ.forall { case (k, j) =>
       math.abs(j - naive(k)._1.toDouble / naive(k)._2) < 1e-4 })
   }
