@@ -290,6 +290,9 @@ object SparkEntry {
     // name) per live signature, exact Levenshtein check against the
     // owner; the owner-check contract has a closed-form SQL oracle
     "stream_editdup_filter" -> (StreamQueries.streamEditDup _),
+    // LEFT OUTER stream-stream join: null emission gated on watermark
+    // state closure — the closed-form oracle states the emission rule
+    "stream_stream_outer"  -> (StreamQueries.streamStreamOuter _),
     // the TTL twin: bucket state expires horizon-of-event-time after its
     // newest member (absolute state bound); the drain horizon exceeds the
     // corpus span so the gate result — and oracle — match the NoTimeout
@@ -2001,6 +2004,31 @@ object SparkEntry {
         | AND c.ts_ns >= e.ts_ns - 600000000000
         | AND c.ts_ns < e.ts_ns
         |GROUP BY 1 ORDER BY event_id""".stripMargin,
+
+    // the state-closure rule in closed form: matches emit freely; an
+    // unmatched error emits (n = 0) iff the final watermark
+    // (min of both sides' ms-truncated max event time − 1 h) has
+    // passed its event time, proving no qualifying click can arrive
+    "stream_stream_outer" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS ts_ns
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(ts_ns) // 1000000 FROM e),
+        |                    (SELECT max(ts_ns) // 1000000 FROM c))
+        |         - 3600000 AS wm_ms),
+        |m AS (SELECT e.event_id, count(*) AS n_prior_clicks
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |    AND c.ts_ns >= e.ts_ns - 600000000000
+        |    AND c.ts_ns < e.ts_ns
+        |  GROUP BY 1)
+        |SELECT event_id, n_prior_clicks FROM m
+        |UNION ALL
+        |SELECT e.event_id, CAST(0 AS BIGINT) AS n_prior_clicks
+        |FROM e
+        |WHERE e.event_id NOT IN (SELECT event_id FROM m)
+        |  AND e.ts_ns // 1000000 <= (SELECT wm_ms FROM wm)
+        |ORDER BY event_id""".stripMargin,
 
     "stream_static_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_purchases,

@@ -394,6 +394,59 @@ object StreamQueries {
       dropView = Some(name), deleteDirs = Seq(in))
   }
 
+  /** WATERMARKED LEFT OUTER STREAM–STREAM JOIN — the state-CLOSURE
+    * semantics the inner join never exercises: matched error→click
+    * pairs emit as they join, but an UNMATCHED error row emits (with
+    * nulls) only when the global watermark proves no qualifying click
+    * can still arrive — i.e. watermark ≥ err_time, since any future
+    * click has event time ≥ watermark and the condition needs
+    * click_time < err_time. The AvailableNow drain's trailing no-data
+    * micro-batch advances the watermark to min(max err, max click) − 1h
+    * and flushes exactly the closable unmatched rows.
+    *
+    * That emission rule is a CLOSED FORM the DuckDB oracle states
+    * verbatim (matches ∪ unmatched-below-watermark), the
+    * `stream_quantiles` discipline: the gate hash-fails if Spark leaks
+    * an unclosed row or withholds a closable one. Output folds to
+    * (event_id, n_prior_clicks) with n = 0 for the null-emitted rows —
+    * precisely the rows the INNER twin (`stream_stream_join`) omits. */
+  def streamStreamOuter(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val (in, name) = stageInput(s, dir, "events.parquet", "ssouter")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def side(): DataFrame = withTsNs(s.readStream.schema(schema).parquet(in.toString))
+    val errors = side()
+      .filter($"event_type" === "error")
+      .select($"event_id", $"user_id",
+        timestamp_micros(expr("ts div 1000")).as("err_time"))
+      .withWatermark("err_time", "1 hour")
+    val clicks = side()
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"),
+        timestamp_micros(expr("ts div 1000")).as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val q = errors
+      .join(clicks,
+        $"user_id" === $"c_user" &&
+          $"click_time" >= $"err_time" - expr("INTERVAL 10 MINUTES") &&
+          $"click_time" < $"err_time",
+        "left_outer")
+      .select($"event_id", $"c_user")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndRelease(s,
+      s.table(name)
+        .groupBy($"event_id")
+        .agg(count($"c_user").as("n_prior_clicks"))
+        .orderBy($"event_id"),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
+
   /** STREAM–STATIC ENRICHMENT JOIN: the event stream joined to the
     * (batch) customer dimension — the canonical streaming-enrichment
     * shape. The static side is broadcast into every micro-batch, so the
