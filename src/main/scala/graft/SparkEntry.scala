@@ -449,6 +449,22 @@ object SparkEntry {
        |SELECT node AS part_id, d AS hops FROM $last ORDER BY part_id""".stripMargin
   }
 
+  /** The error/click CTEs + 10-minute interval condition shared by the
+    * inner and LEFT OUTER stream–stream join oracles — the SQL twin of
+    * [[graft.queries.StreamQueries]]' shared `errorClickSides` builder,
+    * deduplicated for the same reason: the interval, delay, and grain
+    * must be stated once. */
+  private val ErrClickCtes: String =
+    """e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+      |           FROM events WHERE event_type = 'error'),
+      |c AS (SELECT user_id, epoch_ns(ts) AS ts_ns
+      |      FROM events WHERE event_type = 'click')""".stripMargin
+
+  private val ErrClickCond: String =
+    """c.user_id = e.user_id
+      | AND c.ts_ns >= e.ts_ns - 600000000000
+      | AND c.ts_ns < e.ts_ns""".stripMargin
+
   /** The minhash band CTEs (documents → (doc_id, band, band_hash)) every
     * near-dup stream oracle builds on — identical hash family to the
     * batch minhash operators. */
@@ -1994,15 +2010,9 @@ object SparkEntry {
         |FROM q ORDER BY doc_id""".stripMargin,
 
     "stream_stream_join" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
-        |           FROM events WHERE event_type = 'error'),
-        |c AS (SELECT user_id, epoch_ns(ts) AS ts_ns
-        |      FROM events WHERE event_type = 'click')
+      s"""WITH $ErrClickCtes
         |SELECT e.event_id, count(*) AS n_prior_clicks
-        |FROM e JOIN c
-        |  ON c.user_id = e.user_id
-        | AND c.ts_ns >= e.ts_ns - 600000000000
-        | AND c.ts_ns < e.ts_ns
+        |FROM e JOIN c ON $ErrClickCond
         |GROUP BY 1 ORDER BY event_id""".stripMargin,
 
     // the state-closure rule in closed form: matches emit freely; an
@@ -2010,24 +2020,23 @@ object SparkEntry {
     // (min of both sides' ms-truncated max event time − 1 h) has
     // passed its event time, proving no qualifying click can arrive
     "stream_stream_outer" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
-        |           FROM events WHERE event_type = 'error'),
-        |c AS (SELECT user_id, epoch_ns(ts) AS ts_ns
-        |      FROM events WHERE event_type = 'click'),
+      s"""WITH $ErrClickCtes,
         |wm AS (SELECT least((SELECT max(ts_ns) // 1000000 FROM e),
         |                    (SELECT max(ts_ns) // 1000000 FROM c))
         |         - 3600000 AS wm_ms),
         |m AS (SELECT e.event_id, count(*) AS n_prior_clicks
-        |  FROM e JOIN c ON c.user_id = e.user_id
-        |    AND c.ts_ns >= e.ts_ns - 600000000000
-        |    AND c.ts_ns < e.ts_ns
+        |  FROM e JOIN c ON $ErrClickCond
         |  GROUP BY 1)
         |SELECT event_id, n_prior_clicks FROM m
         |UNION ALL
         |SELECT e.event_id, CAST(0 AS BIGINT) AS n_prior_clicks
         |FROM e
         |WHERE e.event_id NOT IN (SELECT event_id FROM m)
-        |  AND e.ts_ns // 1000000 <= (SELECT wm_ms FROM wm)
+        |  -- closure compares at MICROSECOND grain: the watermark value is
+        |  -- ms-floored, but Spark evicts against the full-us event time,
+        |  -- so a row sub-ms above the watermark is withheld — an
+        |  -- ms-truncated comparison here would over-emit exactly there
+        |  AND e.ts_ns // 1000 <= (SELECT wm_ms FROM wm) * 1000
         |ORDER BY event_id""".stripMargin,
 
     "stream_static_join" ->

@@ -358,10 +358,14 @@ object StreamQueries {
     * oracle sees (q25/q28 precedent). The per-error rollup happens on
     * the drained (driver-local) matches; the streaming engine owns the
     * join itself. */
-  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+  /** The watermarked (errors, clicks) sides and the 10-minute interval
+    * condition shared by the INNER and LEFT OUTER stream–stream joins —
+    * one builder so the twins (and their paired oracles' CTEs) can
+    * never drift on the interval, the delay, or the timestamp grain. */
+  private def errorClickSides(s: SparkSession, in: java.nio.file.Path)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
     import s.implicits._
-    val (in, name) = stageInput(s, dir, "events.parquet", "ssjoin")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = s.read.parquet(in.toString).schema
     def side(): DataFrame = withTsNs(s.readStream.schema(schema).parquet(in.toString))
     val errors = side()
       .filter($"event_type" === "error")
@@ -373,11 +377,18 @@ object StreamQueries {
       .select($"user_id".as("c_user"),
         timestamp_micros(expr("ts div 1000")).as("click_time"))
       .withWatermark("click_time", "1 hour")
+    val cond = $"user_id" === $"c_user" &&
+      $"click_time" >= $"err_time" - expr("INTERVAL 10 MINUTES") &&
+      $"click_time" < $"err_time"
+    (errors, clicks, cond)
+  }
+
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val (in, name) = stageInput(s, dir, "events.parquet", "ssjoin")
+    val (errors, clicks, cond) = errorClickSides(s, in)
     val q = errors
-      .join(clicks,
-        $"user_id" === $"c_user" &&
-          $"click_time" >= $"err_time" - expr("INTERVAL 10 MINUTES") &&
-          $"click_time" < $"err_time")
+      .join(clicks, cond)
       .select($"event_id")
       .writeStream
       .outputMode("append")
@@ -413,24 +424,9 @@ object StreamQueries {
   def streamStreamOuter(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val (in, name) = stageInput(s, dir, "events.parquet", "ssouter")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def side(): DataFrame = withTsNs(s.readStream.schema(schema).parquet(in.toString))
-    val errors = side()
-      .filter($"event_type" === "error")
-      .select($"event_id", $"user_id",
-        timestamp_micros(expr("ts div 1000")).as("err_time"))
-      .withWatermark("err_time", "1 hour")
-    val clicks = side()
-      .filter($"event_type" === "click")
-      .select($"user_id".as("c_user"),
-        timestamp_micros(expr("ts div 1000")).as("click_time"))
-      .withWatermark("click_time", "1 hour")
+    val (errors, clicks, cond) = errorClickSides(s, in)
     val q = errors
-      .join(clicks,
-        $"user_id" === $"c_user" &&
-          $"click_time" >= $"err_time" - expr("INTERVAL 10 MINUTES") &&
-          $"click_time" < $"err_time",
-        "left_outer")
+      .join(clicks, cond, "left_outer")
       .select($"event_id", $"c_user")
       .writeStream
       .outputMode("append")
