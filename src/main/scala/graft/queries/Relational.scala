@@ -909,7 +909,9 @@ object Relational {
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = eventsNs(s, dir)
-    val maxTs = e.agg(max($"ts_ns")).head().getLong(0)
+    // coalesce: max over an EMPTY table is null, and the scalar pull
+    // would throw before the (empty) result could say so
+    val maxTs = e.agg(coalesce(max($"ts_ns"), lit(0L))).head().getLong(0)
     val perUser = e.groupBy($"user_id").agg(
       expr(s"($maxTs - max(ts_ns)) div 1000000000").as("recency_s"),
       count(lit(1)).as("frequency"),

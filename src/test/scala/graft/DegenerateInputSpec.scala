@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators.{Dedup, Graph}
+import graft.queries.Relational
+
+/** The round's new operators on EMPTY and singleton inputs — the
+  * degenerate shapes a production pipeline hits on day one (an empty
+  * partition, a table with one row) and that no corpus-level oracle
+  * exercises: every operator must return an empty/consistent result,
+  * never throw. */
+class DegenerateInputSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("degenerate-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** A scratch sf-dir holding EMPTY copies of the tables the round's
+    * operators read (schemas cloned from the real sf0.001 fixtures). */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-degenerate").toString
+    Seq("customer", "part", "lineitem", "events", "orders", "documents")
+      .foreach { t =>
+        spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+          .limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    dir
+  }
+
+  test("empty tables: every new operator returns empty, none throws") {
+    val ops: Seq[(String, () => Long)] = Seq(
+      "dedup_edit_join" -> (() => Dedup.editJoin(spark, emptyDir).count()),
+      "dedup_containment" -> (() => Dedup.containment(spark, emptyDir).count()),
+      "q36_skyline" -> (() => Relational.q36Skyline(spark, emptyDir).count()),
+      "graph_lpa" -> (() => Graph.lpa(spark, emptyDir).count()),
+      "graph_kcore" -> (() => Graph.kcore(spark, emptyDir).count()),
+      "graph_node_sim" -> (() => Graph.nodeSim(spark, emptyDir).count()),
+      "graph_bfs" -> (() => Graph.bfs(spark, emptyDir).count()),
+      "events_transitions" -> (() => Relational.eventsTransitions(spark, emptyDir).count()),
+      "events_twap" -> (() => Relational.eventsTwap(spark, emptyDir).count()),
+      "events_active_time" -> (() => Relational.eventsActiveTime(spark, emptyDir).count()),
+      "events_cumulative_users" -> (() => Relational.eventsCumulativeUsers(spark, emptyDir).count()),
+      "events_rfm" -> (() => Relational.eventsRfm(spark, emptyDir).count()),
+      "table_diff" -> (() => graft.operators.Maintenance.tableDiff(spark, emptyDir).count()))
+    ops.foreach { case (name, run) =>
+      val n = try run() catch {
+        case e: Throwable => fail(s"$name threw on empty input: $e")
+      }
+      assert(n == 0L, s"$name returned $n rows on empty input")
+      Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("singleton tables: no pairs, no crashes, self-consistent rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-singleton").toString
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet").limit(1)
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet").limit(1)
+      .coalesce(1).write.parquet(s"$dir/part.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(1)
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    try {
+      assert(Dedup.editJoin(spark, dir).count() == 0)   // no pair from one name
+      assert(Relational.q36Skyline(spark, dir).count() == 1) // the point IS the frontier
+      assert(Relational.eventsTwap(spark, dir).count() == 0) // one event: no interval
+      assert(Relational.eventsRfm(spark, dir).count() == 1)
+      assert(Relational.eventsCumulativeUsers(spark, dir).count() == 1)
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+}
