@@ -24,6 +24,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     * operators read (schemas cloned from the real sf0.001 fixtures). */
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-degenerate").toString
+    sys.addShutdownHook(
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir)))
     Seq("customer", "part", "lineitem", "events", "orders", "documents")
       .foreach { t =>
         spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
@@ -50,7 +52,8 @@ class DegenerateInputSpec extends AnyFunSuite {
       "table_diff" -> (() => graft.operators.Maintenance.tableDiff(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
-        case e: Throwable => fail(s"$name threw on empty input: $e")
+        case scala.util.control.NonFatal(e) =>
+          fail(s"$name threw on empty input", e)
       }
       assert(n == 0L, s"$name returned $n rows on empty input")
       Dedup.unpersistIntermediates(spark)
@@ -73,6 +76,10 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(Relational.eventsTwap(spark, dir).count() == 0) // one event: no interval
       assert(Relational.eventsRfm(spark, dir).count() == 1)
       assert(Relational.eventsCumulativeUsers(spark, dir).count() == 1)
-    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    } finally {
+      Dedup.unpersistIntermediates(spark) // editJoin's tracked checkpoints
+      spark.catalog.clearCache()
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
   }
 }
