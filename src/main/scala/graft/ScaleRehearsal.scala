@@ -302,13 +302,18 @@ object ScaleRehearsal {
     spark.stop()
   }
 
+  /** The sf1 corpus completeness marker — referenced by Sf10Rehearsal's
+    * baseline check, so the name lives in ONE place (an earlier silent
+    * v1→v2 bump left the sf10 check pointing at the dead name). */
+  private[graft] val Sf1Marker = "_REHEARSAL_OK_V2"
+
   /** Deterministic 10× generation (idempotent: skips when present). */
   private def ensureSf1(s: SparkSession): Unit = {
     import s.implicits._
     Sf1 = graft.util.Fs.scratchDir(s, "sf1").toString
     // v2 marker: v1 scratch dirs predate the events/lineitem/orders
     // replicas and must regenerate
-    val done = java.nio.file.Paths.get(s"$Sf1/_REHEARSAL_OK_V2")
+    val done = java.nio.file.Paths.get(s"$Sf1/$Sf1Marker")
     if (java.nio.file.Files.exists(done)) return
     val reps = s.range(10).withColumnRenamed("id", "replica")
 

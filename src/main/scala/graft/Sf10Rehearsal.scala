@@ -133,7 +133,7 @@ object Sf10Rehearsal {
   private def ensureSf10(s: SparkSession): Unit = {
     import s.implicits._
     require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(scratch(s, "sf1"), "_REHEARSAL_OK")),
+      java.nio.file.Paths.get(scratch(s, "sf1"), ScaleRehearsal.Sf1Marker)),
       "run graft.ScaleRehearsal first: sf10 ratios baseline against its sf1 corpus")
     Sf10 = scratch(s, "sf10")
     val done = java.nio.file.Paths.get(s"$Sf10/_REHEARSAL_OK")
