@@ -1007,7 +1007,10 @@ object Multimodal {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val names = Seq("smooth-a.png", "smooth-a.bmp", "smooth-small.png",
       "smooth-noisy.png", "inverted.png")
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-phash-fixtures")
+    // versioned dir name: bump the suffix whenever smooth() or the
+    // fixture list changes, else existence-gated caching silently reuses
+    // stale images (the ScaleRehearsal marker-drift lesson)
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-phash-fixtures-v1")
     if (!names.forall(n => Files.exists(dir.resolve(n)))) {
       def smooth(w: Int, h: Int, invert: Boolean, noise: Boolean) = {
         val img = new java.awt.image.BufferedImage(
@@ -1074,6 +1077,12 @@ object Multimodal {
     * the threshold, the inverted image excluded. */
   def phashNearDup(s: SparkSession, dirs: Seq[String], maxDist: Int = 6): DataFrame = {
     import s.implicits._
+    // pigeonhole over 8 bands of 8 bits: d differing bits can break at
+    // most d bands, so a shared band is guaranteed only while d < 8 —
+    // beyond that the join would silently drop true pairs, breaking the
+    // documented no-recall-dial contract. Refuse rather than under-recall.
+    require(maxDist >= 0 && maxDist < 8,
+      s"8-band LSH is lossless only for maxDist in [0, 7], got $maxDist")
     val hashUdf = udf((content: Array[Byte]) => dHash(content))
     val hashed = Dedup.tracked(
       loadAssets(s, dirs)

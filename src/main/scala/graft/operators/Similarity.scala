@@ -791,7 +791,14 @@ object Similarity {
     * re-runs and engines agree); projection is one narrow broadcast
     * map. Training is iterative → rows-only; PcaSpec pins component
     * orthonormality, descending eigenvalues, equality with a
-    * definitional covariance, and projection parity. */
+    * definitional covariance, and projection parity.
+    *
+    * Output shape is deliberately ALL-SCALAR — `(vec_id, pc_1..pc_k,
+    * ev_1..ev_k)` — because the correctness harness sorts columns and
+    * hashes values; array-typed columns are unhashable there (the r7
+    * artifact's one `err` row). Eigenvalues repeat per row as constant
+    * scalar columns so the variance captured stays part of the gated
+    * result, not a side channel. */
   def pcaProject(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
     import s.implicits._
     val (n, sums, prods) = momentsOf(s, dir)
@@ -822,11 +829,13 @@ object Similarity {
         (id, p)
       }
       .toDF("vec_id", "components")
-    // eigenvalues ride along as a constant column so the variance
-    // captured is part of the gated result, not a side channel
-    out.withColumn("eigenvalues",
-        typedLit(eigenvalues.map(v => math.rint(v * 1e6) / 1e6)))
-      .orderBy($"vec_id")
+    val scalar = (0 until k).foldLeft(out) { (df, i) =>
+      df.withColumn(f"pc_${i + 1}", col("components").getItem(i))
+    }.drop("components")
+    (0 until k).foldLeft(scalar) { (df, i) =>
+      df.withColumn(f"ev_${i + 1}",
+        lit(math.rint(eigenvalues(i) * 1e6) / 1e6))
+    }.orderBy($"vec_id")
   }
 
   /** Top-k eigenpairs of a symmetric matrix by power iteration with

@@ -19,9 +19,10 @@ class PcaSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def collectProj() = {
+    // scalar shape: (vec_id, pc_1..pc_4, ev_1..ev_4)
     val rows = Similarity.pcaProject(spark, sf).collect()
-    val eig = rows.head.getSeq[Double](2).toArray
-    (rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)), eig)
+    val eig = (0 until 4).map(i => rows.head.getDouble(5 + i)).toArray
+    (rows.map(r => (r.getLong(0), (0 until 4).map(i => r.getDouble(1 + i)).toArray)), eig)
   }
 
   test("eigenvalues descend, are positive, and are bounded by total variance") {
