@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Multi-process bench floors + like-for-like round comparison.
+
+The r7 finding: identical code moved individual queries ±20-40% between
+runs (box noise), so single-run per-query numbers cannot grade
+round-over-round regressions. Protocol fix (VERDICT r7 #2):
+
+  1. Run `graft.Bench` N>=3 times (separate JVMs, same box, back to
+     back). Each run already interleaves its passes epoch-wise.
+  2. Per query, take the FLOOR across processes (min of mins) and the
+     cross-process spread (max of mins - min of mins).
+  3. A round-over-round delta is a real regression ONLY if it exceeds
+     the cross-process spread envelope of BOTH rounds; everything
+     smaller is box noise by construction.
+
+Usage:
+    python3 scripts/bench_floor.py run  [N] [sfDir]   # run + merge
+    python3 scripts/bench_floor.py merge f1.json f2.json ...
+    python3 scripts/bench_floor.py compare floor.json BENCH_rXX.json
+
+`run` writes target/bench_run<i>.json per process and the merged
+target/bench_floor.json. `compare` prints the like-for-like table:
+per query, old min, new floor, delta, the noise envelope, and a REAL
+flag only where |delta| > envelope.
+"""
+import json, os, subprocess, sys
+
+
+def spread_of(passes):
+    return (max(passes) - min(passes)) if passes else -1.0
+
+
+def merge(files, out_path="target/bench_floor.json"):
+    runs = [json.load(open(f)) for f in files]
+    names = sorted(set().union(*[r["queries"].keys() for r in runs]))
+    floor, xspread, per_run = {}, {}, {}
+    for q in names:
+        mins = [r["queries"][q] for r in runs if r["queries"].get(q, -1) >= 0]
+        if not mins:
+            floor[q], xspread[q] = -1.0, -1.0
+            continue
+        floor[q] = min(mins)
+        xspread[q] = max(mins) - min(mins)
+        per_run[q] = mins
+    merged = {
+        "metric": "total_floor",
+        "value": sum(v for v in floor.values() if v >= 0),
+        "unit": "sec",
+        "processes": len(runs),
+        "queries": floor,
+        "cross_process_spread": xspread,
+        "per_process_mins": per_run,
+        "sf": runs[0].get("sf", "?"),
+        "valid_runs": [bool(r.get("valid")) for r in runs],
+    }
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path}: {len(names)} queries, "
+          f"summed floor {merged['value']:.1f}s over {len(runs)} processes")
+    return merged
+
+
+def run(n, sf_dir):
+    files = []
+    for i in range(n):
+        out = f"target/bench_run{i + 1}.json"
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_BENCH_OUT=out)
+        print(f"[bench_floor] process {i + 1}/{n} ...", flush=True)
+        subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       env=env, check=True, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+        files.append(out)
+    merge(files)
+
+
+def compare(floor_file, baseline_file):
+    new = json.load(open(floor_file))
+    old = json.load(open(baseline_file))
+    old_q = old["queries"]
+    # baseline noise envelope: per-query spread if recorded, else from
+    # its passes array, else 0 (older artifacts)
+    old_spread = old.get("spread_q") or {
+        q: spread_of(p) for q, p in old.get("passes", {}).items()}
+    both = sorted(set(new["queries"]) & set(old_q))
+    real = []
+    print(f"{'query':34s} {'old':>8s} {'new':>8s} {'delta':>8s} "
+          f"{'envelope':>9s}  verdict")
+    for q in both:
+        o, nv = old_q[q], new["queries"][q]
+        if o < 0 or nv < 0:
+            continue
+        delta = nv - o
+        env = max(new["cross_process_spread"].get(q, 0.0),
+                  old_spread.get(q, 0.0))
+        verdict = "noise"
+        if abs(delta) > env and abs(delta) > 0.05:
+            verdict = "REAL " + ("regression" if delta > 0 else "improvement")
+            real.append((q, o, nv, delta, env, verdict))
+        print(f"{q:34s} {o:8.2f} {nv:8.2f} {delta:+8.2f} {env:9.2f}  {verdict}")
+    print(f"\nonly-new: {sorted(set(new['queries']) - set(old_q))}")
+    print(f"only-old: {sorted(set(old_q) - set(new['queries']))}")
+    print(f"\n{len(real)} deltas exceed the noise envelope:")
+    for q, o, nv, d, e, v in sorted(real, key=lambda r: -abs(r[3])):
+        print(f"  {q}: {o:.2f} -> {nv:.2f} ({d:+.2f}s, envelope {e:.2f}) {v}")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if cmd == "run":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        run(n, sf)
+    elif cmd == "merge":
+        merge(sys.argv[2:])
+    elif cmd == "compare":
+        compare(sys.argv[2], sys.argv[3])
+    else:
+        sys.exit(__doc__)

@@ -46,10 +46,21 @@ object Bench {
     // optional comma-separated subset for local iteration on one operator
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // Output-emitting entries whose deliverable IS a wide string column:
+    // under the count() consumer Catalyst prunes the very re-assembly a
+    // real pipeline pays (measured: dedup_substring_scrub 0.40 s counted
+    // vs 5.95 s materialized at sf1). These route through a noop-format
+    // write instead — every column is computed and serialized, no disk
+    // cost — so the recorded number is the number a consumer pays.
+    val materializedNames: Set[String] =
+      Set("dedup_substring_scrub", "text_scrub", "text_normalize")
+    def time(name: String,
+             fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        if (materializedNames(name)) df.write.format("noop").mode("overwrite").save()
+        else df.count()
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case _: Throwable => None // failures report as -1, never as a time
@@ -87,22 +98,43 @@ object Bench {
     // measuring while the LATEST pass still improves on the prior floor
     // by >10%, capped at max(passes, 6) total passes per query.
     val passCap = math.max(passes, 6)
-    def measure(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): IndexedSeq[Double] = {
-      var ts = (1 to passes).flatMap(_ => time(fn))
+    // extend an existing sample while the latest pass still improves on
+    // the prior floor by >10% — the adaptive warm-up descent
+    def descend(name: String, initial: IndexedSeq[Double], startAttempts: Int): IndexedSeq[Double] = {
+      var ts = initial
       // cap counts ATTEMPTS, not successes: a pass that starts failing
       // mid-descent returns None and leaves ts unchanged — counting
       // ts.size alone would spin on the failing query forever
-      var attempts = passes
+      var attempts = startAttempts
       while (ts.size >= 2 && attempts < passCap &&
              ts.last <= 0.9 * ts.dropRight(1).min) {
         attempts += 1
-        ts = ts ++ time(fn)
+        ts = ts ++ time(name, selected(name))
       }
       ts
     }
-    var results: Map[String, IndexedSeq[Double]] = selected.map { case (name, fn) =>
-      name -> measure(fn)
-    }
+    def measure(name: String): IndexedSeq[Double] =
+      descend(name, (1 to passes).flatMap(_ => time(name, selected(name))), passes)
+    // INTERLEAVED epochs, not back-to-back passes: epoch 1 of every
+    // query, then epoch 2 of every query, … A transient contention
+    // window (cron tick, page-cache churn) then inflates ONE pass of
+    // many queries instead of ALL passes of the two queries it happened
+    // to straddle — the min survives, and cross-run per-query floors
+    // become comparable. This is the protocol fix behind the r7 finding
+    // that identical code moved individual queries ±20-40% between runs:
+    // consecutive passes share the contention window; interleaved ones
+    // do not.
+    val order = selected.keys.toSeq.sorted
+    var results: Map[String, IndexedSeq[Double]] =
+      order.map(_ -> IndexedSeq.empty[Double]).toMap
+    for (_ <- 1 to passes; name <- order)
+      time(name, selected(name)).foreach { t =>
+        results += name -> (results(name) :+ t)
+      }
+    // per-query adaptive descent AFTER the epochs, so extension passes
+    // don't skew epoch spacing
+    for (name <- order)
+      results += name -> descend(name, results(name), passes)
     // Self-defense against box load (three contaminated official
     // artifacts in a row motivated this): re-run every SUSPECT query —
     // per suspect(): tail-median above 1.25× the min plus a 200 ms
@@ -117,7 +149,7 @@ object Bench {
     rerun.keys.foreach { name =>
       // the rerun uses the same adaptive descent so a contaminated run is
       // replaced by a floor, not by another possibly-still-warming sample
-      results += name -> (results(name) ++ measure(selected(name)))
+      results += name -> (results(name) ++ measure(name))
     }
     // whatever is STILL suspect after the rerun is reported, not hidden
     val flagged = results.collect {
@@ -135,6 +167,17 @@ object Bench {
     val allPasses = results.map { case (k, ts) =>
       jstr(k) + ":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query spread (max−min over this process's passes): the
+    // cross-run comparability contract — a round-over-round delta
+    // smaller than BOTH rounds' recorded spreads is box noise by
+    // definition and must not be graded as a regression
+    val spreadQ = results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) -1.0 else ts.max - ts.min)
+    }
+    val spreadQJson = spreadQ.map { case (k, v) => jstr(k) + ":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val materializedJson = materializedNames.intersect(selected.keySet)
+      .toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val flaggedJson = flagged.map { case (k, why) => jstr(k) + ":" + jstr(why) }
       .mkString("{", ",", "}")
     // spread = max-min across passes, summed: the box-noise indicator —
@@ -165,7 +208,7 @@ object Bench {
     // and its four worst mins were 1.5-3× their idle floors.
     val okTotal = mins.values.filter(_ >= 0).sum
     val valid = okTotal > 0.0 && steadySpread / okTotal <= 0.15 && flagged.isEmpty
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$passes,"spread":${fmt(spread)},"steady_spread":${fmt(steadySpread)},"valid":$valid,"flagged":$flaggedJson,"reran":${rerun.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"queries":$qs,"passes":$allPasses,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$passes,"spread":${fmt(spread)},"steady_spread":${fmt(steadySpread)},"valid":$valid,"flagged":$flaggedJson,"reran":${rerun.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"queries":$qs,"passes":$allPasses,"spread_q":$spreadQJson,"materialized":$materializedJson,"sf":"$sfDir"}"""
     println(json)
     // also land the artifact on disk: the stdout line has been lost to
     // log-tail truncation before; the file copy always parses standalone.

@@ -54,7 +54,15 @@ object Sf10Rehearsal {
     }
     timeOne("dedup_exact", "/root/testdata/sf0.01") // JIT warm-up
 
-    val rows = Family.map { name =>
+    // section filter for local iteration on ONE part of the rehearsal
+    // (family,lsh,ngram,semantic; default all). A partial run writes a
+    // suffixed artifact so it can never masquerade as the full one.
+    val sections = sys.env.get("SPARK_GRAFT_SF10_SECTIONS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("family", "lsh", "ngram", "semantic"))
+    val partial = sections != Set("family", "lsh", "ngram", "semantic")
+
+    val rows = (if (sections("family")) Family else Seq.empty).map { name =>
       val (s1, n1) = timeOne(name, scratch(spark, "sf1"))
       val (s10, n10) = timeOne(name, Sf10)
       val ratio = if (s1 > 0) s10 / s1 else -1.0
@@ -75,9 +83,10 @@ object Sf10Rehearsal {
       }
     }
     val nVecs = spark.read.parquet(s"$Sf10/embeddings.parquet").count()
-    val cand = Seq(
-      ("sf1_dial(4x9)", candidates(4, 9)),
-      ("sf10_dial(4x12)", candidates(4, 12)))
+    val cand = (if (sections("lsh")) Seq(
+      ("sf1_dial(4x9)", 4 -> 9),
+      ("sf10_dial(4x12)", 4 -> 12)) else Seq.empty)
+      .map { case (g, (t, b)) => (g, candidates(t, b)) }
     cand.foreach { case (g, c) =>
       System.err.println(f"[sf10] candidates $g: $c (all-pairs ${nVecs * (nVecs - 1) / 2}%d)")
     }
@@ -91,33 +100,66 @@ object Sf10Rehearsal {
     // cap-2000 volume is ~dup² × the base volume. The histogram shows
     // the blow-up; the full query then runs only at the cap the
     // histogram says is tractable.
-    val dfHist = graft.operators.Dedup.ngramGramDf(spark, Sf10)
-      .select(col("df")).cache()
-    val vols = Seq(20L, 200L, 2000L).map { cap =>
-      val v = dfHist.filter(col("df") <= cap)
-        .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)))
-        .head().getLong(0)
-      System.err.println(s"[sf10] ngram candidate volume at maxDf=$cap: $v")
-      (cap, v)
+    val (vols, ngram, ngramSec) = if (sections("ngram")) {
+      val dfHist = graft.operators.Dedup.ngramGramDf(spark, Sf10)
+        .select(col("df")).cache()
+      val vs = Seq(20L, 200L, 2000L).map { cap =>
+        val v = dfHist.filter(col("df") <= cap)
+          .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)))
+          .head().getLong(0)
+        System.err.println(s"[sf10] ngram candidate volume at maxDf=$cap: $v")
+        (cap, v)
+      }
+      dfHist.unpersist()
+      spark.conf.set("spark.graft.dedup.ngram.maxDf", "200")
+      val tN = System.nanoTime()
+      val ng = SparkEntry.queries("dedup_ngram_jaccard")(spark, Sf10).count()
+      val ngSec = (System.nanoTime() - tN) / 1e9
+      spark.conf.unset("spark.graft.dedup.ngram.maxDf")
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      System.err.println(f"[sf10] dedup_ngram_jaccard maxDf=200: $ng rows in ${fmt(ngSec)}s")
+      (vs, ng, ngSec)
+    } else (Seq.empty[(Long, Long)], -1L, -1.0)
+
+    // k ∝ n semantic dedup (the r7 fix for the fixed-k quadratic
+    // decade): at targetClusterSize=200 the learned variant derives
+    // k=100 at sf1 (20k vecs) and k=1000 at sf10 (200k vecs), so the
+    // within-cluster pair volume Σ C(n_c,2) should stay ~flat PER DOC
+    // and the wall far below the 232.7 s fixed-k salted sf10 run.
+    def pairVolume(dir: String): (Long, Long, Double) = {
+      val sizes = graft.operators.Similarity.kmeansAssignment(spark, dir)
+        .groupBy("cluster").count()
+        .agg(sum(expr("count * (count - 1) DIV 2")), sum(col("count")))
+        .head()
+      val (pairs, n) = (sizes.getLong(0), sizes.getLong(1))
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      (pairs, n, pairs.toDouble / n)
     }
-    dfHist.unpersist()
-    spark.conf.set("spark.graft.dedup.ngram.maxDf", "200")
-    val tN = System.nanoTime()
-    val ngram = SparkEntry.queries("dedup_ngram_jaccard")(spark, Sf10).count()
-    val ngramSec = (System.nanoTime() - tN) / 1e9
-    spark.conf.unset("spark.graft.dedup.ngram.maxDf")
-    graft.operators.Dedup.unpersistIntermediates(spark)
-    spark.catalog.clearCache()
-    System.err.println(f"[sf10] dedup_ngram_jaccard maxDf=200: $ngram rows in ${fmt(ngramSec)}s")
+    val sem = (if (sections("semantic"))
+      Seq("sf1" -> scratch(spark, "sf1"), "sf10" -> Sf10)
+    else Seq.empty).map { case (tag, dir) =>
+      val (sec, kept) = timeOne("dedup_semantic_kmeans", dir)
+      val (pairs, n, perDoc) = pairVolume(dir)
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      System.err.println(f"[sf10] dedup_semantic_kmeans $tag%-5s ${fmt(sec)}s kept=$kept  pairs=$pairs (${fmt(perDoc)}/doc over $n vecs)")
+      (tag, sec, kept, pairs, perDoc)
+    }
+    val semJson = sem.map { case (tag, sec, kept, pairs, perDoc) =>
+      s""""$tag":{"sec":${fmt(sec)},"kept":$kept,"pairs":$pairs,"pairs_per_doc":${fmt(perDoc)}}"""
+    }.mkString("{", ",", "}")
 
     val qjson = rows.map { case (n, s1, r1, s10, r10, ratio) =>
       s""""$n":{"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"sf10_sec":${fmt(s10)},"sf10_rows":$r10,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
     val cjson = cand.map { case (g, c) => s""""$g":$c""" }.mkString("{", ",", "}")
     val vjson = vols.map { case (cap, v) => s""""maxdf_$cap":$v""" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}}}"""
+    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}},"semantic_kmeans_scaled_k":$semJson}"""
     println(json)
-    val out = java.nio.file.Paths.get("target/sf10_rehearsal.json")
+    val out = java.nio.file.Paths.get(
+      if (partial) "target/sf10_rehearsal_partial.json"
+      else "target/sf10_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

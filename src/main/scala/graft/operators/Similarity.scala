@@ -74,18 +74,72 @@ object Similarity {
     * assign every vector in one narrow pass, then run the same
     * cluster-bounded keep-set rule. Not SQL-expressible (the training
     * loop) → rows-only; SemanticDedupSpec pins the keep-set invariant:
-    * no two KEPT vectors share a cluster at cosine ≥ τ. */
+    * no two KEPT vectors share a cluster at cosine ≥ τ.
+    *
+    * CLUSTER COUNT SCALES WITH THE CORPUS (the sf10 lesson): at fixed k
+    * the within-cluster pair volume is Σ n_c² ≈ n²/k — quadratic per
+    * decade, ×100 pairs per ×10 rows, and no salt dial can outrun an
+    * intrinsically quadratic candidate set. With k = n / targetSize the
+    * expected cluster size is CONSTANT, so pair volume is
+    * n·targetSize/2 — LINEAR in the corpus, flat per doc. The dial is
+    * `spark.graft.dedup.semantic.targetClusterSize` (default 200 —
+    * SemDeDup-style coarse clusters; the trade is still the SemDeDup
+    * one: more clusters → fewer cross-cluster dup catches). Explicit
+    * k > 0 overrides for parity experiments.
+    *
+    * Salt interplay: the keep-set join salts per-cluster pair work
+    * across tasks; with target-size clusters each cluster holds only
+    * ~targetSize²/2 pairs, so the salt AUTO-DERIVES from that budget
+    * (≈1 at the default — no ×S probe duplication) instead of paying
+    * the fixed-k default of 16. An explicit
+    * `spark.graft.dedup.semantic.salt` still wins — see
+    * [[semanticKeepSet]]. */
   def semanticDedupKmeans(s: SparkSession, dir: String,
-                          k: Int = 10, iters: Int = 3): DataFrame = {
+                          k: Int = 0, iters: Int = 3): DataFrame = {
     import s.implicits._
-    val cent = kmeansCentroids(s, dir, k, iters)
-    val bc = s.sparkContext.broadcast(cent)
-    val assigned = emb(s, dir)
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) => (id, nearestCentroid(v, bc.value), v) })
-      .toDF("vec_id", "cluster", "embedding")
+    val assigned = kmeansAssignment(s, dir, k, iters)
     graft.functions.VectorExpressions.register(s)
-    semanticKeepSet(s, assigned.withColumn("nrm", expr(normExpr)))
+    // auto-salt from the expected per-cluster pair budget: spread any
+    // cluster carrying more than ~2M pairs; constant-size clusters
+    // derive 1 (no probe-side duplication at all)
+    val targetSize = math.max(1,
+      s.conf.get("spark.graft.dedup.semantic.targetClusterSize", "200").toInt)
+    semanticKeepSet(s, assigned.withColumn("nrm", expr(normExpr)),
+      autoSaltFor(targetSize.toDouble))
+  }
+
+  /** The train + assign head of [[semanticDedupKmeans]]: derive
+    * k = n / targetClusterSize (explicit k > 0 overrides), train the
+    * quantizer, broadcast-assign every vector in one narrow pass.
+    * Exposed package-private so the scale rehearsals can measure the
+    * actual within-cluster pair volume (Σ C(n_c, 2)) an assignment
+    * implies without reaching into the operator. */
+  private[graft] def kmeansAssignment(s: SparkSession, dir: String,
+                                      k: Int = 0, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val e0 = Dedup.tracked(emb(s, dir).select($"vec_id", $"embedding"))
+      .as[(Long, Array[Float])]
+    val targetSize = math.max(1,
+      s.conf.get("spark.graft.dedup.semantic.targetClusterSize", "200").toInt)
+    val kUse =
+      if (k > 0) k
+      else {
+        val n = e0.count()
+        math.max(2, math.round(n.toDouble / targetSize).toInt)
+      }
+    val cent = kmeansOnVecs(s, e0, kUse, iters)
+    val bc = s.sparkContext.broadcast(cent)
+    e0.mapPartitions(_.map { case (id, v) => (id, nearestCentroid(v, bc.value), v) })
+      .toDF("vec_id", "cluster", "embedding")
+  }
+
+  /** Salt needed to hold per-task pair work near 2M dot products given
+    * an expected cluster size: ceil(size²/2 / 2e6), clamped to [1, 64].
+    * At the 200-row target this is 1; at a 20k-row skew cluster it is
+    * 50 — the sf10 collapse spread across 50 tasks. */
+  private def autoSaltFor(expectedClusterSize: Double): Option[Int] = {
+    val pairs = expectedClusterSize * expectedClusterSize / 2.0
+    Some(math.min(64, math.max(1, math.ceil(pairs / 2e6).toInt)))
   }
 
   /** The shared keep-set rule: within each cluster drop every vector
@@ -97,7 +151,8 @@ object Similarity {
     * join project, keep-set via left-anti. Kept rows provably have no
     * kept same-cluster neighbor ≥ τ (a kept vector has NO lower-id
     * neighbor ≥ τ at all — the invariant SemanticDedupSpec checks). */
-  private def semanticKeepSet(s: SparkSession, e: DataFrame): DataFrame = {
+  private def semanticKeepSet(s: SparkSession, e: DataFrame,
+                              autoSalt: Option[Int] = None): DataFrame = {
     import s.implicits._
     val tau = s.conf.get("spark.graft.dedup.semantic.tau", "0.3").toDouble
     // the (id, cluster, embedding, nrm) relation feeds BOTH pair-join
@@ -115,8 +170,15 @@ object Similarity {
     // build row to ONE salt spreads every cluster's pair space over S
     // tasks; each (a, b) pair still meets exactly once, at
     // salt = b.vec_id % S, so the result is bit-identical.
+    // precedence: explicit conf (the operator-level lever) > the
+    // caller's derived budget (k ∝ n keeps clusters constant-size, so
+    // the k-means path derives ~1 and skips the ×S probe duplication)
+    // > the fixed-cluster default of 16 (the sf10 label-cluster fix)
     val saltN = math.max(1,
-      s.conf.get("spark.graft.dedup.semantic.salt", "16").toInt)
+      s.conf.getOption("spark.graft.dedup.semantic.salt")
+        .map(_.toInt)
+        .orElse(autoSalt)
+        .getOrElse(16))
     val aSide = ec.withColumn("salt",
       explode(lit((0 until saltN).toArray))).as("a")
     val bSide = ec.withColumn("salt",

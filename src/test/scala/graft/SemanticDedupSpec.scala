@@ -54,6 +54,27 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(again == kept, "keep-set must be deterministic across runs")
   }
 
+  test("cluster count scales with the corpus via targetClusterSize (k = n / target)") {
+    // the sf10 lesson: fixed k makes within-cluster pairs n²/k —
+    // quadratic per decade; k ∝ n keeps expected cluster size constant
+    // and pair volume linear. Pin the derivation end-to-end: the dial
+    // changes the number of distinct clusters the keep-set reports.
+    def distinctClusters(target: Int): Int = {
+      spark.conf.set("spark.graft.dedup.semantic.targetClusterSize", target.toString)
+      try Similarity.semanticDedupKmeans(spark, sf).select("cluster")
+        .distinct().count().toInt
+      finally spark.conf.unset("spark.graft.dedup.semantic.targetClusterSize")
+    }
+    // 500 fixture vectors: target 100 → k = 5, target 250 → k = 2
+    // (clusters with all members dropped could shrink the observed
+    // count, so assert ≤ k and a strict ordering between the dials)
+    val fine = distinctClusters(100)
+    val coarse = distinctClusters(250)
+    assert(fine <= 5 && fine >= 3, s"target 100 on 500 vecs should give ~5 clusters, saw $fine")
+    assert(coarse == 2, s"target 250 on 500 vecs should give k=2 clusters, saw $coarse")
+    assert(fine > coarse)
+  }
+
   test("keep-set is salt-invariant: every pair meets exactly once at any salt width") {
     // the within-cluster pair join spreads each cluster's quadratic pair
     // space over `spark.graft.dedup.semantic.salt` tasks (sf10 finding:
