@@ -1895,6 +1895,11 @@ object SparkEntry {
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_heavy_hitters" -> HeavyHittersOracleSql,
+
+    // the 8 learn rounds unrolled as generated CTEs: DuckDB replays
+    // train AND encode, so the encode half is value-hash-gated even
+    // though each round's merge is a data-dependent argmax
+    "text_bpe_encode" -> graft.operators.Bpe.encodeOracleSql(),
     // the streaming twin is exact on this corpus (no shard ever trims:
     // vocabulary ≪ m), so the finite drain shares the oracle verbatim
     "stream_heavy_hitters" -> HeavyHittersOracleSql,

@@ -29,10 +29,12 @@ case class BpeWord(syms: Seq[String], freq: Long)
   * working set is persisted and the previous round's released, so
   * lineage stays one round deep.
   *
-  * Not SQL-expressible (the round-k tokenization depends on all k-1
-  * prior data-dependent argmaxes), so the queries entry is rows-only;
-  * BpeSpec pins exact parity against an independent single-threaded
-  * reference implementation plus the monotone-frequency invariant. */
+  * [[learn]]'s queries entry is rows-only (its output is the merge
+  * table itself — k data-dependent argmaxes); [[encode]] IS
+  * hash-gated cross-engine via [[encodeOracleSql]], which unrolls the
+  * k rounds as generated CTEs. BpeSpec additionally pins exact parity
+  * against an independent single-threaded reference implementation
+  * plus the monotone-frequency invariant. */
 object Bpe {
 
   /** End-of-word sentinel — lets merges learn word-final units ("ing</w>")
@@ -101,6 +103,74 @@ object Bpe {
       .orderBy("rank")
   }
 
+  /** DuckDB oracle for [[encode]]: the full learn(k)+encode path as ONE
+    * SQL statement with the k rounds UNROLLED as generated CTEs — so
+    * `text_bpe_encode` is value-hash-gated cross-engine, not rows-only.
+    *
+    * The non-trivial part is replaying [[mergeOnce]]'s leftmost-first
+    * non-overlapping scan declaratively. Candidates are adjacent
+    * (sym, next) = (a, b) positions; greedy left-to-right selection
+    * takes a candidate iff the candidate immediately before it (in
+    * sequence order) was not taken, which over a maximal RUN of
+    * consecutive candidates means: take the even offsets. Runs of
+    * consecutive candidates only arise from repeated symbols
+    * ("aaaa" under (a,a) → take positions 0 and 2 → [aa, aa]) — the
+    * exact case a naive string replace() over separator-joined symbols
+    * gets wrong (its match consumes the shared separator, so "•a•a•a•a•"
+    * yields [aa, a, a] shapes). Gaps-and-islands over row_number gives
+    * the even-offset rule in two window passes; the round's argmax
+    * replays the trainer's (cnt DESC, a, b) binary-order tie rule.
+    * Scalar subqueries against the 1-row argmax CTE keep an exhausted
+    * round (no pairs left) a no-op instead of annihilating the join. */
+  def encodeOracleSql(k: Int = 8): String = {
+    val rounds = (1 to k).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""pa$r AS MATERIALIZED (
+         |  SELECT a, b, sum(freq) AS cnt FROM (
+         |    SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, freq
+         |    FROM $prev)
+         |  WHERE b IS NOT NULL GROUP BY a, b),
+         |b$r AS MATERIALIZED (SELECT a, b FROM pa$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |c$r AS (
+         |  SELECT word, freq, sym,
+         |         row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
+         |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+         |         coalesce(sym = (SELECT a FROM b$r)
+         |             AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT b FROM b$r),
+         |           false) AS cand
+         |  FROM $prev),
+         |d$r AS (
+         |  SELECT *, rn - row_number() OVER (PARTITION BY word, cand ORDER BY rn) AS island
+         |  FROM c$r),
+         |e$r AS (
+         |  SELECT *, cand AND (row_number() OVER (PARTITION BY word, cand, island ORDER BY rn) - 1) % 2 = 0 AS taken
+         |  FROM d$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT word, freq, rn AS pos, CASE WHEN taken THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, lag(taken) OVER (PARTITION BY word ORDER BY rn) AS ptaken FROM e$r)
+         |  WHERE NOT coalesce(ptaken, false))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |s0pos AS (SELECT word, freq, unnest(range(1, len(word) + 2)) AS pos FROM wf),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq, CAST(pos AS INT) AS pos,
+       |         CASE WHEN pos <= len(word) THEN substr(word, CAST(pos AS INT), 1) ELSE '$Eow' END AS sym
+       |  FROM s0pos),
+       |$rounds,
+       |dict AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM s$k GROUP BY word),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id, word)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, CAST(sum(n * n_sym) AS BIGINT) AS n_tokens
+       |FROM dw JOIN dict USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** ENCODE with a learned merge table — the serving half of the
     * tokenizer, and the pipeline's per-document token accounting
     * (sequence-length budgeting, packing inputs, cost estimates).
@@ -114,11 +184,14 @@ object Bpe {
     * output is integer-only (word and BPE-token counts): no float ever
     * crosses engines, and the doc rollup partial-aggregates.
     *
-    * Rows-only like [[learn]] (the merge table is k data-dependent
-    * argmaxes — no SQL oracle can express round k); BpeSpec pins exact
-    * parity of the whole train→encode path against the independent
-    * single-threaded reference on crafted docs, plus the token-count
-    * bounds (n_words ≤ n_tokens ≤ chars + words). */
+    * Hash-gated cross-engine via [[encodeOracleSql]] — the k learn
+    * rounds unroll as generated CTEs, so DuckDB replays the full
+    * train→encode path including every data-dependent argmax ([[learn]]
+    * itself stays rows-only: its OUTPUT is the merge table, whose
+    * SQL replay is exactly that oracle's interior). BpeSpec additionally
+    * pins exact parity against an independent single-threaded reference
+    * on crafted docs, plus the token-count bounds
+    * (n_words ≤ n_tokens ≤ chars + words). */
   def encode(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
     val merges = learn(s, dir, k)
