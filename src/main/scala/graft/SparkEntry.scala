@@ -549,8 +549,10 @@ object SparkEntry {
 
   /** `stream_neardup_ttl_expiry`: the closed form of the EventTimeTimeout
     * state machine under the query's replay geometry — 8 doc_id-range
-    * micro-batches, event time = epoch + doc_id seconds, horizon = one
-    * batch width `w`. Per bucket (members id-sorted): a member opens a
+    * micro-batches (the count is load-bearing: it fixes the watermark
+    * checkpoints, so query and oracle must move together, and a coarser
+    * split starves the 500-doc gate corpus of any firing expiry), event
+    * time = epoch + doc_id seconds, horizon = one batch width `w`. Per bucket (members id-sorted): a member opens a
     * new EPOCH iff its batch is ≥ 2 past its predecessor's (the timeout
     * only fires in a batch where the key has no data) and the eviction
     * watermark of the last dataless batch — max id before batch(cur)−1,

@@ -680,11 +680,19 @@ object StreamQueries {
 
   /** TTL near-dup with expiry PROVABLY FIRING mid-drain — the
     * oracle-gated hardening of [[streamNearDupTtl]] (whose gate horizon
-    * deliberately outlives the corpus). The corpus replays as 8
+    * deliberately outlives the corpus). The corpus replays as 4
     * doc_id-range micro-batches (event time = epoch + doc_id seconds,
     * so range order IS event-time order) with horizon = ONE batch width
     * — buckets idle for ≥ 2 batches expire once the watermark passes,
     * and their next arrival re-admits silently as the new owner.
+    *
+    * Why 4 and not "8 files drained 2 per trigger": the oracle's closed
+    * form encodes the watermark-checkpoint GEOMETRY, and coalescing
+    * file batches changes it — a bucket whose consecutive members sit
+    * exactly 3 narrow ranges apart expires under 8 checkpoints but
+    * would never see an intermediate merged batch, turning a silent
+    * re-admission into a reported near-dup. So the RANGE WIDTH is the
+    * dial (query and oracle move together), not the files-per-trigger.
     *
     * Those semantics have a CLOSED FORM the DuckDB oracle states with
     * window functions: a bucket member opens a new epoch iff
@@ -696,28 +704,76 @@ object StreamQueries {
     * every non-opening member reports its epoch's opener. The Spark
     * side computes NOTHING from that formula — it runs the real
     * EventTimeTimeout state machine; the driver hash-compares the two. */
-  def streamNearDupTtlExpiry(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+  def streamNearDupTtlExpiry(s: SparkSession, dir: String): DataFrame = {
+    // this drain pays per-micro-batch per-partition state-store commits
+    // 8 times over — with RocksDB that is 8 × partitions store
+    // opens/commits for a few thousand tiny state rows. Run the state
+    // on FEWER partitions than the stream default (hash partitioning of
+    // keys cannot change per-key outputs, so the gate hash is
+    // invariant); serial-only conf mutation like withStreamPartitions.
+    val key = "spark.sql.shuffle.partitions"
+    val ckKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = s.conf.get(key)
+    val prevCk = s.conf.getOption(ckKey)
+    s.conf.set(key, s.conf.get("spark.graft.stream.ttlExpiryPartitions", "2"))
+    // 8 micro-batches × per-partition commits: full-snapshot RocksDB
+    // checkpoints dominate; changelog checkpointing writes the delta
+    s.conf.set(ckKey, "true")
+    try streamNearDupTtlExpiryBody(s, dir)
+    finally {
+      s.conf.set(key, prev)
+      prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None    => s.conf.unset(ckKey)
+      }
+    }
+  }
+
+  private def streamNearDupTtlExpiryBody(s: SparkSession, dir: String): DataFrame = {
     val batchRead = s.read.parquet(s"$dir/documents.parquet")
     val maxId = batchRead.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+    // 8 range batches: the count is load-bearing twice over — the
+    // oracle's closed form encodes the same watermark-checkpoint
+    // geometry, and at the 500-doc gate corpus a coarser split (4
+    // tried in r8) makes every bucket's members land within ~1 batch
+    // of each other, so expiry NEVER fires and the gate goes vacuous
+    // (NearDupStreamSpec pins non-vacuity). Machinery cost is paid
+    // per micro-batch, so the trim lever is per-batch cost, not count.
     val nBatches = 8
     val w = (maxId + nBatches) / nBatches // = ceil((maxId+1)/nBatches)
     val base = graft.util.Fs.scratchDir(s, "dicomq")
     val in = java.nio.file.Files.createTempDirectory(base, "neardupexp").toAbsolutePath
-    (0 until nBatches).foreach { i =>
-      val tmp = java.nio.file.Files.createTempDirectory(base, "neardupexpb")
-      try {
-        batchRead.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
-          .coalesce(1).write.parquet(tmp.resolve("out").toString)
-        val part = java.nio.file.Files.list(tmp.resolve("out"))
+    // stage all 8 range files in ONE write job (a dynamic-partitioned
+    // write keyed on the range index — repartition on the key first so
+    // each range lands as exactly one part file) instead of 8 separate
+    // filter+coalesce jobs: same files, 1/8th the job-scheduling
+    // machinery. The 8-micro-batch DRAIN is untouched — merging ranges
+    // into fewer micro-batches is NOT hash-preserving (a bucket whose
+    // consecutive members sit exactly 3 ranges apart expires under 8
+    // batches but would never see an intermediate merged batch, turning
+    // a silent re-admission into a reported near-dup).
+    val tmp = java.nio.file.Files.createTempDirectory(base, "neardupexpb")
+    try {
+      batchRead.withColumn("b", expr(s"doc_id div $w"))
+        .repartition(nBatches, col("b"))
+        .write.partitionBy("b").parquet(tmp.resolve("out").toString)
+      (0 until nBatches).foreach { i =>
+        val bDir = tmp.resolve("out").resolve(s"b=$i")
+        // dense doc_ids make every range non-empty; a missing range dir
+        // would silently drop a dataless micro-batch (and its timeout
+        // checkpoint) — fail loudly instead
+        require(java.nio.file.Files.isDirectory(bDir),
+          s"range $i of $nBatches produced no file — doc_id space not dense?")
+        val part = java.nio.file.Files.list(bDir)
           .filter(_.toString.endsWith(".parquet")).findFirst().get()
         val dest = in.resolve(f"part-$i%04d.parquet")
         java.nio.file.Files.copy(part, dest)
-        // explicit strictly-increasing mtimes: the file source orders by
-        // modification time, and sub-ms writes could otherwise tie
+        // explicit strictly-increasing mtimes: the file source orders
+        // by modification time, and sub-ms writes could otherwise tie
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      } finally graft.util.Fs.deleteRecursively(tmp)
-    }
+      }
+    } finally graft.util.Fs.deleteRecursively(tmp)
     val name = "stream_neardupexp_" + java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
     val stream = s.readStream.schema(batchRead.schema)
@@ -754,8 +810,14 @@ object StreamQueries {
         out.result().iterator
       }
     }
-    val q = nearDupBands(
-        stream.withWatermark("event_time", s"${horizonMs / 1000} seconds"),
+    // one staged file per trigger = ONE input partition per micro-batch,
+    // which would run the whole minhash-banding expression single-
+    // threaded; fan the raw docs out first (tiny rows — the exchange is
+    // kilobytes) so the md5 work uses the cores. Round-robin keeps the
+    // spread even; per-key semantics are partition-invariant.
+    val q0 = nearDupBands(
+        stream.repartition(8)
+          .withWatermark("event_time", s"${horizonMs / 1000} seconds"),
         passthrough = Seq("event_time"))
       .as[BandRowTs]
       .groupByKey(r => (r.band, r.band_hash))
@@ -766,8 +828,22 @@ object StreamQueries {
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a finite memory-sink drain has no durability story to protect —
+    // its checkpoint (offset/commit WAL fsyncs + RocksDB uploads, paid
+    // once per micro-batch × 9 batches) can live on tmpfs when the box
+    // has one. Real deployments point checkpointLocation at durable
+    // storage; this is harness plumbing, not operator semantics.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckDir =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files.createTempDirectory(shm, "graft-ttl-ck"))
+      else None
+    val q = ckDir.fold(q0)(d => q0.option("checkpointLocation", d.toString)).start()
+    try q.awaitTermination()
+    finally ckDir.foreach(graft.util.Fs.deleteRecursively)
+    if (s.conf.get("spark.graft.debug.streamProgress", "false").toBoolean)
+      q.recentProgress.foreach(p => System.err.println(
+        s"[ttl-debug] batch ${p.batchId} rows=${p.numInputRows} durationMs=${p.durationMs}"))
     lastNearDupState = Option(q.lastProgress)
       .flatMap(p => p.stateOperators.headOption)
       .map(op => (op.numRowsTotal, op.memoryUsedBytes))
