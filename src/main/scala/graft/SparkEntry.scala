@@ -267,6 +267,10 @@ object SparkEntry {
     // length) manifest — the 10M+-object entry point (ManifestSpec pins
     // rows+errors parity with the listed route)
     "dicom_manifest_extract" -> (DicomQueries.manifestExtract _),
+    // day-2 incremental: extract ONLY the new/changed manifest subset
+    // (anti-join vs the processed log); parity + cost ∝ delta pinned in
+    // ManifestSpec and ExtractionRehearsal
+    "dicom_manifest_delta" -> (DicomQueries.manifestDelta _),
     "dicom_errors"         -> (DicomQueries.errors _),
     "dicom_partitioned_sql" -> (DicomQueries.partitionedSql _),
     "dicom_crawl_schema"   -> (DicomQueries.crawlSchema _),

@@ -43,6 +43,29 @@ object DicomQueries {
     flatProjection(s, df)
   }
 
+  /** Day-2 incremental extraction: yesterday's processed log covers the
+    * fixture corpus EXCEPT a deterministic "arrived today" subset (path
+    * hash mod 3 == 0) plus one object whose recorded length drifted (a
+    * changed object re-extracts). The gated result is the flat
+    * projection of extracting ONLY [[DicomPipeline.manifestDelta]]'s
+    * output — ManifestSpec pins byte-parity with directly extracting
+    * just the delta objects, and the rehearsal pins cost ∝ delta. */
+  def manifestDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, col, hash, pmod}
+    val manifest = DicomPipeline.manifestOf(s, Fixtures)
+    val newToday = pmod(abs(hash(col("path"))), lit(3)) === 0
+    val processed = manifest.filter(!newToday)
+      // one "changed" object: the log remembers a different length, so
+      // the anti-join re-admits it even though the path matched
+      .withColumn("length",
+        when(col("path").endsWith("example-6"), col("length") + 1L)
+          .otherwise(col("length")))
+    val delta = DicomPipeline.manifestDelta(manifest, processed)
+    val df = DicomPipeline.toDataFrame(s,
+      DicomPipeline.extractFromManifest(s, delta, "ref-bucket", "ref-region").rows)
+    flatProjection(s, df)
+  }
+
   private def flatProjection(s: SparkSession, df: DataFrame): DataFrame = {
     import s.implicits._
     df.select(

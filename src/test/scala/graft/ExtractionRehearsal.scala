@@ -153,6 +153,25 @@ object ExtractionRehearsal {
     require(mImages == nImages && mErrs == 0,
       s"manifest route parity broke at scale: $mImages/$nImages images, $mErrs errors")
 
+    // ——— day-2 delta: yesterday's processed log covers all but ~1k
+    // objects; today's run must pay driver AND task cost proportional
+    // to the delta, not the corpus (the anti-join is metadata-only).
+    // The listed route re-extracts everything by construction — this
+    // phase is the incrementality the event-driven reference gets free.
+    import org.apache.spark.sql.functions.{abs, col, hash, pmod}
+    val manifestDf = spark.read.parquet(manifestPq)
+    val isDelta = pmod(abs(hash(col("path"))), org.apache.spark.sql.functions.lit(9)) === 0
+    val processedLog = manifestDf.filter(!isDelta)
+    val (dex, dConsSec) = phase("delta construction (anti-join + layout)") {
+      graft.pipeline.DicomPipeline.extractFromManifest(
+        spark, graft.pipeline.DicomPipeline.manifestDelta(manifestDf, processedLog),
+        "rehearsal", "local")
+    }
+    val (dImages, dExSec) = phase("delta extract") { dex.rows.count() }
+    val nDeltaObjects = manifestDf.filter(isDelta).count()
+    require(dImages > 0 && dImages < mImages / 4,
+      s"delta should be a small fraction of the corpus: $dImages vs $mImages")
+
     val t0 = System.nanoTime()
     val (df, errDf) = graft.pipeline.DicomPipeline.run(
       spark, input.toString, out.toString, Some(err.toString),
@@ -176,6 +195,8 @@ object ExtractionRehearsal {
       s""""list_sec":${fmt(listSec)},"listed":$listed,"wall_sec":${fmt(wall)},""" +
       s""""list_construct_sec":${fmt(consSec)},"manifest_inventory_sec":${fmt(invSec)},""" +
       s""""manifest_construct_sec":${fmt(mConsSec)},"manifest_extract_sec":${fmt(mExSec)},""" +
+      s""""delta_objects":$nDeltaObjects,"delta_images":$dImages,""" +
+      s""""delta_construct_sec":${fmt(dConsSec)},"delta_extract_sec":${fmt(dExSec)},""" +
       s""""objects_per_sec":${fmt(nObjects / wall)},"images_per_sec":${fmt(nImages / wall)},""" +
       s""""extract_sec":${fmt(exSec)},"finalize_sec":${fmt(finSec)},"write_sec":${fmt(wrSec)},""" +
       s""""out_files":$outFiles,"out_partitions":$partitions,""" +

@@ -82,6 +82,44 @@ class ManifestSpec extends AnyFunSuite {
     assert(viaManifest == listed)
   }
 
+  test("day-2 delta: anti-join re-extracts exactly the new + changed objects") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("graft-manifest-delta")
+    try {
+      (0 until 6).foreach(i => Files.write(dir.resolve(f"obj-$i.dcm"), smallDcm(i)))
+      val manifest = DicomPipeline.manifestOf(spark, dir.toString)
+      // yesterday processed objects 0-3; today objects 4, 5 are new and
+      // object 1's recorded length drifted (content change analog)
+      val processed = manifest
+        .filter(!col("path").endsWith("obj-4.dcm") && !col("path").endsWith("obj-5.dcm"))
+        .withColumn("length",
+          org.apache.spark.sql.functions.when(
+            col("path").endsWith("obj-1.dcm"), col("length") + lit(1L))
+            .otherwise(col("length")))
+      val delta = DicomPipeline.manifestDelta(manifest, processed)
+      val deltaPaths = delta.collect().map(_.getString(0).split('/').last).sorted.toSeq
+      assert(deltaPaths == Seq("obj-1.dcm", "obj-4.dcm", "obj-5.dcm"),
+        s"delta must be exactly new+changed: $deltaPaths")
+      // byte-parity: extracting the delta manifest ≡ extracting a corpus
+      // holding ONLY those objects
+      val viaDelta = snapshot(
+        DicomPipeline.extractFromManifest(spark, delta, "bkt", "reg"))
+      val only = Files.createTempDirectory("graft-manifest-delta-only")
+      try {
+        Seq(1, 4, 5).foreach(i => Files.copy(
+          dir.resolve(f"obj-$i.dcm"), only.resolve(f"obj-$i.dcm")))
+        val direct = DicomPipeline.extract(spark, only.toString, "bkt", "reg")
+        // paths differ between the two corpora roots — compare values
+        // minus the path-bearing lineage keys
+        def strip(ss: Seq[String]) = ss.map(_.split('|').filterNot(
+          _.contains("SOURCE_S3_KEY")).mkString("|"))
+        assert(strip(viaDelta._1) == strip(snapshot(direct)._1),
+          "delta extraction diverged from extracting only the delta objects")
+      } finally graft.util.Fs.deleteRecursively(only)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("explicitly inventoried hidden basenames stay invisible") {
     import spark.implicits._
     // the paths need not even exist: if the filter failed, the read
