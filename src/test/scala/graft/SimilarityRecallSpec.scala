@@ -26,6 +26,28 @@ class SimilarityRecallSpec extends AnyFunSuite {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.collect().map(_.getAs[Long]("vec_id")).toSet
 
+  /** Committed per-round recall baseline (RECALL_BASELINE.json at the
+    * repo root — updated only by a deliberate commit when a dial or the
+    * testdata changes). Round-over-round the measured recall must not
+    * drop below baseline − 0.1 (one neighbor of ten — the artifact's
+    * grain; anything larger is a real retrieval regression, not noise:
+    * every path here is deterministic, so a drop means code drift). */
+  private lazy val baseline: Map[String, Double] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("RECALL_BASELINE.json")), "UTF-8")
+    """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  private def assertNoRegression(key: String, measured: Double): Unit = {
+    val base = baseline.getOrElse(key,
+      fail(s"RECALL_BASELINE.json lacks $key — add the new metric to the baseline"))
+    assert(measured >= base - 0.100001,
+      f"recall regression: $key measured $measured%.2f vs committed baseline $base%.2f")
+    if (measured > base + 0.100001)
+      info(f"$key improved past baseline ($measured%.2f > $base%.2f) — consider bumping RECALL_BASELINE.json")
+  }
+
   test("k-means IVF recall@10 >= per-label probe-2 IVF recall@10") {
     val truth = ids(Similarity.topkBrute(spark, sf))
     assert(truth.size == 10)
@@ -43,6 +65,8 @@ class SimilarityRecallSpec extends AnyFunSuite {
         .getBytes("UTF-8"))
     assert(rKmeans >= rLabel,
       s"learned quantizer recall $rKmeans must be >= per-label recall $rLabel")
+    assertNoRegression("kmeans_ivf_nprobe2", rKmeans)
+    assertNoRegression("per_label_probe2", rLabel)
   }
 
   test("IVF-PQ: rerank-all over all lists degenerates to exact brute force") {
@@ -71,6 +95,7 @@ class SimilarityRecallSpec extends AnyFunSuite {
     // the dial must do better than chance by a wide margin: probing 4
     // of 10 learned lists with a 50-deep exact re-rank on 600 vectors
     assert(r >= 0.5, s"ivf-pq recall collapsed: $r")
+    assertNoRegression("ivf_pq_nprobe4_rerank50", r)
   }
 
   test("persisted PQ index: identical to the recomputing path, probe prunes partitions") {
