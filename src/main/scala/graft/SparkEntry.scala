@@ -123,6 +123,15 @@ object SparkEntry {
     // Efraimidis-Spirakis weighted reservoir, octave-quantized weights so
     // u^(1/w) is an iterated CORRECTLY-ROUNDED sqrt — bit-portable keys
     "corpus_sample_weighted" -> (Curation.sampleWeighted _),
+    // writer-side layout: md5-bucketed shards with contiguous
+    // within-shard positions in hash-shuffled order (one exchange)
+    "corpus_shard"         -> ((s, d) => Curation.shard(s, d)),
+    // seeded global permutation with CONTIGUOUS positions via range
+    // exchange + zipWithIndex — never a single-partition window
+    "corpus_shuffle"       -> ((s, d) => Curation.shuffleOrder(s, d)),
+    // proportional-stride source interleave (low-discrepancy midpoint
+    // keys): any stream prefix holds each source near its proportion
+    "corpus_interleave"    -> (Curation.interleave _),
     // ——— table maintenance ———
     // latest-wins changelog apply (MERGE without the table format):
     // one changelog exchange (window + join share the key partitioning)
@@ -1268,6 +1277,37 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_shard" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5('sh:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+        |  ('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+
+    // the oracle states the naive single-window global rank; the engine
+    // computes it distributed (range exchange + zipWithIndex) — equality
+    // pins the contiguous-position machinery against the definition
+    "corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h ORDER BY pos""".stripMargin,
+
+    "corpus_interleave" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5('il:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS BIGINT) AS j
+        |  FROM h),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM r GROUP BY source)
+        |SELECT doc_id, source, j,
+        |  CAST(j * 2 + 1 AS DOUBLE) / CAST(n_src * 2 AS DOUBLE) AS skey
+        |FROM r JOIN c USING (source) ORDER BY skey, source, doc_id""".stripMargin,
 
     "corpus_mix" ->
       """WITH d AS (SELECT doc_id, source,

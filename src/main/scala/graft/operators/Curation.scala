@@ -250,6 +250,84 @@ object Curation {
       .orderBy($"doc_id", $"bench_doc")
   }
 
+  /** DETERMINISTIC SHARD LAYOUT — the writer side of a training
+    * pipeline: every document gets a shard (md5-bucketed, so shard
+    * membership depends only on doc_id — re-runs and engines agree) and
+    * a contiguous WITHIN-SHARD position in hash-shuffled order. Sorted
+    * by (shard, pos) this IS the file layout a data loader consumes:
+    * `nShards` equal-ish files, each internally shuffled, the whole
+    * assignment reproducible bit-for-bit for dataset versioning.
+    *
+    * Plan shape: one narrow scan computes both hashes, then ONE hash
+    * exchange on `shard` for the within-shard rank (WindowExec sorts
+    * per shard partition — never a global sort). At 100 TB each task
+    * ranks one shard's slice; shard count is the parallelism dial. */
+  def shard(s: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        expr(s"${h60("concat('sh:', cast(doc_id as string))")} % $nShards").as("shard"),
+        expr(h60("concat('ord:', cast(doc_id as string))")).as("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"h", $"doc_id")).cast("long") - 1)
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  /** GLOBAL DETERMINISTIC SHUFFLE — the seeded permutation a trainer
+    * consumes as "epoch order": position = rank of md5(seed:doc_id).
+    * The hard part at scale is CONTIGUOUS global positions without a
+    * single-partition window (a `row_number() OVER (ORDER BY …)` plan
+    * collapses the corpus onto one task): range-exchange on the hash
+    * (Spark samples split points), sort within partitions, then
+    * zipWithIndex — per-partition counts, a driver prefix-sum over
+    * #partitions longs, and offset-shifted local indices. Two narrow
+    * passes, no global sort point; the same primitive Spark itself uses
+    * for contiguous ids. The DuckDB oracle states the semantics as the
+    * naive global window — equality pins the distributed rank against
+    * the definition. */
+  def shuffleOrder(s: SparkSession, dir: String, seed: String = "42"): DataFrame = {
+    import s.implicits._
+    val sorted = docs(s, dir)
+      .select($"doc_id",
+        expr(h60(s"concat('$seed:', cast(doc_id as string))")).as("h"))
+      .repartitionByRange(col("h"), col("doc_id"))
+      .sortWithinPartitions($"h", $"doc_id")
+    val withPos = sorted.select($"doc_id").rdd
+      .map(_.getLong(0)).zipWithIndex()
+    s.createDataFrame(withPos).toDF("doc_id", "pos")
+      .orderBy($"pos")
+  }
+
+  /** PROPORTIONAL-STRIDE INTERLEAVE — the order half of source mixing:
+    * emit a single training stream in which every source's documents
+    * are evenly spaced (any prefix of the stream holds each source in
+    * ~its corpus proportion), instead of the source-clumped order a
+    * plain sort produces. Classic low-discrepancy trick: document j of
+    * a source with n docs gets stream key (2j+1)/(2n) — the midpoint
+    * grid — and the stream orders by that key. Both engines compute
+    * the key as ONE correctly-rounded IEEE division of small integers
+    * (exact same bits everywhere; ties break on (source, doc_id)).
+    *
+    * Plan shape: one exchange on `source` for the per-source rank
+    * (WindowExec per partition), a broadcast of per-source counts, and
+    * the oracle-stability sort. The stream position itself stays a
+    * SORT KEY, not a materialized global rank — consumers that need
+    * contiguous ids compose with [[shuffleOrder]]'s zipWithIndex. */
+  def interleave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = docs(s, dir)
+      .select($"doc_id", $"source",
+        expr(h60("concat('il:', cast(doc_id as string))")).as("h"))
+      .withColumn("j", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")).cast("long") - 1)
+    val counts = ranked.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(counts), Seq("source"))
+      .select($"doc_id", $"source", $"j",
+        (($"j" * 2 + 1).cast("double") / ($"n_src" * 2).cast("double")).as("skey"))
+      .orderBy($"skey", $"source", $"doc_id")
+  }
+
   /** SQL for the octave (floor log2) of `e`, clamped to [[OctMin]]..
     * [[OctMax]] — an unrolled integer comparison chain, shared verbatim
     * by the Spark plan and the DuckDB oracle. Integer compares only;

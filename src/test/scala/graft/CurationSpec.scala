@@ -29,6 +29,56 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.split(spark, sf).collect().toSeq == rows.toSeq)
   }
 
+  test("shard: balanced md5 buckets, contiguous within-shard positions") {
+    val rows = Curation.shard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 500)
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.size == 16, s"all 16 shards populated, saw ${byShard.size}")
+    // md5 uniformity: 500/16 ≈ 31 per shard, generous band
+    assert(byShard.values.forall(g => g.size >= 15 && g.size <= 50),
+      s"shard skew: ${byShard.view.mapValues(_.size).toMap}")
+    // positions are 0..n_s-1 contiguous per shard
+    byShard.foreach { case (sh, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.size).toSeq,
+        s"shard $sh positions not contiguous")
+    }
+  }
+
+  test("shuffle: contiguous global permutation, computed without a one-task window") {
+    val df = Curation.shuffleOrder(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sorted.toSeq == (0L until 500L).toSeq,
+      "positions must be the contiguous 0..n-1 permutation")
+    assert(rows.map(_._1).distinct.length == 500)
+    // the order is the hash order, not id order (it actually shuffles)
+    assert(rows.sortBy(_._2).map(_._1).toSeq != rows.map(_._1).sorted.toSeq)
+    // plan: no Window over an empty partition spec (the one-task shape)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"global shuffle must not plan a window: $plan")
+  }
+
+  test("interleave: every stream prefix holds each source near its proportion") {
+    val rows = Curation.interleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = rows.length
+    val prop = rows.groupBy(_._2).view.mapValues(_.length.toDouble / n).toMap
+    // check the defining property at several prefixes: source share in
+    // the prefix within ±2 docs + 5% of its corpus share (midpoint-grid
+    // spacing guarantees |prefix_count − k·p| ≤ 1 per source in theory;
+    // ties across sources relax it slightly)
+    for (k <- Seq(n / 10, n / 4, n / 2)) {
+      val prefix = rows.take(k).groupBy(_._2).view.mapValues(_.length).toMap
+      prop.foreach { case (src, p) =>
+        val expect = k * p
+        val got = prefix.getOrElse(src, 0).toDouble
+        assert(math.abs(got - expect) <= 2 + 0.05 * expect,
+          s"prefix $k: source $src has $got docs, expected ~$expect")
+      }
+    }
+  }
+
   test("pack: offsets stay inside the budget and chunks are contiguous per shard") {
     val rows = Curation.pack(spark, sf, budget = 512L).collect()
     assert(rows.forall(r => r.getAs[Long]("chunk_offset") >= 0 &&
