@@ -108,6 +108,9 @@ object SparkEntry {
     "dedup_substring_scrub" -> ((s, d) => Dedup.substringScrub(s, d)),
     "dedup_embed_cosine"  -> (Dedup.embedCosine _),
     "corpus_clean"        -> (Dedup.corpusClean _),
+    // RefinedWeb-style repeated-segment (boilerplate "line") removal:
+    // df-gated aligned segments, order-preserving reassembly
+    "dedup_lines"         -> ((s, d) => Dedup.lineDedup(s, d)),
     // ——— dataset curation ———
     "corpus_split"         -> (Curation.split _),
     "corpus_sample_strat"  -> (Curation.sampleStratified _),
@@ -284,6 +287,10 @@ object SparkEntry {
     "dicom_partitioned_sql" -> (DicomQueries.partitionedSql _),
     "dicom_crawl_schema"   -> (DicomQueries.crawlSchema _),
     "dicom_source_sql"     -> (DicomQueries.sourceSql _),
+    // non-parquet corpus ingestion: stage-once text copies read back
+    // with explicit schemas; the digest oracle gates escape/round-trip
+    "source_jsonl"         -> (graft.sources.DocumentSources.jsonlRoundtrip _),
+    "source_csv"           -> (graft.sources.DocumentSources.csvRoundtrip _),
     "dicom_parse_da_fn"    -> (DicomQueries.parseDaFn _),
     "dicom_parse_pn_fn"    -> (DicomQueries.parsePnFn _),
     "dicom_stream_ingest"  -> (StreamQueries.streamIngest _),
@@ -1138,6 +1145,35 @@ object SparkEntry {
         |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
         |  CAST(max(e - s + 1) AS BIGINT) AS longest_span
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "source_jsonl" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "source_csv" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |segs0 AS (SELECT doc_id, tk, unnest(range((len(tk) - 1) // 8 + 1)) AS i
+        |          FROM tk WHERE len(tk) > 0),
+        |segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_i,
+        |  array_to_string(tk[(i*8 + 1):(i*8 + 8)], ' ') AS seg FROM segs0),
+        |g AS (SELECT doc_id, seg_i, seg,
+        |  ('0x' || substr(md5(seg), 1, 15))::BIGINT AS g FROM segs),
+        |boiler AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+        |kept AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_i) AS clean_text,
+        |         CAST(count(*) AS BIGINT) AS n_kept
+        |         FROM g WHERE g NOT IN (SELECT g FROM boiler) GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |  CAST((len(list_filter(string_split(text, ' '), x -> len(x) > 0)) + 7) // 8 AS BIGINT) AS n_segs
+        |  FROM documents)
+        |SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
+        |  n_segs - coalesce(n_kept, 0) AS n_removed
+        |FROM tot t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_substring_scrub" ->
       """WITH tk AS (

@@ -1116,6 +1116,57 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** SEGMENT-LEVEL EXACT DEDUP — RefinedWeb/C4-style repeated-line
+    * removal: segment every document (a real corpus splits on newlines;
+    * this corpus has none, so segments are fixed `chunk`-token windows —
+    * the delimiter is a dial, the semantics are identical), drop every
+    * segment whose exact text appears in ≥ 2 DISTINCT documents
+    * (boilerplate: headers, navigation, license blocks), and reassemble
+    * each document from its surviving segments in order.
+    *
+    * Differs from [[substringScrub]] on purpose: that operator removes
+    * cross-doc k-gram SPANS at any alignment (training-span leakage);
+    * this one removes whole aligned segments (boilerplate lines), which
+    * is what the published web-corpus pipelines run first — and at a
+    * fraction of the cost, since the unit relation is n_tokens/chunk
+    * segments instead of every k-window.
+    *
+    * Plan shape: one narrow scan emits (doc_id, seg_i, h60(segment)) —
+    * the df gate shuffles an 8-byte hash, never segment text; "≥ 2
+    * distinct docs" is the one-exchange min≠max gate (the
+    * [[substringSpans]] lesson); reassembly is a per-doc
+    * array_sort(collect_list) over surviving segments — per-doc state
+    * only. Docs whose every segment was boilerplate survive as empty
+    * strings (the right-join), so the output is corpus-complete. */
+  def lineDedup(s: SparkSession, dir: String, chunk: Int = 8): DataFrame = {
+    import s.implicits._
+    val segs = docs(s, dir)
+      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
+      .filter(size($"tk") > 0)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, (size(tk) - 1) div $chunk), " +
+        s"i -> array_join(slice(tk, i * $chunk + 1, $chunk), ' '))"))
+        .as(Seq("seg_i", "seg")))
+      .select($"doc_id", $"seg_i".cast("long").as("seg_i"), $"seg",
+        expr(h60("seg")).as("g"))
+    val boiler = segs.groupBy($"g")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .filter($"mn" =!= $"mx").select($"g")
+    segs.join(boiler, Seq("g"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"seg_i", $"seg"))).as("kept"))
+      .select($"doc_id",
+        expr("array_join(transform(kept, t -> t.seg), ' ')").as("clean_text"),
+        size($"kept").cast("long").as("n_kept"))
+      .join(docs(s, dir).select($"doc_id",
+        expr(s"cast((size(filter(split(text, ' '), x -> length(x) > 0)) + $chunk - 1) div $chunk as bigint)")
+          .as("n_segs")), Seq("doc_id"), "right")
+      .select($"doc_id",
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        ($"n_segs" - coalesce($"n_kept", lit(0L))).as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
   /** End-to-end corpus cleaning — the composition a training-data
     * pipeline actually runs: C4-style quality filter → exact dedup
     * (keep lowest doc_id per digest) → MinHash near-dup removal (drop the
