@@ -135,6 +135,9 @@ object SparkEntry {
     // proportional-stride source interleave (low-discrepancy midpoint
     // keys): any stream prefix holds each source near its proportion
     "corpus_interleave"    -> (Curation.interleave _),
+    // per-source fractional-epoch upsampling: floor(e) copies + one
+    // hash-selected extra for the fractional share
+    "corpus_epochs"        -> (Curation.epochs _),
     // ——— table maintenance ———
     // latest-wins changelog apply (MERGE without the table format):
     // one changelog exchange (window + join share the key partitioning)
@@ -310,6 +313,11 @@ object SparkEntry {
     // name) per live signature, exact Levenshtein check against the
     // owner; the owner-check contract has a closed-form SQL oracle
     "stream_editdup_filter" -> (StreamQueries.streamEditDup _),
+    // TTL twin of the edit-dup filter: owners expire horizon-of-event-
+    // time after their newest carrier (absolute state bound — closes the
+    // r7 PLANS caveat that NoTimeout keys never expire); drain horizon
+    // outlives the corpus so it shares the NoTimeout oracle verbatim
+    "stream_editdup_ttl" -> (StreamQueries.streamEditDupTtl _),
     // LEFT OUTER stream-stream join: null emission gated on watermark
     // state closure — the closed-form oracle states the emission rule
     "stream_stream_outer"  -> (StreamQueries.streamStreamOuter _),
@@ -560,6 +568,26 @@ object SparkEntry {
         |FROM base FULL OUTER JOIN latest USING (key)
         |WHERE op IS NULL OR op = 'U'
         |ORDER BY key""".stripMargin
+
+  /** Shared by `stream_editdup_filter` (NoTimeout) and
+    * `stream_editdup_ttl` (horizon outlives the corpus, so the finite
+    * drain expires nothing): the online owner-check contract in closed
+    * form. */
+  private val EditDupFilterOracleSql: String =
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+        |dels AS (SELECT id, nm, unnest(range(1, len(nm) + 1)) AS i FROM c),
+        |sigs AS (SELECT DISTINCT id, sig FROM (
+        |  SELECT id, nm AS sig FROM c
+        |  UNION ALL
+        |  SELECT id, substr(nm, 1, CAST(i AS INT) - 1) ||
+        |             substr(nm, CAST(i AS INT) + 1) AS sig FROM dels)),
+        |own AS (SELECT sig, min(id) AS owner FROM sigs GROUP BY 1),
+        |hits AS (SELECT s.id, o.owner
+        |  FROM sigs s JOIN own o USING (sig)
+        |  JOIN c a ON a.id = s.id JOIN c b ON b.id = o.owner
+        |  WHERE o.owner < s.id AND levenshtein(a.nm, b.nm) <= 1)
+        |SELECT id AS doc_id, min(owner) AS dup_of
+        |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   private val NearDupStreamOracleSql: String = NearDupBandCtes + "\n" +
       """SELECT b.doc_id AS doc_id, min(a.doc_id) AS near_dup_of
@@ -1344,6 +1372,21 @@ object SparkEntry {
         |SELECT doc_id, source, j,
         |  CAST(j * 2 + 1 AS DOUBLE) / CAST(n_src * 2 AS DOUBLE) AS skey
         |FROM r JOIN c USING (source) ORDER BY skey, source, doc_id""".stripMargin,
+
+    "corpus_epochs" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(substr(source, 4) AS INT) % 4 AS m FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  1 + m // 2 + CASE WHEN
+        |    ('0x' || substr(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        |      < (m % 2) * 500000 THEN 1 ELSE 0 END AS n
+        |  FROM d)
+        |SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_idx
+        |FROM c ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // the TTL twin shares the NoTimeout filter's oracle verbatim: the
+    // derived horizon outlives the corpus, so nothing expires mid-drain
+    "stream_editdup_ttl" -> EditDupFilterOracleSql,
 
     "corpus_mix" ->
       """WITH d AS (SELECT doc_id, source,
@@ -2147,21 +2190,7 @@ object SparkEntry {
 
     // the online owner-check contract stated verbatim: owner(sig) =
     // min id carrying sig; dup_of = min owner within distance <= 1
-    "stream_editdup_filter" ->
-      """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
-        |dels AS (SELECT id, nm, unnest(range(1, len(nm) + 1)) AS i FROM c),
-        |sigs AS (SELECT DISTINCT id, sig FROM (
-        |  SELECT id, nm AS sig FROM c
-        |  UNION ALL
-        |  SELECT id, substr(nm, 1, CAST(i AS INT) - 1) ||
-        |             substr(nm, CAST(i AS INT) + 1) AS sig FROM dels)),
-        |own AS (SELECT sig, min(id) AS owner FROM sigs GROUP BY 1),
-        |hits AS (SELECT s.id, o.owner
-        |  FROM sigs s JOIN own o USING (sig)
-        |  JOIN c a ON a.id = s.id JOIN c b ON b.id = o.owner
-        |  WHERE o.owner < s.id AND levenshtein(a.nm, b.nm) <= 1)
-        |SELECT id AS doc_id, min(owner) AS dup_of
-        |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "stream_editdup_filter" -> EditDupFilterOracleSql,
 
     // identical statement: the TTL drain's horizon exceeds the corpus
     // event-time span, so nothing expires in the finite gate drain

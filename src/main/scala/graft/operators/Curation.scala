@@ -328,6 +328,34 @@ object Curation {
       .orderBy($"skey", $"source", $"doc_id")
   }
 
+  /** REPETITION-AWARE UPSAMPLING — the per-source epoch table of a
+    * training mix (the "how many times does each source repeat" knob):
+    * source m gets 1 + m·0.5 epochs (m = source-id mod 4 → 1.0 / 1.5 /
+    * 2.0 / 2.5), realized per document as floor(e) guaranteed copies
+    * plus one extra copy for the hash-selected fraction — so a 1.5-epoch
+    * source repeats every doc once and HALF its docs (md5-chosen, not
+    * row-order-chosen) twice. Fractional epochs never round a source up
+    * or down wholesale, and the copy set is deterministic for dataset
+    * versioning. Output (doc_id, source, copy_idx) is the materialized
+    * epoch plan a loader consumes.
+    *
+    * Plan shape: one narrow scan computes the copy count (integer
+    * arithmetic + one hash compare — the fraction ladder is
+    * (m mod 2)·500000 over a 10⁶ hash space, no floats anywhere), one
+    * explode, the oracle-stability sort. No shuffle before the sort. */
+  def epochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"source")
+      .withColumn("m", expr("cast(substring(source, 4, 10) as int) % 4"))
+      .withColumn("n_copies",
+        expr(s"1 + (m div 2) + if(${h60("concat('ep:', cast(doc_id as string))")} % 1000000" +
+          " < (m % 2) * 500000, 1, 0)"))
+      .select($"doc_id", $"source",
+        explode(expr("sequence(1L, cast(n_copies as long))")).as("copy_idx"))
+      .orderBy($"doc_id", $"copy_idx")
+  }
+
   /** SQL for the octave (floor log2) of `e`, clamped to [[OctMin]]..
     * [[OctMax]] — an unrolled integer comparison chain, shared verbatim
     * by the Spark plan and the DuckDB oracle. Integer compares only;

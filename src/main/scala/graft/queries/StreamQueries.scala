@@ -1147,4 +1147,80 @@ object StreamQueries {
         .orderBy($"doc_id"),
       dropView = Some(name), deleteDirs = deleteDirs)
   }
+
+  case class SigRowTs(id: Long, nm: String, sig: String,
+                      event_time: java.sql.Timestamp)
+
+  /** TTL twin of [[streamEditDup]] — the r7 PLANS note made the honest
+    * caveat that the NoTimeout filter's KEY COUNT grows with distinct
+    * signatures forever; this variant expires a signature's owner
+    * `horizon` of event time after its newest carrier, bounding total
+    * state at rate × horizon signatures — the same absolute guarantee
+    * the near-dup family's TTL twin gives. Event time is synthesized
+    * from c_custkey (epoch + key seconds) and the gate horizon is
+    * derived as corpus-span + 48 h, so the finite drain never expires
+    * anything and the query SHARES `stream_editdup_filter`'s oracle
+    * verbatim; the expiry semantics themselves (re-admission as new
+    * owner, no report) are pinned on crafted batches in
+    * EditDupStreamSpec's TTL test. */
+  def streamEditDupTtl(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val (in, name) = stageInput(s, dir, "customer.parquet", "editdupttl")
+    val batchRead = s.read.parquet(s"$dir/customer.parquet")
+    val spanMs = 1000L * batchRead
+      .agg(coalesce(max(col("c_custkey")), lit(0L))).head().getLong(0)
+    val stream = s.readStream.schema(batchRead.schema).parquet(in.toString)
+      .withColumn("event_time",
+        timestamp_seconds(lit(1700000000L) + col("c_custkey")))
+    editDupDrainTtl(s, stream, name,
+      horizonMs = spanMs + 48L * 3600 * 1000, deleteDirs = Seq(in))
+  }
+
+  /** The TTL drain core behind [[streamEditDupTtl]], exposed for the
+    * re-admission spec. `stream` must carry c_custkey, c_name, and an
+    * `event_time` timestamp; the watermark delay doubles as the owner
+    * horizon. RocksDB state like every stateful drain here. */
+  private[graft] def editDupDrainTtl(s: SparkSession, stream: DataFrame,
+      name: String, horizonMs: Long,
+      deleteDirs: Seq[java.nio.file.Path]): DataFrame = withRocksDbState(s) {
+    import s.implicits._
+    def update(key: String, rows: Iterator[SigRowTs],
+               state: GroupState[(Long, String)]): Iterator[EditDupHit] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val arr = rows.toSeq.sortBy(_.id)
+        var (ownerId, ownerNm) = state.getOption.getOrElse((Long.MaxValue, ""))
+        val out = Seq.newBuilder[EditDupHit]
+        arr.foreach { r =>
+          if (r.id < ownerId) { ownerId = r.id; ownerNm = r.nm }
+          else if (r.id > ownerId && lev(r.nm, ownerNm) <= 1)
+            out += EditDupHit(r.id, ownerId)
+        }
+        state.update((ownerId, ownerNm))
+        state.setTimeoutTimestamp(arr.map(_.event_time.getTime).max + horizonMs)
+        out.result().iterator
+      }
+    }
+    val q = stream
+      .withWatermark("event_time", s"${horizonMs / 1000} seconds")
+      .select($"c_custkey".as("id"), $"c_name".as("nm"),
+        explode(expr(graft.operators.Dedup.deletionSigExpr("c_name"))).as("sig"),
+        $"event_time")
+      .as[SigRowTs]
+      .groupByKey(_.sig)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndRelease(s,
+      s.table(name)
+        .groupBy($"doc_id")
+        .agg(min($"dup_of").as("dup_of"))
+        .orderBy($"doc_id"),
+      dropView = Some(name), deleteDirs = deleteDirs)
+  }
 }

@@ -82,6 +82,54 @@ class EditDupStreamSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(work)
   }
 
+  test("TTL: an expired owner RE-ADMITS the name family — new owner, no report") {
+    import spark.implicits._
+    val t0 = 1000000L
+    val h = 3600L // 1 h horizon
+    def write(dir: java.nio.file.Path, as: String,
+              rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("editdupttl-w")
+      rows.toDF("c_custkey", "c_name", "sec")
+        .selectExpr("c_custkey", "c_name", "timestamp_seconds(sec) AS event_time")
+        .coalesce(1).write.parquet(tmp.resolve("t").toString)
+      val src = java.nio.file.Files.list(tmp.resolve("t"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, dir.resolve(as))
+      graft.util.Fs.deleteRecursively(tmp)
+    }
+    val staged = java.nio.file.Files.createTempDirectory("editdupttl-in")
+    try {
+      // b1: id 3 "carol" owns; b2: unrelated name advances the watermark
+      // past t0 + h; b3: another unrelated name — carol's idle
+      // signatures time out HERE (timeouts fire only for keys with no
+      // data in the batch); b4: id 9 "carol" arrives to EMPTY state →
+      // new owner, silent; b5: id 11 "caroll" reports dup_of = 9, NOT 3
+      write(staged, "part-0000.parquet", Seq((3L, "carol", t0)))
+      write(staged, "part-0001.parquet", Seq((7L, "zebra", t0 + 36000)))
+      write(staged, "part-0002.parquet", Seq((8L, "quartz", t0 + 36060)))
+      write(staged, "part-0003.parquet", Seq((9L, "carol", t0 + 36120)))
+      write(staged, "part-0004.parquet", Seq((11L, "caroll", t0 + 36180)))
+      val schema = spark.read.parquet(staged.toString).schema
+      val name = "editdup_ttl_" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+      val result = StreamQueries.editDupDrainTtl(
+          spark, stream, name, horizonMs = h * 1000, deleteDirs = Nil)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(result == Seq((11L, 9L)),
+        s"TTL re-admission semantics drifted: $result")
+    } finally graft.util.Fs.deleteRecursively(staged)
+  }
+
+  test("TTL query twin: gate-shaped drain equals the NoTimeout filter") {
+    val a = StreamQueries.streamEditDup(spark, sf).collect().map(_.toString).sorted
+    val b = StreamQueries.streamEditDupTtl(spark, sf).collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b),
+      "corpus-outliving horizon must reproduce the NoTimeout filter")
+  }
+
   test("lev: matches Spark's levenshtein on random strings") {
     import org.apache.spark.sql.functions.levenshtein
     import spark.implicits._
