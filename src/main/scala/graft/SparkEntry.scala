@@ -80,6 +80,10 @@ object SparkEntry {
     // (write → read → query); hash-gated against the identical oracle,
     // proving persisted-index ≡ recomputed-index
     "dedup_incremental_idx" -> (Dedup.minhashIncrementalFromIndex _),
+    // day-2 deletions: retire a slice, compact both index relations,
+    // run the incremental batch against the compacted index — oracle =
+    // the incremental SQL over a universe excluding the retired docs
+    "dedup_index_compact" -> (Dedup.minhashIncrementalCompacted _),
     "dedup_components"    -> ((s, d) => Dedup.components(s, d)),
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -995,6 +999,12 @@ object SparkEntry {
     // identical statement: the persisted-index path must hash-match the
     // same oracle as the recompute path
     "dedup_incremental_idx" -> IncrementalOracleSql,
+
+    // same pair SQL over the survivor universe: retired index docs
+    // (doc_id % 17 = 5, non-batch) never existed as far as day 2 cares
+    "dedup_index_compact" -> IncrementalOracleSql.replace(
+      "FROM documents)",
+      "FROM documents WHERE NOT (doc_id % 10 != 7 AND doc_id % 17 = 5))"),
 
     "dedup_components" ->
       """WITH RECURSIVE tk AS (

@@ -513,6 +513,61 @@ object Dedup {
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxPath))
   }
 
+  /** DAY-2 INDEX COMPACTION — deletion support for the persisted dedup
+    * index: drop every retired document's rows from both index
+    * relations (bands and shingle sets) and rewrite them in the SAME
+    * layout [[writeIndex]] produces (bands repartitioned on the full
+    * join key, sets range-sorted on doc_id so the candidate-id pushdown
+    * keeps row-group skipping). Cost is ONE metadata-light anti-join +
+    * rewrite per relation — index bytes, never corpus re-shingling; at
+    * 100 TB this runs as the retention job that keeps day-N candidate
+    * volume from accumulating deleted corpora. The compacted index is
+    * bit-equivalent to an index built fresh from the surviving
+    * documents (both relations are per-doc deterministic functions, so
+    * removal commutes with construction — pinned in
+    * IncrementalIndexSpec and by the `dedup_index_compact` oracle). */
+  def compactIndex(s: SparkSession, indexPath: String, retired: DataFrame,
+                   outPath: String): Unit = {
+    import s.implicits._
+    val gone = broadcast(retired.select($"doc_id").distinct())
+    s.read.parquet(s"$indexPath/bands")
+      .join(gone, Seq("doc_id"), "left_anti")
+      .repartition(col("band"), col("band_hash"))
+      .sortWithinPartitions(col("band"), col("band_hash"))
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+    s.read.parquet(s"$indexPath/sets")
+      .join(gone, Seq("doc_id"), "left_anti")
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outPath/sets")
+  }
+
+  /** `dedup_index_compact`: the full day-2 deletion lifecycle — build
+    * the day-1 index, RETIRE a deterministic slice (index docs with
+    * doc_id ≡ 5 mod 17 — the analog of a corpus takedown), compact,
+    * and run the usual incremental batch against the compacted index.
+    * The oracle is the incremental pair SQL over a universe that simply
+    * EXCLUDES the retired documents — so the gate certifies both halves
+    * at once: retired docs can never produce a candidate (their bands
+    * are gone) and surviving pairs are byte-identical to a fresh index
+    * of the survivors. */
+  def minhashIncrementalCompacted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = docs(s, dir)
+    val isBatch = pmod($"doc_id", lit(10)) === lit(7)
+    val retired = all.filter(!isBatch && pmod($"doc_id", lit(17)) === lit(5))
+      .select($"doc_id")
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "dedupidx"), "compact").toAbsolutePath
+    try {
+      writeIndex(s, all.filter(!isBatch), s"$base/day1")
+      compactIndex(s, s"$base/day1", retired, s"$base/day2")
+      val out = incrementalPairsFromIndex(s, s"$base/day2", all.filter(isBatch))
+        .orderBy($"doc_a", $"doc_b")
+      trackCheckpoint(out.localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** Transitive near-duplicate GROUPS: connected components over the
     * MinHash near-dup pair graph — the canonical corpus-dedup semantics.
     * Pair-based removal ([[corpusClean]]) drops the higher id of each

@@ -49,7 +49,15 @@ class DegenerateInputSpec extends AnyFunSuite {
       "events_active_time" -> (() => Relational.eventsActiveTime(spark, emptyDir).count()),
       "events_cumulative_users" -> (() => Relational.eventsCumulativeUsers(spark, emptyDir).count()),
       "events_rfm" -> (() => Relational.eventsRfm(spark, emptyDir).count()),
-      "table_diff" -> (() => graft.operators.Maintenance.tableDiff(spark, emptyDir).count()))
+      "table_diff" -> (() => graft.operators.Maintenance.tableDiff(spark, emptyDir).count()),
+      // r8 additions
+      "corpus_shard" -> (() => graft.operators.Curation.shard(spark, emptyDir).count()),
+      "corpus_shuffle" -> (() => graft.operators.Curation.shuffleOrder(spark, emptyDir).count()),
+      "corpus_interleave" -> (() => graft.operators.Curation.interleave(spark, emptyDir).count()),
+      "corpus_epochs" -> (() => graft.operators.Curation.epochs(spark, emptyDir).count()),
+      "dedup_lines" -> (() => Dedup.lineDedup(spark, emptyDir).count()),
+      "source_jsonl" -> (() => graft.sources.DocumentSources.jsonlRoundtrip(spark, emptyDir).count()),
+      "source_csv" -> (() => graft.sources.DocumentSources.csvRoundtrip(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>
@@ -76,6 +84,20 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(Relational.eventsTwap(spark, dir).count() == 0) // one event: no interval
       assert(Relational.eventsRfm(spark, dir).count() == 1)
       assert(Relational.eventsCumulativeUsers(spark, dir).count() == 1)
+      // r8: one document — exactly one shard row at pos 0, the identity
+      // permutation, one interleave row, ≥1 epoch copy, and no segment
+      // can be cross-doc boilerplate
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(1)
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val sh = graft.operators.Curation.shard(spark, dir).collect()
+      assert(sh.length == 1 && sh(0).getLong(2) == 0L)
+      val pm = graft.operators.Curation.shuffleOrder(spark, dir).collect()
+      assert(pm.length == 1 && pm(0).getLong(1) == 0L)
+      assert(graft.operators.Curation.interleave(spark, dir).count() == 1)
+      assert(graft.operators.Curation.epochs(spark, dir).count() >= 1)
+      val ld = Dedup.lineDedup(spark, dir).collect()
+      assert(ld.length == 1 && ld(0).getLong(2) == 0L,
+        "a lone doc has no cross-doc boilerplate to lose")
     } finally {
       Dedup.unpersistIntermediates(spark) // editJoin's tracked checkpoints
       spark.catalog.clearCache()

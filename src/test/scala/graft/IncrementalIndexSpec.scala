@@ -38,6 +38,43 @@ class IncrementalIndexSpec extends AnyFunSuite {
       s"persisted-index drifted from recompute:\n idx=${viaIndex.mkString(";")}\n dir=${direct.mkString(";")}")
   }
 
+  test("compaction commutes with construction: compacted ≡ fresh-from-survivors") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val isBatch = pmod(col("doc_id"), lit(10)) === lit(7)
+    val idxDocs = all.filter(!isBatch)
+    val retired = idxDocs.filter(pmod(col("doc_id"), lit(17)) === lit(5))
+      .select(col("doc_id"))
+    assert(retired.count() > 0, "fixture must actually retire something")
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(spark, "dedupidx"), "compact-spec").toAbsolutePath
+    try {
+      Dedup.writeIndex(spark, idxDocs, s"$base/day1")
+      Dedup.compactIndex(spark, s"$base/day1", retired, s"$base/compacted")
+      Dedup.writeIndex(spark,
+        idxDocs.join(retired, Seq("doc_id"), "left_anti"), s"$base/fresh")
+      // both relations byte-equal as SETS (layout keys match too, but
+      // set equality is the correctness contract)
+      for (rel <- Seq("bands", "sets")) {
+        val a = spark.read.parquet(s"$base/compacted/$rel")
+          .collect().map(_.toString).sorted
+        val b = spark.read.parquet(s"$base/fresh/$rel")
+          .collect().map(_.toString).sorted
+        assert(a.nonEmpty && a.sameElements(b),
+          s"$rel: compaction does not commute with construction")
+      }
+      // and the incremental run over either index agrees
+      val batch = all.filter(isBatch)
+      val viaCompacted = Dedup.incrementalPairsFromIndex(spark, s"$base/compacted", batch)
+        .collect().map(_.toString).sorted
+      Dedup.unpersistIntermediates(spark)
+      val viaFresh = Dedup.incrementalPairsFromIndex(spark, s"$base/fresh", batch)
+        .collect().map(_.toString).sorted
+      Dedup.unpersistIntermediates(spark)
+      assert(viaCompacted.sameElements(viaFresh))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   test("re-delivered batch ids ignore their stale index rows (no dup/self pairs)") {
     val idx = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "idxoverlap").toAbsolutePath.toString
