@@ -84,6 +84,9 @@ object SparkEntry {
     // run the incremental batch against the compacted index — oracle =
     // the incremental SQL over a universe excluding the retired docs
     "dedup_index_compact" -> (Dedup.minhashIncrementalCompacted _),
+    // day-2 transitive groups: day-1 labels as star edges + fresh
+    // batch-involving pairs; must land on the full-recompute answer
+    "dedup_components_incremental" -> ((s, d) => Dedup.componentsIncremental(s, d)),
     "dedup_components"    -> ((s, d) => Dedup.components(s, d)),
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -573,6 +576,46 @@ object SparkEntry {
         |WHERE op IS NULL OR op = 'U'
         |ORDER BY key""".stripMargin
 
+  /** Shared by `dedup_components` and `dedup_components_incremental`
+    * (the day-2 merge must equal the full recompute): transitive
+    * closure + min-reachable over the full MinHash pair SQL. */
+  private val ComponentsOracleSql: String =
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
+        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
+        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
+        |        FROM perms GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 2 AS band,
+        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
+        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |shh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM sh),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand JOIN shh sa ON doc_a = sa.doc_id
+        |  JOIN shh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |      UNION SELECT doc_b, doc_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS component
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   /** Shared by `stream_editdup_filter` (NoTimeout) and
     * `stream_editdup_ttl` (horizon outlives the corpus, so the finite
     * drain expires nothing): the online owner-check contract in closed
@@ -1006,42 +1049,12 @@ object SparkEntry {
       "FROM documents)",
       "FROM documents WHERE NOT (doc_id % 10 != 7 AND doc_id % 17 = 5))"),
 
-    "dedup_components" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
-        |  FROM documents),
-        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
-        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
-        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
-        |        FROM perms GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, perm // 2 AS band,
-        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
-        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
-        |  FROM sig GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-        |shh AS (SELECT DISTINCT doc_id,
-        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM sh),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
-        |  FROM cand JOIN shh sa ON doc_a = sa.doc_id
-        |  JOIN shh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
-        |  GROUP BY 1, 2),
-        |pr AS (SELECT doc_a, doc_b FROM (
-        |  SELECT doc_a, doc_b,
-        |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
-        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
-        |  WHERE jaccard >= 0.5),
-        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-        |      UNION SELECT doc_b, doc_a FROM pr),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS component
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "dedup_components" -> ComponentsOracleSql,
+
+    // the incremental merge (day-1 labels as star edges + the
+    // batch-involving pairs) must land on the FULL recompute answer —
+    // same oracle, stronger claim
+    "dedup_components_incremental" -> ComponentsOracleSql,
 
     "dedup_simhash" ->
       """WITH tok AS (

@@ -592,6 +592,47 @@ object Dedup {
       .select($"node".as("doc_id"), $"component").orderBy($"doc_id")
   }
 
+  /** DAY-2 INCREMENTAL COMPONENTS — the transitive twin of
+    * [[incrementalPairsFromIndex]]: yesterday's labeling collapses to
+    * node-sized STAR edges (doc → its component id — connectivity-
+    * preserving because a component id is a member's id), only the
+    * batch-involving pairs are computed fresh ([[incrementalPairs]] —
+    * never an index×index candidate), and the CC loop runs over
+    * star ∪ new edges. A batch doc bridging two day-1 clusters merges
+    * them exactly as a full recompute would, but the iteration's edge
+    * relation is |day-1 nodes| + |new pairs| instead of ALL pairs —
+    * the day-2 cost profile. The output must equal the full recompute
+    * (same oracle as `dedup_components` — a stronger gate than a
+    * self-referential one) and the equality is also pinned in-process
+    * in DedupComponentsSpec. */
+  def componentsIncremental(s: SparkSession, dir: String,
+                            maxIters: Int = 64): DataFrame = {
+    import s.implicits._
+    val all = docs(s, dir)
+    val isBatch = pmod($"doc_id", lit(10)) === lit(7)
+    val day1 = all.filter(!isBatch)
+    val batch = all.filter(isBatch)
+    val day1Pairs = trackCheckpoint(
+      minhashPairs(s, day1).select($"doc_a", $"doc_b")
+        .coalesce(4).localCheckpoint())
+    val day1Labels = componentsOf(s,
+      day1Pairs.union(day1Pairs.select($"doc_b", $"doc_a")).toDF("src", "dst"),
+      maxIters)
+    val newPairs = trackCheckpoint(
+      incrementalPairs(s, day1, batch).select($"doc_a", $"doc_b")
+        .coalesce(4).localCheckpoint())
+    // star edges: (node ≠ component) suffices — a component's min id
+    // always appears as the dst of some member's star edge, and
+    // clusters have ≥ 2 members by construction
+    val star = day1Labels.filter($"node" =!= $"component")
+      .select($"node".as("doc_a"), $"component".as("doc_b"))
+    val merged = star.unionByName(newPairs)
+    componentsOf(s,
+      merged.union(merged.select($"doc_b", $"doc_a")).toDF("src", "dst"),
+      maxIters)
+      .select($"node".as("doc_id"), $"component").orderBy($"doc_id")
+  }
+
   /** Connected components of an undirected graph given as a symmetric
     * `(src, dst)` edge list (both directions present). Returns
     * `(node, component)` where `component` is the min node id reachable.

@@ -58,6 +58,48 @@ class DedupComponentsSpec extends AnyFunSuite {
     * Pins the new semantics: pointer-jumped hash-min iterates to
     * FIXPOINT, so the whole chain collapses to component 0 regardless
     * of depth, and log₂-convergence keeps the round count small. */
+  test("incremental merge ≡ full recompute, including a batch doc bridging day-1 clusters") {
+    import spark.implicits._
+    val full = Dedup.components(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    Dedup.unpersistIntermediates(spark)
+    val inc = Dedup.componentsIncremental(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    Dedup.unpersistIntermediates(spark)
+    assert(full.nonEmpty && inc.sameElements(full),
+      "day-2 star-edge merge drifted from the full recompute")
+
+    // crafted bridge: two day-1 clusters that only a BATCH doc connects —
+    // the merge path the sf corpus may not exercise. Sliding-window
+    // geometry: doc 7 (batch lane) = w1..w10; cluster A docs carry
+    // x x w1..w8, cluster B docs carry w3..w10 y y, so 3-shingle
+    // Jaccards are J(A,7) = J(B,7) = 6/10 = 0.6 (pairs) while
+    // J(A,B) = 4/12 ≈ 0.33 (not a pair) — day 1 leaves A and B
+    // separate, and only the batch doc can fuse them.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-inc")
+    try {
+      val w = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(' ')
+      Seq(
+        (1L, s"pre1 pre2 ${w.take(8).mkString(" ")}"),
+        (2L, s"pre1 pre3 ${w.take(8).mkString(" ")}"),
+        (21L, s"${w.drop(2).mkString(" ")} post1 post2"),
+        (22L, s"${w.drop(2).mkString(" ")} post1 post3"),
+        (7L, w.mkString(" ")),
+        (40L, "completely different content sits far away from both families"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.parquet(dir.resolve("documents.parquet").toString)
+      val merged = Dedup.componentsIncremental(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      Dedup.unpersistIntermediates(spark)
+      assert(Seq(1L, 2L, 7L, 21L, 22L).forall(merged.get(_).contains(1L)),
+        s"batch bridge must fuse both day-1 clusters onto min id 1: $merged")
+      val fullCrafted = Dedup.components(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      Dedup.unpersistIntermediates(spark)
+      assert(merged == fullCrafted)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("20-deep chain converges to full closure (no silent partial merge)") {
     import spark.implicits._
     val chain = (0L until 19L).map(i => (i, i + 1))
