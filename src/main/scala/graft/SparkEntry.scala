@@ -316,6 +316,10 @@ object SparkEntry {
     // min lower id sharing an LSH bucket — same band SQL as the batch
     // minhash family in the oracle
     "stream_neardup_filter" -> (StreamQueries.streamNearDup _),
+    // day-2 warm start: the persisted writeIndex band relation becomes
+    // the streaming bucket store's INITIAL STATE (frozen day-1 owners);
+    // stream docs dedup against yesterday's corpus without replaying it
+    "stream_neardup_indexed" -> (StreamQueries.streamNearDupIndexed _),
     // online symmetric-delete edit-distance filter: one (owner id, owner
     // name) per live signature, exact Levenshtein check against the
     // owner; the owner-check contract has a closed-form SQL oracle
@@ -641,6 +645,27 @@ object SparkEntry {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** `stream_neardup_indexed`: per bucket, a day-1 member (doc_id % 10
+    * != 7) freezes ownership at the day-1 min — every stream member of
+    * such a bucket reports it REGARDLESS of id order (the frozen-owner
+    * rule; the sf0.01 corpus contains a stream doc owned by a
+    * HIGHER-id day-1 doc, so the hash pins the rule, not just the
+    * pairs). Index-free buckets fall back to min-lower-stream-id —
+    * [[NearDupStreamOracleSql]]'s rule restricted to stream docs. */
+  private val IndexedNearDupOracleSql: String = NearDupBandCtes + ",\n" +
+      """own AS (SELECT band, band_hash,
+        |  min(CASE WHEN doc_id % 10 != 7 THEN doc_id END) AS d1
+        |  FROM bands GROUP BY 1, 2),
+        |sb AS (SELECT band, band_hash, doc_id FROM bands WHERE doc_id % 10 = 7),
+        |lo AS (SELECT s.band, s.band_hash, s.doc_id, min(t.doc_id) AS lower_id
+        |  FROM sb s LEFT JOIN sb t
+        |    ON s.band = t.band AND s.band_hash = t.band_hash AND t.doc_id < s.doc_id
+        |  GROUP BY 1, 2, 3),
+        |per AS (SELECT l.doc_id, coalesce(o.d1, l.lower_id) AS owner
+        |  FROM lo l JOIN own o ON l.band = o.band AND l.band_hash = o.band_hash)
+        |SELECT doc_id, min(owner) AS near_dup_of
+        |FROM per WHERE owner IS NOT NULL GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** `stream_neardup_ttl_expiry`: the closed form of the EventTimeTimeout
     * state machine under the query's replay geometry — 8 doc_id-range
@@ -2210,6 +2235,7 @@ object SparkEntry {
     // single-batch drain ⇒ first-owner-wins == "min lower id sharing any
     // LSH band bucket" — the same band CTEs as the batch minhash oracle
     "stream_neardup_filter" -> NearDupStreamOracleSql,
+    "stream_neardup_indexed" -> IndexedNearDupOracleSql,
 
     // the online owner-check contract stated verbatim: owner(sig) =
     // min id carrying sig; dup_of = min owner within distance <= 1

@@ -626,9 +626,17 @@ object StreamQueries {
   }
 
   private[graft] def nearDupDrain(s: SparkSession, stream: DataFrame,
+      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame =
+    drainNearDupHits(s, nearDupHits(s, stream), name, deleteDirs)
+
+  /** Sink-and-fold tail shared by [[nearDupDrain]] and
+    * [[streamNearDupIndexed]]: drain `hits` through a memory sink under
+    * the RocksDB provider, fold min(owner) per doc. */
+  private def drainNearDupHits(s: SparkSession,
+      hits: org.apache.spark.sql.Dataset[NearDupHit],
       name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = withRocksDbState(s) {
     import s.implicits._
-    val q = nearDupHits(s, stream)
+    val q = hits
       .writeStream
       .outputMode("update")
       .format("memory")
@@ -647,6 +655,92 @@ object StreamQueries {
         .agg(min($"near_dup_of").as("near_dup_of"))
         .orderBy($"doc_id"),
       dropView = Some(name), deleteDirs = deleteDirs)
+  }
+
+  /** DAY-2 STREAMING NEAR-DUP — the streaming filter WARM-STARTED from
+    * the persisted day-1 index: the same `writeIndex` artifact the
+    * batch day-2 path (`dedup_incremental_idx`) reads becomes the
+    * INITIAL STATE of the streaming bucket store, so a continuously-
+    * ingesting day 2 dedups against yesterday's full corpus without
+    * replaying one historical document through the stream.
+    *
+    * Day-1 ownership is FROZEN (encoded as `-(owner+1)` in the state
+    * long): accepted-corpus content is canonical, so a stream doc
+    * sharing a bucket with ANY day-1 doc reports that bucket's day-1
+    * min owner even when the stream doc's id is lower — the semantics a
+    * takedown-free production filter wants ("is this new content
+    * already in the corpus"), and deliberately distinguishable from
+    * plain min-wins (the sf0.01 gate corpus contains such a row, so the
+    * oracle hash itself pins the frozen rule; IndexedNearDupStreamSpec
+    * pins it on crafted data too). Buckets absent from the index behave
+    * exactly like [[streamNearDup]]: first-seen min-wins among stream
+    * docs.
+    *
+    * Scale shape: initial state is the index's BAND relation folded to
+    * one long per bucket (min day-1 owner) — the warm-start costs index
+    * bytes once, runs through the state store's own load path (no
+    * corpus re-shingling, no historical replay), and lives on RocksDB
+    * (disk-backed) exactly like the cold filter's state. The `sets`
+    * half of the artifact is untouched — band-collision semantics need
+    * no Jaccard verify, matching [[streamNearDup]]. */
+  def streamNearDupIndexed(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val all = s.read.parquet(s"$dir/documents.parquet")
+    val isBatch = pmod(col("doc_id"), lit(10)) === lit(7)
+    val base = graft.util.Fs.scratchDir(s, "dicomq")
+    val root = java.nio.file.Files.createTempDirectory(base, "neardupidx").toAbsolutePath
+    val idx = root.resolve("index").toString
+    val in = root.resolve("stream").toString
+    // day-1: the SAME persisted artifact the batch incremental path reads
+    graft.operators.Dedup.writeIndex(s, all.filter(!isBatch), idx)
+    all.filter(isBatch).coalesce(1).write.parquet(in)
+    val name = "stream_neardupidx_" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val hits = nearDupHitsIndexed(s,
+      s.readStream.schema(all.schema).parquet(in), s"$idx/bands")
+    drainNearDupHits(s, hits, name, deleteDirs = Seq(root))
+  }
+
+  /** The warm-started bands→bucket-state pipeline of
+    * [[streamNearDupIndexed]], exposed unsunk for
+    * IndexedNearDupStreamSpec. `indexBandsPath` is the `bands` relation
+    * of a [[graft.operators.Dedup.writeIndex]] artifact. */
+  private[graft] def nearDupHitsIndexed(s: SparkSession, stream: DataFrame,
+      indexBandsPath: String): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import s.implicits._
+    def update(key: (Int, String), rows: Iterator[BandRow],
+               state: GroupState[Long]): Iterator[NearDupHit] = {
+      val ids = rows.map(_.doc_id).toSeq.sorted
+      val st = state.getOption
+      if (st.exists(_ < 0)) {
+        // day-1 bucket: ownership frozen — every stream arrival is a hit
+        val owner = -st.get - 1
+        ids.iterator.map(NearDupHit(_, owner))
+      } else {
+        var owner = st.getOrElse(Long.MaxValue)
+        val out = Seq.newBuilder[NearDupHit]
+        ids.foreach { id =>
+          if (id < owner) owner = id
+          else if (id > owner) out += NearDupHit(id, owner)
+        }
+        state.update(owner)
+        out.result().iterator
+      }
+    }
+    // per-bucket day-1 min owner, frozen-encoded as -(owner+1) so the
+    // update fn can tell warm-started buckets (< 0) from stream-created
+    // ones (≥ 0) inside one Long state slot
+    val init = s.read.parquet(indexBandsPath)
+      .groupBy($"band", $"band_hash").agg(min($"doc_id").as("owner"))
+      .select($"band".cast("int").as("_1"), $"band_hash".as("_2"),
+        (lit(0L) - $"owner" - 1).as("_3"))
+      .as[(Int, String, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapValues(_._3)
+    nearDupBands(stream, passthrough = Nil)
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout, init)(update)
   }
 
   /** TTL near-dup filter: [[streamNearDup]] with an ABSOLUTE state
