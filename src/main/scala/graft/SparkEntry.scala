@@ -199,6 +199,10 @@ object SparkEntry {
     "layout_zorder"        -> (Maintenance.zorderMap _),
     // ——— similarity search ———
     "sim_topk_brute"      -> (Similarity.topkBrute _),
+    // FAISS-style range_search: every corpus vector at cosine ≥ τ of
+    // each probe (10% probe set) — probe batch broadcasts, corpus scans
+    // once; exact, so hash-gated
+    "sim_range_search"    -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
     "sim_ivf_topk"        -> (Similarity.ivfTopk _),
     "sim_ivf_probe2"      -> (Similarity.ivfProbe2 _),
@@ -215,6 +219,12 @@ object SparkEntry {
     // dedup_incremental_idx): codes partitioned by coarse list so probe
     // filters prune whole directories; persisted ≡ recomputed pinned
     "sim_pq_index"        -> (Similarity.pqTopkViaIndex _),
+    // day-2 vector-index maintenance: append a batch encoded with the
+    // FROZEN day-1 codebooks, retire a takedown slice, compact, query —
+    // batch-/index-bytes per step, never a corpus re-encode; step
+    // equivalences pinned in PqIndexDay2Spec (rows-gated: learned
+    // codebooks have no SQL replay, same justification as sim_pq_index)
+    "sim_pq_index_day2"   -> (Similarity.pqDay2ViaIndex _),
     // one-pass fixed-state second-moment partials vs DuckDB's naive
     // quadratic definition — the partial-aggregation path is hash-gated
     "sim_gram_matrix"     -> (Similarity.gramMatrix _),
@@ -1311,6 +1321,17 @@ object SparkEntry {
         |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
         |FROM n, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_range_search" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |  round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id % 10 = 3 AND a.vec_id <> b.vec_id
+        |WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.35
+        |ORDER BY q_id, vec_id""".stripMargin,
 
     "sim_ann_lsh" ->
       """WITH n AS (

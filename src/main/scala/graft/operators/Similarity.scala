@@ -45,6 +45,31 @@ object Similarity {
       .limit(10)
   }
 
+  /** Multi-probe cosine RANGE SEARCH — the FAISS `range_search` twin of
+    * [[topkBrute]]: for every probe vector (vec_id ≡ 3 mod 10 here — a
+    * 10% probe set, large enough to exercise the plan), return ALL
+    * corpus vectors at cosine ≥ τ, self excluded. Exact by
+    * construction, so the DuckDB oracle hash-gates it.
+    *
+    * Scale shape: the probe set broadcasts (range search's normal use
+    * is a query BATCH — hundreds to thousands of vectors — against a
+    * huge corpus, which is exactly the broadcast-small side), the
+    * corpus scans once and never shuffles, and the τ filter runs
+    * inside the join project. A corpus-×-corpus range search is a
+    * similarity JOIN, not a probe API — that shape is
+    * [[embedLshNearDup]] / [[Dedup.embedCosine]]'s bucketed path. */
+  def rangeSearch(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+    val probes = e.filter(pmod($"vec_id", lit(10)) === 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    e.join(broadcast(probes), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 4)").as("cos_sim"))
+      .filter($"cos_sim" >= tau)
+      .orderBy($"q_id", $"vec_id")
+  }
+
   /** SemDeDup-shaped semantic deduplication: within each coarse cluster
     * (the `label` column here; at corpus scale the learned k-means
     * assignment from [[kmeansCentroids]] plays this role), DROP every
@@ -710,19 +735,112 @@ object Similarity {
     * pass; at 100 TB this runs once and every subsequent query reads
     * 8-byte codes from the probed partitions only. */
   def writePqIndex(s: SparkSession, dir: String, path: String,
-                   pqM: Int = 8, ksub: Int = 16): Unit = {
+                   pqM: Int = 8, ksub: Int = 16): Unit =
+    writePqIndexOf(s, unitVecs(s, dir), path, pqM, ksub)
+
+  /** [[writePqIndex]] over an explicit unit-vector Dataset — the day-1
+    * build of the day-2 lifecycle trains on (and encodes) only the
+    * standing corpus. */
+  private[graft] def writePqIndexOf(s: SparkSession,
+      e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      path: String, pqM: Int = 8, ksub: Int = 16): Unit = {
     import s.implicits._
-    val e = unitVecs(s, dir).persist()
-    val model = trainPq(s, e, pqM, ksub)
-    encodePq(s, e, model)
-      .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
-    e.unpersist(false)
+    val cached = e.persist()
+    val model = trainPq(s, cached, pqM, ksub)
+    writePqCodes(s, cached, model, path, "overwrite")
+    cached.unpersist(false)
     val bookRows = for (m <- 0 until pqM; c <- 0 until ksub)
       yield ("book", m, c, model.books(m)(c).toSeq)
     val coarseRows = model.coarse.indices.map(c => ("coarse", 0, c, model.coarse(c).toSeq))
     (bookRows ++ coarseRows).toDF("kind", "m", "c", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Encode `e` with `model` and land the codes in the index's
+    * cluster-partitioned layout ("overwrite" = day-1 build, "append" =
+    * day-2 batch — appended files join their cluster's directory, so
+    * probe-time partition pruning covers old and new codes alike). */
+  private def writePqCodes(s: SparkSession,
+      e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      model: PqModel, path: String, mode: String): Unit =
+    encodePq(s, e, model)
+      .repartition(col("cluster"))
+      .write.mode(mode).partitionBy("cluster").parquet(s"$path/codes")
+
+  /** Rehydrate the [[PqModel]] from a persisted index's codebook
+    * sidecar (driver-tiny: pqM×ksub + coarse rows). */
+  private[graft] def readPqModel(s: SparkSession, indexPath: String): PqModel = {
+    val side = s.read.parquet(s"$indexPath/codebooks")
+      .select(col("kind"), col("m"), col("c"), col("vec")).collect()
+    val bookRows = side.filter(_.getString(0) == "book")
+    val pqM = bookRows.map(_.getInt(1)).max + 1
+    val ksub = bookRows.map(_.getInt(2)).max + 1
+    val books = Array.ofDim[Array[Double]](pqM, ksub)
+    bookRows.foreach(r => books(r.getInt(1))(r.getInt(2)) = r.getSeq[Double](3).toArray)
+    val coarse = side.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
+      .map(_.getSeq[Double](3).toArray)
+    PqModel(books.map(_.toArray), coarse)
+  }
+
+  /** DAY-2 PQ INDEX APPEND: encode a new vector batch with the
+    * EXISTING codebook sidecar — the codebooks are the index's frozen
+    * coordinate system, exactly like a production IVF-PQ deployment
+    * (FAISS-style) that retrains on a schedule, not per batch — and
+    * append the codes to the cluster-partitioned relation. Cost: one
+    * narrow encode pass over the BATCH plus appended files in the
+    * probed-partition layout; the standing corpus's codes are never
+    * read, let alone its vectors. Append ≡ one-shot encode of the
+    * union with the same model (encoding is per-row deterministic),
+    * pinned in PqIndexDay2Spec. */
+  def appendPqIndex(s: SparkSession, indexPath: String,
+      batch: org.apache.spark.sql.Dataset[(Long, Array[Float])]): Unit =
+    writePqCodes(s, batch, readPqModel(s, indexPath), indexPath, "append")
+
+  /** DAY-2 PQ INDEX COMPACTION: retire vec_ids from the codes relation
+    * (one broadcast anti-join + rewrite in the same cluster-partitioned
+    * layout); the codebook sidecar is copied untouched — deletions
+    * change WHICH codes exist, never the coordinate system. Index
+    * bytes only: 8-byte codes per row, the corpus vectors are never
+    * re-read. Compaction ≡ fresh encode of the survivors with the same
+    * model (pinned in PqIndexDay2Spec). */
+  def compactPqIndex(s: SparkSession, indexPath: String, retired: DataFrame,
+      outPath: String): Unit = {
+    import s.implicits._
+    val gone = broadcast(retired.select($"vec_id").distinct())
+    s.read.parquet(s"$indexPath/codes")
+      .select($"vec_id", $"codes", $"cluster".cast("int").as("cluster"))
+      .join(gone, Seq("vec_id"), "left_anti")
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$outPath/codes")
+    s.read.parquet(s"$indexPath/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/codebooks")
+  }
+
+  /** `sim_pq_index_day2`: the full day-2 lifecycle of the persisted PQ
+    * index — build day 1 (vec_id % 10 != 7: train + encode the standing
+    * corpus), APPEND the day-2 batch (% 10 = 7) encoded with the frozen
+    * day-1 codebooks, RETIRE a takedown slice (day-1 ids ≡ 5 mod 17,
+    * mirroring `dedup_index_compact`'s convention), COMPACT, and answer
+    * the top-10 query from the compacted index alone. Every step costs
+    * batch- or index-bytes, never a corpus re-encode — the maintenance
+    * contract a 100 TB vector store needs. Deterministic end to end
+    * (rows-gated); step-for-step equivalences pinned in
+    * PqIndexDay2Spec. */
+  def pqDay2ViaIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "pqidx"), "day2").toAbsolutePath
+    try {
+      val all = unitVecs(s, dir)
+      writePqIndexOf(s, all.filter(v => v._1 % 10 != 7), s"$base/day1")
+      appendPqIndex(s, s"$base/day1", all.filter(v => v._1 % 10 == 7))
+      val retired = emb(s, dir)
+        .filter(pmod($"vec_id", lit(10)) =!= 7 && pmod($"vec_id", lit(17)) === 5)
+        .select($"vec_id")
+      compactPqIndex(s, s"$base/day1", retired, s"$base/day2")
+      Dedup.trackCheckpoint(
+        pqTopkFromIndex(s, dir, s"$base/day2").localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(base)
   }
 
   /** Query a PERSISTED PQ index ([[writePqIndex]]): collect the tiny
@@ -735,16 +853,7 @@ object Similarity {
                       nprobe: Int = 4, rerank: Int = 50): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    val side = s.read.parquet(s"$path/codebooks")
-      .select($"kind", $"m", $"c", $"vec").collect()
-    val bookRows = side.filter(_.getString(0) == "book")
-    val pqM = bookRows.map(_.getInt(1)).max + 1
-    val ksub = bookRows.map(_.getInt(2)).max + 1
-    val books = Array.ofDim[Array[Double]](pqM, ksub)
-    bookRows.foreach(r => books(r.getInt(1))(r.getInt(2)) = r.getSeq[Double](3).toArray)
-    val coarse = side.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
-      .map(_.getSeq[Double](3).toArray)
-    val model = PqModel(books.map(_.toArray), coarse)
+    val model = readPqModel(s, path)
     // the query vector is normalized driver-side (one O(1) row read).
     // Divide in DOUBLE and round once to float — exactly what unitVecs'
     // `cast(x / nrm as float)` computes — or the two paths' query unit
