@@ -330,6 +330,10 @@ object SparkEntry {
     // the streaming bucket store's INITIAL STATE (frozen day-1 owners);
     // stream docs dedup against yesterday's corpus without replaying it
     "stream_neardup_indexed" -> (StreamQueries.streamNearDupIndexed _),
+    // vector-stream near-dup: hyperplane-LSH bucket owners verified by
+    // exact cosine ≥ 0.3 (the edit-dup owner-check pattern); state
+    // bounded by the GEOMETRY (≤ tables × 2^bits keys), not the corpus
+    "stream_embed_neardup" -> (StreamQueries.streamEmbedNearDup _),
     // online symmetric-delete edit-distance filter: one (owner id, owner
     // name) per live signature, exact Levenshtein check against the
     // owner; the owner-check contract has a closed-form SQL oracle
@@ -2257,6 +2261,35 @@ object SparkEntry {
     // LSH band bucket" — the same band CTEs as the batch minhash oracle
     "stream_neardup_filter" -> NearDupStreamOracleSql,
     "stream_neardup_indexed" -> IndexedNearDupOracleSql,
+    // single-batch drain closed form: owner = bucket min per (t, bucket)
+    // over the SAME hyperplane family as sim_ann_lsh; a member reports
+    // the owner iff exact cosine ≥ 0.3 — the verify gate is load-bearing
+    // (collision-only semantics would emit ~4× the corpus and hash-fail)
+    "stream_embed_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |bt AS (SELECT vec_id, emb, nrm,
+        |  list_transform(range(24), p ->
+        |    CASE WHEN list_dot_product(emb, list_transform(range(64), j ->
+        |      (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2000)
+        |        / 1000.0 - 1.0)) >= 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM n),
+        |bk AS (SELECT vec_id,
+        |  list_transform(range(4), t ->
+        |    bits[CAST(t*6 AS INT) + 1] + bits[CAST(t*6 AS INT) + 2] * 2 + bits[CAST(t*6 AS INT) + 3] * 4 +
+        |    bits[CAST(t*6 AS INT) + 4] * 8 + bits[CAST(t*6 AS INT) + 5] * 16 + bits[CAST(t*6 AS INT) + 6] * 32) AS buckets
+        |  FROM bt),
+        |tabs AS (SELECT vec_id, t, buckets[t + 1] AS bucket
+        |  FROM (SELECT vec_id, buckets, unnest(range(4)) AS t FROM bk)),
+        |own AS (SELECT t, bucket, min(vec_id) AS owner FROM tabs GROUP BY 1, 2),
+        |hits AS (SELECT b.vec_id AS vec_id, o.owner AS owner
+        |  FROM tabs b JOIN own o ON b.t = o.t AND b.bucket = o.bucket AND o.owner < b.vec_id
+        |  JOIN n a ON a.vec_id = o.owner JOIN n v ON v.vec_id = b.vec_id
+        |  WHERE round(list_dot_product(v.emb, a.emb) / (v.nrm * a.nrm), 4) >= 0.3)
+        |SELECT vec_id, min(owner) AS near_dup_of
+        |FROM hits GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
     // the online owner-check contract stated verbatim: owner(sig) =
     // min id carrying sig; dup_of = min owner within distance <= 1

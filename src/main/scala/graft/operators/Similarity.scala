@@ -255,7 +255,7 @@ object Similarity {
     * expression tree — an intermediate `bits` array column gets inlined
     * per-reference by CollapseProject, re-evaluating every dot for each
     * bit reference (tables×bits blow-up). */
-  private def bucketsCol(tables: Int, bits: Int): org.apache.spark.sql.Column = {
+  private[graft] def bucketsCol(tables: Int, bits: Int): org.apache.spark.sql.Column = {
     val planes = planeMatrix(tables * bits)
     array((0 until tables).map { t =>
       (0 until bits).map { i =>

@@ -1317,4 +1317,96 @@ object StreamQueries {
         .orderBy($"doc_id"),
       dropView = Some(name), deleteDirs = deleteDirs)
   }
+
+  case class VecBucketRow(vec_id: Long, t: Int, bucket: Int,
+                          embedding: Array[Float], nrm: Double)
+  case class VecOwner(id: Long, emb: Array[Float], nrm: Double)
+
+  /** STREAMING EMBEDDING NEAR-DUP — the vector-stream member of the
+    * online dedup family (text minhash: [[streamNearDup]]; entity
+    * edit-distance: [[streamEditDup]]; this: embeddings). Each vector
+    * lands in `tables` hyperplane-LSH buckets (the SAME md5-derived
+    * plane family as `sim_ann_lsh` / `dedup_embed_lsh`, computed
+    * scalar-wise so the bucket state op is the only stateful operator);
+    * per live (table, bucket) the state holds ONE owner (id + unit
+    * data: vector and norm), and an arrival reports the owner iff
+    * exact cosine ≥ τ (0.3, the semantic-dedup default) — the
+    * owner-CHECK contract of the edit-dup filter, which is what keeps
+    * LSH's ~1/2^bits random collisions out of the output (the oracle
+    * hash proves the verify gate: collision-only semantics would emit
+    * ~4× the corpus).
+    *
+    * State is ABSOLUTELY bounded by the geometry, not the corpus:
+    * ≤ tables × 2^bits keys (256 at the defaults) × one vector each —
+    * the streaming dedup family's only member with a corpus-independent
+    * state bound, because the key space itself is finite. Cross-batch
+    * semantics are first-seen like the text filter (a later lower id
+    * takes ownership silently); single-batch id-sorted processing makes
+    * the owner the bucket min, which is the closed form the DuckDB
+    * oracle states. */
+  def streamEmbedNearDup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val (in, name) = stageInput(s, dir, "embeddings.parquet", "embneardup")
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    embedNearDupDrain(s,
+      s.readStream.schema(schema).parquet(in.toString),
+      name, deleteDirs = Seq(in))
+  }
+
+  /** The buckets→owner-state core of [[streamEmbedNearDup]], exposed
+    * unsunk-adjacent for EmbedNearDupStreamSpec (multi-batch sources,
+    * state-bound assertions). τ = 0.3; rounding (HALF_UP to 4) matches
+    * both engines' `round(x, 4)`. */
+  private[graft] def embedNearDupDrain(s: SparkSession, stream: DataFrame,
+      name: String, deleteDirs: Seq[java.nio.file.Path]): DataFrame = withRocksDbState(s) {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val tau = BigDecimal(0.3)
+    def cos(a: VecOwner, v: VecBucketRow): BigDecimal = {
+      var d = 0.0
+      var i = 0
+      while (i < v.embedding.length) { d += v.embedding(i).toDouble * a.emb(i); i += 1 }
+      BigDecimal(d / (v.nrm * a.nrm)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def update(key: (Int, Int), rows: Iterator[VecBucketRow],
+               state: GroupState[VecOwner]): Iterator[NearDupHit] = {
+      val arr = rows.toSeq.sortBy(_.vec_id)
+      var owner = state.getOption.orNull
+      val out = Seq.newBuilder[NearDupHit]
+      arr.foreach { r =>
+        if (owner == null || r.vec_id < owner.id)
+          owner = VecOwner(r.vec_id, r.embedding, r.nrm)
+        else if (r.vec_id > owner.id && cos(owner, r) >= tau)
+          out += NearDupHit(r.vec_id, owner.id)
+      }
+      state.update(owner)
+      out.result().iterator
+    }
+    val q = stream
+      .select(col("vec_id"), col("embedding"),
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"),
+        graft.operators.Similarity.bucketsCol(4, 6).as("buckets"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+      .select(col("vec_id"), col("t"), col("bucket"), col("embedding"), col("nrm"))
+      .as[VecBucketRow]
+      .groupByKey(r => (r.t, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastNearDupState = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption)
+      .map(op => (op.numRowsTotal, op.memoryUsedBytes))
+    materializeAndRelease(s,
+      s.table(name)
+        .groupBy($"doc_id")
+        .agg(min($"near_dup_of").as("near_dup_of"))
+        .select($"doc_id".as("vec_id"), $"near_dup_of")
+        .orderBy($"vec_id"),
+      dropView = Some(name), deleteDirs = deleteDirs)
+  }
 }
