@@ -281,6 +281,59 @@ object ScaleRehearsal {
     System.err.println(f"[rehearsal] day2 index build+write: ${fmt(buildSec)}s")
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxDir))
 
+    // ---- PQ day-2: append encodes ONLY the batch with the frozen
+    // codebooks (never reads existing codes), compaction rewrites
+    // 8-byte codes — both must cost batch-/index-bytes while the
+    // day-1 build pays the full train+encode. bytes_read per arm is
+    // the proportionality evidence.
+    val pqDir = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(spark, "dayidx"), "pq").toAbsolutePath.toString
+    val pqDir2 = pqDir + "_compacted"
+    val tpq0 = System.nanoTime()
+    graft.operators.Similarity.writePqIndexOf(spark,
+      graft.operators.Similarity.unitVecs(spark, Sf1).filter(v => v._1 % 10 != 7), pqDir)
+    val pqBuildSec = (System.nanoTime() - tpq0) / 1e9
+    val pqCodesBytes = diskBytes(s"$pqDir/codes")
+    val (_, embScanBytes, _) = bytesReadDuring(
+      spark.read.parquet(s"$Sf1/embeddings.parquet")
+        .agg(sum(size(col("embedding")))).head())
+    def pqAppend(label: String, keep: Long => Boolean): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val (_, bytes, _) = bytesReadDuring {
+        graft.operators.Similarity.appendPqIndex(spark, pqDir,
+          graft.operators.Similarity.unitVecs(spark, Sf1).filter(v => keep(v._1)))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.err.println(f"[rehearsal] pq_day2 $label%-16s ${fmt(sec)}s  ${bytes / 1048576}%d MiB read " +
+        f"(build ${fmt(pqBuildSec)}s, codes ${pqCodesBytes / 1048576}%d MiB, one emb scan ${embScanBytes / 1048576}%d MiB)")
+      (label, sec, bytes)
+    }
+    // 0.1% first: appends never read existing codes, so arms stay
+    // independent measurements even into one index
+    val pqAppends = Seq(
+      pqAppend("append_0p1pct", id => id % 1000 == 7),
+      pqAppend("append_10pct", id => id % 10 == 7))
+    val retiredVecs = spark.read.parquet(s"$Sf1/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(10)) =!= lit(7) &&
+        pmod(col("vec_id"), lit(17)) === lit(5))
+      .select(col("vec_id"))
+    val tpc0 = System.nanoTime()
+    val (_, pqCompactBytes, _) = bytesReadDuring {
+      graft.operators.Similarity.compactPqIndex(spark, pqDir, retiredVecs, pqDir2)
+    }
+    val pqCompactSec = (System.nanoTime() - tpc0) / 1e9
+    val tpr0 = System.nanoTime()
+    val (_, pqProbeBytes, _) = bytesReadDuring {
+      graft.operators.Similarity.pqTopkFromIndex(spark, Sf1, pqDir2).collect()
+    }
+    val pqProbeSec = (System.nanoTime() - tpr0) / 1e9
+    graft.operators.Dedup.unpersistIntermediates(spark)
+    System.err.println(f"[rehearsal] pq_day2 compact          ${fmt(pqCompactSec)}s  ${pqCompactBytes / 1048576}%d MiB read")
+    System.err.println(f"[rehearsal] pq_day2 probe_query      ${fmt(pqProbeSec)}s  ${pqProbeBytes / 1048576}%d MiB read (pruned to probed clusters + shortlist rerank)")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(pqDir))
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(pqDir2))
+
     val qjson = rows.map { case (n, s01, r01, s1, r1, ratio) =>
       s""""$n":{"sf01_sec":${fmt(s01)},"sf01_rows":$r01,"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
@@ -294,7 +347,12 @@ object ScaleRehearsal {
       s""""day2_index":{"build_sec":${fmt(buildSec)},"bands_bytes":$bandsBytes,"sets_bytes":$setsBytes,"docs_scan_bytes":$docsScanBytes,"runs":{""",
       ",", "}}")
     val scrubJson = s""""scrub_full":{"sf01":{"sec":${fmt(scr01)},"removed":$rem01},"sf1":{"sec":${fmt(scr1)},"removed":$rem1}}"""
-    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson}"""
+    val pqAppendJson = pqAppends.map { case (l, sec, bytes) =>
+      s""""$l":{"sec":${fmt(sec)},"bytes_read":$bytes}"""
+    }.mkString(",")
+    val pqJson =
+      s""""pq_day2":{"build_sec":${fmt(pqBuildSec)},"codes_bytes":$pqCodesBytes,"emb_scan_bytes":$embScanBytes,$pqAppendJson,"compact":{"sec":${fmt(pqCompactSec)},"bytes_read":$pqCompactBytes},"probe_query":{"sec":${fmt(pqProbeSec)},"bytes_read":$pqProbeBytes}}"""
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$pqJson}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)

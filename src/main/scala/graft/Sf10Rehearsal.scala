@@ -57,10 +57,11 @@ object Sf10Rehearsal {
     // section filter for local iteration on ONE part of the rehearsal
     // (family,lsh,ngram,semantic; default all). A partial run writes a
     // suffixed artifact so it can never masquerade as the full one.
+    val AllSections = Set("family", "lsh", "ngram", "semantic", "pq")
     val sections = sys.env.get("SPARK_GRAFT_SF10_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("family", "lsh", "ngram", "semantic"))
-    val partial = sections != Set("family", "lsh", "ngram", "semantic")
+      .getOrElse(AllSections)
+    val partial = sections != AllSections
 
     val rows = (if (sections("family")) Family else Seq.empty).map { name =>
       val (s1, n1) = timeOne(name, scratch(spark, "sf1"))
@@ -150,12 +151,58 @@ object Sf10Rehearsal {
       s""""$tag":{"sec":${fmt(sec)},"kept":$kept,"pairs":$pairs,"pairs_per_doc":${fmt(perDoc)}}"""
     }.mkString("{", ",", "}")
 
+    // PQ day-2 at the decade's vector scale (200k × 64 floats — where
+    // the encode pass is real work, not job overhead): the build pays
+    // train + full encode over the standing corpus; append encodes the
+    // BATCH with the frozen sidecar (never reads existing codes);
+    // compaction rewrites 8-byte codes; the probe query reads probed
+    // partitions + a ≤50-id rerank. Proportionality shows in the walls:
+    // small-batch append sits at the job-overhead floor, the 10% batch
+    // adds its encode share, both far under the build.
+    val pqJson = if (sections("pq")) {
+      val pqBase = java.nio.file.Files.createTempDirectory(
+        graft.util.Fs.scratchDir(spark, "dayidx"), "pq10").toAbsolutePath
+      val unit = graft.operators.Similarity.unitVecs(spark, Sf10)
+      val tb = System.nanoTime()
+      graft.operators.Similarity.writePqIndexOf(spark,
+        unit.filter(v => v._1 % 10 != 7), s"$pqBase/day1")
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      def arm(label: String, keep: Long => Boolean): (String, Double) = {
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.appendPqIndex(spark, s"$pqBase/day1",
+          unit.filter(v => keep(v._1)))
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.err.println(f"[sf10] pq_day2 $label%-16s ${fmt(sec)}s (build ${fmt(buildSec)}s)")
+        (label, sec)
+      }
+      val appends = Seq(
+        arm("append_0p1pct", id => id % 1000 == 7),
+        arm("append_10pct", id => id % 10 == 7))
+      val retired = spark.read.parquet(s"$Sf10/embeddings.parquet")
+        .filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 17 === 5)
+        .select(col("vec_id"))
+      val tc = System.nanoTime()
+      graft.operators.Similarity.compactPqIndex(spark,
+        s"$pqBase/day1", retired, s"$pqBase/day2")
+      val compactSec = (System.nanoTime() - tc) / 1e9
+      val tp = System.nanoTime()
+      graft.operators.Similarity.pqTopkFromIndex(spark, Sf10, s"$pqBase/day2").collect()
+      val probeSec = (System.nanoTime() - tp) / 1e9
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      System.err.println(f"[sf10] pq_day2 compact ${fmt(compactSec)}s  probe_query ${fmt(probeSec)}s")
+      graft.util.Fs.deleteRecursively(pqBase)
+      val armJson = appends.map { case (l, s) => s""""$l":${fmt(s)}""" }.mkString(",")
+      s""","pq_day2":{"build_sec":${fmt(buildSec)},$armJson,"compact_sec":${fmt(compactSec)},"probe_query_sec":${fmt(probeSec)}}"""
+    } else ""
+
     val qjson = rows.map { case (n, s1, r1, s10, r10, ratio) =>
       s""""$n":{"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"sf10_sec":${fmt(s10)},"sf10_rows":$r10,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
     val cjson = cand.map { case (g, c) => s""""$g":$c""" }.mkString("{", ",", "}")
     val vjson = vols.map { case (cap, v) => s""""maxdf_$cap":$v""" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}},"semantic_kmeans_scaled_k":$semJson}"""
+    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}},"semantic_kmeans_scaled_k":$semJson$pqJson}"""
     println(json)
     val out = java.nio.file.Paths.get(
       if (partial) "target/sf10_rehearsal_partial.json"

@@ -626,7 +626,7 @@ object Similarity {
   /** Unit-normalized embeddings (zero vectors dropped) — the space PQ
     * codes and coarse lists are built in, so ADC inner products
     * approximate cosine. */
-  private def unitVecs(s: SparkSession, dir: String):
+  private[graft] def unitVecs(s: SparkSession, dir: String):
       org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
