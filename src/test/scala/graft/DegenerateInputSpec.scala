@@ -26,7 +26,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-degenerate").toString
     sys.addShutdownHook(
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir)))
-    Seq("customer", "part", "lineitem", "events", "orders", "documents")
+    Seq("customer", "part", "lineitem", "events", "orders", "documents",
+        "embeddings")
       .foreach { t =>
         spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
           .limit(0).coalesce(1)
@@ -57,7 +58,13 @@ class DegenerateInputSpec extends AnyFunSuite {
       "corpus_epochs" -> (() => graft.operators.Curation.epochs(spark, emptyDir).count()),
       "dedup_lines" -> (() => Dedup.lineDedup(spark, emptyDir).count()),
       "source_jsonl" -> (() => graft.sources.DocumentSources.jsonlRoundtrip(spark, emptyDir).count()),
-      "source_csv" -> (() => graft.sources.DocumentSources.csvRoundtrip(spark, emptyDir).count()))
+      "source_csv" -> (() => graft.sources.DocumentSources.csvRoundtrip(spark, emptyDir).count()),
+      // r8 cont. — the learned sim_pq_index_day2 is excluded like every
+      // kmeans-trained op (training on an empty corpus is a fail-fast,
+      // not an empty result)
+      "sim_range_search" -> (() => graft.operators.Similarity.rangeSearch(spark, emptyDir).count()),
+      "stream_neardup_indexed" -> (() => graft.queries.StreamQueries.streamNearDupIndexed(spark, emptyDir).count()),
+      "stream_embed_neardup" -> (() => graft.queries.StreamQueries.streamEmbedNearDup(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>
@@ -98,6 +105,13 @@ class DegenerateInputSpec extends AnyFunSuite {
       val ld = Dedup.lineDedup(spark, dir).collect()
       assert(ld.length == 1 && ld(0).getLong(2) == 0L,
         "a lone doc has no cross-doc boilerplate to lose")
+      // r8 cont.: one vector — no pair for range search (self excluded),
+      // no earlier owner for the stream filters
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(1)
+        .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+      assert(graft.operators.Similarity.rangeSearch(spark, dir).count() == 0)
+      assert(graft.queries.StreamQueries.streamEmbedNearDup(spark, dir).count() == 0)
+      assert(graft.queries.StreamQueries.streamNearDupIndexed(spark, dir).count() == 0)
     } finally {
       Dedup.unpersistIntermediates(spark) // editJoin's tracked checkpoints
       spark.catalog.clearCache()
