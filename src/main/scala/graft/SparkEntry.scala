@@ -203,6 +203,11 @@ object SparkEntry {
     // each probe (10% probe set) — probe batch broadcasts, corpus scans
     // once; exact, so hash-gated
     "sim_range_search"    -> ((s, d) => Similarity.rangeSearch(s, d)),
+    // hash-exact LEARNED clustering: quantized-integer k-means whose
+    // seeding + unrolled Lloyd rounds replay as generated CTEs in the
+    // oracle — any trainer drift hash-fails; fixed gate geometry (k=4),
+    // the corpus-scalable k ∝ n path stays dedup_semantic_kmeans
+    "dedup_semantic_kmeans_exact" -> (Similarity.semanticDedupKmeansExact _),
     "sim_ann_lsh"         -> (Similarity.annLsh _),
     "sim_ivf_topk"        -> (Similarity.ivfTopk _),
     "sim_ivf_probe2"      -> (Similarity.ivfProbe2 _),
@@ -680,6 +685,77 @@ object SparkEntry {
         |  FROM lo l JOIN own o ON l.band = o.band AND l.band_hash = o.band_hash)
         |SELECT doc_id, min(owner) AS near_dup_of
         |FROM per WHERE owner IS NOT NULL GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** `dedup_semantic_kmeans_exact`: the generated-CTE replay of the
+    * quantized-integer k-means (the `text_bpe_encode` pattern applied
+    * to clustering). Vectors quantize to integer milli-units; seeding
+    * (farthest-point, tie → lowest id) and 3 unrolled Lloyd rounds run
+    * in exact integer arithmetic (squared-L2 via the dot-product
+    * identity — every term an integer-valued DOUBLE < 2^53; centroids
+    * re-quantize with half-away integer division; empty clusters keep
+    * their centroid via the coalesce); the final assignment feeds the
+    * standard cluster-bounded τ = 0.3 keep-set. Any drift in the
+    * engine's trainer — seed order, tie rule, rounding, update count —
+    * lands on a different assignment and hash-fails. */
+  private val QuantKmeansOracleSql: String = {
+    val K = 4; val Iters = 3; val Dim = 64
+    def d2(a: String, b: String): String =
+      s"(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])) - " +
+        s"2*list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) + " +
+        s"list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += """WITH nv AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT vec_id, list_transform(emb, x -> CAST(round(x / nrm * 1000) AS BIGINT)) AS q
+      |  FROM nv WHERE nrm > 0),
+      |seed0 AS (SELECT 0 AS cluster, q AS c FROM qv WHERE vec_id = (SELECT min(vec_id) FROM qv))""".stripMargin
+    for (i <- 1 until K) {
+      val prev = (0 until i).map(j => s"SELECT cluster, c FROM seed$j").mkString(" UNION ALL ")
+      parts += s"""seeds${i}_prev AS ($prev),
+        |seed$i AS (
+        |  SELECT $i AS cluster, q AS c FROM (
+        |    SELECT v.vec_id, v.q, min(${d2("v.q", "s.c")}) AS dm
+        |    FROM qv v CROSS JOIN seeds${i}_prev s
+        |    GROUP BY v.vec_id, v.q)
+        |  ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    parts += "cent0 AS (" +
+      (0 until K).map(j => s"SELECT cluster, c FROM seed$j").mkString(" UNION ALL ") + ")"
+    for (it <- 0 until Iters) {
+      parts += s"""a$it AS (
+        |  SELECT vec_id, q, cluster FROM (
+        |    SELECT v.vec_id, v.q, c.cluster,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${d2("v.q", "c.c")}, c.cluster) AS rn
+        |    FROM qv v CROSS JOIN cent$it c) WHERE rn = 1)""".stripMargin
+      if (it < Iters - 1)
+        parts += s"""upd$it AS (
+          |  SELECT cluster, list(CAST(m AS BIGINT) ORDER BY j) AS c FROM (
+          |    SELECT cluster, j,
+          |      CASE WHEN S >= 0 THEN (2*S + cnt) // (2*cnt)
+          |           ELSE -((2*(-S) + cnt) // (2*cnt)) END AS m
+          |    FROM (
+          |      SELECT cluster, j, SUM(q[j + 1]) AS S, count(*) AS cnt
+          |      FROM (SELECT cluster, q, unnest(range($Dim)) AS j FROM a$it)
+          |      GROUP BY 1, 2))
+          |  GROUP BY cluster),
+          |cent${it + 1} AS (
+          |  SELECT p.cluster, coalesce(u.c, p.c) AS c
+          |  FROM cent$it p LEFT JOIN upd$it u USING (cluster))""".stripMargin
+    }
+    val last = s"a${Iters - 1}"
+    parts.mkString(",\n") + s""",
+      |dropped AS (
+      |  SELECT DISTINCT cb.vec_id
+      |  FROM $last ca JOIN $last cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+      |  JOIN nv a ON a.vec_id = ca.vec_id JOIN nv b ON b.vec_id = cb.vec_id
+      |  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.3)
+      |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM $last
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id""".stripMargin
+  }
 
   /** `stream_neardup_ttl_expiry`: the closed form of the EventTimeTimeout
     * state machine under the query's replay geometry — 8 doc_id-range
@@ -1325,6 +1401,8 @@ object SparkEntry {
         |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
         |FROM n, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "dedup_semantic_kmeans_exact" -> QuantKmeansOracleSql,
 
     "sim_range_search" ->
       """WITH n AS (

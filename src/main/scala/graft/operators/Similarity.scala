@@ -158,6 +158,120 @@ object Similarity {
       .toDF("vec_id", "cluster", "embedding")
   }
 
+  /** HASH-EXACT learned clustering + semantic dedup — the gate twin of
+    * [[semanticDedupKmeans]] that retires the "learned ops can't be
+    * oracle-gated" caveat. The trick is ARITHMETIC, not approximation:
+    * vectors quantize to integer milli-units (`round(1000·unit)` — the
+    * double division, sqrt, and half-away rounding are bit-identical in
+    * Spark and DuckDB), farthest-point seeding and every Lloyd step run
+    * in INTEGER space (squared-L2 via dot-product identity, values
+    * < 2^53 so DuckDB's DOUBLE list arithmetic is exact; centroids
+    * RE-QUANTIZE to the milli-grid each round with half-away-from-zero
+    * integer division), and ties break on the lowest cluster index. The
+    * DuckDB oracle replays seeding + `iters` unrolled Lloyd rounds as
+    * generated CTEs (the `text_bpe_encode` pattern) and must land on
+    * the byte-identical assignment — then the standard cluster-bounded
+    * keep-set rule (τ = 0.3) gates the final answer.
+    *
+    * k is FIXED (4) — this is gate geometry, valid at every SF with one
+    * static SQL; the corpus-scalable k ∝ n path remains
+    * [[semanticDedupKmeans]] (whose training is FP and rows-only by
+    * design). Scale shape is unchanged: one cached corpus scan feeds
+    * seeding (k−1 argmax reduces), each Lloyd round is one partial-sum
+    * pass with k×dim longs on the driver, and assignment is a broadcast
+    * map. */
+  def semanticDedupKmeansExact(s: SparkSession, dir: String): DataFrame =
+    semanticKeepSet(s, quantizedKmeansAssignment(s, dir, k = 4, iters = 3))
+
+  /** The quantized-integer trainer + assigner behind
+    * [[semanticDedupKmeansExact]]: returns (vec_id, cluster, embedding,
+    * nrm), cluster ∈ [0, k). Exposed for QuantKmeansSpec. */
+  private[graft] def quantizedKmeansAssignment(s: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val base = Dedup.tracked(emb(s, dir)
+      .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+      .filter($"nrm" > 0)
+      .withColumn("q",
+        expr("transform(embedding, x -> cast(round(x / nrm * 1000) as bigint))")))
+    val data = base.select($"vec_id", $"q").as[(Long, Array[Long])]
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    // farthest-point seeding: seed 0 = min vec_id; each next seed
+    // maximizes distance to its nearest chosen seed (tie → lowest id).
+    // One argmax reduce per seed — selection under a total order, so
+    // the tree reduction is order-insensitive.
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      data.orderBy($"vec_id").head()._2)
+    for (_ <- 1 until k) {
+      val bcS = s.sparkContext.broadcast(seeds.toArray)
+      val pick = data.map { case (id, q) =>
+        var dm = Long.MaxValue
+        bcS.value.foreach { sd => val d = d2(q, sd); if (d < dm) dm = d }
+        (dm, id, q)
+      }.reduce { (x, y) =>
+        if (x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)) x else y
+      }
+      seeds += pick._3
+    }
+    var cent: Array[Array[Long]] = seeds.toArray
+    // iters assignment passes = iters−1 centroid updates (the final
+    // assignment is the output); empty clusters keep their centroid —
+    // both mirrored by the oracle's unrolled CTEs
+    for (_ <- 0 until iters - 1) {
+      val bc = s.sparkContext.broadcast(cent)
+      val partials = data.mapPartitions { rows =>
+        val c = bc.value
+        val dim = c(0).length
+        val sums = Array.fill(c.length)(new Array[Long](dim))
+        val counts = new Array[Long](c.length)
+        rows.foreach { case (_, q) =>
+          var best = 0; var bd = Long.MaxValue; var i = 0
+          while (i < c.length) {
+            val d = d2(q, c(i)); if (d < bd) { bd = d; best = i }; i += 1
+          }
+          counts(best) += 1
+          val sv = sums(best); var j = 0
+          while (j < dim) { sv(j) += q(j); j += 1 }
+        }
+        (0 until c.length).iterator
+          .filter(counts(_) > 0).map(i => (i, (sums(i), counts(i))))
+      }
+      val merged = partials.groupByKey(_._1)
+        .reduceGroups { (a: (Int, (Array[Long], Long)), b: (Int, (Array[Long], Long))) =>
+          val (s1, n1) = a._2; val (s2, n2) = b._2
+          var j = 0
+          while (j < s1.length) { s1(j) += s2(j); j += 1 }
+          (a._1, (s1, n1 + n2))
+        }
+        .map(_._2).collect()
+      val next = cent.map(_.clone())
+      merged.foreach { case (i, (sm, n)) =>
+        // round(S/n) half away from zero, in integers
+        next(i) = sm.map { sS =>
+          val m = (2 * math.abs(sS) + n) / (2 * n)
+          if (sS >= 0) m else -m
+        }
+      }
+      cent = next
+    }
+    val bc = s.sparkContext.broadcast(cent)
+    base.select($"vec_id", $"embedding", $"nrm", $"q")
+      .as[(Long, Array[Float], Double, Array[Long])]
+      .map { case (id, embv, nrm, q) =>
+        var best = 0; var bd = Long.MaxValue; var i = 0
+        while (i < bc.value.length) {
+          val d = d2(q, bc.value(i)); if (d < bd) { bd = d; best = i }; i += 1
+        }
+        (id, best.toLong, embv, nrm)
+      }
+      .toDF("vec_id", "cluster", "embedding", "nrm")
+  }
+
   /** Salt needed to hold per-task pair work near 2M dot products given
     * an expected cluster size: ceil(size²/2 / 2e6), clamped to [1, 64].
     * At the 200-row target this is 1; at a 20k-row skew cluster it is
