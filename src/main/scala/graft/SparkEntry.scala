@@ -88,6 +88,13 @@ object SparkEntry {
     // batch-involving pairs; must land on the full-recompute answer
     "dedup_components_incremental" -> ((s, d) => Dedup.componentsIncremental(s, d)),
     "dedup_components"    -> ((s, d) => Dedup.components(s, d)),
+    // components + per-component keeper by (n_chars DESC, doc_id):
+    // the labeling → curated-corpus step, hash-exact keep flags
+    "dedup_canonical"     -> ((s, d) => Dedup.canonical(s, d)),
+    // which sources dumped the same sites: per-source union-shingle
+    // MinHash estimate (8 strings/source) + exact distinct-shingle
+    // Jaccard drill-down, both from ONE (source, shingle) exchange
+    "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -126,6 +133,9 @@ object SparkEntry {
     "corpus_group_cap"     -> ((s, d) => Curation.groupCap(s, d)),
     "corpus_pack"          -> ((s, d) => Curation.pack(s, d)),
     "corpus_contamination" -> (Curation.contamination _),
+    // the semantic twin: nearest-TRAIN cosine per held-out eval vector,
+    // benchmark broadcast, corpus never shuffles, map-side argmax
+    "corpus_contamination_semantic" -> ((s, d) => Similarity.semanticContamination(s, d)),
     "corpus_mix"           -> (Curation.mix _),
     // temperature-2 language flattening: rate = min(1, sqrt(N/(L·n_l)))
     // from exact-rounded IEEE ops only — engine-portable by construction
@@ -256,6 +266,16 @@ object SparkEntry {
     "text_scrub"       -> (TextAnalysis.scrub _),
     "text_normalize"   -> (TextAnalysis.normalize _),
     "text_repetition"  -> (TextAnalysis.repetition _),
+    // sliding context-window splitter: L=64-token windows at stride 48,
+    // integer chunk arithmetic, zero-shuffle narrow pass
+    "text_chunk"       -> ((s, d) => TextAnalysis.chunk(s, d)),
+    // phrase search through the PERSISTED positional index: pushed
+    // word-IN filter on the index scan, corpus never touched at query
+    // time, adjacency verified on position lists
+    "text_search"      -> ((s, d) => TextAnalysis.search(s, d)),
+    // per-source tokens~chars least-squares fit (slope/intercept/R²):
+    // closed-form regr_* aggregates, 5 doubles per source cross the wire
+    "text_quality_regression" -> (TextAnalysis.qualityRegression _),
     // per-doc top-3 tf-idf terms; ranked by the integer (tf, df, term)
     // triple so rank order can never flip on a libm ulp
     "text_tfidf_topk"  -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
@@ -599,10 +619,11 @@ object SparkEntry {
         |WHERE op IS NULL OR op = 'U'
         |ORDER BY key""".stripMargin
 
-  /** Shared by `dedup_components` and `dedup_components_incremental`
-    * (the day-2 merge must equal the full recompute): transitive
+  /** Shared by `dedup_components`, `dedup_components_incremental`
+    * (the day-2 merge must equal the full recompute) and
+    * `dedup_canonical` (components + keeper selection): transitive
     * closure + min-reachable over the full MinHash pair SQL. */
-  private val ComponentsOracleSql: String =
+  private val ComponentsCtes: String =
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
         |  FROM documents),
@@ -635,9 +656,26 @@ object SparkEntry {
         |reach(src, dst) AS (
         |  SELECT src, dst FROM e
         |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
+
+  private val ComponentsOracleSql: String = ComponentsCtes +
+      """
         |SELECT src AS doc_id, least(src, min(dst)) AS component
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Components + canonical keeper: every document labeled (singletons
+    * self-labeled), keep = 1 on the (n_chars DESC, doc_id) window head
+    * per component — the Spark twin is `Dedup.canonical`. */
+  private val CanonicalOracleSql: String = ComponentsCtes +
+      """,
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |  CAST(CASE WHEN row_number() OVER (
+        |      PARTITION BY coalesce(c.component, d.doc_id)
+        |      ORDER BY d.n_chars DESC, d.doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
 
   /** Shared by `stream_editdup_filter` (NoTimeout) and
     * `stream_editdup_ttl` (horizon outlives the corpus, so the finite
@@ -1170,6 +1208,29 @@ object SparkEntry {
     // batch-involving pairs) must land on the FULL recompute answer —
     // same oracle, stronger claim
     "dedup_components_incremental" -> ComponentsOracleSql,
+
+    "dedup_canonical" -> CanonicalOracleSql,
+
+    "dedup_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |pos AS (SELECT source, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT source, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
+        |perms AS (SELECT source, shingle, unnest(range(8)) AS perm FROM sh),
+        |sig AS (SELECT source, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
+        |        FROM perms GROUP BY 1, 2),
+        |est AS (SELECT a.source AS sa, b.source AS sb,
+        |          round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 8.0, 4) AS est_jaccard
+        |        FROM sig a JOIN sig b ON a.perm = b.perm AND a.source < b.source GROUP BY 1, 2),
+        |cnt AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source GROUP BY 1, 2)
+        |SELECT e.sa AS src_a, e.sb AS src_b, e.est_jaccard,
+        |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)), 4) AS jaccard
+        |FROM est e LEFT JOIN inter i ON e.sa = i.sa AND e.sb = i.sb
+        |JOIN cnt ca ON e.sa = ca.source JOIN cnt cb ON e.sb = cb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tok AS (
@@ -1983,6 +2044,24 @@ object SparkEntry {
         |HAVING round(count(*) * 1.0 / bench_n, 4) >= 0.25
         |ORDER BY c.doc_id, b.bench_doc""".stripMargin,
 
+    // the semantic twin: exact nearest-train per eval vector. The Spark
+    // side's argmax key is the 4-dp-quantized integer (cos, -train_id)
+    // struct; round-then-divide reproduces the identical double here.
+    "corpus_contamination_semantic" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |ev AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+        |tr AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+        |sc AS (SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+        |         round(list_dot_product(e.emb, t.emb) / (e.nrm * t.nrm), 4) AS cos_sim
+        |       FROM ev e JOIN tr t ON true),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY eval_id ORDER BY cos_sim DESC, train_id) AS rn FROM sc)
+        |SELECT eval_id, train_id, cos_sim,
+        |  CAST(CASE WHEN cos_sim >= 0.42 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM rk WHERE rn = 1 ORDER BY eval_id""".stripMargin,
+
     "dedup_embed_lsh" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -2155,6 +2234,37 @@ object SparkEntry {
         |CAST(trim(regexp_replace(lower(text), ' +', ' ', 'g')) <> text AS BIGINT) AS changed,
         |CAST(len(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) <= 64 THEN 1 ELSE 1 + (len(t) - 17) // 48 END AS n_chunks
+        |  FROM toks)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, CAST(i * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - i * 48) AS BIGINT) AS chunk_len,
+        |  array_to_string(t[CAST(i * 48 + 1 AS INT):CAST(i * 48 + 64 AS INT)], ' ') AS chunk_text
+        |FROM c, unnest(range(n_chunks)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, unnest(range(len(t) - 1)) AS i, t FROM tk WHERE len(t) >= 2),
+        |hit AS (SELECT doc_id, CAST(i AS BIGINT) AS pos FROM m
+        |        WHERE t[i+1] = 'agg' AND t[i+2] = 'join')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(pos) AS first_pos
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_quality_regression" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(regr_slope(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), n_chars), 6) AS slope,
+        |  round(regr_intercept(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), n_chars), 6) AS intercept,
+        |  round(regr_r2(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), n_chars), 6) AS r2
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -1386,4 +1386,83 @@ object Dedup {
       .filter($"dist" <= 1)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** CANONICAL SELECTION — the step that turns a duplicate-component
+    * labeling into a curated corpus: every document gets its transitive
+    * component (singletons label themselves) and a keep flag marking
+    * the component's canonical representative, chosen by
+    * (n_chars DESC, doc_id ASC) — "longest wins, ties to the oldest id"
+    * — a deterministic rule over base columns, so the whole output
+    * hash-gates. Cost over [[components]] is one window shuffle keyed
+    * by component; component sizes are dup-cluster sizes (bounded by
+    * the near-dup geometry, not the corpus), so no key can skew the
+    * window at 100 TB. The left join keeps the corpus side streaming —
+    * the component labeling is pair-derived and tiny relative to the
+    * corpus. */
+  def canonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val comp = components(s, dir).select($"doc_id", $"component")
+    docs(s, dir).select($"doc_id", $"n_chars")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce($"component", $"doc_id"))
+      .withColumn("keep",
+        when(row_number().over(
+          Window.partitionBy($"component")
+            .orderBy($"n_chars".desc, $"doc_id")) === 1, 1L).otherwise(0L))
+      .select($"doc_id", $"component", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** CORPUS-LEVEL OVERLAP between sources — the "which crawls dumped
+    * the same sites" audit: each source's document set is collapsed to
+    * its union shingle set, and every source pair gets (a) the 8-slot
+    * MinHash Jaccard ESTIMATE (the same permutation family as the
+    * doc-level dedup — min over the union is min over per-doc mins, so
+    * a source signature is one extra agg over machinery that already
+    * exists) and (b) the EXACT distinct-shingle Jaccard. The estimate
+    * is the 100 TB path: 8 short strings per source, source-pair
+    * comparison is |sources|² over a broadcast — free. The exact path
+    * shuffles the distinct (source, shingle) relation once and joins
+    * on `shingle`, so cost tracks SHARED shingle mass, never
+    * |sources|² × corpus; it's the on-demand drill-down when the
+    * estimate flags a pair. Sources are a handful-to-thousands
+    * cardinality in practice, so the pair relation itself never
+    * matters. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, dir)
+      .select($"source", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
+      .filter(size($"tk") >= 3)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        .as("shingle"))
+    // one (source, shingle) exchange feeds BOTH the signature agg and the
+    // exact-intersection join
+    val shd = tracked(sh.distinct())
+    val mhAggs = (0 to 7).map { p =>
+      val h = md5(concat(lit(s"${p / 4}|"), $"shingle"))
+      min(substring(h, p % 4 * 8 + 1, 8)).as(s"mh$p")
+    }
+    val sig = shd.groupBy($"source").agg(mhAggs.head, mhAggs.tail: _*)
+    val sigB = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, c + "_b"))
+    val est = sig.join(broadcast(sigB), $"source" < $"source_b")
+      .select($"source".as("src_a"), $"source_b".as("src_b"),
+        round((0 to 7).map(p =>
+            when(col(s"mh$p") === col(s"mh${p}_b"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / 8.0, 4).as("est_jaccard"))
+    val cnt = shd.groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    val inter = shd.as("x").join(shd.as("y"),
+        $"x.shingle" === $"y.shingle" && $"x.source" < $"y.source")
+      .groupBy($"x.source".as("src_a"), $"y.source".as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(cnt.toDF("src_a", "n_a")), "src_a")
+      .join(broadcast(cnt.toDF("src_b", "n_b")), "src_b")
+      .select($"src_a", $"src_b", $"est_jaccard",
+        round(coalesce($"n_inter", lit(0L)).cast("double") /
+          ($"n_a" + $"n_b" - coalesce($"n_inter", lit(0L))), 4).as("jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
 }

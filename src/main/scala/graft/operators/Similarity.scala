@@ -1180,4 +1180,42 @@ object Similarity {
            count(lit(1)).as("n_dims"))
       .orderBy($"label")
   }
+
+  /** SEMANTIC CONTAMINATION — the train/benchmark leakage check every
+    * training run should gate on: for each held-out eval vector
+    * (vec_id ≡ 0 mod 20 — the benchmark is tiny by construction), find
+    * its nearest TRAIN vector by cosine and flag pairs at ≥ `tau`. The
+    * 100 TB shape is the whole point: the benchmark side broadcasts
+    * (benchmarks are thousands of vectors, the corpus is the 100 TB),
+    * the corpus streams through ONE narrow scan scoring every
+    * (train, eval) pair inside codegen (`graft_dot`), and the argmax
+    * reduces map-side — only |eval| partial rows per task cross the
+    * wire. No corpus shuffle, no candidate index needed for an exact
+    * answer. Ties at equal rounded cosine break to the smaller
+    * train_id via the packed (cos_q, −train_id) struct max, keeping
+    * the output hash-exact. An LSH/IVF shortlist would only change the
+    * scan cost, not this plan's shape. */
+  def semanticContamination(s: SparkSession, dir: String,
+                            tau: Double = 0.42): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+    val isEval = pmod($"vec_id", lit(20)) === 0
+    val ev = e.filter(isEval)
+      .select($"vec_id".as("eval_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    e.filter(!isEval)
+      .join(broadcast(ev))
+      .select($"eval_id", $"vec_id".as("train_id"),
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 4)").as("cos_sim"))
+      // quantized micro-units: an exact integer argmax key (the 4-dp
+      // round already defines the comparison grain, so no information
+      // is lost packing it)
+      .groupBy($"eval_id")
+      .agg(max(struct(round($"cos_sim" * 10000).cast("long").as("q"),
+                      (-$"train_id").as("neg_id"))).as("top"))
+      .select($"eval_id",
+        (-$"top.neg_id").as("train_id"),
+        ($"top.q".cast("double") / 10000.0).as("cos_sim"),
+        when($"top.q" >= math.round(tau * 10000), 1L).otherwise(0L).as("contaminated"))
+      .orderBy($"eval_id")
+  }
 }

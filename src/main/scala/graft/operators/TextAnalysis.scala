@@ -347,4 +347,117 @@ object TextAnalysis {
         ",").as("postings"))
     stats.join(postings, "word").orderBy($"word")
   }
+
+  /** Sliding-window token chunking — the context-window splitter a
+    * training pipeline runs right before tokenized-example assembly:
+    * each document becomes ⌈(n−L)/S⌉+1 windows of `maxLen` tokens with
+    * stride `stride` (overlap L−S), the final window truncated at the
+    * document end. One narrow pass: tokenize → per-row sequence of
+    * window starts → posexplode; no shuffle (the ORDER BY exists only
+    * for oracle stability). At 100 TB this is embarrassingly parallel
+    * and output-bound (~n/S windows per doc); the chunk text is
+    * re-assembled with `slice` + `concat_ws` inside codegen, never a
+    * per-row UDF. Chunk count uses integer arithmetic only —
+    * `1 + (n − L + S − 1) div S` — so the Spark and DuckDB row sets
+    * agree exactly. */
+  def chunk(s: SparkSession, dir: String, maxLen: Int = 64, stride: Int = 48): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("t"))
+      .withColumn("n", size($"t"))
+      .withColumn("n_chunks",
+        when($"n" <= maxLen, lit(1))
+          .otherwise(lit(1) + expr(s"(n - $maxLen + ${stride - 1}) div $stride").cast("int")))
+      .select($"doc_id", $"t", $"n",
+        explode(expr("sequence(0, n_chunks - 1)")).as("i"))
+      .select(
+        $"doc_id",
+        $"i".cast("long").as("chunk_id"),
+        ($"i" * stride).cast("long").as("start_tok"),
+        least(lit(maxLen), $"n" - $"i" * stride).cast("long").as("chunk_len"),
+        concat_ws(" ", slice($"t", $"i" * stride + 1, lit(maxLen))).as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Per-source least-squares fit of token count against character
+    * count — the corpus-health regression a curation dashboard keeps
+    * per slice (a source whose slope or R² drifts from the fleet is
+    * mis-extracted or boilerplate-heavy). Closed form, one partial-agg
+    * shuffle on `source`: Spark's regr_slope/regr_intercept/regr_r2
+    * are plain Welford-style aggregates, so the corpus streams through
+    * map-side partials and only 5 doubles per source cross the wire —
+    * the same shape at 20 sources or 20 million. */
+  def qualityRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"source",
+        expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as double)").as("y"),
+        $"n_chars".cast("double").as("x"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        round(expr("regr_slope(y, x)"), 6).as("slope"),
+        round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+        round(expr("regr_r2(y, x)"), 6).as("r2"))
+      .orderBy($"source")
+  }
+
+  /** Full POSITIONAL inverted index (word → doc, sorted token
+    * positions), persisted hash-partitioned + sorted on `word` so a
+    * query's `word IN (...)` filter prunes to the terms' row groups —
+    * the search-side twin of [[invertedIndex]]'s stats view (which caps
+    * postings for display; search needs them all). One corpus pass,
+    * one (doc, word) exchange; at 100 TB this is the day-1 index build
+    * a search tier lands once and queries forever. */
+  def writePositionalIndex(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        posexplode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
+          .as(Seq("pos", "word")))
+      .groupBy($"word", $"doc_id")
+      .agg(sort_array(collect_list($"pos".cast("long"))).as("positions"))
+      .repartition($"word")
+      .sortWithinPartitions($"word", $"doc_id")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Phrase search THROUGH the persisted positional index — the day-2
+    * consumer: the query path never touches the corpus. Each phrase
+    * term's postings come off the index scan behind a pushed
+    * `word IN (phrase terms)` filter (row-group skipping via the
+    * sorted layout), candidates are the doc-level intersection
+    * (equi-joins on doc_id over term-posting relations — sized by the
+    * phrase's document frequencies, not the corpus), and adjacency is
+    * verified against the position lists (`array_contains(pos_i,
+    * p + i)`). Matches are 0-based token offsets of the phrase head.
+    * The index is built fresh into a scratch dir per call (the gated
+    * entry must be self-contained); a deployment would build once via
+    * [[writePositionalIndex]] and amortize. */
+  def search(s: SparkSession, dir: String,
+             phrase: Seq[String] = Seq("agg", "join")): DataFrame = {
+    import s.implicits._
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val idxPath = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "textidx"), "idx").toAbsolutePath.toString
+    try {
+      writePositionalIndex(s, dir, idxPath)
+      val idx = s.read.parquet(idxPath).filter($"word".isin(phrase: _*))
+      val head = idx.filter($"word" === phrase.head)
+        .select($"doc_id", explode($"positions").as("p"))
+      val matches = phrase.zipWithIndex.drop(1).foldLeft(head) { case (cur, (t, i)) =>
+        cur.join(
+            idx.filter($"word" === t).select($"doc_id", $"positions".as(s"pos_$i")),
+            "doc_id")
+          .filter(array_contains(col(s"pos_$i"), $"p" + i))
+          .select($"doc_id", $"p")
+      }
+      val out = matches.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_matches"), min($"p").as("first_pos"))
+        .orderBy($"doc_id")
+      // materialize before the finally-delete: the returned frame's scan
+      // must not outlive the index files
+      Dedup.trackCheckpoint(out.localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxPath))
+  }
 }

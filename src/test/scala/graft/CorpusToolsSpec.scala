@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** The round-8 corpus-tooling additions (`text_chunk`, `text_search`,
+  * `text_quality_regression`, `dedup_canonical`, `dedup_source_overlap`,
+  * `corpus_contamination_semantic`): each is hash-gated against DuckDB
+  * at three SFs; this spec pins the structural invariants the value
+  * hashes alone don't name — window coverage, keeper uniqueness,
+  * estimate/exact agreement shape, brute-force argmax equality, and the
+  * pushed index filter on the search path. */
+class CorpusToolsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("corpus-tools-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("text_chunk tiles every document: start 0, stride 48, last window ends at n, text matches len") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as long)").as("n"))
+    val ch = TextAnalysis.chunk(spark, sf)
+    // re-tokenized chunk length equals the claimed chunk_len
+    assert(ch.filter(
+      expr("size(filter(split(chunk_text, ' '), x -> length(x) > 0))") =!= col("chunk_len"))
+      .count() === 0L)
+    val per = ch.groupBy($"doc_id").agg(
+      min($"start_tok").as("first_start"),
+      max($"start_tok" + $"chunk_len").as("last_end"),
+      count(lit(1)).as("n_chunks"),
+      max($"chunk_id").as("max_id"))
+    val j = per.join(docs, "doc_id")
+    assert(j.filter($"first_start" =!= 0L).count() === 0L)
+    assert(j.filter($"last_end" =!= $"n").count() === 0L, "last window must end at the doc end")
+    assert(j.filter($"max_id" =!= $"n_chunks" - 1).count() === 0L, "chunk ids must be dense")
+    // every non-final window is exactly maxLen long
+    val nonFinal = ch.join(per.select($"doc_id", $"max_id"), "doc_id")
+      .filter($"chunk_id" < $"max_id")
+    assert(nonFinal.filter($"chunk_len" =!= 64L).count() === 0L)
+  }
+
+  test("dedup_canonical: exactly one keeper per component, and it maximizes (n_chars, -doc_id)") {
+    import spark.implicits._
+    val out = Dedup.canonical(spark, sf)
+    val perComp = out.groupBy($"component").agg(sum($"keep").as("kept"))
+    assert(perComp.filter($"kept" =!= 1L).count() === 0L)
+    val chars = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"n_chars")
+    val best = out.join(chars, "doc_id")
+      .groupBy($"component")
+      .agg(max(struct($"n_chars".as("nc"), (-$"doc_id").as("nid"))).as("b"))
+      .select($"component", (-$"b".getField("nid")).as("want_keeper"))
+    val keeper = out.filter($"keep" === 1L).select($"component", $"doc_id".as("got_keeper"))
+    assert(keeper.join(best, "component").filter($"got_keeper" =!= $"want_keeper").count() === 0L)
+  }
+
+  test("dedup_source_overlap: full pair matrix, bounds, and estimate granularity k/8") {
+    import spark.implicits._
+    val out = Dedup.sourceOverlap(spark, sf).cache()
+    try {
+      val nSrc = spark.read.parquet(s"$sf/documents.parquet")
+        .select($"source").distinct().count()
+      assert(out.count() === nSrc * (nSrc - 1) / 2, "one row per unordered source pair")
+      assert(out.filter($"jaccard" < 0 || $"jaccard" > 1).count() === 0L)
+      // 8-slot estimate can only take values k/8
+      assert(out.filter(($"est_jaccard" * 8) =!= round($"est_jaccard" * 8)).count() === 0L)
+    } finally out.unpersist()
+  }
+
+  test("corpus_contamination_semantic equals a brute-force window argmax") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.functions.VectorExpressions.register(spark)
+    val n = e.select($"vec_id", $"embedding",
+      expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+    val ev = n.filter(pmod($"vec_id", lit(20)) === 0)
+      .select($"vec_id".as("eval_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val brute = n.filter(pmod($"vec_id", lit(20)) =!= 0).crossJoin(ev)
+      .select($"eval_id", $"vec_id".as("train_id"),
+        expr("round(graft_dot(embedding, qe) / (nrm * qn), 4)").as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"eval_id")
+          .orderBy($"cos_sim".desc, $"train_id")))
+      .filter($"rn" === 1).drop("rn")
+    val got = Similarity.semanticContamination(spark, sf)
+      .select($"eval_id", $"train_id", $"cos_sim")
+    assert(got.except(brute).count() === 0L && brute.except(got).count() === 0L)
+  }
+
+  test("text_search: pushed In-filter on the index scan; matches agree with a direct corpus recount") {
+    import spark.implicits._
+    val out = TextAnalysis.search(spark, sf, Seq("agg", "join"))
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("t"))
+      .select($"doc_id", posexplode($"t").as(Seq("p", "w")))
+      .withColumn("nxt", lead($"w", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"p")))
+      .filter($"w" === "agg" && $"nxt" === "join")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matches"), min($"p").cast("long").as("first_pos"))
+    assert(out.except(direct).count() === 0L && direct.except(out).count() === 0L)
+    // day-2 plan shape: the query path reads the index behind a pushed
+    // word filter (build a fresh index to inspect the scan plan)
+    val idxDir = java.nio.file.Files.createTempDirectory("textidx-spec").toString
+    try {
+      TextAnalysis.writePositionalIndex(spark, sf, idxDir)
+      val q = spark.read.parquet(idxDir).filter($"word".isin("agg", "join"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(word"),
+        s"index scan must push the term filter, got:\n$plan")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxDir))
+  }
+
+  test("text_quality_regression matches the covariance closed form") {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source",
+        expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as double)").as("y"),
+        $"n_chars".cast("double").as("x"))
+      .groupBy($"source")
+      .agg(covar_pop($"y", $"x").as("cxy"), var_pop($"x").as("vx"),
+           avg($"x").as("mx"), avg($"y").as("my"), corr($"y", $"x").as("r"))
+      .select($"source",
+        round($"cxy" / $"vx", 6).as("slope"),
+        round($"my" - ($"cxy" / $"vx") * $"mx", 6).as("intercept"),
+        round($"r" * $"r", 6).as("r2"))
+    val got = TextAnalysis.qualityRegression(spark, sf)
+      .select($"source", $"slope", $"intercept", $"r2")
+    val j = got.as("g").join(stats.as("w"), "source")
+      .filter(abs($"g.slope" - $"w.slope") > 1e-6 ||
+              abs($"g.intercept" - $"w.intercept") > 1e-6 ||
+              abs($"g.r2" - $"w.r2") > 1e-6)
+    assert(j.count() === 0L)
+  }
+}
