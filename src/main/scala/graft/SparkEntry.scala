@@ -95,6 +95,10 @@ object SparkEntry {
     // MinHash estimate (8 strings/source) + exact distinct-shingle
     // Jaccard drill-down, both from ONE (source, shingle) exchange
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // content-defined chunking (FastCDC lineage): boundaries from an
+    // 8-bit local hash gate — insertions re-chunk ONE chunk; single
+    // chunk-hash exchange annotates corpus-wide occurrence counts
+    "dedup_cdc_chunks"    -> ((s, d) => Dedup.cdcChunks(s, d)),
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -1210,6 +1214,21 @@ object SparkEntry {
     "dedup_components_incremental" -> ComponentsOracleSql,
 
     "dedup_canonical" -> CanonicalOracleSql,
+
+    "dedup_cdc_chunks" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, len(text) AS n,
+        |    list_filter(range(8, len(text)), i -> substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 2) = '00') AS bnd
+        |  FROM documents),
+        |e AS (SELECT doc_id, text, n, list_concat([0], bnd) AS starts, list_concat(bnd, [n]) AS ends FROM b),
+        |ch AS (SELECT doc_id, text, starts, ends, unnest(range(len(starts))) AS k FROM e),
+        |cc AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id, CAST(starts[k+1] AS BIGINT) AS start_pos,
+        |         CAST(ends[k+1] - starts[k+1] AS BIGINT) AS chunk_len,
+        |         md5(substr(text, CAST(starts[k+1] + 1 AS INT), CAST(ends[k+1] - starts[k+1] AS INT))) AS chunk_hash
+        |       FROM ch)
+        |SELECT doc_id, chunk_id, start_pos, chunk_len, chunk_hash,
+        |  CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS df
+        |FROM cc ORDER BY doc_id, chunk_id""".stripMargin,
 
     "dedup_source_overlap" ->
       """WITH tk AS (

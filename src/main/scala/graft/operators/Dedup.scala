@@ -1414,6 +1414,50 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** CONTENT-DEFINED CHUNKING — the storage-dedup chunker (FastCDC /
+    * rsync lineage): a chunk boundary falls wherever the 8-char gram
+    * ending at that position hashes into the gate (md5 leading byte
+    * '00' — an 8-bit gate, ~256-char expected chunks), so boundaries
+    * are a function of LOCAL content only. That is the property that
+    * matters: an insertion re-chunks the one chunk it lands in and
+    * every other chunk hash — and therefore every dedup match — is
+    * untouched, which fixed-offset blocking cannot do (pinned on a
+    * crafted edit in CdcChunkSpec). Per-doc work is array-expression
+    * only (boundary list via filter(sequence), chunks via
+    * arrays_zip + posexplode — no per-character row explosion), and
+    * the ONLY exchange is the chunk-hash window that annotates each
+    * chunk with its corpus-wide occurrence count: cost tracks chunk
+    * rows (~n/256), never pairs. The gate width is the dial — each
+    * extra gate bit doubles expected chunk size and halves the chunk
+    * relation. The portable md5-gram gate stands in for the gear/Rabin
+    * rolling hash of native chunkers; same boundary-locality contract,
+    * engine-replayable. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(s, docs(s, dir))
+
+  private[graft] def cdcChunksOf(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    d.select($"doc_id", $"text", length($"text").as("n"))
+      // guard: Spark's sequence(8, n-1) runs DESCENDING when n-1 < 8
+      .withColumn("bnd",
+        when($"n" >= 9, expr(
+          "filter(sequence(8, n - 1), i -> substring(md5(substring(text, i - 7, 8)), 1, 2) = '00')"))
+          .otherwise(expr("cast(array() as array<int>)")))
+      .withColumn("starts", concat(array(lit(0)), $"bnd"))
+      .withColumn("ends", concat($"bnd", array($"n")))
+      .select($"doc_id", $"text",
+        posexplode(arrays_zip($"starts", $"ends")).as(Seq("k", "se")))
+      .select($"doc_id",
+        $"k".cast("long").as("chunk_id"),
+        $"se.starts".cast("long").as("start_pos"),
+        ($"se.ends" - $"se.starts").cast("long").as("chunk_len"),
+        md5(expr("substring(text, se.starts + 1, se.ends - se.starts)")).as("chunk_hash"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy($"chunk_hash")).cast("long"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** CORPUS-LEVEL OVERLAP between sources — the "which crawls dumped
     * the same sites" audit: each source's document set is collapsed to
     * its union shingle set, and every source pair gets (a) the 8-slot
