@@ -131,6 +131,9 @@ object SparkEntry {
     "dedup_lines"         -> ((s, d) => Dedup.lineDedup(s, d)),
     // ——— dataset curation ———
     "corpus_split"         -> (Curation.split _),
+    // the dedup-aware twin: hash ladder keys on the duplicate COMPONENT,
+    // so a near-dup cluster can never straddle train/test
+    "corpus_split_leakage_safe" -> (Curation.splitLeakageSafe _),
     "corpus_sample_strat"  -> (Curation.sampleStratified _),
     // exact-k cap per (lang, source) via hashed-rank window; the
     // WindowGroupLimit map-side prune is the 100 TB shape (plan-pinned)
@@ -666,6 +669,23 @@ object SparkEntry {
       """
         |SELECT src AS doc_id, least(src, min(dst)) AS component
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Components + component-keyed 90/5/5 hash ladder: the leakage-safe
+    * split — Spark twin `Curation.splitLeakageSafe`. */
+  private val SplitLeakageSafeOracleSql: String = ComponentsCtes +
+      """,
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |b AS (SELECT doc_id, component,
+        |  ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM lab)
+        |SELECT doc_id, component, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin
 
   /** Components + canonical keeper: every document labeled (singletons
     * self-labeled), keep = 1 on the (n_chars DESC, doc_id) window head
@@ -1214,6 +1234,8 @@ object SparkEntry {
     "dedup_components_incremental" -> ComponentsOracleSql,
 
     "dedup_canonical" -> CanonicalOracleSql,
+
+    "corpus_split_leakage_safe" -> SplitLeakageSafeOracleSql,
 
     "dedup_cdc_chunks" ->
       """WITH b AS (

@@ -23,6 +23,32 @@ object Curation {
     * definition of the oracle-parity fold. */
   private def h60(e: String): String = Dedup.h60(e)
 
+  /** LEAKAGE-SAFE split — the dedup-aware twin of [[split]]: the hash
+    * ladder keys on the document's duplicate COMPONENT (singletons key
+    * on themselves), so a near-dup cluster lands on one side of the
+    * split atomically — a doc-keyed split routinely puts a train doc's
+    * 0.9-Jaccard twin into test, and the eval numbers measure
+    * memorization instead of generalization. Cost over [[split]] is the
+    * components closure plus a streaming left join; the ladder itself
+    * stays one narrow expression. Same 90/5/5 rates — but rates now
+    * apply to components, and the per-DOC mass per side drifts by dup
+    * mass (the honest price of atomicity; at web scale dup clusters are
+    * a few percent of components, so drift is small and measurable). */
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id")
+      .join(Dedup.components(s, dir).select($"doc_id", $"component"),
+        Seq("doc_id"), "left")
+      .withColumn("component", coalesce($"component", $"doc_id"))
+      .select($"doc_id", $"component",
+        expr(s"${h60("cast(component as string)")} % 100").as("bucket"))
+      .select($"doc_id", $"component", $"bucket",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic 90/5/5 train/val/test split: bucket = md5(doc_id) mod
     * 100. Assignment depends only on the document id — never on
     * partitioning, row order, or cluster size — so the split is stable

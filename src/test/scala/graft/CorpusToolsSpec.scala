@@ -120,6 +120,26 @@ class CorpusToolsSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxDir))
   }
 
+  test("corpus_split_leakage_safe: no component straddles the split; doc-keyed split WOULD leak here") {
+    import spark.implicits._
+    val safe = graft.operators.Curation.splitLeakageSafe(spark, sf).cache()
+    try {
+      // atomicity: every component maps to exactly one split
+      assert(safe.groupBy($"component")
+        .agg(countDistinct($"split").as("k")).filter($"k" =!= 1L).count() === 0L)
+      // non-vacuity of the guarantee: the plain doc-keyed split assigns
+      // at least one multi-doc component to 2+ sides on this corpus —
+      // i.e. the operator exists for a reason, not hypothetically
+      val plain = graft.operators.Curation.split(spark, sf).select($"doc_id", $"split")
+      val straddled = safe.select($"doc_id", $"component")
+        .join(plain, "doc_id")
+        .groupBy($"component").agg(countDistinct($"split").as("k"), count(lit(1)).as("n"))
+        .filter($"n" > 1 && $"k" > 1)
+      assert(straddled.count() > 0L,
+        "fixture must contain a dup cluster the doc-keyed split splits apart")
+    } finally safe.unpersist()
+  }
+
   test("text_quality_regression matches the covariance closed form") {
     import spark.implicits._
     val stats = spark.read.parquet(s"$sf/documents.parquet")
