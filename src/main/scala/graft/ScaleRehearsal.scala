@@ -56,7 +56,14 @@ object ScaleRehearsal {
     "graph_triangles", "cdc_merge", "cdc_scd2", "mv_incremental",
     "sim_topk_brute", "sim_ann_lsh", "sim_ivf_topk", "sim_ivf_probe2",
     "sim_ivf_kmeans", "sim_ivf_pq", "sim_knn_join", "sim_label_centroids",
-    "sim_centroids_udaf")
+    "sim_centroids_udaf",
+    // round-8 corpus tooling: the chunker and CDC relation are
+    // output-bound; search cost tracks the phrase's df via the index;
+    // overlap tracks shared shingle mass; canonical / leakage-safe split
+    // ride the components closure; contamination is a broadcast argmax
+    "text_chunk", "dedup_cdc_chunks", "text_search", "dedup_source_overlap",
+    "dedup_canonical", "corpus_split_leakage_safe",
+    "corpus_contamination_semantic", "text_quality_regression")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -95,6 +95,9 @@ object SparkEntry {
     // MinHash estimate (8 strings/source) + exact distinct-shingle
     // Jaccard drill-down, both from ONE (source, shingle) exchange
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // soft dedup: survive with p = 1/group_size via the integer md5
+    // ladder — one expected copy per component, diversity preserved
+    "dedup_soft"          -> ((s, d) => Dedup.softDedup(s, d)),
     // content-defined chunking (FastCDC lineage): boundaries from an
     // 8-bit local hash gate — insertions re-chunk ONE chunk; single
     // chunk-hash exchange annotates corpus-wide occurrence counts
@@ -1236,6 +1239,20 @@ object SparkEntry {
     "dedup_canonical" -> CanonicalOracleSql,
 
     "corpus_split_leakage_safe" -> SplitLeakageSafeOracleSql,
+
+    "dedup_soft" -> (ComponentsCtes +
+      """,
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |sz AS (SELECT doc_id, component,
+        |         CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS group_size
+        |       FROM lab)
+        |SELECT doc_id, component, group_size,
+        |  CAST(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      < 1152921504606846976 // group_size THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sz ORDER BY doc_id""".stripMargin),
 
     "dedup_cdc_chunks" ->
       """WITH b AS (

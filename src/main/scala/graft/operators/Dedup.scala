@@ -1414,6 +1414,36 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** SOFT DEDUP — down-weighting instead of dropping: each member of an
+    * m-doc duplicate component survives with probability 1/m via the
+    * deterministic md5 ladder (bucket < 2⁶⁰ div m — integer division on
+    * both engines, no float boundary), so a component contributes ONE
+    * expected copy while every member keeps a nonzero chance of being
+    * the surviving one. This is the curriculum-friendly alternative to
+    * [[canonical]]'s hard argmax: hard dedup always keeps the same
+    * representative (systematic bias toward long docs); soft dedup
+    * preserves within-cluster diversity across dataset versions and
+    * composes with epoch resampling (different seeds ⇒ swap the hash
+    * salt). Deterministic per doc ⇒ hash-gated end to end. Cost is the
+    * components closure + ONE window exchange keyed by component (the
+    * group-size count — dup-cluster-bounded keys like [[canonical]],
+    * no corpus-scale skew); the keep ladder is integer-only
+    * (bucket < 2⁶⁰ div m — no float boundary to disagree on). */
+  def softDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir).select($"doc_id")
+      .join(components(s, dir).select($"doc_id", $"component"),
+        Seq("doc_id"), "left")
+      .withColumn("component", coalesce($"component", $"doc_id"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy($"component")).cast("long"))
+      .select($"doc_id", $"component", $"group_size",
+        when(expr(h60("cast(doc_id as string)")) <
+          expr(s"${1L << 60}L div group_size"), 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** CONTENT-DEFINED CHUNKING — the storage-dedup chunker (FastCDC /
     * rsync lineage): a chunk boundary falls wherever the 8-char gram
     * ending at that position hashes into the gate (md5 leading byte

@@ -140,6 +140,21 @@ class CorpusToolsSpec extends AnyFunSuite {
     } finally safe.unpersist()
   }
 
+  test("dedup_soft: singletons always survive; ladder matches p = 1/m semantics") {
+    import spark.implicits._
+    val out = Dedup.softDedup(spark, sf).cache()
+    try {
+      assert(out.filter($"group_size" === 1L && $"keep" =!= 1L).count() === 0L,
+        "a singleton's keep probability is exactly 1")
+      // group_size is the true component population
+      val sizes = out.groupBy($"component").agg(count(lit(1)).as("n"))
+      assert(out.join(sizes, "component").filter($"group_size" =!= $"n").count() === 0L)
+      // determinism: a second run is bit-identical
+      val again = Dedup.softDedup(spark, sf)
+      assert(out.except(again).count() === 0L && again.except(out).count() === 0L)
+    } finally out.unpersist()
+  }
+
   test("text_quality_regression matches the covariance closed form") {
     import spark.implicits._
     val stats = spark.read.parquet(s"$sf/documents.parquet")
