@@ -95,6 +95,10 @@ object SparkEntry {
     // MinHash estimate (8 strings/source) + exact distinct-shingle
     // Jaccard drill-down, both from ONE (source, shingle) exchange
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // day-2 overlap: yesterday's signatures ⊕ batch signatures via
+    // least() must equal the full recompute (min is associative) —
+    // the mergeability that makes source signatures a standing table
+    "dedup_source_overlap_incremental" -> ((s, d) => Dedup.sourceOverlapIncremental(s, d)),
     // soft dedup: survive with p = 1/group_size via the integer md5
     // ladder — one expected copy per component, diversity preserved
     "dedup_soft"          -> ((s, d) => Dedup.softDedup(s, d)),
@@ -1239,6 +1243,22 @@ object SparkEntry {
     "dedup_canonical" -> CanonicalOracleSql,
 
     "corpus_split_leakage_safe" -> SplitLeakageSafeOracleSql,
+
+    // the day-2 merged-signature estimate must equal the full-recompute
+    // estimate — the oracle IS the full recompute's est CTE
+    "dedup_source_overlap_incremental" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |pos AS (SELECT source, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT source, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
+        |perms AS (SELECT source, shingle, unnest(range(8)) AS perm FROM sh),
+        |sig AS (SELECT source, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
+        |        FROM perms GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 8.0, 4) AS est_jaccard
+        |FROM sig a JOIN sig b ON a.perm = b.perm AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "dedup_soft" -> (ComponentsCtes +
       """,

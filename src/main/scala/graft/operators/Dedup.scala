@@ -1414,6 +1414,57 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** DAY-2 SOURCE OVERLAP — the mergeability proof for the signature
+    * path of [[sourceOverlap]]: a MinHash slot is a MIN, so yesterday's
+    * per-source signatures fold with a fresh batch's via `least()` —
+    * day-2 cost is the BATCH's shingle pass plus an 8-column merge over
+    * source-count rows, never a corpus re-shingle. The estimate from
+    * merged signatures must equal the full-recompute estimate exactly
+    * (min is associative — the gate is the same `est` SQL the full
+    * operator uses), which is precisely the property that lets a 100 TB
+    * deployment keep source signatures as a standing 8-slots-per-source
+    * table updated per append. The batch split (doc_id ≡ 7 mod 10) is
+    * the incremental family's shared convention. */
+  def sourceOverlapIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = docs(s, dir)
+    val isBatch = pmod($"doc_id", lit(10)) === lit(7)
+    val day1 = sourceSignatures(s, all.filter(!isBatch))
+    val batch = sourceSignatures(s, all.filter(isBatch))
+    val mergeCols = (0 to 7).map { p =>
+      least(coalesce(col(s"d.mh$p"), col(s"b.mh$p")),
+            coalesce(col(s"b.mh$p"), col(s"d.mh$p"))).as(s"mh$p")
+    }
+    val merged = day1.as("d").join(batch.as("b"),
+        $"d.source" === $"b.source", "full_outer")
+      .select(coalesce($"d.source", $"b.source").as("source") +: mergeCols: _*)
+    val right = merged.columns.foldLeft(merged)((df, c) => df.withColumnRenamed(c, c + "_b"))
+    merged.join(broadcast(right), $"source" < $"source_b")
+      .select($"source".as("src_a"), $"source_b".as("src_b"),
+        round((0 to 7).map(p =>
+            when(col(s"mh$p") === col(s"mh${p}_b"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / 8.0, 4).as("est_jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** Per-source 8-slot MinHash signatures over an arbitrary
+    * (source, text) frame — the mergeable unit [[sourceOverlap]] and
+    * [[sourceOverlapIncremental]] share. */
+  private def sourceSignatures(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    val sh = d
+      .select($"source", expr("filter(split(text, ' '), x -> length(x) > 0)").as("tk"))
+      .filter(size($"tk") >= 3)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        .as("shingle"))
+    val mhAggs = (0 to 7).map { p =>
+      val h = md5(concat(lit(s"${p / 4}|"), $"shingle"))
+      min(substring(h, p % 4 * 8 + 1, 8)).as(s"mh$p")
+    }
+    sh.groupBy($"source").agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
   /** SOFT DEDUP — down-weighting instead of dropping: each member of an
     * m-doc duplicate component survives with probability 1/m via the
     * deterministic md5 ladder (bucket < 2⁶⁰ div m — integer division on

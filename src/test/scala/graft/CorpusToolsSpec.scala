@@ -140,6 +140,14 @@ class CorpusToolsSpec extends AnyFunSuite {
     } finally safe.unpersist()
   }
 
+  test("dedup_source_overlap_incremental: day-2 merge equals the full recompute's estimate") {
+    import spark.implicits._
+    val full = Dedup.sourceOverlap(spark, sf).select($"src_a", $"src_b", $"est_jaccard")
+    val day2 = Dedup.sourceOverlapIncremental(spark, sf)
+    assert(day2.except(full).count() === 0L && full.except(day2).count() === 0L,
+      "least()-merged signatures must reproduce the full-recompute estimate bit-for-bit")
+  }
+
   test("dedup_soft: singletons always survive; ladder matches p = 1/m semantics") {
     import spark.implicits._
     val out = Dedup.softDedup(spark, sf).cache()
