@@ -157,6 +157,14 @@ object SparkEntry {
     // Efraimidis-Spirakis weighted reservoir, octave-quantized weights so
     // u^(1/w) is an iterated CORRECTLY-ROUNDED sqrt — bit-portable keys
     "corpus_sample_weighted" -> (Curation.sampleWeighted _),
+    // DSIR importance selection: hashed-unigram log-likelihood ratio vs
+    // the target slice, broadcast 512-row weight table, exact top-20%
+    // keep via histogram-binned distributed top-k (no global window)
+    "corpus_dsir"          -> ((s, d) => Curation.dsirSelect(s, d)),
+    // loader-side length-bucketed batching with per-batch padding
+    // accounting; global order position via per-length offsets +
+    // partitioned windows — no single-partition rank
+    "corpus_length_buckets" -> ((s, d) => Curation.lengthBuckets(s, d)),
     // writer-side layout: md5-bucketed shards with contiguous
     // within-shard positions in hash-shuffled order (one exchange)
     "corpus_shard"         -> ((s, d) => Curation.shard(s, d)),
@@ -217,6 +225,10 @@ object SparkEntry {
     "events_rolling"       -> (Relational.eventsRolling _),
     // first-event-week cohorts × distinct active users per offset week
     "events_retention"     -> (Relational.eventsRetention _),
+    // last-touch attribution: conversions credited to the most recent
+    // preceding non-purchase touch (last-non-null carry over one
+    // user_id exchange); revenue in order-exact integer cents
+    "events_attribution"   -> (Relational.eventsAttribution _),
     // Morton-code zone map: per-cell min/max envelopes showing the
     // 2-D skipping a Z-ordered rewrite buys (write path in zorderWrite;
     // measured pruning in ZorderSpec)
@@ -227,6 +239,11 @@ object SparkEntry {
     // each probe (10% probe set) — probe batch broadcasts, corpus scans
     // once; exact, so hash-gated
     "sim_range_search"    -> ((s, d) => Similarity.rangeSearch(s, d)),
+    // filtered vector search: top-k cosine restricted to neighbors
+    // sharing the query's label — filter BEFORE rank (exact under
+    // selective predicates, where post-filtered ANN under-fills);
+    // broadcast query batch, one corpus scan, WindowGroupLimit top-k
+    "sim_ann_filtered"    -> ((s, d) => Similarity.annFiltered(s, d)),
     // hash-exact LEARNED clustering: quantized-integer k-means whose
     // seeding + unrolled Lloyd rounds replay as generated CTEs in the
     // oracle — any trainer drift hash-fails; fixed gate geometry (k=4),
@@ -295,6 +312,10 @@ object SparkEntry {
     "text_tfidf_topk"  -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     // perplexity-proxy: mean −ln p(word) under the corpus unigram LM
     "text_surprisal"   -> (TextAnalysis.unigramSurprisal _),
+    // CCNet-style bigram-LM scoring: add-one-smoothed LM trained on the
+    // `en` slice, every doc scored by mean bigram log-prob; the LM is a
+    // distributed relation joined on the bigram key, never collected
+    "text_lm_score"    -> ((s, d) => TextAnalysis.lmScore(s, d)),
     // EXACT top-20 frequent words: Misra-Gries pass (O(m) mergeable
     // state, token stream never shuffles) + exact recount of the ≤ m
     // candidates, certificate-checked (kth count > summary err)
@@ -1554,6 +1575,22 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.35
         |ORDER BY q_id, vec_id""".stripMargin,
 
+    "sim_ann_filtered" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb, nrm AS q_nrm
+        |      FROM n WHERE vec_id % 50 = 7),
+        |rk AS (
+        |  SELECT q.q_id, n.vec_id,
+        |    round(list_dot_product(n.emb, q.q_emb) / (n.nrm * q.q_nrm), 6) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY round(list_dot_product(n.emb, q.q_emb) / (n.nrm * q.q_nrm), 6) DESC, n.vec_id) AS rank
+        |  FROM q JOIN n ON n.label = q.q_label AND n.vec_id <> q.q_id)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim
+        |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     "sim_ann_lsh" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -1631,6 +1668,41 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_dsir" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tkl
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(unnest(tkl)), 1, 15))::BIGINT % 512 AS bkt FROM tk0),
+        |tgt AS (SELECT bkt, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT bkt, count(*) AS cr FROM tok GROUP BY 1),
+        |tots AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS nt,
+        |                (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS nr),
+        |lw AS (SELECT raw.bkt,
+        |  ln((COALESCE(tgt.ct, 0) + 1) / (nt + 512)) - ln((raw.cr + 1) / (nr + 512)) AS w
+        |  FROM raw LEFT JOIN tgt USING (bkt), tots),
+        |db AS (SELECT doc_id, bkt, count(*) AS n FROM tok GROUP BY 1, 2),
+        |wt AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |        sum(n * w) AS wraw FROM db JOIN lw USING (bkt) GROUP BY 1),
+        |rk AS (SELECT doc_id, n_tokens, wraw,
+        |  row_number() OVER (ORDER BY round(wraw, 6) DESC, doc_id) AS rnk,
+        |  (SELECT count(*) FROM wt) AS nd FROM wt)
+        |SELECT doc_id, n_tokens, round(wraw, 4) AS dsir_logratio,
+        |  CAST(CASE WHEN rnk <= nd // 5 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM rk ORDER BY doc_id""".stripMargin,
+
+    "corpus_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |  row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS rn FROM t)
+        |SELECT rn // 32 AS batch_id, count(*) AS n_docs, max(n_tok) AS max_tok,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  round(1 - CAST(sum(n_tok) AS DOUBLE) / (count(*) * max(n_tok)), 4) AS pad_frac
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_shard" ->
       """WITH h AS (SELECT doc_id,
@@ -1932,6 +2004,20 @@ object SparkEntry {
         |  CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT)
         |    AS m_bucket
         |FROM pu ORDER BY user_id""".stripMargin,
+
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |a AS (SELECT event_type, cents,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM e)
+        |SELECT COALESCE(channel, '(direct)') AS channel,
+        |  count(*) AS n_conversions,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_active_time" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
@@ -2391,6 +2477,27 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens, round(avg(ln(t / c)), 4) AS surprisal
         |FROM tok JOIN cnt USING (word), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tkl
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(tkl)), i -> tkl[i] || ' ' || tkl[i+1])) AS bigram
+        |  FROM tk0 WHERE len(tkl) >= 2),
+        |cb AS (SELECT bigram, count(*) AS cb FROM bg WHERE lang = 'en' GROUP BY 1),
+        |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS c1
+        |       FROM cb GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM
+        |       (SELECT unnest(tkl) AS w FROM tk0 WHERE lang = 'en')),
+        |dbg AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1, count(*) AS n
+        |        FROM bg GROUP BY 1, 2, 3)
+        |SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+        |  round(sum(d.n * ln((COALESCE(cb.cb, 0) + 1) / (COALESCE(c1.c1, 0) + v.v))) / sum(d.n), 4) AS lm_logprob
+        |FROM dbg d LEFT JOIN cb ON d.bigram = cb.bigram
+        |           LEFT JOIN c1 ON d.w1 = c1.w1, v
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "corpus_quality_funnel" ->
       """WITH tk0 AS (

@@ -442,4 +442,110 @@ object Curation {
       .select($"lang", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
       .orderBy($"lang", $"rk")
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score every document by the
+    * log-likelihood ratio of its hashed-unigram features under a TARGET
+    * distribution (here the `en` slice — the "looks like the reference
+    * corpus" signal) vs the RAW corpus distribution, then keep the top
+    * 1/`keepDiv` fraction. Features are `h60(word) mod buckets` — the
+    * hashed n-gram trick that makes the model a fixed-width count
+    * vector instead of an open vocabulary; add-one smoothing on both
+    * sides.
+    *
+    * Scale shape: the token stream aggregates to per-(doc, bucket)
+    * counts map-side; the per-bucket log-weight table is ≤ `buckets`
+    * rows and BROADCASTS, so scoring is one corpus-partial aggregation
+    * and zero corpus-wide joins. The global top-k keep flag does NOT
+    * use a global-window rank (a single-partition sort at 100 TB):
+    * selection runs as exact distributed top-k via a coarse weight
+    * HISTOGRAM — per-bin counts (bins = floor(score·100), a stats-sized
+    * table) give cumulative offsets; bins wholly inside/outside the cut
+    * are flagged without any ordering, and only the single boundary bin
+    * ranks its members through a bin-partitioned window. The DuckDB
+    * oracle replays the same selection with a naive global rank —
+    * identical keep set, because bin order refines the global
+    * (score, doc_id) order. */
+  def dsirSelect(s: SparkSession, dir: String, buckets: Int = 512,
+                 keepDiv: Int = 5, targetLang: String = "en"): DataFrame = {
+    import s.implicits._
+    val tok = docs(s, dir)
+      .select($"doc_id", $"lang",
+        explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
+      .select($"doc_id", $"lang", expr(s"${h60("word")} % $buckets").as("bkt"))
+    val tgt = tok.filter($"lang" === targetLang)
+      .groupBy($"bkt").agg(count(lit(1)).as("ct"))
+    val raw = tok.groupBy($"bkt").agg(count(lit(1)).as("cr"))
+    val tots = tgt.agg(sum($"ct").cast("double").as("nt"))
+      .crossJoin(raw.agg(sum($"cr").cast("double").as("nr"))) // 1×1 totals
+    val lw = raw.join(tgt, Seq("bkt"), "left")
+      .crossJoin(broadcast(tots))
+      .select($"bkt",
+        (log((coalesce($"ct", lit(0L)) + lit(1)).cast("double") / ($"nt" + lit(buckets))) -
+          log(($"cr" + lit(1)).cast("double") / ($"nr" + lit(buckets)))).as("w"))
+    val wt = tok.groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("n"))
+      .join(broadcast(lw), "bkt") // ≤ `buckets` rows — ships to every task
+      .groupBy($"doc_id")
+      .agg(sum($"n").cast("long").as("n_tokens"),
+        sum($"n" * $"w").as("wraw"))
+      // rank key rounded to 6 dp so both engines order identically; the
+      // coarse bin floors the SAME rounded key, so equal keys can never
+      // straddle a bin boundary
+      .withColumn("wr", round($"wraw", 6))
+      .withColumn("bin", floor($"wr" * 100))
+    val nKeep = wt.agg((count(lit(1)) / keepDiv).cast("long").as("n_keep"))
+    val binCum = wt.groupBy($"bin").agg(count(lit(1)).as("bn"))
+      // stats-sized window: one row per occupied bin, not per doc
+      .withColumn("above", coalesce(sum($"bn").over(
+        Window.orderBy($"bin".desc).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(nKeep))
+      .select($"bin", $"above",
+        ($"above" + $"bn" <= $"n_keep").as("all_in"),
+        ($"above" >= $"n_keep").as("all_out"),
+        ($"n_keep" - $"above").as("quota"))
+    wt.join(broadcast(binCum), "bin")
+      .withColumn("rk_in_bin",
+        when($"all_in" || $"all_out", lit(0L)) // boundary bin only
+          .otherwise(row_number().over(
+            Window.partitionBy($"bin").orderBy($"wr".desc, $"doc_id")).cast("long")))
+      .select($"doc_id", $"n_tokens", round($"wraw", 4).as("dsir_logratio"),
+        when($"all_in", 1).when($"all_out", 0)
+          .when($"rk_in_bin" <= $"quota", 1).otherwise(0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Length-bucketed batching — the loader-side layout step that groups
+    * documents of similar token length into fixed-size micro-batches so
+    * per-batch padding (every sequence pads to the batch max) stays
+    * minimal: sort by length, slice into consecutive batches of
+    * `batchSize`. Emits per-batch padding accounting — the number a
+    * training team watches, since padding fraction is pure wasted FLOPs.
+    *
+    * Scale shape: the global length-order position is computed WITHOUT a
+    * global-window rank. Token length is already integer-binned, so the
+    * per-length histogram (≤ distinct lengths — stats-sized) yields each
+    * length's global starting offset via a tiny cumulative window, and a
+    * doc's position is offset(len) + rank-within-length (a partitioned,
+    * scalable window). The oracle replays it with a naive global
+    * row_number — identical batch ids, because (length, doc_id) order is
+    * total. */
+  def lengthBuckets(s: SparkSession, dir: String, batchSize: Int = 32): DataFrame = {
+    import s.implicits._
+    val t = docs(s, dir).select($"doc_id",
+      expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as bigint)").as("n_tok"))
+    val offs = t.groupBy($"n_tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum($"cnt").over(
+        Window.orderBy($"n_tok").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"n_tok", $"off")
+    t.join(broadcast(offs), "n_tok")
+      .withColumn("rn", $"off" +
+        row_number().over(Window.partitionBy($"n_tok").orderBy($"doc_id")) - 1)
+      .groupBy(($"rn" / batchSize).cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max($"n_tok").as("max_tok"),
+        sum($"n_tok").cast("long").as("sum_tok"),
+        round(lit(1.0) - sum($"n_tok").cast("double") /
+          (count(lit(1)) * max($"n_tok")), 4).as("pad_frac"))
+      .orderBy($"batch_id")
+  }
 }

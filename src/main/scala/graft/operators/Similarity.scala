@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (`Array[Float]`, dim 64).
@@ -68,6 +69,39 @@ object Similarity {
         expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 4)").as("cos_sim"))
       .filter($"cos_sim" >= tau)
       .orderBy($"q_id", $"vec_id")
+  }
+
+  /** FILTERED vector search — top-k cosine under a metadata predicate
+    * (here: the neighbor must share the query's `label`), the
+    * "filtered ANN" every production vector store exposes: retrieval
+    * constrained to a tenant / language / license slice. Exact by
+    * construction (the filter applies BEFORE ranking, so the top-k is
+    * the true top-k of the allowed subset — post-filtering a vanilla
+    * ANN result under-fills exactly when the filter is selective).
+    *
+    * Scale shape: the query batch (vec_id ≡ 7 mod 50, a 2% probe set)
+    * broadcasts; the corpus scans ONCE with the predicate evaluated
+    * inside the broadcast-join condition — no shuffle of the corpus.
+    * The per-query rank ≤ k triggers WindowGroupLimit, so each task
+    * pre-prunes to its local top-k per query before the one
+    * query-keyed exchange (k × queries × partitions rows, never the
+    * candidate stream). With the corpus BUCKETED on the filter column
+    * the scan itself prunes — the composable next step, same plan. */
+  def annFiltered(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"label", $"embedding", expr(normExpr).as("nrm"))
+    val q = e.filter(pmod($"vec_id", lit(50)) === 7)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    e.join(broadcast(q), $"label" === $"q_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")).cast("long"))
+      .filter($"rank" <= k)
+      .select($"q_id", $"rank", $"vec_id", $"cos_sim")
+      .orderBy($"q_id", $"rank")
   }
 
   /** SemDeDup-shaped semantic deduplication: within each coarse cluster

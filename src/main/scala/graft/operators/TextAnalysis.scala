@@ -460,4 +460,56 @@ object TextAnalysis {
       Dedup.trackCheckpoint(out.localCheckpoint())
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxPath))
   }
+
+  /** Bigram language-model scoring — the CCNet/KenLM-style perplexity
+    * filter of a pre-training pipeline: train an add-one-smoothed bigram
+    * LM on a reference slice (here the `trainLang` documents) and score
+    * EVERY document by its mean bigram log-probability. Low scores flag
+    * off-language or degenerate text; the score column is the standard
+    * perplexity-filter input (perplexity = exp(-score)).
+    *
+    * Per-bigram probability is (c(w1,w2)+1) / (c(w1)+V) with c(w1) the
+    * count of w1 as a bigram HEAD in the training slice (so rows sum
+    * correctly: Σ_w2 c(w1,w2) = c(w1)) and V the training vocabulary
+    * size; out-of-vocabulary heads degrade to the uniform 1/V floor via
+    * the same formula (c = 0 on both sides of the left joins).
+    *
+    * Scale shape: the corpus streams once into per-(doc, bigram) counts
+    * (map-side partial agg), then equi-joins the LM tables on the bigram
+    * / head keys — the LM is itself a distributed relation sized by the
+    * TRAINING slice's distinct bigrams, never collected or broadcast by
+    * assumption (at 100 TB a reference-slice LM is GBs; AQE broadcasts
+    * it only when it truly fits). The single 1-row vocabulary total
+    * rides a broadcast cross join. Documents with fewer than two tokens
+    * have no bigram distribution and are excluded by definition. */
+  def lmScore(s: SparkSession, dir: String, trainLang: String = "en"): DataFrame = {
+    import s.implicits._
+    val tk = docs(s, dir).select($"doc_id", $"lang",
+      expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+    val bg = tk.filter(size($"tk") >= 2)
+      .select($"doc_id", $"lang",
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("bigram"))
+    val cb = bg.filter($"lang" === trainLang)
+      .groupBy($"bigram").agg(count(lit(1)).as("cb"))
+    val c1 = cb.groupBy(expr("split(bigram, ' ')[0]").as("w1"))
+      .agg(sum($"cb").cast("long").as("c1"))
+    val v = tk.filter($"lang" === trainLang)
+      .select(explode($"tk").as("w"))
+      .agg(countDistinct($"w").cast("double").as("v"))
+    bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
+      .withColumn("w1", expr("split(bigram, ' ')[0]"))
+      .join(cb, Seq("bigram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v)) // 1-row vocab total
+      .groupBy($"doc_id")
+      .agg(
+        sum($"n").cast("long").as("n_bigrams"),
+        round(
+          sum($"n" * log((coalesce($"cb", lit(0L)) + lit(1)).cast("double") /
+            (coalesce($"c1", lit(0L)).cast("double") + $"v"))) / sum($"n"),
+          4).as("lm_logprob"))
+      .orderBy($"doc_id")
+  }
 }

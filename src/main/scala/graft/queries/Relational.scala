@@ -1013,4 +1013,37 @@ object Relational {
       .toDF("p_partkey", "p_retailprice", "p_size")
       .orderBy($"p_partkey")
   }
+
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics staple: each
+    * conversion (a `purchase` event) is credited to the user's most
+    * recent preceding NON-purchase event type (the "touch"); purchases
+    * with no prior touch are `(direct)`. Output is per-channel
+    * conversion counts and revenue.
+    *
+    * One user_id exchange shared by the carry-forward window and
+    * nothing else: `last(touch, ignoreNulls)` over the unbounded-
+    * preceding frame is the standard last-non-null carry — a running
+    * per-partition value, NOT a sort-then-self-join. Revenue follows
+    * the house cents-quantization rule ([[eventsTwap]]): floor(v·100 +
+    * 0.5) summed as integers, so the total is summation-order-exact and
+    * the oracle hash-gates it. The final per-channel rollup aggregates
+    * a channel-count-sized relation. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prior = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    eventsNs(s, dir)
+      .select($"user_id", $"ts_ns", $"event_id", $"event_type",
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .withColumn("channel",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+          .over(prior))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"channel", lit("(direct)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum($"cents").as("revenue_cents"))
+      .select($"channel", $"n_conversions",
+        round($"revenue_cents".cast("double") / 100.0, 2).as("revenue"))
+      .orderBy($"channel")
+  }
 }
