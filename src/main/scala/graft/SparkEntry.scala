@@ -337,6 +337,10 @@ object SparkEntry {
     // 5-iteration weighted PageRank in 64-bit fixed-point (float Σ is
     // summation-order-sensitive → never hash-portable; integer div is)
     "graph_pagerank"      -> ((s, d) => Graph.pagerank(s, d)),
+    // personalized PageRank: restart mass on the ASIA seed set only —
+    // the seed-local importance primitive; same integer fixed-point and
+    // per-round edge⋈node-sized-rank shape as the global variant
+    "graph_ppr"           -> ((s, d) => Graph.ppr(s, d)),
     // per-node triangle counts on the ≥2-support co-purchase graph:
     // degree-oriented wedge join (Σ outdeg² ≤ O(|E|^1.5) regardless of
     // skew); orientation never changes the triangle set
@@ -473,6 +477,44 @@ object SparkEntry {
        |$iters
        |SELECT node AS n_nationkey, n_name, r AS rank_fp,
        |  CAST(r AS DOUBLE) / $scale.0 AS rank
+       |FROM nds JOIN r5 USING (node)
+       |ORDER BY rank_fp DESC, n_nationkey""".stripMargin
+  }
+
+  /** `graph_ppr`'s oracle: [[graft.operators.Graph.ppr]]'s 5 rounds
+    * unrolled — the [[PagerankOracleSql]] generator with the uniform
+    * teleport replaced by seed-only restart mass (seeds = ASIA
+    * nations). All integer fixed-point, so the iterative result
+    * hash-gates exactly. */
+  private val PprOracleSql: String = {
+    val scale = graft.operators.Graph.Scale
+    val iters = (1 to 5).map { k =>
+      s"""m$k AS (SELECT dst, CAST(sum((r * w) // outw) AS BIGINT) AS in_mass
+         |  FROM en JOIN r${k - 1} ON src = node GROUP BY dst),
+         |r$k AS (SELECT nd.node,
+         |  CAST(CASE WHEN nd.seed THEN (SELECT (15 * $scale) // (100 * cnt) FROM ns)
+         |       ELSE 0 END
+         |    + (85 * COALESCE(m$k.in_mass, 0)) // 100 AS BIGINT) AS r
+         |  FROM nds nd LEFT JOIN m$k ON nd.node = m$k.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(c_nationkey AS BIGINT) AS src,
+       |  CAST(s_nationkey AS BIGINT) AS dst, count(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+       |en AS (SELECT e.src, e.dst, e.w, ow.outw FROM e JOIN ow USING (src)),
+       |nds AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name,
+       |  r_name = 'ASIA' AS seed
+       |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+       |ns AS (SELECT count(*) AS cnt FROM nds WHERE seed),
+       |r0 AS (SELECT node,
+       |  CAST(CASE WHEN seed THEN (SELECT $scale // cnt FROM ns) ELSE 0 END AS BIGINT) AS r
+       |  FROM nds),
+       |$iters
+       |SELECT node AS n_nationkey, n_name, CAST(seed AS INT) AS is_seed,
+       |  r AS rank_fp, CAST(r AS DOUBLE) / $scale.0 AS rank
        |FROM nds JOIN r5 USING (node)
        |ORDER BY rank_fp DESC, n_nationkey""".stripMargin
   }
@@ -2075,6 +2117,8 @@ object SparkEntry {
     // Spark loop runs (see Graph.pagerank on why floats can't hash-gate
     // an iterative Σ). Generated, not hand-copied.
     "graph_pagerank" -> PagerankOracleSql,
+
+    "graph_ppr" -> PprOracleSql,
 
     // plain u<v edges here vs degree-oriented edges in the plan: any
     // total order enumerates each triangle exactly once, so the sets

@@ -365,4 +365,70 @@ object Graph {
     fin.select($"node".as("part_id"), $"deg".as("core_degree"))
       .orderBy($"part_id")
   }
+
+  /** PERSONALIZED PAGERANK over the same trade graph as [[pagerank]],
+    * with the teleport mass concentrated on a SEED SET (the nations of
+    * region ASIA) instead of spread uniformly — the recommendation /
+    * local-community primitive: "importance as seen from here". PPR is
+    * what link-based similar-item retrieval, seed-expanded community
+    * mining, and trust propagation all reduce to.
+    *
+    * Same integer fixed-point discipline as [[pagerank]] (float PPR is
+    * order-sensitive per iteration and can never hash-gate): rank
+    * scaled by [[Scale]], restart mass (15·Scale) div (100·|S|) paid to
+    * seeds only, propagation (85·mass) div 100, per-edge contribution
+    * (r·w) div outw. Non-seed nodes receive ONLY propagated mass, so
+    * rank mass decays with distance from the seed set — the locality
+    * that distinguishes PPR from the global variant.
+    *
+    * Scale shape: identical to [[pagerank]] — the cached edge relation
+    * joins a node-sized rank relation once per round (AQE broadcasts
+    * rank), one partial-agged contribution shuffle on dst per round;
+    * the seed relation is node-bounded. 5 fixed rounds, oracle-unrolled. */
+  def ppr(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    import s.implicits._
+    def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+
+    val nodes = t("nation")
+      .join(t("region"), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".cast("long").as("node"), $"n_name",
+        ($"r_name" === "ASIA").as("seed"))
+    val nSeeds = nodes.filter($"seed").count()
+    require(nSeeds > 0, "PPR needs a non-empty seed set")
+
+    val edges = Dedup.tracked(
+      t("lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t("orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(t("customer").select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(t("supplier").select($"s_suppkey", $"s_nationkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"c_nationkey".cast("long").as("src"),
+                 $"s_nationkey".cast("long").as("dst"))
+        .agg(count(lit(1)).as("w")))
+    val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    val edgesN = Dedup.tracked(edges.join(outw, "src"))
+
+    val restart = (15L * Scale) / (100L * nSeeds)
+    var rank = nodes.select($"node",
+      when($"seed", lit(Scale / nSeeds)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesN
+        .join(rank, $"src" === $"node")
+        .select($"dst", expr("(r * w) div outw").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("in_mass"))
+      rank = nodes
+        .join(contrib, $"node" === $"dst", "left")
+        .select($"node",
+          (when($"seed", lit(restart)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(in_mass, cast(0 as bigint))) div 100")).as("r"))
+    }
+    nodes.join(rank, "node")
+      .select($"node".as("n_nationkey"), $"n_name",
+        $"seed".cast("int").as("is_seed"),
+        $"r".as("rank_fp"),
+        ($"r".cast("double") / Scale.toDouble).as("rank"))
+      .orderBy($"rank_fp".desc, $"n_nationkey")
+  }
 }
