@@ -26,4 +26,24 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
   sbt -batch "runMain graft.Verify $SF $PWD/$OUT"
 
 python3 scripts/check_oracle.py "$SF" "$PWD/$OUT"
+
+# README count drift gate: the contract-facing totals on README.md must
+# match the compiled registry (counts.json is written by graft.Verify)
+python3 - "$PWD/$OUT/counts.json" <<'EOF'
+import json, re, sys
+counts = json.load(open(sys.argv[1]))
+readme = open("README.md").read()
+m = re.search(r"(\d+) driver queries \((\d+) with value-identical", readme)
+assert m, "README.md no longer states the query/oracle totals"
+stated = (int(m.group(1)), int(m.group(2)))
+actual = (counts["queries"], counts["oracles"])
+assert stated == actual, \
+    f"README.md states {stated} (queries, oracles) but the registry has {actual}"
+rest = counts["queries"] - counts["oracles"]
+m2 = re.search(r"the (\d+)\s*\nothers deterministic rows-only", readme) or \
+     re.search(r"the (\d+) others deterministic rows-only", readme)
+assert m2 and int(m2.group(1)) == rest, \
+    f"README.md rows-only count must be {rest}"
+print(f"README counts match the registry: {actual[0]} queries / {actual[1]} oracles")
+EOF
 echo "CI gate green at $SF"

@@ -320,7 +320,11 @@ object ScaleRehearsal {
     // independent measurements even into one index
     val pqAppends = Seq(
       pqAppend("append_0p1pct", id => id % 1000 == 7),
-      pqAppend("append_10pct", id => id % 10 == 7))
+      // exclude the ids the first arm already appended: both arms write
+      // into ONE day-1 index, so re-appending id%1000==7 would leave
+      // ~0.1% of vec_ids double-encoded and let the compact/probe arms
+      // measure (and surface in top-k) a duplicate-bearing index
+      pqAppend("append_10pct", id => id % 10 == 7 && id % 1000 != 7))
     val retiredVecs = spark.read.parquet(s"$Sf1/embeddings.parquet")
       .filter(pmod(col("vec_id"), lit(10)) =!= lit(7) &&
         pmod(col("vec_id"), lit(17)) === lit(5))

@@ -178,7 +178,10 @@ object Sf10Rehearsal {
       }
       val appends = Seq(
         arm("append_0p1pct", id => id % 1000 == 7),
-        arm("append_10pct", id => id % 10 == 7))
+        // skip the first arm's ids: both arms feed one day-1 index, and a
+        // re-append would double-encode ~0.1% of vec_ids, contaminating
+        // the compact/probe measurements downstream
+        arm("append_10pct", id => id % 10 == 7 && id % 1000 != 7))
       val retired = spark.read.parquet(s"$Sf10/embeddings.parquet")
         .filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 17 === 5)
         .select(col("vec_id"))

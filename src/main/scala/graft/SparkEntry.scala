@@ -1743,7 +1743,9 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS rn FROM t)
         |SELECT rn // 32 AS batch_id, count(*) AS n_docs, max(n_tok) AS max_tok,
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-        |  round(1 - CAST(sum(n_tok) AS DOUBLE) / (count(*) * max(n_tok)), 4) AS pad_frac
+        |  CASE WHEN max(n_tok) = 0 THEN 0.0 ELSE
+        |    round(1 - CAST(sum(n_tok) AS DOUBLE) / (count(*) * max(n_tok)), 4)
+        |  END AS pad_frac
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_shard" ->

@@ -62,6 +62,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // registry sizes for the ci.sh README-drift check: contract-facing
+    // counts must be compared against the compiled registry, not trusted
+    Files.writeString(Paths.get(s"$outDir/counts.json"),
+      s"""{"queries": ${SparkEntry.queries.size}, "oracles": ${SparkEntry.oracleSql.size}}""")
     spark.stop()
   }
 }

@@ -544,8 +544,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         max($"n_tok").as("max_tok"),
         sum($"n_tok").cast("long").as("sum_tok"),
-        round(lit(1.0) - sum($"n_tok").cast("double") /
-          (count(lit(1)) * max($"n_tok")), 4).as("pad_frac"))
+        // an all-empty batch (max_tok = 0) would divide 0/0 → NaN, whose
+        // comparison/format semantics differ across engines — an empty
+        // batch wastes no FLOPs, so its padding fraction is 0 by definition
+        when(max($"n_tok") === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - sum($"n_tok").cast("double") /
+            (count(lit(1)) * max($"n_tok")), 4)).as("pad_frac"))
       .orderBy($"batch_id")
   }
 }

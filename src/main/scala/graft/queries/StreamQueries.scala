@@ -1383,8 +1383,13 @@ object StreamQueries {
     }
     val q = stream
       .select(col("vec_id"), col("embedding"),
-        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"),
-        graft.operators.Similarity.bucketsCol(4, 6).as("buckets"))
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+      // zero-norm vectors have no direction to compare — drop them before
+      // bucketing (the same defense unitVecs applies); without this,
+      // cos() divides by 0 → NaN and BigDecimal(NaN) would crash the
+      // whole streaming query instead of ignoring one degenerate vector
+      .filter(col("nrm") > 0)
+      .withColumn("buckets", graft.operators.Similarity.bucketsCol(4, 6))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(col("buckets")).as(Seq("t", "bucket")))
       .select(col("vec_id"), col("t"), col("bucket"), col("embedding"), col("nrm"))

@@ -62,6 +62,7 @@ class DegenerateInputSpec extends AnyFunSuite {
       // r8 cont. — the learned sim_pq_index_day2 is excluded like every
       // kmeans-trained op (training on an empty corpus is a fail-fast,
       // not an empty result)
+      "corpus_length_buckets" -> (() => graft.operators.Curation.lengthBuckets(spark, emptyDir).count()),
       "sim_range_search" -> (() => graft.operators.Similarity.rangeSearch(spark, emptyDir).count()),
       "stream_neardup_indexed" -> (() => graft.queries.StreamQueries.streamNearDupIndexed(spark, emptyDir).count()),
       "stream_embed_neardup" -> (() => graft.queries.StreamQueries.streamEmbedNearDup(spark, emptyDir).count()))
@@ -73,6 +74,26 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(n == 0L, s"$name returned $n rows on empty input")
       Dedup.unpersistIntermediates(spark)
       spark.catalog.clearCache()
+    }
+  }
+
+  test("all-zero-token corpus: length buckets report pad_frac 0, not NaN") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zerotok").toString
+    try {
+      // a batch composed entirely of empty documents divides 0/0 without
+      // the guard; padding of an empty batch is 0 by definition
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+        .withColumn("text", lit(""))
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val rows = graft.operators.Curation.lengthBuckets(spark, dir).collect()
+      assert(rows.length == 1)
+      val pad = rows(0).getAs[Double]("pad_frac")
+      assert(!pad.isNaN && pad == 0.0, s"pad_frac was $pad")
+      assert(rows(0).getAs[Long]("max_tok") == 0L)
+    } finally {
+      spark.catalog.clearCache()
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
 
