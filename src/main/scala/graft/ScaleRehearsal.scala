@@ -288,6 +288,28 @@ object ScaleRehearsal {
     System.err.println(f"[rehearsal] day2 index build+write: ${fmt(buildSec)}s")
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxDir))
 
+    // ---- components day-2: the first componentsIncremental call per
+    // process builds + persists the day-1 artifacts (index + labels);
+    // the second call reads them — its wall clock IS the day-2-only
+    // cost (batch shingles + candidate index bytes + a CC loop over
+    // star ∪ new edges), the number the operator exists to deliver.
+    val tcc1 = System.nanoTime()
+    val ccN1 = graft.operators.Dedup.componentsIncremental(spark, Sf1).count()
+    val ccColdSec = (System.nanoTime() - tcc1) / 1e9
+    graft.operators.Dedup.unpersistIntermediates(spark)
+    spark.catalog.clearCache()
+    val tcc2 = System.nanoTime()
+    val (ccN2, ccDay2Bytes, ccDay2Shuf) = bytesReadDuring {
+      graft.operators.Dedup.componentsIncremental(spark, Sf1).count()
+    }
+    val ccDay2Sec = (System.nanoTime() - tcc2) / 1e9
+    graft.operators.Dedup.unpersistIntermediates(spark)
+    spark.catalog.clearCache()
+    assert(ccN1 == ccN2, s"day-2 components drifted across store reads: $ccN1 vs $ccN2")
+    System.err.println(f"[rehearsal] cc_day2 cold (build day-1 + day-2) ${fmt(ccColdSec)}s; " +
+      f"day-2 only ${fmt(ccDay2Sec)}s  $ccN2 rows  ${ccDay2Bytes / 1048576}%d MiB read  " +
+      f"${ccDay2Shuf / 1048576}%d MiB shuffled")
+
     // ---- PQ day-2: append encodes ONLY the batch with the frozen
     // codebooks (never reads existing codes), compaction rewrites
     // 8-byte codes — both must cost batch-/index-bytes while the
@@ -363,7 +385,9 @@ object ScaleRehearsal {
     }.mkString(",")
     val pqJson =
       s""""pq_day2":{"build_sec":${fmt(pqBuildSec)},"codes_bytes":$pqCodesBytes,"emb_scan_bytes":$embScanBytes,$pqAppendJson,"compact":{"sec":${fmt(pqCompactSec)},"bytes_read":$pqCompactBytes},"probe_query":{"sec":${fmt(pqProbeSec)},"bytes_read":$pqProbeBytes}}"""
-    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$pqJson}"""
+    val ccJson =
+      s""""cc_day2":{"cold_sec":${fmt(ccColdSec)},"day2_only_sec":${fmt(ccDay2Sec)},"rows":$ccN2,"bytes_read":$ccDay2Bytes,"shuffle_bytes":$ccDay2Shuf}"""
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)

@@ -28,16 +28,19 @@ object Curation {
     * on themselves), so a near-dup cluster lands on one side of the
     * split atomically — a doc-keyed split routinely puts a train doc's
     * 0.9-Jaccard twin into test, and the eval numbers measure
-    * memorization instead of generalization. Cost over [[split]] is the
-    * components closure plus a streaming left join; the ladder itself
-    * stays one narrow expression. Same 90/5/5 rates — but rates now
-    * apply to components, and the per-DOC mass per side drifts by dup
-    * mass (the honest price of atomicity; at web scale dup clusters are
-    * a few percent of components, so drift is small and measurable). */
+    * memorization instead of generalization. Cost over [[split]] is a
+    * streaming left join against the per-process persisted labeling
+    * ([[Dedup.componentsFromStore]] — the closure is computed once per
+    * corpus version and shared with canonical/soft dedup); the ladder
+    * itself stays one narrow expression. Same 90/5/5 rates — but rates
+    * now apply to components, and the per-DOC mass per side drifts by
+    * dup mass (the honest price of atomicity; at web scale dup clusters
+    * are a few percent of components, so drift is small and
+    * measurable). */
   def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir).select($"doc_id")
-      .join(Dedup.components(s, dir).select($"doc_id", $"component"),
+      .join(Dedup.componentsFromStore(s, dir).select($"doc_id", $"component"),
         Seq("doc_id"), "left")
       .withColumn("component", coalesce($"component", $"doc_id"))
       .select($"doc_id", $"component",

@@ -100,6 +100,22 @@ class DedupComponentsSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  /** The per-process persisted label store must be invisible to
+    * consumers: first read builds + writes, later reads hit the parquet
+    * artifact, and both equal the fresh closure bit-for-bit. */
+  test("persisted label store ≡ fresh closure across repeat reads") {
+    val fresh = Dedup.components(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    Dedup.unpersistIntermediates(spark)
+    val first = Dedup.componentsFromStore(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    val second = Dedup.componentsFromStore(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    Dedup.unpersistIntermediates(spark)
+    assert(fresh.nonEmpty && first.sameElements(fresh) && second.sameElements(fresh),
+      "store labels drifted from the fresh closure")
+  }
+
   test("20-deep chain converges to full closure (no silent partial merge)") {
     import spark.implicits._
     val chain = (0L until 19L).map(i => (i, i + 1))
