@@ -1711,26 +1711,30 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // log-weights quantize to integer nano-units (floor(w·1e9 + 0.5))
+    // and per-doc scores are EXACT integer sums, so the rank key is
+    // order-free on both engines; the naive global rank here certifies
+    // the engine's histogram-refined distributed top-k
     "corpus_dsir" ->
       """WITH tk0 AS (
         |  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tkl
         |  FROM documents),
         |tok AS (SELECT doc_id, lang,
         |  ('0x' || substr(md5(unnest(tkl)), 1, 15))::BIGINT % 512 AS bkt FROM tk0),
-        |tgt AS (SELECT bkt, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
-        |raw AS (SELECT bkt, count(*) AS cr FROM tok GROUP BY 1),
+        |cnt AS (SELECT doc_id, lang, bkt, count(*) AS n FROM tok GROUP BY 1, 2, 3),
+        |tgt AS (SELECT bkt, sum(n) AS ct FROM cnt WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT bkt, sum(n) AS cr FROM cnt GROUP BY 1),
         |tots AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS nt,
         |                (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS nr),
         |lw AS (SELECT raw.bkt,
-        |  ln((COALESCE(tgt.ct, 0) + 1) / (nt + 512)) - ln((raw.cr + 1) / (nr + 512)) AS w
+        |  CAST(floor((ln((COALESCE(tgt.ct, 0) + 1) / (nt + 512)) - ln((raw.cr + 1) / (nr + 512))) * 1e9 + 0.5) AS BIGINT) AS wq
         |  FROM raw LEFT JOIN tgt USING (bkt), tots),
-        |db AS (SELECT doc_id, bkt, count(*) AS n FROM tok GROUP BY 1, 2),
         |wt AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-        |        sum(n * w) AS wraw FROM db JOIN lw USING (bkt) GROUP BY 1),
-        |rk AS (SELECT doc_id, n_tokens, wraw,
-        |  row_number() OVER (ORDER BY round(wraw, 6) DESC, doc_id) AS rnk,
+        |        CAST(sum(n * wq) AS BIGINT) AS sq FROM cnt JOIN lw USING (bkt) GROUP BY 1),
+        |rk AS (SELECT doc_id, n_tokens, sq,
+        |  row_number() OVER (ORDER BY sq DESC, doc_id) AS rnk,
         |  (SELECT count(*) FROM wt) AS nd FROM wt)
-        |SELECT doc_id, n_tokens, round(wraw, 4) AS dsir_logratio,
+        |SELECT doc_id, n_tokens, round(CAST(sq AS DOUBLE) / 1e9, 4) AS dsir_logratio,
         |  CAST(CASE WHEN rnk <= nd // 5 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM rk ORDER BY doc_id""".stripMargin,
 

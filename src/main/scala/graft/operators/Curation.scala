@@ -456,46 +456,60 @@ object Curation {
     * vector instead of an open vocabulary; add-one smoothing on both
     * sides.
     *
-    * Scale shape: the token stream aggregates to per-(doc, bucket)
-    * counts map-side; the per-bucket log-weight table is ≤ `buckets`
-    * rows and BROADCASTS, so scoring is one corpus-partial aggregation
-    * and zero corpus-wide joins. The global top-k keep flag does NOT
-    * use a global-window rank (a single-partition sort at 100 TB):
-    * selection runs as exact distributed top-k via a coarse weight
-    * HISTOGRAM — per-bin counts (bins = floor(score·100), a stats-sized
-    * table) give cumulative offsets; bins wholly inside/outside the cut
-    * are flagged without any ordering, and only the single boundary bin
-    * ranks its members through a bin-partitioned window. The DuckDB
-    * oracle replays the same selection with a naive global rank —
-    * identical keep set, because bin order refines the global
-    * (score, doc_id) order. */
+    * Scale shape: ONE corpus tokenization — the token stream aggregates
+    * immediately to the (doc, lang, bucket) grain (map-side partial)
+    * and is materialized once; the target model, the raw model and the
+    * per-doc scores are all derived from that grain relation (the r8
+    * plan re-tokenized the corpus once per branch — 3× the scan cost).
+    * The per-bucket log-weight table is ≤ `buckets` rows and
+    * BROADCASTS, so scoring is one grain-relation aggregation and zero
+    * corpus-wide joins.
+    *
+    * Determinism: per-bucket log-weights QUANTIZE to integer nano-units
+    * — floor(w·1e9 + 0.5), only correctly-rounded IEEE ops past the one
+    * ln() call — and every per-doc score is the EXACT integer sum
+    * Σ n·wq, so the rank key is order-free and engine-portable (the
+    * repo's fixed-point discipline; a distributed double sum of libm
+    * logs can flip a keep at a rounding boundary).
+    *
+    * The global top-k keep flag does NOT use a global-window rank (a
+    * single-partition sort at 100 TB): selection runs as exact
+    * distributed top-k via a coarse score HISTOGRAM — per-bin counts
+    * (bins = floor(score/1e7), a stats-sized table) give cumulative
+    * offsets; bins wholly inside/outside the cut are flagged without
+    * any ordering, and only the single boundary bin ranks its members
+    * through a bin-partitioned window. The DuckDB oracle replays the
+    * same selection with a naive global rank — identical keep set,
+    * because bin order refines the global (score, doc_id) order. */
   def dsirSelect(s: SparkSession, dir: String, buckets: Int = 512,
                  keepDiv: Int = 5, targetLang: String = "en"): DataFrame = {
     import s.implicits._
-    val tok = docs(s, dir)
+    val cnt = Dedup.trackCheckpoint(docs(s, dir)
       .select($"doc_id", $"lang",
         explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
       .select($"doc_id", $"lang", expr(s"${h60("word")} % $buckets").as("bkt"))
-    val tgt = tok.filter($"lang" === targetLang)
-      .groupBy($"bkt").agg(count(lit(1)).as("ct"))
-    val raw = tok.groupBy($"bkt").agg(count(lit(1)).as("cr"))
+      .groupBy($"doc_id", $"lang", $"bkt").agg(count(lit(1)).as("n"))
+      .localCheckpoint())
+    val tgt = cnt.filter($"lang" === targetLang)
+      .groupBy($"bkt").agg(sum($"n").as("ct"))
+    val raw = cnt.groupBy($"bkt").agg(sum($"n").as("cr"))
     val tots = tgt.agg(sum($"ct").cast("double").as("nt"))
       .crossJoin(raw.agg(sum($"cr").cast("double").as("nr"))) // 1×1 totals
     val lw = raw.join(tgt, Seq("bkt"), "left")
       .crossJoin(broadcast(tots))
       .select($"bkt",
-        (log((coalesce($"ct", lit(0L)) + lit(1)).cast("double") / ($"nt" + lit(buckets))) -
-          log(($"cr" + lit(1)).cast("double") / ($"nr" + lit(buckets)))).as("w"))
-    val wt = tok.groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("n"))
+        floor((log((coalesce($"ct", lit(0L)) + lit(1)).cast("double") / ($"nt" + lit(buckets))) -
+          log(($"cr" + lit(1)).cast("double") / ($"nr" + lit(buckets)))) * lit(1e9) + lit(0.5))
+          .cast("long").as("wq"))
+    val wt = cnt
       .join(broadcast(lw), "bkt") // ≤ `buckets` rows — ships to every task
       .groupBy($"doc_id")
       .agg(sum($"n").cast("long").as("n_tokens"),
-        sum($"n" * $"w").as("wraw"))
-      // rank key rounded to 6 dp so both engines order identically; the
-      // coarse bin floors the SAME rounded key, so equal keys can never
-      // straddle a bin boundary
-      .withColumn("wr", round($"wraw", 6))
-      .withColumn("bin", floor($"wr" * 100))
+        sum($"n" * $"wq").as("sq")) // exact integer score — order-free
+      // the coarse bin floors the integer score at 1e7 nano-units (1e-2
+      // in log space, the old grain) through an exactly-representable
+      // double (|sq| ≪ 2^53), so equal scores can never straddle a bin
+      .withColumn("bin", floor($"sq".cast("double") / lit(1e7)).cast("long"))
     val nKeep = wt.agg((count(lit(1)) / keepDiv).cast("long").as("n_keep"))
     val binCum = wt.groupBy($"bin").agg(count(lit(1)).as("bn"))
       // stats-sized window: one row per occupied bin, not per doc
@@ -510,8 +524,9 @@ object Curation {
       .withColumn("rk_in_bin",
         when($"all_in" || $"all_out", lit(0L)) // boundary bin only
           .otherwise(row_number().over(
-            Window.partitionBy($"bin").orderBy($"wr".desc, $"doc_id")).cast("long")))
-      .select($"doc_id", $"n_tokens", round($"wraw", 4).as("dsir_logratio"),
+            Window.partitionBy($"bin").orderBy($"sq".desc, $"doc_id")).cast("long")))
+      .select($"doc_id", $"n_tokens",
+        round($"sq".cast("double") / lit(1e9), 4).as("dsir_logratio"),
         when($"all_in", 1).when($"all_out", 0)
           .when($"rk_in_bin" <= $"quota", 1).otherwise(0).as("keep"))
       .orderBy($"doc_id")

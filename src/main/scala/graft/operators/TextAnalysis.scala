@@ -474,33 +474,42 @@ object TextAnalysis {
     * size; out-of-vocabulary heads degrade to the uniform 1/V floor via
     * the same formula (c = 0 on both sides of the left joins).
     *
-    * Scale shape: the corpus streams once into per-(doc, bigram) counts
-    * (map-side partial agg), then equi-joins the LM tables on the bigram
-    * / head keys — the LM is itself a distributed relation sized by the
-    * TRAINING slice's distinct bigrams, never collected or broadcast by
-    * assumption (at 100 TB a reference-slice LM is GBs; AQE broadcasts
-    * it only when it truly fits). The single 1-row vocabulary total
-    * rides a broadcast cross join. Documents with fewer than two tokens
-    * have no bigram distribution and are excluded by definition. */
+    * Scale shape: ONE corpus tokenization — each document's token list
+    * becomes adjacent (w1, w2) pairs plus a (w_last, NULL) tail row,
+    * aggregated immediately to the (doc, lang, w1, w2) grain and
+    * materialized once. Bigrams are the w2-non-null rows; the training
+    * VOCABULARY is distinct w1 over the train slice (every word of a
+    * doc appears as some pair's w1, the tail row covering the last/only
+    * token) — so the bigram counts, the head counts, the vocab total
+    * AND the per-doc scores all derive from one pass instead of three
+    * corpus scans (the r8 plan re-derived the bigram stream per
+    * branch). The LM tables then equi-join on the pair/head keys — the
+    * LM is itself a distributed relation sized by the TRAINING slice's
+    * distinct bigrams, never collected or broadcast by assumption (at
+    * 100 TB a reference-slice LM is GBs; AQE broadcasts it only when it
+    * truly fits). The single 1-row vocabulary total rides a broadcast
+    * cross join. Documents with fewer than two tokens have no bigram
+    * distribution and are excluded by definition. */
   def lmScore(s: SparkSession, dir: String, trainLang: String = "en"): DataFrame = {
     import s.implicits._
-    val tk = docs(s, dir).select($"doc_id", $"lang",
-      expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
-    val bg = tk.filter(size($"tk") >= 2)
+    val cnt = Dedup.trackCheckpoint(docs(s, dir)
       .select($"doc_id", $"lang",
-        explode(expr(
-          "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
-          .as("bigram"))
-    val cb = bg.filter($"lang" === trainLang)
-      .groupBy($"bigram").agg(count(lit(1)).as("cb"))
-    val c1 = cb.groupBy(expr("split(bigram, ' ')[0]").as("w1"))
-      .agg(sum($"cb").cast("long").as("c1"))
-    val v = tk.filter($"lang" === trainLang)
-      .select(explode($"tk").as("w"))
-      .agg(countDistinct($"w").cast("double").as("v"))
-    bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
-      .withColumn("w1", expr("split(bigram, ' ')[0]"))
-      .join(cb, Seq("bigram"), "left")
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+      .filter(size($"tk") >= 1) // sequence(1, 0) would run DESCENDING
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(1, size(tk)), i -> struct(element_at(tk, i) AS w1, " +
+          "if(i < size(tk), element_at(tk, i + 1), cast(null as string)) AS w2))"))
+        .as("p"))
+      .select($"doc_id", $"lang", $"p.w1", $"p.w2")
+      .groupBy($"doc_id", $"lang", $"w1", $"w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint())
+    val cb = cnt.filter($"lang" === trainLang && $"w2".isNotNull)
+      .groupBy($"w1", $"w2").agg(sum($"n").as("cb"))
+    val c1 = cb.groupBy($"w1").agg(sum($"cb").cast("long").as("c1"))
+    val v = cnt.filter($"lang" === trainLang)
+      .agg(countDistinct($"w1").cast("double").as("v"))
+    cnt.filter($"w2".isNotNull)
+      .join(cb, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v)) // 1-row vocab total
       .groupBy($"doc_id")

@@ -247,6 +247,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "df relation must broadcast into the tf join")
   }
 
+  test("dsir + lm score: one corpus tokenization — branches read the grain checkpoint") {
+    // both operators aggregate the token stream to a grain relation and
+    // materialize it once; every model/score branch must read THAT, so
+    // the final plan may not contain a documents scan (r8 re-tokenized
+    // the corpus once per branch — 3x the scan cost at 100 TB)
+    Seq("corpus_dsir", "text_lm_score").foreach { q =>
+      try {
+        val p = plan(q)
+        assert(!p.contains("documents.parquet"),
+          s"$q must derive every branch from the checkpointed grain relation")
+      } finally graft.operators.Dedup.unpersistIntermediates(spark)
+    }
+  }
+
   test("temperature mix: corpus streams through a broadcast join, never shuffles") {
     val p = plan("corpus_mix_temperature")
     // the L-row rate relation broadcasts; the acceptance hash gate rides
