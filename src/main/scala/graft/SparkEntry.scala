@@ -889,6 +889,98 @@ object SparkEntry {
       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id""".stripMargin
   }
 
+  /** `sim_pca_project`: generated-CTE replay of the ENTIRE fixed-point
+    * PCA (`Similarity.topEigenQuant`) — moments → quantized integer
+    * covariance → per component: rescale₂₇, six integer matrix
+    * squarings (M ∝ A^64), sign-pinned rescale₂₀ start-vector product,
+    * integer Rayleigh quotient, integer deflation — then the quantized
+    * centered projection. Every intermediate is exact integer
+    * arithmetic (hugeint where 64-bit would overflow), truncation
+    * toward zero stated as `CASE WHEN x >= 0 THEN x // d ELSE
+    * -((-x) // d) END` so the engines cannot disagree on negative
+    * division; the only doubles are correctly-rounded IEEE ops over
+    * exactly-representable integers. The rescale shifts are generated
+    * threshold CASE chains (pure integer compares — the engine picks
+    * the same power-of-two divisor from the same max). */
+  private val PcaOracleSql: String = {
+    val Dim = 64; val K = 4; val Squarings = 6
+    // smallest power-of-two divisor d with max/d < 2^target — the SQL
+    // twin of Similarity.shiftFor (bitlength comparison chain)
+    def dvCase(mx: String, target: Int): String = {
+      val branches = (0 to (62 - target)).map { sft =>
+        s"WHEN $mx < ${1L << (target + sft)} THEN ${1L << sft}"
+      }.mkString(" ")
+      s"CASE $branches ELSE ${1L << (62 - target)} END"
+    }
+    def tdiv(x: String, d: String): String =
+      s"CASE WHEN $x >= 0 THEN $x // $d ELSE -((-($x)) // $d) END"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id, j AS i, CAST(embedding[j + 1] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, embedding, unnest(range($Dim)) AS j FROM embeddings)),
+      |cn AS (SELECT count(*) AS n FROM embeddings),
+      |sm AS MATERIALIZED (SELECT i, sum(x) AS s FROM e GROUP BY i),
+      |pr AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS p
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+      |mu AS (SELECT i, s / n AS mu FROM sm, cn),
+      |muq AS MATERIALIZED (SELECT i, CAST(floor(s / n * 1e6 + 0.5) AS BIGINT) AS m FROM sm, cn),
+      |cu AS (SELECT p.i AS i, p.j AS j,
+      |  CAST(floor((p.p - n * ma.mu * mb.mu) / (n - 1) * 1e6 + 0.5) AS BIGINT) AS qv
+      |  FROM pr p CROSS JOIN cn JOIN mu ma ON ma.i = p.i JOIN mu mb ON mb.i = p.j),
+      |a0 AS MATERIALIZED (SELECT i, j, qv FROM cu
+      |  UNION ALL SELECT j AS i, i AS j, qv FROM cu WHERE i <> j),
+      |xq AS MATERIALIZED (SELECT vec_id, j AS i,
+      |  CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, embedding, unnest(range($Dim)) AS j FROM embeddings))""".stripMargin
+    for (c <- 0 until K) {
+      parts += s"""m${c}_0 AS MATERIALIZED (
+        |  SELECT i, j, ${tdiv("qv", "dv")} AS qv
+        |  FROM a$c, (SELECT ${dvCase("mx", 27)} AS dv
+        |             FROM (SELECT max(abs(qv)) AS mx FROM a$c)))""".stripMargin
+      for (t <- 1 to Squarings) {
+        parts += s"""sq${c}_$t AS MATERIALIZED (
+          |  SELECT a.i AS i, b.j AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS qv
+          |  FROM m${c}_${t - 1} a JOIN m${c}_${t - 1} b ON a.j = b.i GROUP BY 1, 2),
+          |m${c}_$t AS MATERIALIZED (
+          |  SELECT i, j, ${tdiv("qv", "dv")} AS qv
+          |  FROM sq${c}_$t, (SELECT ${dvCase("mx", 27)} AS dv
+          |                   FROM (SELECT max(abs(qv)) AS mx FROM sq${c}_$t)))""".stripMargin
+      }
+      parts += s"""vr$c AS (SELECT i, CAST(sum(qv) AS BIGINT) AS x FROM m${c}_$Squarings GROUP BY i),
+        |vs$c AS MATERIALIZED (SELECT i, ${tdiv("x", "dv")} AS x
+        |  FROM vr$c, (SELECT ${dvCase("mx", 20)} AS dv
+        |              FROM (SELECT max(abs(x)) AS mx FROM vr$c))),
+        |v$c AS MATERIALIZED (SELECT i, x * (SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END
+        |  FROM vs$c WHERE x <> 0 ORDER BY i LIMIT 1) AS x FROM vs$c),
+        |w$c AS MATERIALIZED (SELECT q.i AS i, CAST(sum(q.qv * v.x) AS BIGINT) AS wx
+        |  FROM a$c q JOIN v$c v ON q.j = v.i GROUP BY 1),
+        |sc$c AS MATERIALIZED (SELECT
+        |  (SELECT CAST(sum(x * x) AS BIGINT) FROM v$c) AS vv,
+        |  (SELECT sum(CAST(x AS HUGEINT) * wx) FROM v$c JOIN w$c USING (i)) AS r),
+        |lam$c AS MATERIALIZED (SELECT vv,
+        |  CAST(${tdiv("r", "vv")} AS BIGINT) AS lam FROM sc$c),
+        |pc$c AS MATERIALIZED (SELECT x.vec_id,
+        |  round(CAST(sum((x.xq - mq.m) * v.x) AS DOUBLE) /
+        |        (1e6 * sqrt(CAST((SELECT vv FROM lam$c) AS DOUBLE))), 6) AS pc
+        |  FROM xq x JOIN muq mq ON mq.i = x.i JOIN v$c v ON v.i = x.i
+        |  GROUP BY x.vec_id)""".stripMargin
+      if (c < K - 1)
+        parts += s"""a${c + 1} AS MATERIALIZED (
+          |  SELECT i, j, qv - CAST(${tdiv("tt", "vv")} AS BIGINT) AS qv
+          |  FROM (SELECT q.i AS i, q.j AS j, q.qv AS qv,
+          |          CAST(l.lam AS HUGEINT) * va.x * vb.x AS tt, l.vv AS vv
+          |        FROM a$c q JOIN v$c va ON va.i = q.i JOIN v$c vb ON vb.i = q.j
+          |        CROSS JOIN lam$c l) d)""".stripMargin
+    }
+    parts.mkString(",\n") + s"""
+      |SELECT b.vec_id,
+      |  ${(0 until K).map(c => s"p$c.pc AS pc_${c + 1}").mkString(", ")},
+      |  ${(0 until K).map(c => s"(SELECT CAST(lam AS DOUBLE) / 1e6 FROM lam$c) AS ev_${c + 1}").mkString(", ")}
+      |FROM (SELECT vec_id FROM embeddings) b
+      |${(0 until K).map(c => s"JOIN pc$c p$c USING (vec_id)").mkString(" ")}
+      |ORDER BY vec_id""".stripMargin
+  }
+
   /** `stream_neardup_ttl_expiry`: the closed form of the EventTimeTimeout
     * state machine under the query's replay geometry — 8 doc_id-range
     * micro-batches (the count is load-bearing: it fixes the watermark
@@ -2300,6 +2392,9 @@ object SparkEntry {
         |  FROM tabs a JOIN tabs b
         |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // CTE replay of the whole fixed-point PCA training — see PcaOracleSql
+    "sim_pca_project" -> PcaOracleSql,
 
     // the naive quadratic definition of the gram matrix — equality with
     // Spark's one-pass fixed-state partial aggregation is the gate.

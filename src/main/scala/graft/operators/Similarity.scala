@@ -1105,12 +1105,23 @@ object Similarity {
     * pass ahead of clustering/ANN when 64 dims is 60 too many. The
     * covariance assembles on the driver from [[momentsOf]]' one-pass
     * partials (dim×dim doubles — driver-trivial at any corpus size);
-    * eigenvectors come from deterministic power iteration with
-    * deflation (fixed start vector and iteration count — no RNG, so
-    * re-runs and engines agree); projection is one narrow broadcast
-    * map. Training is iterative → rows-only; PcaSpec pins component
-    * orthonormality, descending eigenvalues, equality with a
-    * definitional covariance, and projection parity.
+    * projection is one narrow broadcast map.
+    *
+    * The eigensolver is FIXED-POINT ([[topEigenQuant]]): the covariance
+    * quantizes to integer micro-units (floor(c·1e6 + 0.5) — the
+    * `sim_gram_matrix` grain, ~6 orders above fp partial-order noise)
+    * and eigenvectors come from integer repeated-squaring power
+    * iteration with integer Rayleigh quotients and integer deflation —
+    * every step is exact integer arithmetic, so the DuckDB oracle
+    * replays the whole training as generated CTEs over the same moment
+    * relation and the projection HASH-GATES end to end (the
+    * `dedup_semantic_kmeans_exact` / `text_bpe_encode` pattern; the r8
+    * float trainer was rows-only). The only double ops in the output —
+    * one sqrt, one multiply, one divide per value — are correctly-
+    * rounded IEEE ops over exactly-representable integers, identical on
+    * any conforming engine. PcaSpec additionally pins the MATH:
+    * descending positive eigenvalues bounded by total variance,
+    * projection variance = eigenvalue, determinism.
     *
     * Output shape is deliberately ALL-SCALAR — `(vec_id, pc_1..pc_k,
     * ev_1..ev_k)` — because the correctness harness sorts columns and
@@ -1124,76 +1135,135 @@ object Similarity {
     require(n > 1, s"PCA needs at least 2 vectors, got $n")
     val dim = sums.length
     val mean = sums.map(_ / n)
-    val cov = Array.ofDim[Double](dim, dim)
+    // quantized integer covariance — the shared exact input of the
+    // fixed-point eigensolver; the oracle rebuilds the SAME integers
+    // from its own moment sums (fp noise ≪ the 1e-6 grain)
+    val q = Array.ofDim[Long](dim, dim)
     var t = 0
     for (i <- 0 until dim; j <- i until dim) {
       val c = (prods(t) - n * mean(i) * mean(j)) / (n - 1)
-      cov(i)(j) = c; cov(j)(i) = c
+      val qc = math.floor(c * 1e6 + 0.5).toLong
+      q(i)(j) = qc; q(j)(i) = qc
       t += 1
     }
-    val (components, eigenvalues) = topEigen(cov, k)
+    // quantized mean (integer micro-units) — projections center against
+    // THIS, so the centering is exact and engine-portable
+    val muQ = sums.map(x => math.floor(x / n * 1e6 + 0.5).toLong)
+    val (components, vvs, lamQ) = topEigenQuant(q, k)
     val bcComp = s.sparkContext.broadcast(components)
-    val bcMean = s.sparkContext.broadcast(mean)
+    val bcMu = s.sparkContext.broadcast(muQ)
+    // denominators: 1e6·‖v‖ — vv ≤ 2^46 is exact in a double; sqrt and
+    // multiply are correctly rounded, so both engines hold the same bits
+    val dens = vvs.map(vv => 1e6 * math.sqrt(vv.toDouble))
+    val bcDen = s.sparkContext.broadcast(dens)
     val out = emb(s, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .map { case (id, v) =>
         val comp = bcComp.value
-        val mu = bcMean.value
-        val p = comp.map { c =>
-          var d = 0.0
+        val mu = bcMu.value
+        val den = bcDen.value
+        val p = comp.indices.toArray.map { c =>
+          val vc = comp(c)
+          var acc = 0L // exact: |xq−μq|·|v| ≤ 2^21·2^20·64 = 2^47
           var i = 0
-          while (i < c.length) { d += (v(i) - mu(i)) * c(i); i += 1 }
-          math.rint(d * 1e6) / 1e6
+          while (i < vc.length) {
+            acc += (math.floor(v(i).toDouble * 1e6 + 0.5).toLong - mu(i)) * vc(i)
+            i += 1
+          }
+          acc.toDouble / den(c)
         }
         (id, p)
       }
       .toDF("vec_id", "components")
     val scalar = (0 until k).foldLeft(out) { (df, i) =>
-      df.withColumn(f"pc_${i + 1}", col("components").getItem(i))
+      df.withColumn(f"pc_${i + 1}", round(col("components").getItem(i), 6))
     }.drop("components")
     (0 until k).foldLeft(scalar) { (df, i) =>
-      df.withColumn(f"ev_${i + 1}",
-        lit(math.rint(eigenvalues(i) * 1e6) / 1e6))
+      df.withColumn(f"ev_${i + 1}", lit(lamQ(i).toDouble / 1e6))
     }.orderBy($"vec_id")
   }
 
-  /** Top-k eigenpairs of a symmetric matrix by power iteration with
-    * deflation: start from the deterministic all-ones direction, 200
-    * fixed iterations per component, deflate λ·uuᵀ and repeat. Sign
-    * fixed by the first non-zero coordinate (eigenvectors are only
-    * defined up to sign — pin it or parity breaks). */
-  private def topEigen(m: Array[Array[Double]], k: Int): (Array[Array[Double]], Array[Double]) = {
-    val dim = m.length
-    val a = m.map(_.clone())
-    val comps = Array.ofDim[Array[Double]](k)
-    val vals = new Array[Double](k)
+  /** Portable truncation-toward-zero shift: x / 2^s with the sign
+    * handled through abs, the exact form the SQL replay states
+    * (`CASE WHEN x >= 0 THEN x // d ELSE -((-x) // d) END`). */
+  private def tshift(x: Long, s: Int): Long =
+    if (x >= 0) x >> s else -((-x) >> s)
+
+  /** Shift count that brings max|·| under 2^target — the rescale the
+    * integer power iteration applies between steps so products never
+    * overflow a signed 64-bit lane. Mirrored in SQL as a generated
+    * threshold CASE chain (pure integer compares). */
+  private def shiftFor(mx: Long, target: Int): Int = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(mx)
+    math.max(0, bits - target)
+  }
+
+  /** Top-k eigenpairs of a symmetric INTEGER matrix by fixed-point
+    * repeated squaring with deflation — every step exact integer
+    * arithmetic, bit-replayable by any engine:
+    *
+    *   1. M₀ = rescale₂₇(A); M_{t+1} = rescale₂₇(M_t·M_t), 6 steps —
+    *      M₆ ∝ A^64, the classic power-iteration convergence at log
+    *      cost (entries < 2^27 keep 64-term integer products < 2^60).
+    *   2. v = rescale₂₀(M₆·1), sign-pinned so the first non-zero
+    *      coordinate is positive (eigenvectors are defined up to sign).
+    *   3. λ_q = trunc(vᵀAv / vᵀv) — the integer Rayleigh quotient in
+    *      covariance micro-units (BigInt numerator, ≤ 2^82).
+    *   4. Deflate A ← A − trunc(λ_q·v_i·v_j / vᵀv) and repeat.
+    *
+    * Returns (v per component, vᵀv per component, λ_q per component).
+    * rescale never changes a direction (a positive scalar multiple),
+    * only the representation scale. */
+  private def topEigenQuant(qIn: Array[Array[Long]], k: Int):
+      (Array[Array[Long]], Array[Long], Array[Long]) = {
+    val dim = qIn.length
+    val a = qIn.map(_.clone())
+    val comps = Array.ofDim[Array[Long]](k)
+    val vvs = new Array[Long](k)
+    val lams = new Array[Long](k)
+    def rescaleM(m: Array[Array[Long]]): Array[Array[Long]] = {
+      val mx = m.iterator.flatMap(_.iterator).map(math.abs).max
+      val sft = shiftFor(mx, 27)
+      if (sft == 0) m else m.map(_.map(tshift(_, sft)))
+    }
     for (c <- 0 until k) {
-      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-      var it = 0
-      while (it < 200) {
-        val w = new Array[Double](dim)
+      var m = rescaleM(a)
+      for (_ <- 0 until 6) {
+        val sq = Array.ofDim[Long](dim, dim)
         var i = 0
         while (i < dim) {
-          var s = 0.0
           var j = 0
-          while (j < dim) { s += a(i)(j) * v(j); j += 1 }
-          w(i) = s
+          while (j < dim) {
+            var acc = 0L
+            var l = 0
+            while (l < dim) { acc += m(i)(l) * m(l)(j); l += 1 }
+            sq(i)(j) = acc
+            j += 1
+          }
           i += 1
         }
-        val nrm = math.sqrt(w.map(x => x * x).sum)
-        v = if (nrm > 0) w.map(_ / nrm) else v
-        it += 1
+        m = rescaleM(sq)
       }
-      var lambda = 0.0
-      for (i <- 0 until dim; j <- 0 until dim) lambda += v(i) * a(i)(j) * v(j)
-      // sign pin: first coordinate with |x| above fp dust is positive
-      val lead = v.indexWhere(x => math.abs(x) > 1e-9)
-      if (lead >= 0 && v(lead) < 0) v = v.map(-_)
-      comps(c) = v
-      vals(c) = lambda
-      for (i <- 0 until dim; j <- 0 until dim) a(i)(j) -= lambda * v(i) * v(j)
+      var v = m.map(_.sum) // M₆·1, ≤ 64·2^27
+      val vs = shiftFor(v.map(math.abs).max, 20)
+      v = v.map(tshift(_, vs))
+      val lead = v.indexWhere(_ != 0L)
+      require(lead >= 0, s"integer power iteration degenerated to zero for component $c")
+      if (v(lead) < 0) v = v.map(-_)
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L // ≤ 64·2^30·2^20 = 2^56
+        var j = 0
+        while (j < dim) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val vv = v.map(x => x * x).sum // ≤ 64·2^40 = 2^46
+      val r = v.indices.iterator.map(i => BigInt(v(i)) * w(i)).sum
+      val lam = (r / vv).toLong // BigInt division truncates toward zero
+      comps(c) = v; vvs(c) = vv; lams(c) = lam
+      for (i <- 0 until dim; j <- 0 until dim)
+        a(i)(j) -= ((BigInt(lam) * v(i) * v(j)) / vv).toLong
     }
-    (comps, vals)
+    (comps, vvs, lams)
   }
 
   /** Per-label centroid similarity: average embedding per label (exact,

@@ -4,9 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import graft.operators.Similarity
 
-/** The PCA math behind `sim_pca_project`: the oracle gates the gram
-  * matrix (the distributed part); this pins the driver-side eigen
-  * machinery and the projection against first principles. */
+/** The PCA math behind `sim_pca_project`: the generated-CTE oracle
+  * hash-gates the fixed-point training end to end (cross-engine
+  * replay); this pins the MATH — that the integer eigensolver still
+  * computes principal components — against first principles. */
 class PcaSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
