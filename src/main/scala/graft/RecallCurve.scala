@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Recall-vs-cost curve for the ANN tier — the dial sheet a user reads
+  * before picking an operating point ("what does 0.9 recall cost?").
+  *
+  * Sweeps the three approximate paths against exact brute force
+  * (recall@10 of vec 0's neighbors, the family's shared query):
+  *   - learned k-means IVF: nprobe ∈ {2, 4, 8} of 10 lists
+  *   - IVF-PQ: nprobe ∈ {2, 4, 8} × rerank ∈ {50, 200}
+  *   - hyperplane LSH: (tables, bits) ∈ {(4,6), (8,6), (8,4)}
+  * Each point records recall@10 and wall seconds (min of `passes`,
+  * end-to-end per entry: the self-contained entries retrain per call,
+  * so the number is the whole-entry cost the bench measures — relative
+  * cost across dials is the signal; at production scale training/encode
+  * amortizes through the persisted PQ index and the query-side cost is
+  * the probed-list scan ∝ nprobe plus the rerank-sized exact join).
+  *
+  * Output: one JSON line + target/recall_curve.json; the round commits
+  * it as RECALL_CURVE_r{N}.json next to RECALL_BASELINE.json, and
+  * SimilarityRecallSpec gates the chosen high-recall default
+  * (nprobe=8, rerank=200) against the committed baseline. */
+object RecallCurve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_RECALL_RUNS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Similarity
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("vec_id")).toSet
+    val truth = ids(Similarity.topkBrute(spark, sfDir))
+    require(truth.size == 10, s"brute-force truth has ${truth.size} rows")
+
+    def fmt(d: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, d)
+    def point(label: String)(run: => org.apache.spark.sql.DataFrame): (String, Double, Double) = {
+      var best = Double.MaxValue
+      var recall = 0.0
+      for (_ <- 1 to passes) {
+        val t0 = System.nanoTime()
+        val got = ids(run)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        recall = (got & truth).size / 10.0
+        spark.catalog.clearCache()
+        graft.operators.Dedup.unpersistIntermediates(spark)
+      }
+      System.err.println(f"[recall_curve] $label%-28s recall@10 = $recall%.2f  ${fmt(best)}s")
+      (label, recall, best)
+    }
+
+    val points = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    points += point("brute_exact")(Similarity.topkBrute(spark, sfDir))
+    for (np <- Seq(2, 4, 8))
+      points += point(s"ivf_kmeans_nprobe$np")(
+        Similarity.ivfKmeansTopk(spark, sfDir, nprobe = np))
+    for (np <- Seq(2, 4, 8); rr <- Seq(50, 200))
+      points += point(s"ivf_pq_nprobe${np}_rerank$rr")(
+        Similarity.ivfPqTopk(spark, sfDir, nprobe = np, rerank = rr))
+    for ((tables, bits) <- Seq((4, 6), (8, 6), (8, 4))) {
+      spark.conf.set("spark.graft.lsh.tables", tables.toString)
+      spark.conf.set("spark.graft.lsh.bits", bits.toString)
+      try points += point(s"lsh_t${tables}_b$bits")(Similarity.annLsh(spark, sfDir))
+      finally {
+        spark.conf.unset("spark.graft.lsh.tables")
+        spark.conf.unset("spark.graft.lsh.bits")
+      }
+    }
+
+    val body = points.map { case (l, r, sec) =>
+      s""""$l":{"recall_at_10":${fmt(r)},"sec":${fmt(sec)}}"""
+    }.mkString(",")
+    val json = s"""{"metric":"recall_curve","sf":"$sfDir","passes":$passes,"points":{$body}}"""
+    println(json)
+    val out = java.nio.file.Paths.get("target", "recall_curve.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -98,6 +98,21 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assertNoRegression("ivf_pq_nprobe4_rerank50", r)
   }
 
+  test("high-recall operating point (the documented default dial) holds its recall") {
+    // RECALL_CURVE_r09.json's sweep picked the high-recall dials a real
+    // deployment should default to: learned IVF probing 8 of 10 lists
+    // (recall 1.0 at both measured corpus sizes) and IVF-PQ at
+    // nprobe=8 × rerank=200 (0.9 at both). Gate them like the cheap
+    // dials so a quantizer/encode drift can't silently degrade the
+    // recommended configuration.
+    val truth = ids(Similarity.topkBrute(spark, sf))
+    val rKmeans8 = (ids(Similarity.ivfKmeansTopk(spark, sf, nprobe = 8)) & truth).size / 10.0
+    val rPq = (ids(Similarity.ivfPqTopk(spark, sf, nprobe = 8, rerank = 200)) & truth).size / 10.0
+    info(f"recall@10: kmeans-IVF(nprobe=8) = $rKmeans8%.2f, ivf-pq(8,200) = $rPq%.2f")
+    assertNoRegression("kmeans_ivf_nprobe8", rKmeans8)
+    assertNoRegression("ivf_pq_nprobe8_rerank200", rPq)
+  }
+
   test("persisted PQ index: identical to the recomputing path, probe prunes partitions") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory(
