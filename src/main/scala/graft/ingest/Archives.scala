@@ -89,6 +89,35 @@ object Archives {
     }
   }
 
+  /** Fold an archive's kept members ONE AT A TIME off the storage
+    * stream: each member's bytes go through `f` as soon as they are
+    * read, and the expander keeps NO reference to a delivered member —
+    * so peak task memory is the CURRENT member plus whatever `f`
+    * retains (for the extraction flatMap that is the parsed metadata
+    * row: pixel bytes are dropped at parse). This is the holder of the
+    * oversized route's memory contract ("never the container, never
+    * the member sum"), pinned by StreamedExpansionSpec's
+    * weak-reference GC test. Member semantics (filter, order, error
+    * taxonomy) are [[expandStream]]'s — both delegate to the same
+    * per-member visitors, so the buffering and streaming forms cannot
+    * drift. Ignored extensions yield no members; loose `.dcm` never
+    * reaches this (the size router gives it the ranged header read). */
+  def mapMembersStream[A](key: String, in0: InputStream)(
+      f: (String, Array[Byte]) => A): Seq[A] = {
+    val ext = evalExt(key)
+    if (IgnoreExts.contains(ext)) { in0.close(); Nil }
+    else {
+      val out = Vector.newBuilder[A]
+      val g = (name: String, bytes: Array[Byte]) => { out += f(name, bytes); () }
+      ext match {
+        case ".zip" => visitZipStream(key, in0)(g)
+        case ".tar" | ".gz" | ".bz2" | ".xz" => visitTarStream(key, in0)(g)
+        case other => in0.close(); throw new UnsupportedExtensionException(other)
+      }
+      out.result()
+    }
+  }
+
   /** First `n` bytes without consuming them (mark/reset). */
   private def sniff(in: java.io.BufferedInputStream, n: Int): Array[Byte] = {
     in.mark(n)
@@ -112,6 +141,13 @@ object Archives {
     expandZipStream(key, new ByteArrayInputStream(content))
 
   private def expandZipStream(key: String, in0: InputStream): Entries = {
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    visitZipStream(key, in0)((n, b) => out += n -> b)
+    Entries(out.result())
+  }
+
+  private def visitZipStream(key: String, in0: InputStream)(
+      f: (String, Array[Byte]) => Unit): Unit = {
     val in = new java.io.BufferedInputStream(in0)
     // sniff can throw on a broken storage stream: close + map to the
     // expand-stage taxonomy, never leak the FS handle
@@ -127,13 +163,12 @@ object Archives {
       throw new InvalidArchiveException(s"Invalid ZipFile $key")
     }
     val zin = new java.util.zip.ZipInputStream(in)
-    val out = Vector.newBuilder[(String, Array[Byte])]
     try {
       var entry = zin.getNextEntry
       while (entry != null) {
         if (!entry.isDirectory) {
           val bytes = readAll(zin)
-          if (keepMember(entry.getName, bytes)) out += entry.getName -> bytes
+          if (keepMember(entry.getName, bytes)) f(entry.getName, bytes)
         }
         entry = zin.getNextEntry
       }
@@ -141,7 +176,6 @@ object Archives {
       case e: java.io.IOException => // ZipException included: corrupt past magic
         throw new InvalidArchiveException(s"Invalid ZipFile $key: ${e.getMessage}")
     } finally zin.close()
-    Entries(out.result())
   }
 
   /** tar / tar.gz / tar.bz2 / tar.xz — compression chosen by magic bytes
@@ -150,6 +184,13 @@ object Archives {
     expandTarStream(key, new ByteArrayInputStream(content))
 
   private def expandTarStream(key: String, in0: InputStream): Entries = {
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    visitTarStream(key, in0)((n, b) => out += n -> b)
+    Entries(out.result())
+  }
+
+  private def visitTarStream(key: String, in0: InputStream)(
+      f: (String, Array[Byte]) => Unit): Unit = {
     val raw = new java.io.BufferedInputStream(in0)
     // sniff AND the decompressor constructors eagerly read the stream
     // and can throw on corrupt bytes — close + map to the expand-stage
@@ -172,7 +213,6 @@ object Archives {
           raw.close()
           throw new InvalidArchiveException(s"Invalid TarFile $key: ${e.getMessage}")
       }
-    val out = Vector.newBuilder[(String, Array[Byte])]
     try {
       var entry: TarArchiveEntry = tin.getNextEntry
       if (entry == null)
@@ -180,7 +220,7 @@ object Archives {
       while (entry != null) {
         if (entry.isFile) {
           val bytes = readAll(tin)
-          if (keepMember(entry.getName, bytes)) out += entry.getName -> bytes
+          if (keepMember(entry.getName, bytes)) f(entry.getName, bytes)
         }
         entry = tin.getNextEntry
       }
@@ -188,7 +228,6 @@ object Archives {
       case e: java.io.IOException =>
         throw new InvalidArchiveException(s"Invalid TarFile $key: ${e.getMessage}")
     } finally tin.close()
-    Entries(out.result())
   }
 
   private def readAll(in: InputStream): Array[Byte] = {

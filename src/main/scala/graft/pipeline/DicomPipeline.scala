@@ -58,10 +58,20 @@ object DicomPipeline {
     * Loose `.dcm` takes the ranged header read — the reference's own
     * `.dcm` bypass (`src/app.py:118`: only non-`.dcm` routes to batch
     * compute, because the ranged GET already bounds the big-file cost);
-    * archives expand entry-by-entry via [[Archives.expandStream]], so
-    * peak task memory is the largest kept MEMBER, never the container.
-    * Error taxonomy identical to [[processObject]] — the two routes
-    * share [[fromExpansion]] and [[guarded]], so results cannot drift. */
+    * archives fold entry-by-entry through
+    * [[Archives.mapMembersStream]], each member PARSED as soon as its
+    * bytes are read, so peak task memory is the largest kept MEMBER
+    * plus the accumulated metadata rows (pixel bytes drop at parse) —
+    * never the container, never the member-byte sum
+    * (StreamedExpansionSpec pins the no-accumulation contract with
+    * weak references). Error taxonomy identical to [[processObject]]
+    * — both funnel through [[guarded]] and the same member visitors,
+    * and a failing object errors ATOMICALLY (no partial rows); the one
+    * observable difference is a doubly-corrupt archive (member k has
+    * bad DICM bytes AND the container breaks past it), where this
+    * route reports the parse failure it reached first while the packed
+    * route reports the later container break — both whole-object
+    * errors for an object that is broken either way. */
   def processStreamedObject(bucket: String, region: String, key: String,
                             conf: org.apache.hadoop.conf.Configuration,
                             keep: Option[Set[String]] = None): Either[DicomError, Seq[ImageRow]] =
@@ -73,9 +83,9 @@ object DicomPipeline {
           bucket, region, key, keep)
       else {
         val p = new org.apache.hadoop.fs.Path(key)
-        fromExpansion(
-          Archives.expandStream(key, p.getFileSystem(conf).open(p)),
-          bucket, region, key, keep)
+        Archives.mapMembersStream(key, p.getFileSystem(conf).open(p)) { (name, bytes) =>
+          ImageRow(Flatten.flatten(DicomParser.parse(bytes), bucket, region, key, name, keep))
+        }
       }
     }
 

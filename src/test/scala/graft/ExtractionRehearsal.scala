@@ -202,9 +202,72 @@ object ExtractionRehearsal {
       s""""out_files":$outFiles,"out_partitions":$partitions,""" +
       s""""task_ms_p50":${fmt(pct(0.5))},"task_ms_p95":${fmt(pct(0.95))},"task_ms_max":${fmt(pct(1.0))},"n_tasks":${ds.length}}"""
     println(json)
+
+    // ——— ARCHIVE-DOMINATED corpus (the reference's real workload shape:
+    // zips of many members, src/s3wrapper.py:95-124) at two scales —
+    // members/sec when EXPANSION, not loose-file handling, is the cost.
+    // Also the oversized one-object-per-task route on the same archives
+    // (maxInline forced below archive size): its wall is the streamed
+    // entry-by-entry fold whose no-accumulation memory contract
+    // StreamedExpansionSpec pins with weak references.
+    def archiveArm(nArch: Int, perArch: Int): (Double, Double) = {
+      val aDir = scratch.resolve(s"arch_$nArch")
+      graft.util.Fs.deleteRecursively(aDir)
+      java.nio.file.Files.createDirectories(aDir)
+      val p2 = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val ts = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+        (0 until nArch).foreach { z =>
+          ts.add(() => {
+            val bo = new java.io.ByteArrayOutputStream()
+            val zo = new java.util.zip.ZipOutputStream(bo)
+            (0 until perArch).foreach { j =>
+              zo.putNextEntry(new java.util.zip.ZipEntry(f"member-$j%03d.dcm"))
+              zo.write(dcmBytes(z * perArch + j))
+              zo.closeEntry()
+            }
+            zo.close()
+            java.nio.file.Files.write(aDir.resolve(f"archive-$z%05d.zip"), bo.toByteArray)
+            ()
+          })
+        }
+        p2.invokeAll(ts).forEach(_.get())
+      } finally p2.shutdown()
+      val nMembers = nArch.toLong * perArch
+      val tp0 = System.nanoTime()
+      val exA = graft.pipeline.DicomPipeline.extract(spark, aDir.toString, "rehearsal", "local")
+      val gotPacked = exA.rows.count()
+      val packedSec = (System.nanoTime() - tp0) / 1e9
+      require(gotPacked == nMembers && exA.errors.count() == 0,
+        s"archive arm parity: $gotPacked/$nMembers members")
+      // same corpus through the oversized streamed route: force every
+      // archive over maxInline so each takes its own task
+      spark.conf.set("spark.graft.route.maxInlineBytes", "1024")
+      val ts0 = System.nanoTime()
+      val exS = try {
+        val e = graft.pipeline.DicomPipeline.extract(spark, aDir.toString, "rehearsal", "local")
+        require(e.rows.count() == nMembers && e.errors.count() == 0,
+          "streamed-route archive parity broke")
+        e
+      } finally spark.conf.unset("spark.graft.route.maxInlineBytes")
+      val streamedSec = (System.nanoTime() - ts0) / 1e9
+      System.err.println(
+        f"[rehearsal] archives $nArch%5d x $perArch: packed ${fmt(packedSec)}s " +
+          f"(${fmt(nMembers / packedSec)} members/s), one-task-per-archive streamed " +
+          f"${fmt(streamedSec)}s (${fmt(nMembers / streamedSec)} members/s)")
+      graft.util.Fs.deleteRecursively(aDir)
+      (packedSec, streamedSec)
+    }
+    val (aP1, aS1) = archiveArm(200, 50)
+    val (aP2, aS2) = archiveArm(1000, 50)
+    val archJson =
+      s""","archives":{"arm_200x50":{"packed_sec":${fmt(aP1)},"streamed_sec":${fmt(aS1)},"members":10000},""" +
+      s""""arm_1000x50":{"packed_sec":${fmt(aP2)},"streamed_sec":${fmt(aS2)},"members":50000}}"""
+    val fullJson = json.dropRight(1) + archJson + "}"
+
     val outPath = java.nio.file.Paths.get("target", "extraction_rehearsal.json").toAbsolutePath
     java.nio.file.Files.write(outPath,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
