@@ -398,6 +398,11 @@ object SparkEntry {
     // exact cosine ≥ 0.3 (the edit-dup owner-check pattern); state
     // bounded by the GEOMETRY (≤ tables × 2^bits keys), not the corpus
     "stream_embed_neardup" -> (StreamQueries.streamEmbedNearDup _),
+    // streaming corpus curation: the C4-style quality + langid gate as a
+    // STATELESS append stage (no state store, no watermark) reusing the
+    // batch operators' expressions — the ingest-side filter in front of
+    // the stateful streaming dedup family
+    "stream_corpus_quality_gate" -> (StreamQueries.streamCorpusQualityGate _),
     // online symmetric-delete edit-distance filter: one (owner id, owner
     // name) per live signature, exact Levenshtein check against the
     // owner; the owner-check contract has a closed-form SQL oracle
@@ -2496,6 +2501,31 @@ object SparkEntry {
         |          FROM p GROUP BY 1, 2)
         |SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm, count(*) AS n_dims
         |FROM bydim GROUP BY label ORDER BY label""".stripMargin,
+
+    // the streaming gate is stateless, so its closed form IS the batch
+    // filter: text_quality's thresholds + text_langid's argmax, fused
+    "stream_corpus_quality_gate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk), 4) AS mean_tok_len,
+        |  round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / len(text), 4) AS punct_ratio,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','in','a','is'))) AS BIGINT) AS n_en,
+        |  CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un'))) AS BIGINT) AS n_es,
+        |  CAST(len(list_filter(tk, x -> x IN ('der','die','und','ist','das','nicht','ein'))) AS BIGINT) AS n_de
+        |  FROM tk),
+        |l AS (SELECT doc_id, n_tokens, mean_tok_len, punct_ratio,
+        |  CASE WHEN n_en + n_es + n_de = 0 THEN 'und'
+        |       WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+        |       WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM g)
+        |SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, pred_lang
+        |FROM l
+        |WHERE n_tokens >= 10 AND mean_tok_len >= 2.0 AND mean_tok_len <= 15.0
+        |  AND punct_ratio <= 0.2 AND pred_lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH tk AS (

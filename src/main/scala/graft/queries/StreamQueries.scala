@@ -1318,6 +1318,60 @@ object StreamQueries {
       dropView = Some(name), deleteDirs = deleteDirs)
   }
 
+  /** STREAMING CORPUS CURATION — the ingest-side quality/langid gate: a
+    * training-data pipeline ingests continuously, and the first
+    * curation stages (C4-style quality thresholds + stopword language
+    * ID) are pure per-document functions, so their streaming form is a
+    * STATELESS append stage — no state store, no watermark, every
+    * micro-batch filters and emits independently, which is exactly why
+    * it composes in front of the stateful streaming dedup family (the
+    * gate drops garbage before it ever becomes dedup state). The
+    * expressions are the batch operators' own
+    * ([[graft.operators.TextAnalysis.quality]] thresholds,
+    * [[graft.operators.TextAnalysis.langid]] argmax — same rounding,
+    * same tie order), so batch and stream cannot drift and the DuckDB
+    * oracle is the plain batch SQL: a doc survives iff n_tokens ≥ 10,
+    * mean_tok_len ∈ [2, 15], punct_ratio ≤ 0.2, and the language
+    * argmax is `en`. */
+  def streamCorpusQualityGate(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val (in, name) = stageInput(s, dir, "documents.parquet", "corpusgate")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    def hits(words: Seq[String]) = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      expr(s"cast(size(filter(tk, x -> x in ($list))) as bigint)")
+    }
+    val q = s.readStream.schema(schema).parquet(in.toString)
+      .select($"doc_id", $"text",
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+      .select($"doc_id",
+        size($"tk").cast("long").as("n_tokens"),
+        round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
+          .as("mean_tok_len"),
+        round(size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+          length($"text"), 4).as("punct_ratio"),
+        hits(Seq("the", "and", "of", "to", "in", "a", "is")).as("n_en"),
+        hits(Seq("el", "la", "de", "que", "y", "en", "un")).as("n_es"),
+        hits(Seq("der", "die", "und", "ist", "das", "nicht", "ein")).as("n_de"))
+      .withColumn("pred_lang",
+        when($"n_en" + $"n_es" + $"n_de" === 0, "und")
+          .when($"n_en" >= $"n_es" && $"n_en" >= $"n_de", "en")
+          .when($"n_es" >= $"n_de", "es")
+          .otherwise("de"))
+      .filter($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 && $"mean_tok_len" <= 15.0 &&
+        $"punct_ratio" <= 0.2 && $"pred_lang" === "en")
+      .select($"doc_id", $"n_tokens", $"mean_tok_len", $"punct_ratio", $"pred_lang")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndRelease(s, s.table(name).orderBy($"doc_id"),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
+
   case class VecBucketRow(vec_id: Long, t: Int, bucket: Int,
                           embedding: Array[Float], nrm: Double)
   case class VecOwner(id: Long, emb: Array[Float], nrm: Double)

@@ -49,6 +49,23 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(nonFinal.filter($"chunk_len" =!= 64L).count() === 0L)
   }
 
+  test("stream_corpus_quality_gate ≡ the fused batch quality+langid filter") {
+    import spark.implicits._
+    // the streaming gate is a stateless per-doc function, so its rows
+    // must equal the batch operators' own keep-set join exactly —
+    // batch/stream drift here would mean the expressions forked
+    val streamed = graft.queries.StreamQueries.streamCorpusQualityGate(spark, sf)
+      .collect().map(_.toString).sorted
+    val batch = TextAnalysis.quality(spark, sf).filter($"keep" === 1L)
+      .select($"doc_id", $"n_tokens", $"mean_tok_len", $"punct_ratio")
+      .join(TextAnalysis.langid(spark, sf).filter($"pred_lang" === "en")
+        .select($"doc_id", $"pred_lang"), "doc_id")
+      .orderBy($"doc_id")
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"stream gate (${streamed.length} rows) drifted from the batch fusion (${batch.length})")
+  }
+
   test("dedup_canonical: exactly one keeper per component, and it maximizes (n_chars, -doc_id)") {
     import spark.implicits._
     val out = Dedup.canonical(spark, sf)

@@ -65,7 +65,8 @@ class DegenerateInputSpec extends AnyFunSuite {
       "corpus_length_buckets" -> (() => graft.operators.Curation.lengthBuckets(spark, emptyDir).count()),
       "sim_range_search" -> (() => graft.operators.Similarity.rangeSearch(spark, emptyDir).count()),
       "stream_neardup_indexed" -> (() => graft.queries.StreamQueries.streamNearDupIndexed(spark, emptyDir).count()),
-      "stream_embed_neardup" -> (() => graft.queries.StreamQueries.streamEmbedNearDup(spark, emptyDir).count()))
+      "stream_embed_neardup" -> (() => graft.queries.StreamQueries.streamEmbedNearDup(spark, emptyDir).count()),
+      "stream_corpus_quality_gate" -> (() => graft.queries.StreamQueries.streamCorpusQualityGate(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>
