@@ -304,6 +304,11 @@ object SparkEntry {
     // word-IN filter on the index scan, corpus never touched at query
     // time, adjacency verified on position lists
     "text_search"      -> ((s, d) => TextAnalysis.search(s, d)),
+    // day-2 index append: yesterday's postings are a standing artifact,
+    // the batch writes only its own posting files (disjoint doc_ids ⇒
+    // an append never touches day-1 bytes), the probe reads the union;
+    // the full-corpus oracle certifies append ≡ rebuild
+    "text_search_day2" -> ((s, d) => TextAnalysis.searchDay2(s, d)),
     // per-source tokens~chars least-squares fit (slope/intercept/R²):
     // closed-form regr_* aggregates, 5 doubles per source cross the wire
     "text_quality_regression" -> (TextAnalysis.qualityRegression _),
@@ -2588,6 +2593,19 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "text_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, unnest(range(len(t) - 1)) AS i, t FROM tk WHERE len(t) >= 2),
+        |hit AS (SELECT doc_id, CAST(i AS BIGINT) AS pos FROM m
+        |        WHERE t[i+1] = 'agg' AND t[i+2] = 'join')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(pos) AS first_pos
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same full-corpus SQL as text_search: the day-2 unioned index
+    // (standing day-1 postings + the batch's appended files) must
+    // return byte-identical matches to a from-scratch index
+    "text_search_day2" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
         |  FROM documents),

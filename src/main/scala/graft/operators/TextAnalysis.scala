@@ -409,10 +409,15 @@ object TextAnalysis {
     * postings for display; search needs them all). One corpus pass,
     * one (doc, word) exchange; at 100 TB this is the day-1 index build
     * a search tier lands once and queries forever. */
-  def writePositionalIndex(s: SparkSession, dir: String, path: String): Unit = {
+  def writePositionalIndex(s: SparkSession, dir: String, path: String): Unit =
+    writePositionalIndexOf(s, docs(s, dir), path)
+
+  /** The posting-writer core over an arbitrary document frame — shared
+    * by the day-1 build and the day-2 batch append, so the two paths'
+    * posting shape cannot drift. */
+  private def writePositionalIndexOf(s: SparkSession, d: DataFrame, path: String): Unit = {
     import s.implicits._
-    docs(s, dir)
-      .select($"doc_id",
+    d.select($"doc_id",
         posexplode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
           .as(Seq("pos", "word")))
       .groupBy($"word", $"doc_id")
@@ -442,23 +447,81 @@ object TextAnalysis {
       graft.util.Fs.scratchDir(s, "textidx"), "idx").toAbsolutePath.toString
     try {
       writePositionalIndex(s, dir, idxPath)
-      val idx = s.read.parquet(idxPath).filter($"word".isin(phrase: _*))
-      val head = idx.filter($"word" === phrase.head)
-        .select($"doc_id", explode($"positions").as("p"))
-      val matches = phrase.zipWithIndex.drop(1).foldLeft(head) { case (cur, (t, i)) =>
-        cur.join(
-            idx.filter($"word" === t).select($"doc_id", $"positions".as(s"pos_$i")),
-            "doc_id")
-          .filter(array_contains(col(s"pos_$i"), $"p" + i))
-          .select($"doc_id", $"p")
-      }
-      val out = matches.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_matches"), min($"p").as("first_pos"))
-        .orderBy($"doc_id")
+      val out = searchIndex(s, s.read.parquet(idxPath), phrase)
       // materialize before the finally-delete: the returned frame's scan
       // must not outlive the index files
       Dedup.trackCheckpoint(out.localCheckpoint())
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxPath))
+  }
+
+  /** The phrase probe over an already-loaded posting relation — shared
+    * by [[search]] and [[searchDay2]]: pushed word-IN filter, per-term
+    * equi-joins sized by the phrase's document frequencies, adjacency
+    * verified against position lists. */
+  private def searchIndex(s: SparkSession, idxAll: DataFrame,
+                          phrase: Seq[String]): DataFrame = {
+    import s.implicits._
+    val idx = idxAll.filter($"word".isin(phrase: _*))
+    val head = idx.filter($"word" === phrase.head)
+      .select($"doc_id", explode($"positions").as("p"))
+    val matches = phrase.zipWithIndex.drop(1).foldLeft(head) { case (cur, (t, i)) =>
+      cur.join(
+          idx.filter($"word" === t).select($"doc_id", $"positions".as(s"pos_$i")),
+          "doc_id")
+        .filter(array_contains(col(s"pos_$i"), $"p" + i))
+        .select($"doc_id", $"p")
+    }
+    matches.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matches"), min($"p").as("first_pos"))
+      .orderBy($"doc_id")
+  }
+
+  // Per-process store of the day-1 positional index (the standing
+  // artifact a deployment amortizes) — the components-store pattern:
+  // first consumer builds + writes, every later call reads index bytes.
+  private val indexStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the day-1 index store (tests that rewrite a corpus dir). */
+  private[graft] def clearIndexStore(): Unit = indexStore.clear()
+
+  private def day1IndexPath(s: SparkSession, dir: String): String =
+    indexStore.computeIfAbsent(
+      java.nio.file.Paths.get(dir).toAbsolutePath.toString + "#textday1", _ => {
+        val p = java.nio.file.Files.createTempDirectory(
+          graft.util.Fs.scratchDir(s, "textidx"), "day1").toAbsolutePath
+        sys.addShutdownHook(graft.util.Fs.deleteRecursively(p))
+        writePositionalIndexOf(s,
+          docs(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= lit(7)),
+          s"$p/idx")
+        s"$p/idx"
+      })
+
+  /** DAY-2 PHRASE SEARCH — the append lifecycle of the positional
+    * index: yesterday's postings are a standing artifact (per-process
+    * store, built once over the doc_id ≢ 7 mod 10 slice — the
+    * incremental family's shared batch convention); today's batch
+    * writes ONLY ITS OWN postings as new index files (disjoint doc_ids
+    * ⇒ disjoint posting rows — an append never reads or rewrites day-1
+    * bytes), and the probe reads the union of the two file sets. Day-2
+    * cost is batch tokenization + the phrase-df-sized probe, never a
+    * corpus re-index. Append ≡ rebuild is the gate: the oracle is
+    * [[search]]'s full-corpus SQL, so the unioned index must return
+    * byte-identical matches to a from-scratch index of everything. */
+  def searchDay2(s: SparkSession, dir: String,
+                 phrase: Seq[String] = Seq("agg", "join")): DataFrame = {
+    import s.implicits._
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val day1 = day1IndexPath(s, dir)
+    val batchPath = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "textidx"), "batch").toAbsolutePath.toString
+    try {
+      writePositionalIndexOf(s,
+        docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === lit(7)), batchPath)
+      val out = searchIndex(s, s.read.parquet(day1, batchPath), phrase)
+      // materialize before the finally-delete of the batch postings
+      Dedup.trackCheckpoint(out.localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(batchPath))
   }
 
   /** Bigram language-model scoring — the CCNet/KenLM-style perplexity

@@ -49,6 +49,17 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(nonFinal.filter($"chunk_len" =!= 64L).count() === 0L)
   }
 
+  test("text_search_day2: appended index ≡ from-scratch index, store reuse stable") {
+    val full = TextAnalysis.search(spark, sf).collect().map(_.toString).sorted
+    val day2a = TextAnalysis.searchDay2(spark, sf).collect().map(_.toString).sorted
+    // second call reads the per-process day-1 postings instead of
+    // rebuilding them — results must be identical either way
+    val day2b = TextAnalysis.searchDay2(spark, sf).collect().map(_.toString).sorted
+    Dedup.unpersistIntermediates(spark)
+    assert(full.nonEmpty && day2a.sameElements(full) && day2b.sameElements(full),
+      "day-2 appended index drifted from the from-scratch index")
+  }
+
   test("stream_corpus_quality_gate ≡ the fused batch quality+langid filter") {
     import spark.implicits._
     // the streaming gate is a stateless per-doc function, so its rows
