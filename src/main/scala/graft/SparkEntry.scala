@@ -309,6 +309,14 @@ object SparkEntry {
     // an append never touches day-1 bytes), the probe reads the union;
     // the full-corpus oracle certifies append ≡ rebuild
     "text_search_day2" -> ((s, d) => TextAnalysis.searchDay2(s, d)),
+    // BM25 ranked retrieval: per-(doc,term) contribution quantized to an
+    // integer at 1e6 before the per-doc sum (exact cross-engine rank),
+    // top-N via TakeOrderedAndProject — no global window over candidates
+    "text_search_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    // hybrid RRF: BM25 arm + cosine arm, fused with integer
+    // floor(1e6/(60+rank)) per arm on a full-outer join of two
+    // top-100 relations; 0-rank sentinel marks a missing arm
+    "text_search_hybrid" -> ((s, d) => TextAnalysis.hybridSearch(s, d)),
     // per-source tokens~chars least-squares fit (slope/intercept/R²):
     // closed-form regr_* aggregates, 5 doubles per source cross the wire
     "text_quality_regression" -> (TextAnalysis.qualityRegression _),
@@ -2614,6 +2622,71 @@ object SparkEntry {
         |        WHERE t[i+1] = 'agg' AND t[i+2] = 'join')
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(pos) AS first_pos
         |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_search_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM documents,
+        |    UNNEST(str_split(lower(text), ' ')) AS t(w) WHERE length(w) > 0),
+        |dt AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['dup', 'merge']) AS word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM dt JOIN q USING (word) GROUP BY 1),
+        |contrib AS (
+        |  SELECT dt.doc_id,
+        |    CAST(round(1e6 * ln(1 + (tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (dt.tf * 2.2) / (dt.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))) AS BIGINT) AS wq
+        |  FROM dt JOIN q USING (word) JOIN df USING (word)
+        |  JOIN dl USING (doc_id) CROSS JOIN tot),
+        |sc AS (SELECT doc_id, CAST(sum(wq) AS BIGINT) AS score_q,
+        |              CAST(count(*) AS BIGINT) AS n_hit FROM contrib GROUP BY 1),
+        |topn AS (SELECT * FROM sc ORDER BY score_q DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id, n_hit, score_q
+        |FROM topn ORDER BY rank""".stripMargin,
+
+    "text_search_hybrid" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM documents,
+        |    UNNEST(str_split(lower(text), ' ')) AS t(w) WHERE length(w) > 0),
+        |dt AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['dup', 'merge']) AS word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM dt JOIN q USING (word) GROUP BY 1),
+        |contrib AS (
+        |  SELECT dt.doc_id,
+        |    CAST(round(1e6 * ln(1 + (tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (dt.tf * 2.2) / (dt.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))) AS BIGINT) AS wq
+        |  FROM dt JOIN q USING (word) JOIN df USING (word)
+        |  JOIN dl USING (doc_id) CROSS JOIN tot),
+        |lexsc AS (SELECT doc_id, CAST(sum(wq) AS BIGINT) AS score_q FROM contrib GROUP BY 1),
+        |lex AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_lex
+        |        FROM (SELECT * FROM lexsc ORDER BY score_q DESC, doc_id LIMIT 100)),
+        |nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |       FROM embeddings),
+        |qv AS (SELECT emb AS q_emb, nrm AS q_nrm FROM nv WHERE vec_id = 0),
+        |vecsc AS (SELECT vec_id AS doc_id,
+        |            round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
+        |          FROM nv, qv WHERE vec_id <> 0),
+        |vec AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rank_vec
+        |        FROM (SELECT * FROM vecsc ORDER BY cos_sim DESC, doc_id LIMIT 100)),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |    CAST(COALESCE(1000000 // (60 + rank_lex), 0)
+        |       + COALESCE(1000000 // (60 + rank_vec), 0) AS BIGINT) AS rrf,
+        |    COALESCE(rank_lex, CAST(0 AS BIGINT)) AS rank_lex,
+        |    COALESCE(rank_vec, CAST(0 AS BIGINT)) AS rank_vec
+        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+        |topn AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id, rank_lex, rank_vec, rrf
+        |FROM topn ORDER BY rank""".stripMargin,
 
     "text_quality_regression" ->
       """SELECT source,

@@ -584,4 +584,122 @@ object TextAnalysis {
           4).as("lm_logprob"))
       .orderBy($"doc_id")
   }
+
+  /** BM25 scoring core shared by [[bm25]] and [[hybridSearch]]'s lexical
+    * arm: per-document integer-quantized BM25 score over the query
+    * terms, plus the matched-term count. One corpus tokenization feeds
+    * the doc-term relation, the doc-length sidecar AND the per-term
+    * document frequencies (tracked-cached — the same staging relation
+    * [[invertedIndex]] lands); scoring itself touches only the rows
+    * whose `word` is a query term, so at 100 TB — where the doc-term
+    * relation is the PERSISTED index and doc lengths its sidecar — the
+    * query path is postings-of-query-terms-sized, never corpus-sized.
+    *
+    * Fixed-point discipline (the DSIR/kmeans convention): each (doc,
+    * term) contribution `idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`
+    * is quantized to an integer at 1e6 BEFORE the per-doc sum, so both
+    * engines rank on an exact integer and partial-agg order cannot
+    * flip a tie. idf is the Lucene-style `ln(1 + (N−df+0.5)/(df+0.5))`
+    * — always positive, so quantized contributions only add. */
+  private def bm25Scores(s: SparkSession, dir: String, terms: Seq[String],
+                         k1: Double, b: Double): DataFrame = {
+    import s.implicits._
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val docTerm = Dedup.tracked(docs(s, dir).select($"doc_id",
+        explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).cast("long").as("tf")))
+    val dlen = docTerm.groupBy($"doc_id").agg(sum($"tf").cast("long").as("dl"))
+    // corpus scalars ride a 1-row broadcast; avgdl is an exact integer
+    // sum over an exact count so both engines derive the same double
+    val tot = dlen.agg(count(lit(1)).cast("long").as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val qt = docTerm.filter($"word".isin(terms: _*))
+    val dfRel = qt.groupBy($"word").agg(count(lit(1)).cast("long").as("df"))
+    qt.join(broadcast(dfRel), "word") // |terms| rows
+      .join(dlen, "doc_id")           // candidate-sized probe into the sidecar
+      .crossJoin(broadcast(tot))
+      .select($"doc_id",
+        expr(s"cast(round(1e6 * ln(1 + (n_docs - df + 0.5) / (df + 0.5)) " +
+          s"* (tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * dl / avgdl))) as bigint)")
+          .as("wq"))
+      .groupBy($"doc_id")
+      .agg(sum($"wq").cast("long").as("score_q"),
+           count(lit(1)).cast("long").as("n_hit"))
+  }
+
+  /** BM25 RANKED retrieval — the scored twin of [[search]]'s boolean
+    * phrase probe: top `topN` documents for a bag of query terms under
+    * BM25 (k1 = 1.2, b = 0.75), ranks dense from 1 with doc_id as the
+    * deterministic tiebreak. The top-N runs through orderBy+limit
+    * (Spark's TakeOrderedAndProject: per-partition heaps, no
+    * single-partition global window over the candidate set — candidates
+    * for a common term are corpus-sized); the rank column is assigned
+    * by a window AFTER the limit, over ≤ topN rows. */
+  def bm25(s: SparkSession, dir: String,
+           terms: Seq[String] = Seq("dup", "merge"),
+           k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    bm25Scores(s, dir, terms, k1, b)
+      .orderBy($"score_q".desc, $"doc_id").limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score_q".desc, $"doc_id")).cast("long"))
+      .select($"rank", $"doc_id", $"n_hit", $"score_q")
+      .orderBy($"rank")
+  }
+
+  /** HYBRID retrieval — reciprocal-rank fusion of the BM25 lexical arm
+    * and a dense cosine arm, the RAG-era default for corpus search:
+    * each arm independently ranks its top `armN` (lexical: integer BM25
+    * scores; dense: cosine vs the vec_id-0 query under [[Similarity]]'s
+    * round-6 convention, vec_id ≡ doc_id in the synthetic corpus), then
+    * RRF fuses with `⌊1e6/(rrfK + rank)⌋` per arm present — integer
+    * `div`, so the fused score is an exact integer in both engines and
+    * a doc missing from an arm contributes exactly 0 (its rank column
+    * reports the 0 sentinel).
+    *
+    * Scale shape: the arms never cross-product — each is its own
+    * top-armN (TakeOrderedAndProject over postings / a broadcast-query
+    * brute scan, the [[Similarity.topkBrute]] baseline a deployment
+    * would swap for the IVF-PQ tier), and the fusion is a full-outer
+    * equi-join of two ≤ armN-row relations. */
+  def hybridSearch(s: SparkSession, dir: String,
+                   terms: Seq[String] = Seq("dup", "merge"),
+                   rrfK: Int = 60, armN: Int = 100, topN: Int = 20): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(s)
+    val lex = bm25Scores(s, dir, terms, k1 = 1.2, b = 0.75)
+      .orderBy($"score_q".desc, $"doc_id").limit(armN)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy($"score_q".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"rank_lex")
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding", expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val vec = e.filter($"vec_id" =!= 0)
+      .join(broadcast(q))
+      .select($"vec_id".as("doc_id"),
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"doc_id").limit(armN)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy($"cos_sim".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"rank_vec")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        (coalesce(expr(s"$RrfScale div (${rrfK}L + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div (${rrfK}L + rank_vec)"), lit(0L)))
+          .cast("long").as("rrf"),
+        coalesce($"rank_lex", lit(0L)).as("rank_lex"),
+        coalesce($"rank_vec", lit(0L)).as("rank_vec"))
+      .orderBy($"rrf".desc, $"doc_id").limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"rrf".desc, $"doc_id")).cast("long"))
+      .select($"rank", $"doc_id", $"rank_lex", $"rank_vec", $"rrf")
+      .orderBy($"rank")
+  }
+
+  private val RrfScale = "1000000L"
 }
