@@ -66,7 +66,12 @@ class DegenerateInputSpec extends AnyFunSuite {
       "sim_range_search" -> (() => graft.operators.Similarity.rangeSearch(spark, emptyDir).count()),
       "stream_neardup_indexed" -> (() => graft.queries.StreamQueries.streamNearDupIndexed(spark, emptyDir).count()),
       "stream_embed_neardup" -> (() => graft.queries.StreamQueries.streamEmbedNearDup(spark, emptyDir).count()),
-      "stream_corpus_quality_gate" -> (() => graft.queries.StreamQueries.streamCorpusQualityGate(spark, emptyDir).count()))
+      "stream_corpus_quality_gate" -> (() => graft.queries.StreamQueries.streamCorpusQualityGate(spark, emptyDir).count()),
+      // r9 additions — BM25 over an empty corpus has no postings (and
+      // null corpus scalars never reach a score row); the hybrid fuses
+      // two empty arms through the full-outer join
+      "text_search_bm25" -> (() => graft.operators.TextAnalysis.bm25(spark, emptyDir).count()),
+      "text_search_hybrid" -> (() => graft.operators.TextAnalysis.hybridSearch(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>
