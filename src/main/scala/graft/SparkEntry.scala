@@ -313,6 +313,11 @@ object SparkEntry {
     // integer at 1e6 before the per-doc sum (exact cross-engine rank),
     // top-N via TakeOrderedAndProject — no global window over candidates
     "text_search_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    // day-2 BM25 through the persisted positional index + doc-length
+    // sidecar: tf = len(positions) off the pruned posting scan, dl off
+    // the sidecar — no corpus re-tokenize; the full-corpus oracle
+    // certifies index ≡ corpus and append ≡ rebuild at once
+    "text_search_bm25_day2" -> ((s, d) => TextAnalysis.bm25Day2(s, d)),
     // hybrid RRF: BM25 arm + cosine arm, fused with integer
     // floor(1e6/(60+rank)) per arm on a full-outer join of two
     // top-100 relations; 0-rank sentinel marks a missing arm
@@ -681,6 +686,35 @@ object SparkEntry {
       |  FROM documents),
       |c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
       |SELECT word, n FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  /** Shared by `text_search_bm25` (corpus-derived scoring) and
+    * `text_search_bm25_day2` (scoring through the persisted positional
+    * index + doc-length sidecar): one full-corpus oracle, so the day-2
+    * gate certifies index ≡ corpus and append ≡ rebuild at once.
+    * Per-(doc, term) contributions are integer-quantized at 1e6 before
+    * the per-doc sum — both engines rank on an exact integer. */
+  private val Bm25OracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, w FROM documents,
+      |    UNNEST(str_split(lower(text), ' ')) AS t(w) WHERE length(w) > 0),
+      |dt AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |q AS (SELECT unnest(['dup', 'merge']) AS word),
+      |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM dt JOIN q USING (word) GROUP BY 1),
+      |contrib AS (
+      |  SELECT dt.doc_id,
+      |    CAST(round(1e6 * ln(1 + (tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * (dt.tf * 2.2) / (dt.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))) AS BIGINT) AS wq
+      |  FROM dt JOIN q USING (word) JOIN df USING (word)
+      |  JOIN dl USING (doc_id) CROSS JOIN tot),
+      |sc AS (SELECT doc_id, CAST(sum(wq) AS BIGINT) AS score_q,
+      |              CAST(count(*) AS BIGINT) AS n_hit FROM contrib GROUP BY 1),
+      |topn AS (SELECT * FROM sc ORDER BY score_q DESC, doc_id LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank,
+      |       doc_id, n_hit, score_q
+      |FROM topn ORDER BY rank""".stripMargin
 
   /** Shared by `cdc_merge` (batch latest-wins) and `stream_cdc_latest`
     * (the stateful streaming twin): one oracle, two execution models —
@@ -2623,28 +2657,11 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(pos) AS first_pos
         |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "text_search_bm25" ->
-      """WITH tok AS (
-        |  SELECT doc_id, w FROM documents,
-        |    UNNEST(str_split(lower(text), ' ')) AS t(w) WHERE length(w) > 0),
-        |dt AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |q AS (SELECT unnest(['dup', 'merge']) AS word),
-        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM dt JOIN q USING (word) GROUP BY 1),
-        |contrib AS (
-        |  SELECT dt.doc_id,
-        |    CAST(round(1e6 * ln(1 + (tot.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |      * (dt.tf * 2.2) / (dt.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))) AS BIGINT) AS wq
-        |  FROM dt JOIN q USING (word) JOIN df USING (word)
-        |  JOIN dl USING (doc_id) CROSS JOIN tot),
-        |sc AS (SELECT doc_id, CAST(sum(wq) AS BIGINT) AS score_q,
-        |              CAST(count(*) AS BIGINT) AS n_hit FROM contrib GROUP BY 1),
-        |topn AS (SELECT * FROM sc ORDER BY score_q DESC, doc_id LIMIT 20)
-        |SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank,
-        |       doc_id, n_hit, score_q
-        |FROM topn ORDER BY rank""".stripMargin,
+    "text_search_bm25" -> Bm25OracleSql,
+
+    // same full-corpus SQL: the day-2 unioned index + sidecar must
+    // reproduce the corpus-derived ranking byte-for-byte
+    "text_search_bm25_day2" -> Bm25OracleSql,
 
     "text_search_hybrid" ->
       """WITH tok AS (

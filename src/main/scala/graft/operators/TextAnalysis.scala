@@ -414,7 +414,12 @@ object TextAnalysis {
 
   /** The posting-writer core over an arbitrary document frame — shared
     * by the day-1 build and the day-2 batch append, so the two paths'
-    * posting shape cannot drift. */
+    * posting shape cannot drift. Alongside the postings it lands the
+    * DOC-LENGTH SIDECAR (`<path>_doclen`: doc_id → total tokens) every
+    * scoring consumer needs — derived by re-aggregating the just-written
+    * INDEX bytes (Σ len(positions) per doc), not by a second corpus
+    * pass, so the sidecar inherits the append lifecycle for free:
+    * disjoint doc_ids ⇒ disjoint sidecar rows. */
   private def writePositionalIndexOf(s: SparkSession, d: DataFrame, path: String): Unit = {
     import s.implicits._
     d.select($"doc_id",
@@ -425,7 +430,14 @@ object TextAnalysis {
       .repartition($"word")
       .sortWithinPartitions($"word", $"doc_id")
       .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .select($"doc_id", size($"positions").cast("long").as("tf"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").cast("long").as("dl"))
+      .write.mode("overwrite").parquet(doclenPath(path))
   }
+
+  private def doclenPath(indexPath: String): String = s"${indexPath}_doclen"
 
   /** Phrase search THROUGH the persisted positional index — the day-2
     * consumer: the query path never touches the corpus. Each phrase
@@ -451,7 +463,10 @@ object TextAnalysis {
       // materialize before the finally-delete: the returned frame's scan
       // must not outlive the index files
       Dedup.trackCheckpoint(out.localCheckpoint())
-    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxPath))
+    } finally {
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxPath))
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(doclenPath(idxPath)))
+    }
   }
 
   /** The phrase probe over an already-loaded posting relation — shared
@@ -521,7 +536,10 @@ object TextAnalysis {
       val out = searchIndex(s, s.read.parquet(day1, batchPath), phrase)
       // materialize before the finally-delete of the batch postings
       Dedup.trackCheckpoint(out.localCheckpoint())
-    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(batchPath))
+    } finally {
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(batchPath))
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(doclenPath(batchPath)))
+    }
   }
 
   /** Bigram language-model scoring — the CCNet/KenLM-style perplexity
@@ -610,11 +628,20 @@ object TextAnalysis {
       .groupBy($"doc_id", $"word")
       .agg(count(lit(1)).cast("long").as("tf")))
     val dlen = docTerm.groupBy($"doc_id").agg(sum($"tf").cast("long").as("dl"))
+    bm25ScoreOf(s, docTerm.filter($"word".isin(terms: _*)), dlen, k1, b)
+  }
+
+  /** The scoring core proper, over whatever (doc_id, word, tf) query-term
+    * relation and (doc_id, dl) length sidecar the caller produced —
+    * corpus-derived ([[bm25Scores]]) or index-derived ([[bm25Day2]]),
+    * so the two paths' arithmetic cannot drift. */
+  private def bm25ScoreOf(s: SparkSession, qt: DataFrame, dlen: DataFrame,
+                          k1: Double, b: Double): DataFrame = {
+    import s.implicits._
     // corpus scalars ride a 1-row broadcast; avgdl is an exact integer
     // sum over an exact count so both engines derive the same double
     val tot = dlen.agg(count(lit(1)).cast("long").as("n_docs"),
       (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
-    val qt = docTerm.filter($"word".isin(terms: _*))
     val dfRel = qt.groupBy($"word").agg(count(lit(1)).cast("long").as("df"))
     qt.join(broadcast(dfRel), "word") // |terms| rows
       .join(dlen, "doc_id")           // candidate-sized probe into the sidecar
@@ -628,6 +655,18 @@ object TextAnalysis {
            count(lit(1)).cast("long").as("n_hit"))
   }
 
+  /** Dense-rank head of a scored relation: top-N via orderBy+limit
+    * (TakeOrderedAndProject), rank window only over the ≤ topN rows. */
+  private def bm25RankHead(s: SparkSession, scored: DataFrame, topN: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy($"score_q".desc, $"doc_id").limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score_q".desc, $"doc_id")).cast("long"))
+      .select($"rank", $"doc_id", $"n_hit", $"score_q")
+      .orderBy($"rank")
+  }
+
   /** BM25 RANKED retrieval — the scored twin of [[search]]'s boolean
     * phrase probe: top `topN` documents for a bag of query terms under
     * BM25 (k1 = 1.2, b = 0.75), ranks dense from 1 with doc_id as the
@@ -638,15 +677,43 @@ object TextAnalysis {
     * by a window AFTER the limit, over ≤ topN rows. */
   def bm25(s: SparkSession, dir: String,
            terms: Seq[String] = Seq("dup", "merge"),
-           k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame =
+    bm25RankHead(s, bm25Scores(s, dir, terms, k1, b), topN)
+
+  /** DAY-2 BM25 — ranked retrieval THROUGH the persisted positional
+    * index and its doc-length sidecar, never a corpus re-tokenize: tf
+    * is `len(positions)` off the pruned posting scan (pushed
+    * `word IN (...)` filter, same as the phrase probe), dl/N/avgdl come
+    * off the sidecar (doc-count-sized — index metadata, not corpus),
+    * and the scoring core is shared with [[bm25]] so the arithmetic
+    * cannot drift. Day-1 postings + sidecar are the standing
+    * per-process artifact ([[searchDay2]]'s store, doc_id ≢ 7 mod 10);
+    * the batch appends only its own posting/sidecar files, the query
+    * reads the union of the file sets. Oracle = [[bm25]]'s full-corpus
+    * SQL, so the index-derived ranking must be byte-identical to the
+    * corpus-derived one: append ≡ rebuild, index ≡ corpus. */
+  def bm25Day2(s: SparkSession, dir: String,
+               terms: Seq[String] = Seq("dup", "merge"),
+               topN: Int = 20): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    bm25Scores(s, dir, terms, k1, b)
-      .orderBy($"score_q".desc, $"doc_id").limit(topN)
-      .withColumn("rank",
-        row_number().over(Window.orderBy($"score_q".desc, $"doc_id")).cast("long"))
-      .select($"rank", $"doc_id", $"n_hit", $"score_q")
-      .orderBy($"rank")
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val day1 = day1IndexPath(s, dir)
+    val batchPath = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "textidx"), "bm25batch").toAbsolutePath.toString
+    try {
+      writePositionalIndexOf(s,
+        docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === lit(7)), batchPath)
+      val qt = s.read.parquet(day1, batchPath)
+        .filter($"word".isin(terms: _*))
+        .select($"doc_id", $"word", size($"positions").cast("long").as("tf"))
+      val dlen = s.read.parquet(doclenPath(day1), doclenPath(batchPath))
+      val out = bm25RankHead(s, bm25ScoreOf(s, qt, dlen, k1 = 1.2, b = 0.75), topN)
+      // materialize before the finally-delete of the batch files
+      Dedup.trackCheckpoint(out.localCheckpoint())
+    } finally {
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(batchPath))
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(doclenPath(batchPath)))
+    }
   }
 
   /** HYBRID retrieval — reciprocal-rank fusion of the BM25 lexical arm

@@ -77,6 +77,16 @@ class RankedSearchSpec extends AnyFunSuite {
       "scores must be non-increasing in rank order")
   }
 
+  test("text_search_bm25_day2: index-derived ranking is byte-identical to the corpus-derived one") {
+    val corpus = TextAnalysis.bm25(spark, sf).collect().map(_.toSeq)
+    val viaIndex = TextAnalysis.bm25Day2(spark, sf).collect().map(_.toSeq)
+    assert(viaIndex.toSeq === corpus.toSeq,
+      "day-2 index + sidecar must reproduce the corpus-derived BM25 exactly")
+    // second call reuses the standing day-1 store (append-only lifecycle)
+    val again = TextAnalysis.bm25Day2(spark, sf).collect().map(_.toSeq)
+    assert(again.toSeq === corpus.toSeq)
+  }
+
   test("text_search_hybrid: RRF score is exactly the integer sum of its per-arm terms") {
     val rows = TextAnalysis.hybridSearch(spark, sf).collect()
     assert(rows.nonEmpty)
