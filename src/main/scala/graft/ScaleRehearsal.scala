@@ -63,7 +63,11 @@ object ScaleRehearsal {
     // ride the components closure; contamination is a broadcast argmax
     "text_chunk", "dedup_cdc_chunks", "text_search", "dedup_source_overlap",
     "dedup_canonical", "corpus_split_leakage_safe",
-    "corpus_contamination_semantic", "text_quality_regression")
+    "corpus_contamination_semantic", "text_quality_regression",
+    // round-9 retrieval tier: BM25's cost is the shared tokenize +
+    // a query-term-sized score; the hybrid adds a brute cosine arm
+    // and an O(armN) fusion join
+    "text_search_bm25", "text_search_hybrid")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -367,6 +371,44 @@ object ScaleRehearsal {
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(pqDir))
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(pqDir2))
 
+    // ---- BM25 day-2: the positional-index lifecycle behind
+    // text_search_bm25_day2 — build once (the only corpus tokenize),
+    // append a batch (batch tokenize only), probe forever (posting
+    // bytes for the query terms + the doc-count-sized doclen sidecar).
+    // The corpus-derived one-shot BM25 is the contrast arm; probe
+    // bytes_read vs its bytes_read is the "query path never touches
+    // the corpus" claim as a measurement.
+    val txtIdxRoot = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(spark, "dayidx"), "bm25").toAbsolutePath.toString
+    val txtDay1 = s"$txtIdxRoot/day1"
+    val txtBatch = s"$txtIdxRoot/batch"
+    val tti0 = System.nanoTime()
+    graft.operators.TextAnalysis.writePositionalIndexOf(
+      spark, sf1docs.filter(!isBatch10), txtDay1)
+    val txtBuildSec = (System.nanoTime() - tti0) / 1e9
+    val txtIdxBytes = diskBytes(txtDay1) + diskBytes(s"${txtDay1}_doclen")
+    val tta0 = System.nanoTime()
+    graft.operators.TextAnalysis.writePositionalIndexOf(
+      spark, sf1docs.filter(isBatch10), txtBatch)
+    val txtAppendSec = (System.nanoTime() - tta0) / 1e9
+    val ttp0 = System.nanoTime()
+    val (_, txtProbeBytes, _) = bytesReadDuring {
+      graft.operators.TextAnalysis.bm25ViaIndex(
+        spark, Seq(txtDay1, txtBatch), Seq("dup", "merge")).collect()
+    }
+    val txtProbeSec = (System.nanoTime() - ttp0) / 1e9
+    val ttc0 = System.nanoTime()
+    val (_, txtCorpusBytes, _) = bytesReadDuring {
+      graft.operators.TextAnalysis.bm25(spark, Sf1).collect()
+    }
+    val txtCorpusSec = (System.nanoTime() - ttc0) / 1e9
+    graft.operators.Dedup.unpersistIntermediates(spark)
+    spark.catalog.clearCache()
+    System.err.println(f"[rehearsal] bm25_day2 build ${fmt(txtBuildSec)}s (index ${txtIdxBytes / 1048576}%d MiB), " +
+      f"append ${fmt(txtAppendSec)}s, probe ${fmt(txtProbeSec)}s ${txtProbeBytes / 1048576}%d MiB read " +
+      f"vs corpus one-shot ${fmt(txtCorpusSec)}s ${txtCorpusBytes / 1048576}%d MiB read")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(txtIdxRoot))
+
     val qjson = rows.map { case (n, s01, r01, s1, r1, ratio) =>
       s""""$n":{"sf01_sec":${fmt(s01)},"sf01_rows":$r01,"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
@@ -387,7 +429,9 @@ object ScaleRehearsal {
       s""""pq_day2":{"build_sec":${fmt(pqBuildSec)},"codes_bytes":$pqCodesBytes,"emb_scan_bytes":$embScanBytes,$pqAppendJson,"compact":{"sec":${fmt(pqCompactSec)},"bytes_read":$pqCompactBytes},"probe_query":{"sec":${fmt(pqProbeSec)},"bytes_read":$pqProbeBytes}}"""
     val ccJson =
       s""""cc_day2":{"cold_sec":${fmt(ccColdSec)},"day2_only_sec":${fmt(ccDay2Sec)},"rows":$ccN2,"bytes_read":$ccDay2Bytes,"shuffle_bytes":$ccDay2Shuf}"""
-    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson}"""
+    val bm25Json =
+      s""""bm25_day2":{"build_sec":${fmt(txtBuildSec)},"index_bytes":$txtIdxBytes,"append_sec":${fmt(txtAppendSec)},"probe":{"sec":${fmt(txtProbeSec)},"bytes_read":$txtProbeBytes},"corpus_one_shot":{"sec":${fmt(txtCorpusSec)},"bytes_read":$txtCorpusBytes}}"""
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson,$bm25Json}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)

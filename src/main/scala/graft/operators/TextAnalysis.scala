@@ -420,7 +420,7 @@ object TextAnalysis {
     * INDEX bytes (Σ len(positions) per doc), not by a second corpus
     * pass, so the sidecar inherits the append lifecycle for free:
     * disjoint doc_ids ⇒ disjoint sidecar rows. */
-  private def writePositionalIndexOf(s: SparkSession, d: DataFrame, path: String): Unit = {
+  private[graft] def writePositionalIndexOf(s: SparkSession, d: DataFrame, path: String): Unit = {
     import s.implicits._
     d.select($"doc_id",
         posexplode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
@@ -655,6 +655,20 @@ object TextAnalysis {
            count(lit(1)).cast("long").as("n_hit"))
   }
 
+  /** The index-side probe: BM25 over the union of posting file sets and
+    * their doc-length sidecars — shared by [[bm25Day2]] and the scale
+    * rehearsal (which measures the probe WITHOUT a batch append, the
+    * steady-state "query forever" cost). */
+  private[graft] def bm25ViaIndex(s: SparkSession, paths: Seq[String],
+                                  terms: Seq[String], topN: Int = 20): DataFrame = {
+    import s.implicits._
+    val qt = s.read.parquet(paths: _*)
+      .filter($"word".isin(terms: _*))
+      .select($"doc_id", $"word", size($"positions").cast("long").as("tf"))
+    val dlen = s.read.parquet(paths.map(doclenPath): _*)
+    bm25RankHead(s, bm25ScoreOf(s, qt, dlen, k1 = 1.2, b = 0.75), topN)
+  }
+
   /** Dense-rank head of a scored relation: top-N via orderBy+limit
     * (TakeOrderedAndProject), rank window only over the ≤ topN rows. */
   private def bm25RankHead(s: SparkSession, scored: DataFrame, topN: Int): DataFrame = {
@@ -703,11 +717,7 @@ object TextAnalysis {
     try {
       writePositionalIndexOf(s,
         docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === lit(7)), batchPath)
-      val qt = s.read.parquet(day1, batchPath)
-        .filter($"word".isin(terms: _*))
-        .select($"doc_id", $"word", size($"positions").cast("long").as("tf"))
-      val dlen = s.read.parquet(doclenPath(day1), doclenPath(batchPath))
-      val out = bm25RankHead(s, bm25ScoreOf(s, qt, dlen, k1 = 1.2, b = 0.75), topN)
+      val out = bm25ViaIndex(s, Seq(day1, batchPath), terms, topN)
       // materialize before the finally-delete of the batch files
       Dedup.trackCheckpoint(out.localCheckpoint())
     } finally {
