@@ -80,8 +80,8 @@ def compare(floor_file, baseline_file):
     old_q = old["queries"]
     # baseline noise envelope: per-query spread if recorded, else from
     # its passes array, else 0 (older artifacts)
-    old_spread = old.get("spread_q") or {
-        q: spread_of(p) for q, p in old.get("passes", {}).items()}
+    old_spread = (old.get("spread_q") or old.get("cross_process_spread")
+                  or {q: spread_of(p) for q, p in old.get("passes", {}).items()})
     both = sorted(set(new["queries"]) & set(old_q))
     real = []
     print(f"{'query':34s} {'old':>8s} {'new':>8s} {'delta':>8s} "
