@@ -165,6 +165,11 @@ object SparkEntry {
     // accounting; global order position via per-length offsets +
     // partitioned windows — no single-partition rank
     "corpus_length_buckets" -> ((s, d) => Curation.lengthBuckets(s, d)),
+    // model-based quality filter: multinomial NB trained in-query on
+    // weak rule labels (even-doc_id half), scored corpus-wide through
+    // a vocab-sized integer weight relation; held-out half measures
+    // generalization
+    "corpus_quality_classifier" -> (Curation.nbQualityClassifier _),
     // writer-side layout: md5-bucketed shards with contiguous
     // within-shard positions in hash-shuffled order (one exchange)
     "corpus_shard"         -> ((s, d) => Curation.shard(s, d)),
@@ -421,6 +426,9 @@ object SparkEntry {
     // batch operators' expressions — the ingest-side filter in front of
     // the stateful streaming dedup family
     "stream_corpus_quality_gate" -> (StreamQueries.streamCorpusQualityGate _),
+    // train offline / score online: the persisted capped NB model ships
+    // to every task as a literal map; stateless per-row integer fold
+    "stream_corpus_nb_score" -> (StreamQueries.streamCorpusNbScore _),
     // online symmetric-delete edit-distance filter: one (owner id, owner
     // name) per live signature, exact Levenshtein check against the
     // owner; the owner-check contract has a closed-form SQL oracle
@@ -642,6 +650,42 @@ object SparkEntry {
     """c.user_id = e.user_id
       | AND c.ts_ns >= e.ts_ns - 600000000000
       | AND c.ts_ns < e.ts_ns""".stripMargin
+
+  /** The Naive-Bayes training CTEs (weak labels → count grain →
+    * quantized per-word weights `lw` + 1-row prior `pri`) shared by the
+    * batch classifier oracle and the streaming scorer oracle — one
+    * training definition, so the persisted-model path must reproduce
+    * the in-query model exactly. */
+  private val NbTrainCtes: String =
+      """WITH lab AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x = 'hash')) * 25
+        |           >= len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, y,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS w
+        |  FROM lab),
+        |cnt AS (SELECT doc_id, y, w, count(*) AS n FROM tok GROUP BY 1, 2, 3),
+        |cls AS (SELECT y, CAST(sum(n) AS DOUBLE) AS nc, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dc
+        |        FROM cnt WHERE doc_id % 2 = 0 GROUP BY y),
+        |cby AS (SELECT w,
+        |    sum(CASE WHEN y = 1 THEN n ELSE 0 END) AS c1,
+        |    sum(CASE WHEN y = 0 THEN n ELSE 0 END) AS c0
+        |  FROM cnt WHERE doc_id % 2 = 0 GROUP BY w),
+        |tots AS (SELECT
+        |    COALESCE((SELECT nc FROM cls WHERE y = 1), 0) AS n1,
+        |    COALESCE((SELECT nc FROM cls WHERE y = 0), 0) AS n0,
+        |    COALESCE((SELECT dc FROM cls WHERE y = 1), 0) AS d1,
+        |    COALESCE((SELECT dc FROM cls WHERE y = 0), 0) AS d0,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM cby) AS v),
+        |lw AS (SELECT bkt.w,
+        |    CAST(floor((ln((bkt.c1 + 1) / (t.n1 + t.v)) - ln((bkt.c0 + 1) / (t.n0 + t.v))) * 1e9 + 0.5) AS BIGINT) AS wq
+        |  FROM cby bkt, tots t),
+        |pri AS (SELECT
+        |    CAST(floor((ln((d1 + 1) / (d1 + d0 + 2.0)) - ln((d0 + 1) / (d1 + d0 + 2.0))) * 1e9 + 0.5) AS BIGINT) AS pq
+        |  FROM tots)""".stripMargin
 
   /** The minhash band CTEs (documents → (doc_id, band, band_hash)) every
     * near-dup stream oracle builds on — identical hash family to the
@@ -1895,6 +1939,32 @@ object SparkEntry {
         |    round(1 - CAST(sum(n_tok) AS DOUBLE) / (count(*) * max(n_tok)), 4)
         |  END AS pad_frac
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle replays the full train+score NB pipeline: weak labels
+    // by integer cross-multiplication, add-one-smoothed conditional
+    // counts on the even-doc_id half, per-word weights and the prior
+    // quantized to integer nano-units, exact integer log-odds sums
+    "corpus_quality_classifier" -> (NbTrainCtes + """,
+        |wt AS (SELECT c.doc_id, max(c.y) AS y, CAST(sum(c.n * w.wq) AS BIGINT) AS sw
+        |       FROM cnt c JOIN lw w USING (w) GROUP BY 1)
+        |SELECT wt.doc_id, CAST(wt.y AS INT) AS y_weak,
+        |  round(CAST(p.pq + wt.sw AS DOUBLE) / 1e9, 4) AS nb_logodds,
+        |  CAST(CASE WHEN p.pq + wt.sw > 0 THEN 1 ELSE 0 END AS INT) AS pred,
+        |  CAST(wt.doc_id % 2 = 0 AS INT) AS in_train
+        |FROM wt, pri p ORDER BY wt.doc_id""".stripMargin),
+
+    // the streaming scorer reads the PERSISTED capped model; the oracle
+    // retrains from the corpus and replays the cap (|wq| desc, word — a
+    // total order), so one hash gates persisted-model ≡ in-query-model
+    // AND the stateless stream arithmetic; docs with no model token
+    // score exactly the prior (LEFT JOIN + COALESCE 0)
+    "stream_corpus_nb_score" -> (NbTrainCtes + """,
+        |cap AS (SELECT w, wq FROM lw ORDER BY abs(wq) DESC, w LIMIT 4096),
+        |wt AS (SELECT c.doc_id, CAST(sum(c.n * w.wq) AS BIGINT) AS sw
+        |       FROM cnt c JOIN cap w USING (w) GROUP BY 1)
+        |SELECT d.doc_id, CAST(p.pq + COALESCE(wt.sw, 0) AS BIGINT) AS score_q,
+        |  CAST(CASE WHEN p.pq + COALESCE(wt.sw, 0) > 0 THEN 1 ELSE 0 END AS INT) AS pred
+        |FROM documents d LEFT JOIN wt USING (doc_id), pri p ORDER BY d.doc_id""".stripMargin),
 
     "corpus_shard" ->
       """WITH h AS (SELECT doc_id,

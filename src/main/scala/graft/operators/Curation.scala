@@ -570,4 +570,123 @@ object Curation {
             (count(lit(1)) * max($"n_tok")), 4)).as("pad_frac"))
       .orderBy($"batch_id")
   }
+
+  /** Model-based quality filtering — the trained-classifier tier of the
+    * curation funnel (the fastText/CCNet pattern: hand rules label a
+    * seed set, a cheap linear model generalizes the rule to the whole
+    * corpus). A multinomial Naive Bayes classifier is TRAINED in-query
+    * on weak rule labels over the even-`doc_id` half of the corpus and
+    * SCORES every document; the held-out odd half measures whether the
+    * model generalizes rather than memorizes (`in_train` marks the
+    * split). The weak rule is topical density — `hash` tokens ≥ 4% of
+    * the document's tokens — stated as an integer cross-multiplication
+    * (×25) so both engines label identically with no float division.
+    *
+    * Scale shape: ONE corpus tokenization, aggregated immediately to the
+    * (doc, label, word) count grain (map-side partial) and materialized
+    * once; class totals, per-word conditional counts and the vocabulary
+    * size are all vocab-sized aggregates of that grain. Scoring is an
+    * equi-join of the grain against the vocab-sized weight relation —
+    * the honest distributed shape (a web-scale vocabulary does not
+    * broadcast; cf. [[TextAnalysis.lmScore]]) — followed by one per-doc
+    * sum. No corpus-wide shuffle carries raw tokens: counts combine
+    * map-side before every exchange.
+    *
+    * Determinism: per-word log-likelihood-ratio weights and the class
+    * prior QUANTIZE to integer nano-units — floor(w·1e9 + 0.5) past the
+    * one ln() call on exact rational inputs (add-one smoothing over
+    * exact integer counts) — and each document's log-odds is the EXACT
+    * integer sum pq + Σ n·wq, so the predicted class flips on an
+    * integer sign test, never on a distributed double sum (the repo's
+    * fixed-point discipline, same as [[dsirSelect]]). A single-class
+    * degenerate corpus stays finite: COALESCE(missing class, 0) keeps
+    * every smoothed ratio strictly positive. */
+  def nbQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cnt, lw, pri) = nbCore(s, dir)
+    cnt.join(lw, "w") // vocab-sized model relation — distributed equi-join
+      .groupBy($"doc_id")
+      .agg(max($"y").as("y"), sum($"n" * $"wq").cast("long").as("sw"))
+      .crossJoin(broadcast(pri)) // 1-row prior joins AFTER the per-doc sum
+      .select($"doc_id", $"y".cast("int").as("y_weak"),
+        round(($"pq" + $"sw").cast("double") / lit(1e9), 4).as("nb_logodds"),
+        when($"pq" + $"sw" > 0, 1).otherwise(0).cast("int").as("pred"),
+        ($"doc_id" % 2 === 0).cast("int").as("in_train"))
+      .orderBy($"doc_id")
+  }
+
+  /** The NB training core shared by [[nbQualityClassifier]] and the
+    * persisted-model path ([[nbModelPath]]): the materialized
+    * (doc, label, word) count grain, the quantized per-word weight
+    * relation, and the 1-row quantized prior. */
+  private def nbCore(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val lab = docs(s, dir).select($"doc_id", $"text",
+      when(expr("size(filter(split(lower(text), ' '), x -> x = 'hash'))") * 25 >=
+           expr("size(filter(split(text, ' '), x -> length(x) > 0))"), 1)
+        .otherwise(0).as("y"))
+    val cnt = Dedup.trackCheckpoint(lab
+      .select($"doc_id", $"y",
+        explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("w"))
+      .groupBy($"doc_id", $"y", $"w").agg(count(lit(1)).as("n"))
+      .localCheckpoint())
+    val train = cnt.filter($"doc_id" % 2 === 0)
+    val cls = train.groupBy($"y")
+      .agg(sum($"n").cast("double").as("nc"),
+        countDistinct($"doc_id").cast("double").as("dc"))
+    val cby = train.groupBy($"w").agg(
+      sum(when($"y" === 1, $"n").otherwise(lit(0L))).as("c1"),
+      sum(when($"y" === 0, $"n").otherwise(lit(0L))).as("c0"))
+    val tots = cls.agg(
+      coalesce(sum(when($"y" === 1, $"nc")), lit(0.0)).as("n1"),
+      coalesce(sum(when($"y" === 0, $"nc")), lit(0.0)).as("n0"),
+      coalesce(sum(when($"y" === 1, $"dc")), lit(0.0)).as("d1"),
+      coalesce(sum(when($"y" === 0, $"dc")), lit(0.0)).as("d0"))
+      .crossJoin(cby.agg(count(lit(1)).cast("double").as("v"))) // 1×1 totals
+    val lw = cby.crossJoin(broadcast(tots))
+      .select($"w",
+        floor((log(($"c1" + lit(1)).cast("double") / ($"n1" + $"v")) -
+               log(($"c0" + lit(1)).cast("double") / ($"n0" + $"v"))) * lit(1e9) + lit(0.5))
+          .cast("long").as("wq"))
+    val pri = tots.select(
+      floor((log(($"d1" + lit(1)) / ($"d1" + $"d0" + lit(2.0))) -
+             log(($"d0" + lit(1)) / ($"d1" + $"d0" + lit(2.0)))) * lit(1e9) + lit(0.5))
+        .cast("long").as("pq"))
+    (cnt, lw, pri)
+  }
+
+  /** Persist the trained NB model: the top-`cap` weights by
+    * discriminative magnitude (`|wq|` desc, word asc — a total order,
+    * so the capped set is engine-reproducible) plus the 1-row prior.
+    * The cap is the production contract of a DEPLOYED quality gate: the
+    * full vocabulary lives in the distributed weight relation, but the
+    * artifact a streaming scorer ships to every task is a fixed-size
+    * table (the fastText-style quantize-and-ship step), so scoring
+    * state is O(cap) regardless of corpus growth. */
+  def writeNbModel(s: SparkSession, dir: String, path: String,
+                   cap: Int = 4096): Unit = {
+    import s.implicits._
+    val (_, lw, pri) = nbCore(s, dir)
+    lw.orderBy(abs($"wq").desc, $"w").limit(cap)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    pri.coalesce(1).write.mode("overwrite").parquet(s"$path/prior")
+    Dedup.unpersistIntermediates(s)
+  }
+
+  private val modelStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-process standing NB model artifact for `dir` — trained ONCE
+    * (the offline step), then shared by every streaming scorer in the
+    * process; the day-2 convention of the persisted dedup/positional
+    * indexes. */
+  def nbModelPath(s: SparkSession, dir: String): String =
+    modelStore.computeIfAbsent(
+      java.nio.file.Paths.get(dir).toAbsolutePath.toString + "#nbmodel", _ => {
+        val p = java.nio.file.Files.createTempDirectory(
+          graft.util.Fs.scratchDir(s, "nbmodel"), "day1").toAbsolutePath
+        sys.addShutdownHook(graft.util.Fs.deleteRecursively(p))
+        writeNbModel(s, dir, s"$p/model")
+        s"$p/model"
+      })
 }

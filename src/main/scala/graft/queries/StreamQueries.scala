@@ -1372,6 +1372,51 @@ object StreamQueries {
       dropView = Some(name), deleteDirs = Seq(in))
   }
 
+  /** STREAMING MODEL-BASED SCORING — the "train offline, score online"
+    * half of the quality-classifier tier: the Naive-Bayes model is the
+    * per-process PERSISTED artifact ([[graft.operators.Curation.nbModelPath]],
+    * trained once by the batch pipeline and capped at 4096 weights —
+    * the fastText-style quantize-and-ship contract), and the stream
+    * scores each arriving document STATELESSLY: the capped weight table
+    * rides into every task as a literal map (driver read bounded by the
+    * cap, never the vocabulary), and the per-document log-odds is a
+    * per-ROW array fold Σ wq[token] + prior — exact integer arithmetic,
+    * no state store, no shuffle, so the scorer adds zero streaming
+    * state regardless of corpus growth.
+    *
+    * The oracle RETRAINS from the corpus and replays the cap, so the
+    * hash gates persisted-model ≡ in-query-model and the stream's fold
+    * ≡ the batch join-and-sum: a token absent from the capped model
+    * contributes exactly 0, and a document with no model token scores
+    * exactly the prior. */
+  def streamCorpusNbScore(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val model = graft.operators.Curation.nbModelPath(s, dir)
+    // driver-bounded by the model contract: ≤ 4096 rows by construction
+    val wm = typedLit(s.read.parquet(s"$model/weights").collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("wq")).toMap)
+    val pq = s.read.parquet(s"$model/prior").head().getAs[Long]("pq")
+    val (in, name) = stageInput(s, dir, "documents.parquet", "nbscore")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val q = s.readStream.schema(schema).parquet(in.toString)
+      .select($"doc_id",
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+      .select($"doc_id",
+        (lit(pq) + aggregate($"tk", lit(0L),
+          (acc, x) => acc + coalesce(element_at(wm, x), lit(0L)))).as("score_q"))
+      .select($"doc_id", $"score_q",
+        when($"score_q" > 0, 1).otherwise(0).cast("int").as("pred"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndRelease(s, s.table(name).orderBy($"doc_id"),
+      dropView = Some(name), deleteDirs = Seq(in))
+  }
+
   case class VecBucketRow(vec_id: Long, t: Int, bucket: Int,
                           embedding: Array[Float], nrm: Double)
   case class VecOwner(id: Long, emb: Array[Float], nrm: Double)

@@ -71,7 +71,15 @@ class DegenerateInputSpec extends AnyFunSuite {
       // null corpus scalars never reach a score row); the hybrid fuses
       // two empty arms through the full-outer join
       "text_search_bm25" -> (() => graft.operators.TextAnalysis.bm25(spark, emptyDir).count()),
-      "text_search_hybrid" -> (() => graft.operators.TextAnalysis.hybridSearch(spark, emptyDir).count()))
+      "text_search_hybrid" -> (() => graft.operators.TextAnalysis.hybridSearch(spark, emptyDir).count()),
+      // an empty corpus has no training rows and no scorable docs; the
+      // COALESCE(missing class, 0) guards keep every smoothed ratio
+      // finite so the plan collapses to empty instead of throwing
+      "corpus_quality_classifier" -> (() => graft.operators.Curation.nbQualityClassifier(spark, emptyDir).count()),
+      // the persisted model trained on the empty corpus is an empty
+      // weight table + a zero prior; the stateless scorer then streams
+      // zero documents
+      "stream_corpus_nb_score" -> (() => graft.queries.StreamQueries.streamCorpusNbScore(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** `corpus_quality_classifier` — the trained-model tier of the curation
+  * funnel. The DuckDB oracle hash-gates the exact scores; this spec pins
+  * the MODEL properties the value hash doesn't name: the train/apply
+  * split contract, that the learned model actually GENERALIZES the weak
+  * rule to held-out documents (beats predicting the majority class, and
+  * is not a constant classifier), and that a single-class degenerate
+  * corpus yields finite scores and the majority prediction instead of a
+  * smoothing blow-up. */
+class QualityClassifierSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("quality-classifier-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("one row per doc, in_train is exactly the even-doc_id half") {
+    import spark.implicits._
+    val r = Curation.nbQualityClassifier(spark, sf)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.count() === nDocs)
+    assert(r.select($"doc_id").distinct().count() === nDocs)
+    assert(r.filter(($"doc_id" % 2 === 0) =!= ($"in_train" === 1)).count() === 0L)
+  }
+
+  test("held-out generalization: beats the majority class and is not constant") {
+    import spark.implicits._
+    val held = Curation.nbQualityClassifier(spark, sf)
+      .filter($"in_train" === 0)
+      .select($"y_weak", $"pred").collect()
+    val n = held.length
+    val pos = held.count(_.getInt(0) == 1)
+    val baseRate = math.max(pos, n - pos).toDouble / n
+    val acc = held.count(r => r.getInt(0) == r.getInt(1)).toDouble / n
+    assert(acc > baseRate,
+      s"NB must beat majority-class guessing on held-out docs: acc=$acc base=$baseRate")
+    val preds = held.map(_.getInt(1)).distinct
+    assert(preds.length === 2, "a constant classifier learned nothing")
+  }
+
+  test("streamed scores through the persisted model equal the batch classifier's") {
+    import spark.implicits._
+    val streamed = graft.queries.StreamQueries.streamCorpusNbScore(spark, sf)
+      .select($"doc_id", ($"score_q".cast("double") / 1e9).as("s_lo"), $"pred".as("s_pred"))
+    val batch = Curation.nbQualityClassifier(spark, sf)
+      .select($"doc_id", $"nb_logodds", $"pred".as("b_pred"))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(streamed.count() === nDocs, "the stateless scorer emits every document")
+    val joined = streamed.join(batch, "doc_id").collect()
+    assert(joined.length === batch.count(),
+      "every batch-scored doc must appear in the stream output")
+    joined.foreach { r =>
+      assert(r.getAs[Int]("s_pred") === r.getAs[Int]("b_pred"),
+        s"pred diverged for doc ${r.getAs[Long]("doc_id")}")
+      // batch displays 4-dec rounded log-odds; streamed is the exact
+      // integer score — agreement up to one display ulp
+      assert(math.abs(r.getAs[Double]("s_lo") - r.getAs[Double]("nb_logodds")) <= 1.1e-4,
+        s"score diverged for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("single-class corpus: finite scores, majority prediction, no smoothing blow-up") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb-oneclass").toString
+    try {
+      // no 'hash' tokens anywhere → every weak label is 0
+      spark.range(10).select($"id".as("doc_id"),
+          concat(lit("alpha beta gamma delta row"), lit(" "),
+            ($"id" % 3).cast("string")).as("text"),
+          lit("en").as("lang"), lit("src0").as("source"),
+          lit(30L).as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = Curation.nbQualityClassifier(spark, dir).collect()
+      assert(r.length === 10)
+      r.foreach { row =>
+        assert(row.getAs[Int]("y_weak") === 0)
+        assert(row.getAs[Int]("pred") === 0, "majority class under a one-class prior")
+        assert(!row.getAs[Double]("nb_logodds").isNaN &&
+               !row.getAs[Double]("nb_logodds").isInfinite)
+      }
+    } finally {
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+}
