@@ -67,7 +67,11 @@ object ScaleRehearsal {
     // round-9 retrieval tier: BM25's cost is the shared tokenize +
     // a query-term-sized score; the hybrid adds a brute cosine arm
     // and an O(armN) fusion join
-    "text_search_bm25", "text_search_hybrid")
+    "text_search_bm25", "text_search_hybrid",
+    // round-9 quality-classifier tier: in-query NB train+score — cost
+    // is one corpus tokenize into the count grain + vocab-sized model
+    // aggregates; the deployed capped-model path is the nb_model arm
+    "corpus_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -409,6 +413,39 @@ object ScaleRehearsal {
       f"vs corpus one-shot ${fmt(txtCorpusSec)}s ${txtCorpusBytes / 1048576}%d MiB read")
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(txtIdxRoot))
 
+    // ---- NB quality-model lifecycle behind stream_corpus_nb_score:
+    // train ONCE (the only corpus tokenize — vocab-sized model
+    // aggregates past the count grain), ship the capped artifact, then
+    // score arriving batches forever through the literal-map fold —
+    // cost strictly proportional to the scored batch, never the
+    // corpus. The in-query classifier (train+score fused) is the
+    // contrast arm: what a deployment WITHOUT the persisted model
+    // would pay on every batch.
+    val nbRoot = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(spark, "nbmodel"), "reh").toAbsolutePath.toString
+    val tnb0 = System.nanoTime()
+    val (_, nbTrainBytes, _) = bytesReadDuring {
+      graft.operators.Curation.writeNbModel(spark, Sf1, s"$nbRoot/model")
+    }
+    val nbTrainSec = (System.nanoTime() - tnb0) / 1e9
+    val nbModelBytes = diskBytes(s"$nbRoot/model")
+    val tns0 = System.nanoTime()
+    val (nbBatchRows, nbScoreBytes, _) = bytesReadDuring {
+      graft.operators.Curation.nbScoreBatch(
+        spark, sf1docs.filter(isBatch10), s"$nbRoot/model").count()
+    }
+    val nbScoreSec = (System.nanoTime() - tns0) / 1e9
+    val tnf0 = System.nanoTime()
+    val (nbFullRows, nbFullBytes, _) = bytesReadDuring {
+      graft.operators.Curation.nbQualityClassifier(spark, Sf1).count()
+    }
+    val nbFullSec = (System.nanoTime() - tnf0) / 1e9
+    graft.operators.Dedup.unpersistIntermediates(spark)
+    System.err.println(f"[rehearsal] nb_model train ${fmt(nbTrainSec)}s ${nbTrainBytes / 1048576}%d MiB read (model ${nbModelBytes / 1024}%d KiB), " +
+      f"score_batch ${fmt(nbScoreSec)}s $nbBatchRows rows ${nbScoreBytes / 1048576}%d MiB read " +
+      f"vs in-query train+score ${fmt(nbFullSec)}s $nbFullRows rows ${nbFullBytes / 1048576}%d MiB read")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(nbRoot))
+
     val qjson = rows.map { case (n, s01, r01, s1, r1, ratio) =>
       s""""$n":{"sf01_sec":${fmt(s01)},"sf01_rows":$r01,"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
@@ -431,7 +468,9 @@ object ScaleRehearsal {
       s""""cc_day2":{"cold_sec":${fmt(ccColdSec)},"day2_only_sec":${fmt(ccDay2Sec)},"rows":$ccN2,"bytes_read":$ccDay2Bytes,"shuffle_bytes":$ccDay2Shuf}"""
     val bm25Json =
       s""""bm25_day2":{"build_sec":${fmt(txtBuildSec)},"index_bytes":$txtIdxBytes,"append_sec":${fmt(txtAppendSec)},"probe":{"sec":${fmt(txtProbeSec)},"bytes_read":$txtProbeBytes},"corpus_one_shot":{"sec":${fmt(txtCorpusSec)},"bytes_read":$txtCorpusBytes}}"""
-    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson,$bm25Json}"""
+    val nbJson =
+      s""""nb_model":{"train_sec":${fmt(nbTrainSec)},"train_bytes":$nbTrainBytes,"model_bytes":$nbModelBytes,"score_batch":{"sec":${fmt(nbScoreSec)},"rows":$nbBatchRows,"bytes_read":$nbScoreBytes},"in_query":{"sec":${fmt(nbFullSec)},"rows":$nbFullRows,"bytes_read":$nbFullBytes}}"""
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson,$bm25Json,$nbJson}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)

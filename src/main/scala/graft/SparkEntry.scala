@@ -429,6 +429,12 @@ object SparkEntry {
     // train offline / score online: the persisted capped NB model ships
     // to every task as a literal map; stateless per-row integer fold
     "stream_corpus_nb_score" -> (StreamQueries.streamCorpusNbScore _),
+    // the three curation tiers composed in ONE continuous query:
+    // stateless gate → stateless persisted-model scoring → stateful
+    // near-dup ownership over the survivors; upstream filters bound
+    // the bucket store to accepted content, and one oracle hash gates
+    // all three stages and their composition order
+    "stream_corpus_pipeline" -> (StreamQueries.streamCorpusPipeline _),
     // online symmetric-delete edit-distance filter: one (owner id, owner
     // name) per live signature, exact Levenshtein check against the
     // owner; the owner-check contract has a closed-form SQL oracle
@@ -1965,6 +1971,56 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(p.pq + COALESCE(wt.sw, 0) AS BIGINT) AS score_q,
         |  CAST(CASE WHEN p.pq + COALESCE(wt.sw, 0) > 0 THEN 1 ELSE 0 END AS INT) AS pred
         |FROM documents d LEFT JOIN wt USING (doc_id), pri p ORDER BY d.doc_id""".stripMargin),
+
+    // the composed pipeline's oracle replays all three stages in one
+    // SQL chain — gate predicates, NB train/cap/score through the SAME
+    // capped model the persisted artifact carries, then the band CTEs
+    // over the SURVIVORS only (the stateful store sees only funnel
+    // output); kept = doc owns all its buckets (no smaller survivor
+    // shares one) — so one hash gates each stage AND the composition
+    "stream_corpus_pipeline" -> (NbTrainCtes + """,
+        |cap AS (SELECT w, wq FROM lw ORDER BY abs(wq) DESC, w LIMIT 4096),
+        |wt AS (SELECT c.doc_id, CAST(sum(c.n * w.wq) AS BIGINT) AS sw
+        |       FROM cnt c JOIN cap w USING (w) GROUP BY 1),
+        |gq AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS gtk
+        |       FROM documents),
+        |gm AS (SELECT doc_id,
+        |  CAST(len(gtk) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(gtk, x -> len(x))) AS DOUBLE) / len(gtk), 4) AS mean_tok_len,
+        |  round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / len(text), 4) AS punct_ratio,
+        |  CAST(len(list_filter(gtk, x -> x IN ('the','and','of','to','in','a','is'))) AS BIGINT) AS n_en,
+        |  CAST(len(list_filter(gtk, x -> x IN ('el','la','de','que','y','en','un'))) AS BIGINT) AS n_es,
+        |  CAST(len(list_filter(gtk, x -> x IN ('der','die','und','ist','das','nicht','ein'))) AS BIGINT) AS n_de
+        |  FROM gq),
+        |gl AS (SELECT doc_id, n_tokens, mean_tok_len, punct_ratio,
+        |  CASE WHEN n_en + n_es + n_de = 0 THEN 'und'
+        |       WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+        |       WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM gm),
+        |keepq AS (SELECT gl.doc_id, CAST(p.pq + COALESCE(wt.sw, 0) AS BIGINT) AS score_q
+        |  FROM gl LEFT JOIN wt USING (doc_id), pri p
+        |  WHERE gl.n_tokens >= 10 AND gl.mean_tok_len >= 2.0 AND gl.mean_tok_len <= 15.0
+        |    AND gl.punct_ratio <= 0.2 AND gl.pred_lang = 'en'
+        |    AND p.pq + COALESCE(wt.sw, 0) > 0),
+        |btk AS (SELECT d.doc_id, list_filter(string_split(d.text, ' '), x -> len(x) > 0) AS tk
+        |        FROM documents d JOIN keepq USING (doc_id)),
+        |bpos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM btk WHERE len(tk) >= 3),
+        |bsh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM bpos),
+        |bperms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM bsh),
+        |bsig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
+        |        FROM bperms GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 2 AS band,
+        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
+        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
+        |  FROM bsig GROUP BY 1, 2),
+        |own AS (SELECT b.doc_id, min(a.doc_id) AS canon
+        |  FROM bands b JOIN bands a
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id <= b.doc_id
+        |  GROUP BY 1)
+        |SELECT k.doc_id, k.score_q
+        |FROM keepq k JOIN own o USING (doc_id)
+        |WHERE o.canon = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin),
 
     "corpus_shard" ->
       """WITH h AS (SELECT doc_id,

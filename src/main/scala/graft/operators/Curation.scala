@@ -673,6 +673,35 @@ object Curation {
     Dedup.unpersistIntermediates(s)
   }
 
+  /** Score a `(doc_id, text)` relation through a PERSISTED capped NB
+    * model — the deployed-scorer arithmetic shared by the streaming
+    * scorer ([[graft.queries.StreamQueries.streamCorpusNbScore]]) and
+    * the batch rehearsal arm. The capped weight table rides into every
+    * task as a literal map (driver read bounded by the cap, never the
+    * vocabulary) and each document's log-odds is a per-ROW array fold
+    * Σ wq[token] + prior — exact integers, pure projection: no state,
+    * no shuffle, cost strictly proportional to the scored batch. Works
+    * unchanged on streaming inputs (stateless column ops only);
+    * `keep` passes extra input columns through untouched (the pipeline
+    * composition needs `text` to flow on to the dedup stage). */
+  def nbScoreBatch(s: SparkSession, docsDf: DataFrame, model: String,
+                   keep: Seq[String] = Nil): DataFrame = {
+    import s.implicits._
+    val kc = keep.map(col)
+    // driver-bounded by the model contract: ≤ cap rows by construction
+    val wm = typedLit(s.read.parquet(s"$model/weights").collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("wq")).toMap)
+    val pq = s.read.parquet(s"$model/prior").head().getAs[Long]("pq")
+    docsDf
+      .select($"doc_id" +: kc :+
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"): _*)
+      .select($"doc_id" +: kc :+
+        (lit(pq) + aggregate($"tk", lit(0L),
+          (acc, x) => acc + coalesce(element_at(wm, x), lit(0L)))).as("score_q"): _*)
+      .select($"doc_id" +: kc ++: Seq($"score_q",
+        when($"score_q" > 0, 1).otherwise(0).cast("int").as("pred")): _*)
+  }
+
   private val modelStore =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -1333,18 +1333,21 @@ object StreamQueries {
     * oracle is the plain batch SQL: a doc survives iff n_tokens ≥ 10,
     * mean_tok_len ∈ [2, 15], punct_ratio ≤ 0.2, and the language
     * argmax is `en`. */
-  def streamCorpusQualityGate(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+  /** The gate stage itself — pure per-document column ops over a (batch
+    * or streaming) documents frame; keeps `text` alongside the metrics
+    * so downstream pipeline stages (NB scoring, shingle dedup) can
+    * consume the survivors directly. */
+  private[graft] def qualityGated(stream: DataFrame): DataFrame = {
+    val s = stream.sparkSession
     import s.implicits._
-    val (in, name) = stageInput(s, dir, "documents.parquet", "corpusgate")
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
     def hits(words: Seq[String]) = {
       val list = words.map(w => s"'$w'").mkString(", ")
       expr(s"cast(size(filter(tk, x -> x in ($list))) as bigint)")
     }
-    val q = s.readStream.schema(schema).parquet(in.toString)
+    stream
       .select($"doc_id", $"text",
         expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
-      .select($"doc_id",
+      .select($"doc_id", $"text",
         size($"tk").cast("long").as("n_tokens"),
         round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
           .as("mean_tok_len"),
@@ -1360,6 +1363,13 @@ object StreamQueries {
           .otherwise("de"))
       .filter($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 && $"mean_tok_len" <= 15.0 &&
         $"punct_ratio" <= 0.2 && $"pred_lang" === "en")
+  }
+
+  def streamCorpusQualityGate(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val (in, name) = stageInput(s, dir, "documents.parquet", "corpusgate")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val q = qualityGated(s.readStream.schema(schema).parquet(in.toString))
       .select($"doc_id", $"n_tokens", $"mean_tok_len", $"punct_ratio", $"pred_lang")
       .writeStream
       .outputMode("append")
@@ -1377,7 +1387,9 @@ object StreamQueries {
     * per-process PERSISTED artifact ([[graft.operators.Curation.nbModelPath]],
     * trained once by the batch pipeline and capped at 4096 weights —
     * the fastText-style quantize-and-ship contract), and the stream
-    * scores each arriving document STATELESSLY: the capped weight table
+    * scores each arriving document STATELESSLY via the shared scorer
+    * definition ([[graft.operators.Curation.nbScoreBatch]], stateless
+    * column ops so it applies unchanged to the stream): the capped weight table
     * rides into every task as a literal map (driver read bounded by the
     * cap, never the vocabulary), and the per-document log-odds is a
     * per-ROW array fold Σ wq[token] + prior — exact integer arithmetic,
@@ -1392,20 +1404,10 @@ object StreamQueries {
   def streamCorpusNbScore(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     import s.implicits._
     val model = graft.operators.Curation.nbModelPath(s, dir)
-    // driver-bounded by the model contract: ≤ 4096 rows by construction
-    val wm = typedLit(s.read.parquet(s"$model/weights").collect()
-      .map(r => r.getAs[String]("w") -> r.getAs[Long]("wq")).toMap)
-    val pq = s.read.parquet(s"$model/prior").head().getAs[Long]("pq")
     val (in, name) = stageInput(s, dir, "documents.parquet", "nbscore")
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val q = s.readStream.schema(schema).parquet(in.toString)
-      .select($"doc_id",
-        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
-      .select($"doc_id",
-        (lit(pq) + aggregate($"tk", lit(0L),
-          (acc, x) => acc + coalesce(element_at(wm, x), lit(0L)))).as("score_q"))
-      .select($"doc_id", $"score_q",
-        when($"score_q" > 0, 1).otherwise(0).cast("int").as("pred"))
+    val src = s.readStream.schema(schema).parquet(in.toString)
+    val q = graft.operators.Curation.nbScoreBatch(s, src, model)
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -1415,6 +1417,84 @@ object StreamQueries {
     q.awaitTermination()
     materializeAndRelease(s, s.table(name).orderBy($"doc_id"),
       dropView = Some(name), deleteDirs = Seq(in))
+  }
+
+  case class PipeBandRow(doc_id: Long, score_q: Long, band: Int, band_hash: String)
+  case class PipeOwn(doc_id: Long, score_q: Long, owner: Long)
+
+  /** END-TO-END STREAMING CURATION PIPELINE — the three curation tiers
+    * COMPOSED in one continuous query, the shape a training-data ingest
+    * actually runs: (1) the stateless C4-style quality/langid gate
+    * ([[qualityGated]] — the batch thresholds verbatim), (2) stateless
+    * model-based scoring through the PERSISTED capped NB artifact
+    * ([[graft.operators.Curation.nbScoreBatch]]; survivors keep
+    * `score_q > 0` — docs the trained model places in the target
+    * class), (3) the stateful MinHash bucket store over what's LEFT —
+    * same hash family and state geometry as [[streamNearDup]] (one long
+    * per live (band, band_hash) bucket, RocksDB-backed), but emitting
+    * every doc's CURRENT OWNER so the drain can fold the KEPT set
+    * (docs owning all their buckets) instead of only the dup hits.
+    *
+    * The composition IS the scale argument: both stateless tiers run
+    * before the stateful one, so the bucket store holds state only for
+    * documents that survived the funnel — upstream filters bound
+    * downstream state, the property that keeps a 100 TB continuous
+    * ingest's dedup store proportional to ACCEPTED content, not
+    * arrival volume. No stage re-reads the corpus: the model is the
+    * persisted capped artifact (O(cap) per task), the gate is pure
+    * projection, and the only shuffle is the stateful op's bucket
+    * exchange.
+    *
+    * Single-batch drain semantics (id-sorted per bucket) give the
+    * closed-form oracle: kept = gated ∧ score_q > 0 ∧ no smaller
+    * SURVIVOR shares any band bucket — the oracle replays gate + NB
+    * train/cap/score + bands over survivors in one SQL chain, so one
+    * hash gates all three stages AND their composition order. */
+  def streamCorpusPipeline(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val model = graft.operators.Curation.nbModelPath(s, dir)
+    val (in, name) = stageInput(s, dir, "documents.parquet", "corpuspipe")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    def update(key: (Int, String), rows: Iterator[PipeBandRow],
+               state: GroupState[Long]): Iterator[PipeOwn] = {
+      val rs = rows.toSeq.sortBy(_.doc_id)
+      var owner = state.getOption.getOrElse(Long.MaxValue)
+      val out = rs.map { r =>
+        if (r.doc_id < owner) owner = r.doc_id
+        PipeOwn(r.doc_id, r.score_q, owner)
+      }
+      state.update(owner)
+      out.iterator
+    }
+    val gated = qualityGated(s.readStream.schema(schema).parquet(in.toString))
+      .select($"doc_id", $"text")
+    val scored = graft.operators.Curation
+      .nbScoreBatch(s, gated, model, keep = Seq("text"))
+      .filter($"pred" === 1)
+    val owned = nearDupBands(scored, passthrough = Seq("score_q"))
+      .as[PipeBandRow]
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    withRocksDbState(s) {
+      val q = owned.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastNearDupState = Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(op => (op.numRowsTotal, op.memoryUsedBytes))
+      materializeAndRelease(s,
+        s.table(name)
+          .groupBy($"doc_id")
+          .agg(max($"score_q").as("score_q"), min($"owner").as("owner"))
+          .filter($"owner" === $"doc_id")
+          .select($"doc_id", $"score_q")
+          .orderBy($"doc_id"),
+        dropView = Some(name), deleteDirs = Seq(in))
+    }
   }
 
   case class VecBucketRow(vec_id: Long, t: Int, bucket: Int,

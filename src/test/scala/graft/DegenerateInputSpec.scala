@@ -79,7 +79,10 @@ class DegenerateInputSpec extends AnyFunSuite {
       // the persisted model trained on the empty corpus is an empty
       // weight table + a zero prior; the stateless scorer then streams
       // zero documents
-      "stream_corpus_nb_score" -> (() => graft.queries.StreamQueries.streamCorpusNbScore(spark, emptyDir).count()))
+      "stream_corpus_nb_score" -> (() => graft.queries.StreamQueries.streamCorpusNbScore(spark, emptyDir).count()),
+      // all three composed tiers collapse to empty: no gated docs, no
+      // scorable docs, an empty bucket store — the drain still runs
+      "stream_corpus_pipeline" -> (() => graft.queries.StreamQueries.streamCorpusPipeline(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>

@@ -70,6 +70,36 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline: kept ⊆ scored gate survivors with identical scores, and the funnel bounds dedup state") {
+    import spark.implicits._
+    val kept = graft.queries.StreamQueries.streamCorpusPipeline(spark, sf)
+      .select($"doc_id", $"score_q".as("k_score"))
+    val pipeState = graft.queries.StreamQueries.lastNearDupState
+    // recompute the two stateless tiers in BATCH through the same
+    // shared definitions — the stream must be a subset of them
+    val model = Curation.nbModelPath(spark, sf)
+    val survivors = Curation.nbScoreBatch(spark,
+        graft.queries.StreamQueries.qualityGated(
+          spark.read.parquet(s"$sf/documents.parquet")), model)
+      .filter($"pred" === 1).select($"doc_id", $"score_q")
+    val nKept = kept.count()
+    val nSurv = survivors.count()
+    assert(nKept > 0 && nKept <= nSurv)
+    val agree = kept.join(survivors, "doc_id")
+    assert(agree.count() === nKept, "every kept doc is a gate+NB survivor")
+    assert(agree.filter($"k_score" =!= $"score_q").count() === 0L,
+      "pipeline scores are the shared scorer's, bit-exact")
+    // the composition claim as a measurement: the stateful store held
+    // buckets only for funnel SURVIVORS (≤ 4 bands each) — strictly
+    // fewer than the unfiltered streaming near-dup on the same corpus
+    assert(pipeState.exists(_._1 <= 4 * nSurv),
+      s"pipeline bucket state $pipeState exceeds 4×$nSurv")
+    graft.queries.StreamQueries.streamNearDup(spark, sf).count()
+    val fullState = graft.queries.StreamQueries.lastNearDupState
+    assert(pipeState.get._1 < fullState.get._1,
+      s"upstream filters must shrink the bucket store: $pipeState vs $fullState")
+  }
+
   test("single-class corpus: finite scores, majority prediction, no smoothing blow-up") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-nb-oneclass").toString
