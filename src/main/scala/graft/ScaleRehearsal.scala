@@ -446,6 +446,19 @@ object ScaleRehearsal {
       f"vs in-query train+score ${fmt(nbFullSec)}s $nbFullRows rows ${nbFullBytes / 1048576}%d MiB read")
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(nbRoot))
 
+    // ---- composed pipeline at sf1: the funnel-bounded-state claim as
+    // a SCALE measurement — the stateful bucket store behind
+    // stream_corpus_pipeline vs the unfiltered streaming near-dup's
+    // store on the same corpus (the stream_neardup_state arm above).
+    val tpl0 = System.nanoTime()
+    val plKept = graft.queries.StreamQueries.streamCorpusPipeline(spark, Sf1).count()
+    val plSec = (System.nanoTime() - tpl0) / 1e9
+    val (plRows, plBytes) =
+      graft.queries.StreamQueries.lastNearDupState.getOrElse((-1L, -1L))
+    graft.operators.Dedup.unpersistIntermediates(spark)
+    System.err.println(f"[rehearsal] pipeline sf1 ${fmt(plSec)}s kept=$plKept " +
+      f"state_rows=$plRows state_bytes=$plBytes (unfiltered near-dup store: $sr1 rows)")
+
     val qjson = rows.map { case (n, s01, r01, s1, r1, ratio) =>
       s""""$n":{"sf01_sec":${fmt(s01)},"sf01_rows":$r01,"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
@@ -470,7 +483,9 @@ object ScaleRehearsal {
       s""""bm25_day2":{"build_sec":${fmt(txtBuildSec)},"index_bytes":$txtIdxBytes,"append_sec":${fmt(txtAppendSec)},"probe":{"sec":${fmt(txtProbeSec)},"bytes_read":$txtProbeBytes},"corpus_one_shot":{"sec":${fmt(txtCorpusSec)},"bytes_read":$txtCorpusBytes}}"""
     val nbJson =
       s""""nb_model":{"train_sec":${fmt(nbTrainSec)},"train_bytes":$nbTrainBytes,"model_bytes":$nbModelBytes,"score_batch":{"sec":${fmt(nbScoreSec)},"rows":$nbBatchRows,"bytes_read":$nbScoreBytes},"in_query":{"sec":${fmt(nbFullSec)},"rows":$nbFullRows,"bytes_read":$nbFullBytes}}"""
-    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson,$bm25Json,$nbJson}"""
+    val plJson =
+      s""""pipeline_state":{"sf1":{"sec":${fmt(plSec)},"kept":$plKept,"state_rows":$plRows,"state_bytes":$plBytes,"unfiltered_state_rows":$sr1}}"""
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson,$bm25Json,$nbJson,$plJson}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)

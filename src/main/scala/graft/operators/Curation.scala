@@ -664,10 +664,12 @@ object Curation {
     * table (the fastText-style quantize-and-ship step), so scoring
     * state is O(cap) regardless of corpus growth. */
   def writeNbModel(s: SparkSession, dir: String, path: String,
-                   cap: Int = 4096): Unit = {
+                   cap: Int = -1): Unit = {
     import s.implicits._
+    // dial: spark.graft.nb.cap (oracle + driver gate run the default)
+    val c = if (cap > 0) cap else s.conf.get("spark.graft.nb.cap", "4096").toInt
     val (_, lw, pri) = nbCore(s, dir)
-    lw.orderBy(abs($"wq").desc, $"w").limit(cap)
+    lw.orderBy(abs($"wq").desc, $"w").limit(c)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
     pri.coalesce(1).write.mode("overwrite").parquet(s"$path/prior")
     Dedup.unpersistIntermediates(s)
