@@ -1450,11 +1450,14 @@ object StreamQueries {
     * SURVIVOR shares any band bucket — the oracle replays gate + NB
     * train/cap/score + bands over survivors in one SQL chain, so one
     * hash gates all three stages AND their composition order. */
-  def streamCorpusPipeline(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+  /** The gate→score→ownership core of [[streamCorpusPipeline]] as an
+    * UNSUNK Dataset over any streaming documents frame — split out so
+    * PipelineRestartSpec can attach its own checkpointed foreachBatch
+    * sink and drive stop → restart (the memory sink the drain uses
+    * cannot recover from a checkpoint), mirroring [[nearDupHits]]. */
+  private[graft] def pipelineOwned(s: SparkSession, stream: DataFrame,
+      model: String): org.apache.spark.sql.Dataset[PipeOwn] = {
     import s.implicits._
-    val model = graft.operators.Curation.nbModelPath(s, dir)
-    val (in, name) = stageInput(s, dir, "documents.parquet", "corpuspipe")
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
     def update(key: (Int, String), rows: Iterator[PipeBandRow],
                state: GroupState[Long]): Iterator[PipeOwn] = {
       val rs = rows.toSeq.sortBy(_.doc_id)
@@ -1466,15 +1469,22 @@ object StreamQueries {
       state.update(owner)
       out.iterator
     }
-    val gated = qualityGated(s.readStream.schema(schema).parquet(in.toString))
-      .select($"doc_id", $"text")
+    val gated = qualityGated(stream).select($"doc_id", $"text")
     val scored = graft.operators.Curation
       .nbScoreBatch(s, gated, model, keep = Seq("text"))
       .filter($"pred" === 1)
-    val owned = nearDupBands(scored, passthrough = Seq("score_q"))
+    nearDupBands(scored, passthrough = Seq("score_q"))
       .as[PipeBandRow]
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  def streamCorpusPipeline(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val model = graft.operators.Curation.nbModelPath(s, dir)
+    val (in, name) = stageInput(s, dir, "documents.parquet", "corpuspipe")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val owned = pipelineOwned(s, s.readStream.schema(schema).parquet(in.toString), model)
     withRocksDbState(s) {
       val q = owned.writeStream
         .outputMode("update")
