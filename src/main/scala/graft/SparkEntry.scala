@@ -240,6 +240,11 @@ object SparkEntry {
     "layout_zorder"        -> (Maintenance.zorderMap _),
     // ——— similarity search ———
     "sim_topk_brute"      -> (Similarity.topkBrute _),
+    // MMR-diversified retrieval: brute top-30 shortlist (the topkBrute
+    // scan), then a greedy integer argmax 7·relq − 3·maxsimq over the
+    // collected shortlist (≤ dial rows — the rerank convention); the
+    // oracle replays all 10 selections as generated MATERIALIZED CTEs
+    "sim_mmr_diversify"   -> ((s, d) => Similarity.mmrDiversify(s, d)),
     // FAISS-style range_search: every corpus vector at cosine ≥ τ of
     // each probe (10% probe set) — probe batch broadcasts, corpus scans
     // once; exact, so hash-gated
@@ -692,6 +697,45 @@ object SparkEntry {
         |pri AS (SELECT
         |    CAST(floor((ln((d1 + 1) / (d1 + d0 + 2.0)) - ln((d0 + 1) / (d1 + d0 + 2.0))) * 1e9 + 0.5) AS BIGINT) AS pq
         |  FROM tots)""".stripMargin
+
+  /** `sim_mmr_diversify`'s oracle: the brute shortlist + pairwise
+    * micro-unit cosines, then each of the 10 greedy MMR selections
+    * replayed as a generated MATERIALIZED CTE pair (sᵢ = the integer
+    * argmax among candidates not yet in selᵢ₋₁; selᵢ = selᵢ₋₁ ∪ sᵢ) —
+    * MATERIALIZED is load-bearing: the selᵢ chain references selᵢ₋₁
+    * twice, so inlined CTEs would expand 2^k copies of the whole
+    * plan. Every data-dependent selection is hash-gated, not just the
+    * final set. */
+  private val MmrOracleSql: String = {
+    val base =
+      """WITH n AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS MATERIALIZED (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0),
+        |rel AS MATERIALIZED (SELECT vec_id, CAST(round(list_dot_product(emb, q_emb) / (nrm * q_nrm) * 1e6) AS BIGINT) AS relq
+        |        FROM n, q WHERE vec_id <> 0),
+        |sl AS MATERIALIZED (SELECT n.vec_id, n.emb, n.nrm, r.relq FROM n JOIN rel r USING (vec_id)
+        |       ORDER BY r.relq DESC, n.vec_id LIMIT 30),
+        |ps AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         CAST(round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 1e6) AS BIGINT) AS sq
+        |       FROM sl a JOIN sl b ON a.vec_id <> b.vec_id)""".stripMargin
+    val steps = (1 to 10).map { i =>
+      if (i == 1)
+        """s1 AS MATERIALIZED (SELECT vec_id, relq, 7 * relq AS mmr_q FROM sl ORDER BY 7 * relq DESC, vec_id LIMIT 1),
+          |sel1 AS MATERIALIZED (SELECT vec_id FROM s1)""".stripMargin
+      else
+        s"""s$i AS MATERIALIZED (SELECT c.vec_id, c.relq,
+           |    7 * c.relq - 3 * (SELECT max(sq) FROM ps WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel${i - 1})) AS mmr_q
+           |  FROM sl c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |  ORDER BY mmr_q DESC, c.vec_id LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }
+    val finals = (1 to 10).map { i =>
+      s"SELECT $i AS sel_rank, vec_id, round(CAST(relq AS DOUBLE)/1e6, 6) AS cos_sim, mmr_q FROM s$i"
+    }.mkString("\nUNION ALL\n")
+    base + ",\n" + steps.mkString(",\n") + "\n" + finals + "\nORDER BY sel_rank"
+  }
 
   /** The minhash band CTEs (documents → (doc_id, band, band_hash)) every
     * near-dup stream oracle builds on — identical hash family to the
@@ -1799,6 +1843,8 @@ object SparkEntry {
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_semantic_kmeans_exact" -> QuantKmeansOracleSql,
+
+    "sim_mmr_diversify" -> MmrOracleSql,
 
     "sim_range_search" ->
       """WITH n AS (

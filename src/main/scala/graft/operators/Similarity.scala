@@ -71,6 +71,69 @@ object Similarity {
       .orderBy($"q_id", $"vec_id")
   }
 
+  /** MMR-DIVERSIFIED retrieval — Maximal Marginal Relevance re-ranking
+    * of a brute top-`shortN` shortlist (Carbonell & Goldstein '98):
+    * greedily select k results maximizing λ·relevance − (1−λ)·max
+    * similarity to what's already selected, the standard
+    * diversity-aware selection for retrieval-augmented sampling and
+    * few-shot example picking (near-duplicate hits crowd a plain
+    * top-k; MMR trades tail relevance for coverage).
+    *
+    * Scale shape: the DISTRIBUTED work is the corpus scan — one
+    * broadcast of the query vector, TakeOrdered top-`shortN`, exactly
+    * [[topkBrute]]'s plan — plus one shortN² pairwise-cosine self-join
+    * of the shortlist. The greedy loop itself is O(k·shortN) over the
+    * collected shortlist (≤ `shortN` rows + shortN² pairs — the
+    * rerank-shortlist convention: bounded by the dial, never the
+    * corpus), so at 100 TB the cost is the scan, not the re-rank.
+    *
+    * Determinism: both cosine families quantize to integer micro-units
+    * (`round(cos·1e6)` as BIGINT) and the MMR objective is the exact
+    * integer `7·relq − 3·maxsimq` (λ = 0.7 ×10), so every selection is
+    * an integer argmax with vec_id ascending as the tiebreak — the
+    * DuckDB oracle replays all k steps as generated MATERIALIZED CTEs
+    * and the hash gates the full selection order. */
+  def mmrDiversify(s: SparkSession, dir: String,
+                   shortN: Int = 30, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val sl = e.filter($"vec_id" =!= 0)
+      .join(broadcast(q))
+      .select($"vec_id", $"embedding", $"nrm",
+        expr("cast(round(graft_dot(embedding, q_emb) / (nrm * q_nrm) * 1e6) as bigint)")
+          .as("relq"))
+      .orderBy($"relq".desc, $"vec_id")
+      .limit(shortN)
+    // driver-bounded by the dial: ≤ shortN rows and shortN² pairs
+    val pairs = sl.as("a").join(sl.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        (call_function("graft_dot", $"a.embedding", $"b.embedding") /
+          ($"a.nrm" * $"b.nrm") * lit(1e6)).as("sqx"))
+      .select($"va", $"vb", round($"sqx").cast("long").as("sq"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val cands = sl.select($"vec_id", $"relq").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val remaining = scala.collection.mutable.LinkedHashMap(cands: _*)
+    val sel = Seq.newBuilder[(Int, Long, Long, Long)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val (bid, brel, bscore) = remaining.iterator.map { case (id, relq) =>
+        val ms = if (chosen.isEmpty) 0L else chosen.map(c => pairs((id, c))).max
+        (id, relq, 7L * relq - 3L * ms)
+      }.maxBy { case (id, _, sc) => (sc, -id) }
+      sel += ((rank, bid, brel, bscore))
+      chosen += bid
+      remaining.remove(bid)
+      rank += 1
+    }
+    sel.result().toDF("sel_rank", "vec_id", "relq", "mmr_q")
+      .select($"sel_rank", $"vec_id",
+        round($"relq".cast("double") / 1e6, 6).as("cos_sim"), $"mmr_q")
+  }
+
   /** FILTERED vector search — top-k cosine under a metadata predicate
     * (here: the neighbor must share the query's `label`), the
     * "filtered ANN" every production vector store exposes: retrieval
