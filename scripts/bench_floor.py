@@ -13,6 +13,15 @@ round-over-round regressions. Protocol fix (VERDICT r7 #2):
      the cross-process spread envelope of BOTH rounds; everything
      smaller is box noise by construction.
 
+r9 addendum: the min-of-mins is itself a one-sided noisy statistic at
+N=3 — r8's text_inverted_index floor (0.84s) was one lucky process
+([1.51, 0.84, 1.39]), and r9's first compare flagged it +0.95s "REAL"
+against unchanged code. Before believing a REAL flag, check whether
+the new floor falls inside the OLD round's per-process min range
+(per_process_mins in the artifact), and buy extra processes for the
+movers (merge accepts any number of run files); r9's 10-process merge
+cleared every flagged regression without a code change.
+
 Usage:
     python3 scripts/bench_floor.py run  [N] [sfDir]   # run + merge
     python3 scripts/bench_floor.py merge f1.json f2.json ...
