@@ -82,7 +82,10 @@ class DegenerateInputSpec extends AnyFunSuite {
       "stream_corpus_nb_score" -> (() => graft.queries.StreamQueries.streamCorpusNbScore(spark, emptyDir).count()),
       // all three composed tiers collapse to empty: no gated docs, no
       // scorable docs, an empty bucket store — the drain still runs
-      "stream_corpus_pipeline" -> (() => graft.queries.StreamQueries.streamCorpusPipeline(spark, emptyDir).count()))
+      "stream_corpus_pipeline" -> (() => graft.queries.StreamQueries.streamCorpusPipeline(spark, emptyDir).count()),
+      // no query vector, so the shortlist and pairwise relations are
+      // empty and the greedy loop never iterates
+      "sim_mmr_diversify" -> (() => graft.operators.Similarity.mmrDiversify(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>
