@@ -252,7 +252,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // materialize it once; every model/score branch must read THAT, so
     // the final plan may not contain a documents scan (r8 re-tokenized
     // the corpus once per branch — 3x the scan cost at 100 TB)
-    Seq("corpus_dsir", "text_lm_score").foreach { q =>
+    // corpus_quality_classifier shares the convention: the (doc, label,
+    // word) count grain checkpoints once, and class totals, per-word
+    // weights, the prior AND the scoring join all read that relation
+    Seq("corpus_dsir", "text_lm_score", "corpus_quality_classifier").foreach { q =>
       try {
         val p = plan(q)
         assert(!p.contains("documents.parquet"),
