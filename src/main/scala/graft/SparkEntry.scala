@@ -1996,14 +1996,17 @@ object SparkEntry {
     // by integer cross-multiplication, add-one-smoothed conditional
     // counts on the even-doc_id half, per-word weights and the prior
     // quantized to integer nano-units, exact integer log-odds sums
+    // LEFT joins end-to-end (out-of-vocab tokens contribute 0, an
+    // all-OOV/empty doc scores exactly the prior) so the batch contract
+    // is the streaming scorer's, just with the uncapped weight relation
     "corpus_quality_classifier" -> (NbTrainCtes + """,
-        |wt AS (SELECT c.doc_id, max(c.y) AS y, CAST(sum(c.n * w.wq) AS BIGINT) AS sw
-        |       FROM cnt c JOIN lw w USING (w) GROUP BY 1)
-        |SELECT wt.doc_id, CAST(wt.y AS INT) AS y_weak,
-        |  round(CAST(p.pq + wt.sw AS DOUBLE) / 1e9, 4) AS nb_logodds,
-        |  CAST(CASE WHEN p.pq + wt.sw > 0 THEN 1 ELSE 0 END AS INT) AS pred,
-        |  CAST(wt.doc_id % 2 = 0 AS INT) AS in_train
-        |FROM wt, pri p ORDER BY wt.doc_id""".stripMargin),
+        |wt AS (SELECT c.doc_id, CAST(sum(c.n * COALESCE(w.wq, 0)) AS BIGINT) AS sw
+        |       FROM cnt c LEFT JOIN lw w USING (w) GROUP BY 1)
+        |SELECT l.doc_id, CAST(l.y AS INT) AS y_weak,
+        |  round(CAST(p.pq + COALESCE(wt.sw, 0) AS DOUBLE) / 1e9, 4) AS nb_logodds,
+        |  CAST(CASE WHEN p.pq + COALESCE(wt.sw, 0) > 0 THEN 1 ELSE 0 END AS INT) AS pred,
+        |  CAST(l.doc_id % 2 = 0 AS INT) AS in_train
+        |FROM lab l LEFT JOIN wt USING (doc_id), pri p ORDER BY l.doc_id""".stripMargin),
 
     // the streaming scorer reads the PERSISTED capped model; the oracle
     // retrains from the corpus and replays the cap (|wq| desc, word — a

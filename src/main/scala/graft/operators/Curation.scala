@@ -603,14 +603,21 @@ object Curation {
     * every smoothed ratio strictly positive. */
   def nbQualityClassifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (cnt, lw, pri) = nbCore(s, dir)
-    cnt.join(lw, "w") // vocab-sized model relation — distributed equi-join
+    val (labels, cnt, lw, pri) = nbCore(s, dir)
+    // LEFT joins end-to-end so the batch contract matches the streaming
+    // scorer's: a token outside the even-half training vocabulary
+    // contributes 0 (COALESCE), and a document with no scorable tokens
+    // at all (empty text) scores exactly the prior — never dropped.
+    val sw = cnt.join(lw, Seq("w"), "left") // vocab-sized model relation
       .groupBy($"doc_id")
-      .agg(max($"y").as("y"), sum($"n" * $"wq").cast("long").as("sw"))
+      .agg(sum($"n" * coalesce($"wq", lit(0L))).cast("long").as("sw"))
+    labels.join(sw, Seq("doc_id"), "left")
       .crossJoin(broadcast(pri)) // 1-row prior joins AFTER the per-doc sum
       .select($"doc_id", $"y".cast("int").as("y_weak"),
-        round(($"pq" + $"sw").cast("double") / lit(1e9), 4).as("nb_logodds"),
-        when($"pq" + $"sw" > 0, 1).otherwise(0).cast("int").as("pred"),
+        round(($"pq" + coalesce($"sw", lit(0L))).cast("double") / lit(1e9), 4)
+          .as("nb_logodds"),
+        when($"pq" + coalesce($"sw", lit(0L)) > 0, 1).otherwise(0)
+          .cast("int").as("pred"),
         ($"doc_id" % 2 === 0).cast("int").as("in_train"))
       .orderBy($"doc_id")
   }
@@ -619,7 +626,8 @@ object Curation {
     * persisted-model path ([[nbModelPath]]): the materialized
     * (doc, label, word) count grain, the quantized per-word weight
     * relation, and the 1-row quantized prior. */
-  private def nbCore(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private def nbCore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val lab = docs(s, dir).select($"doc_id", $"text",
       when(expr("size(filter(split(lower(text), ' '), x -> x = 'hash'))") * 25 >=
@@ -652,7 +660,7 @@ object Curation {
       floor((log(($"d1" + lit(1)) / ($"d1" + $"d0" + lit(2.0))) -
              log(($"d0" + lit(1)) / ($"d1" + $"d0" + lit(2.0)))) * lit(1e9) + lit(0.5))
         .cast("long").as("pq"))
-    (cnt, lw, pri)
+    (lab.select($"doc_id", $"y"), cnt, lw, pri)
   }
 
   /** Persist the trained NB model: the top-`cap` weights by
@@ -668,7 +676,7 @@ object Curation {
     import s.implicits._
     // dial: spark.graft.nb.cap (oracle + driver gate run the default)
     val c = if (cap > 0) cap else s.conf.get("spark.graft.nb.cap", "4096").toInt
-    val (_, lw, pri) = nbCore(s, dir)
+    val (_, _, lw, pri) = nbCore(s, dir)
     lw.orderBy(abs($"wq").desc, $"w").limit(c)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
     pri.coalesce(1).write.mode("overwrite").parquet(s"$path/prior")
@@ -704,20 +712,21 @@ object Curation {
         when($"score_q" > 0, 1).otherwise(0).cast("int").as("pred")): _*)
   }
 
-  private val modelStore =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val modelStore = new graft.util.ArtifactStore("nbmodel")
+
+  /** Drop the model store (tests that rewrite a corpus dir in place
+    * must call this, or they score through yesterday's model) — parity
+    * with [[Dedup.clearComponentStore]] / [[TextAnalysis.clearIndexStore]]. */
+  private[graft] def clearModelStore(): Unit = modelStore.clear()
 
   /** Per-process standing NB model artifact for `dir` — trained ONCE
     * (the offline step), then shared by every streaming scorer in the
     * process; the day-2 convention of the persisted dedup/positional
     * indexes. */
   def nbModelPath(s: SparkSession, dir: String): String =
-    modelStore.computeIfAbsent(
-      java.nio.file.Paths.get(dir).toAbsolutePath.toString + "#nbmodel", _ => {
-        val p = java.nio.file.Files.createTempDirectory(
-          graft.util.Fs.scratchDir(s, "nbmodel"), "day1").toAbsolutePath
-        sys.addShutdownHook(graft.util.Fs.deleteRecursively(p))
+    modelStore.get(s,
+      java.nio.file.Paths.get(dir).toAbsolutePath.toString + "#nbmodel") { p =>
         writeNbModel(s, dir, s"$p/model")
         s"$p/model"
-      })
+      }
 }

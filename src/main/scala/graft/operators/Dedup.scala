@@ -609,8 +609,7 @@ object Dedup {
   // soft dedup, the leakage-safe split, repeat bench passes — reads
   // label bytes. Mirrors a production pipeline, where the labeling is
   // computed once per corpus version and shared by its consumers.
-  private val componentStore =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val componentStore = new graft.util.ArtifactStore("components")
 
   /** Drop the process-level label store (tests that rewrite a corpus
     * dir in place must call this, or they read yesterday's labels). */
@@ -618,13 +617,7 @@ object Dedup {
 
   private def storeDir(s: SparkSession, key: String,
                        build: String => Unit): String =
-    componentStore.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files.createTempDirectory(
-        graft.util.Fs.scratchDir(s, "components"), "cc").toAbsolutePath
-      sys.addShutdownHook(graft.util.Fs.deleteRecursively(p))
-      build(p.toString)
-      p.toString
-    })
+    componentStore.get(s, key) { p => build(p); p }
 
   /** [[components]] through the per-process persisted store: label
     * bytes after the first call per corpus. Hash-identical to the

@@ -1258,7 +1258,11 @@ object Similarity {
     * threshold CASE chain (pure integer compares). */
   private def shiftFor(mx: Long, target: Int): Int = {
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(mx)
-    math.max(0, bits - target)
+    // clamp at 62 - target: the SQL twin's generated CASE chain ends in
+    // ELSE 2^(62-target), so without this clamp the two definitions part
+    // ways for mx ≥ 2^62 (unreachable for unit-scale inputs, but the
+    // identity must hold over the full Long range, not a lucky subset)
+    math.min(math.max(0, bits - target), 62 - target)
   }
 
   /** Top-k eigenpairs of a symmetric INTEGER matrix by fixed-point

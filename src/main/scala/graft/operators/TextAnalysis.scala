@@ -494,23 +494,19 @@ object TextAnalysis {
   // Per-process store of the day-1 positional index (the standing
   // artifact a deployment amortizes) — the components-store pattern:
   // first consumer builds + writes, every later call reads index bytes.
-  private val indexStore =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val indexStore = new graft.util.ArtifactStore("textidx")
 
   /** Drop the day-1 index store (tests that rewrite a corpus dir). */
   private[graft] def clearIndexStore(): Unit = indexStore.clear()
 
   private def day1IndexPath(s: SparkSession, dir: String): String =
-    indexStore.computeIfAbsent(
-      java.nio.file.Paths.get(dir).toAbsolutePath.toString + "#textday1", _ => {
-        val p = java.nio.file.Files.createTempDirectory(
-          graft.util.Fs.scratchDir(s, "textidx"), "day1").toAbsolutePath
-        sys.addShutdownHook(graft.util.Fs.deleteRecursively(p))
+    indexStore.get(s,
+      java.nio.file.Paths.get(dir).toAbsolutePath.toString + "#textday1") { p =>
         writePositionalIndexOf(s,
           docs(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= lit(7)),
           s"$p/idx")
         s"$p/idx"
-      })
+      }
 
   /** DAY-2 PHRASE SEARCH — the append lifecycle of the positional
     * index: yesterday's postings are a standing artifact (per-process

@@ -22,4 +22,17 @@ object Fs {
       Files.walk(p)
         .sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+
+  // ONE JVM-wide shutdown hook sweeping every registered scratch path —
+  // a long-lived process touching many corpus dirs accumulates paths in
+  // this set, not hooks in the runtime (each registered hook is a whole
+  // unstarted Thread held for the life of the JVM).
+  private lazy val sweepOnExit = {
+    val set = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+    sys.addShutdownHook(set.forEach(p => deleteRecursively(p)))
+    set
+  }
+
+  /** Register `p` for recursive deletion at JVM shutdown. */
+  def deleteOnExit(p: Path): Unit = sweepOnExit.add(p)
 }

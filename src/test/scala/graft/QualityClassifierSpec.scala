@@ -34,6 +34,27 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(r.filter(($"doc_id" % 2 === 0) =!= ($"in_train" === 1)).count() === 0L)
   }
 
+  test("an all-out-of-vocab (or empty) doc is scored, at exactly the prior") {
+    import spark.implicits._
+    // odd doc_ids are held out of training, so doc 1's unseen token and
+    // doc 3's empty text are outside the even-half vocabulary: the batch
+    // classifier must KEEP them (the streaming scorer's contract) and
+    // score them at exactly the prior log-odds
+    val dir = java.nio.file.Files.createTempDirectory("nb-oov").toString
+    try {
+      Seq((0L, "hash hash table"), (2L, "plain words here"),
+          (1L, "zzqx_never_seen_token"), (3L, ""))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = Curation.nbQualityClassifier(spark, dir)
+        .select($"doc_id", $"nb_logodds").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(r.keySet === Set(0L, 1L, 2L, 3L), "every document is scored")
+      assert(r(1L) === r(3L),
+        "all-OOV and empty docs both score exactly the prior")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("held-out generalization: beats the majority class and is not constant") {
     import spark.implicits._
     val held = Curation.nbQualityClassifier(spark, sf)
