@@ -64,6 +64,9 @@ object RecallCurve {
     for (np <- Seq(2, 4, 8); rr <- Seq(50, 200))
       points += point(s"ivf_pq_nprobe${np}_rerank$rr")(
         Similarity.ivfPqTopk(spark, sfDir, nprobe = np, rerank = rr))
+    // the shipped default: geometry derived from the corpus count
+    // (Similarity.annGeometry) — the row a user gets out of the box
+    points += point("lsh_auto")(Similarity.annLsh(spark, sfDir))
     for ((tables, bits) <- Seq((4, 6), (8, 6), (8, 4))) {
       spark.conf.set("spark.graft.lsh.tables", tables.toString)
       spark.conf.set("spark.graft.lsh.bits", bits.toString)

@@ -1873,24 +1873,32 @@ object SparkEntry {
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim
         |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // geometry is CORPUS-DERIVED exactly as Similarity.annGeometry does
+    // it — g replays bits = clamp(2, 24, ⌊log₂(n/64)⌋) via the integer
+    // bit-length of n//64 (length(bin(m)) - 1 ≡ 63 - nlz(m)) and
+    // tables = max(2, 32/bits) — so ONE SQL string gates every SF
     "sim_ann_lsh" ->
-      """WITH n AS (
+      """WITH g AS (
+        |  SELECT bits, CAST(GREATEST(2, 32 // bits) AS INT) AS tables FROM (
+        |    SELECT CAST(GREATEST(2, LEAST(24,
+        |      length(bin(GREATEST(1, (SELECT count(*) FROM embeddings) // 64))) - 1)) AS INT) AS bits)),
+        |n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
         |  FROM embeddings),
-        |bt AS (SELECT vec_id, emb, nrm,
-        |  list_transform(range(24), p ->
+        |bt AS (SELECT vec_id, emb, nrm, g.bits, g.tables,
+        |  list_transform(range(g.tables * g.bits), p ->
         |    CASE WHEN list_dot_product(emb, list_transform(range(64), j ->
         |      (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2000)
-        |        / 1000.0 - 1.0)) >= 0 THEN 1 ELSE 0 END) AS bits
-        |  FROM n),
-        |bk AS (SELECT vec_id, emb, nrm,
-        |  list_transform(range(4), t ->
-        |    bits[CAST(t*6 AS INT) + 1] + bits[CAST(t*6 AS INT) + 2] * 2 + bits[CAST(t*6 AS INT) + 3] * 4 +
-        |    bits[CAST(t*6 AS INT) + 4] * 8 + bits[CAST(t*6 AS INT) + 5] * 16 + bits[CAST(t*6 AS INT) + 6] * 32) AS buckets
+        |        / 1000.0 - 1.0)) >= 0 THEN 1 ELSE 0 END) AS bitv
+        |  FROM n, g),
+        |bk AS (SELECT vec_id, emb, nrm, tables,
+        |  list_transform(range(tables), t ->
+        |    list_sum(list_transform(range(bits), i ->
+        |      bitv[CAST(t * bits + i AS INT) + 1] * (CAST(1 AS BIGINT) << CAST(i AS INT))))) AS buckets
         |  FROM bt),
-        |tabs AS (SELECT vec_id, emb, nrm, t, buckets[t + 1] AS bucket
-        |  FROM (SELECT vec_id, emb, nrm, buckets, unnest(range(4)) AS t FROM bk)),
+        |tabs AS (SELECT vec_id, emb, nrm, t, buckets[CAST(t AS INT) + 1] AS bucket
+        |  FROM (SELECT vec_id, emb, nrm, buckets, unnest(range(tables)) AS t FROM bk)),
         |q AS (SELECT t AS q_t, bucket AS q_bucket, emb AS q_emb, nrm AS q_nrm
         |      FROM tabs WHERE vec_id = 0)
         |SELECT DISTINCT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim

@@ -440,6 +440,32 @@ object Similarity {
   private[operators] def lshBits(s: SparkSession): Int =
     s.conf.get("spark.graft.lsh.bits", "6").toInt
 
+  /** CORPUS-DERIVED geometry for the recall-oriented ANN query
+    * ([[annLsh]]): with no explicit conf, bucket bits follow the corpus
+    * so the expected bucket occupancy stays ≈64 vectors —
+    * bits = clamp(2, 24, ⌊log₂(n/64)⌋) — and tables spend a fixed
+    * 32-plane budget, tables = max(2, 32/bits): small corpora get wide
+    * buckets and many tables (recall), huge corpora get fine buckets
+    * (candidate volume ∝ n·occupancy, linear in n at fixed occupancy).
+    * The fixed (4, 6) default that this replaces measured recall 0.0 on
+    * the shipped sf0.01 corpus (RECALL_CURVE_r09): 2⁶ buckets over 500
+    * vectors left ~8 per bucket and 4 tables rarely caught a true
+    * neighbor — the k ∝ n lesson of `dedup_semantic_kmeans`, applied to
+    * geometry. Integer-exact derivation (⌊log₂⌋ via leading zeros) with
+    * a bit-identical SQL twin in the oracle (length(bin(m)) - 1), so the
+    * gate holds at every SF from one SQL string. An explicit
+    * `spark.graft.lsh.{tables,bits}` conf wins (the dial sheet's named
+    * operating points); explicit bits also drive the derived tables. */
+  private[operators] def annGeometry(s: SparkSession, n: Long): (Int, Int) = {
+    val bits = s.conf.getOption("spark.graft.lsh.bits").map(_.toInt).getOrElse {
+      val m = math.max(1L, n / 64L)
+      math.max(2, math.min(24, 63 - java.lang.Long.numberOfLeadingZeros(m)))
+    }
+    val tables = s.conf.getOption("spark.graft.lsh.tables").map(_.toInt)
+      .getOrElse(math.max(2, 32 / bits))
+    (tables, bits)
+  }
+
   /** The n×64 hyperplane matrix: component (p, j) is an md5-derived
     * pseudo-random double in [-1, 1). Computed ONCE on the driver (the
     * planes are constants — recomputing 1536 md5s per row was the
@@ -478,13 +504,18 @@ object Similarity {
 
   /** ANN: top-10 cosine neighbors of vec_id = 0 among vectors sharing an
     * LSH bucket with it in at least one table. At scale this reads
-    * ~L/2^bits of the table per query instead of all of it; geometry is
-    * tunable via `spark.graft.lsh.{tables,bits}`. */
+    * ~L/2^bits of the table per query instead of all of it; geometry
+    * defaults to the corpus-derived [[annGeometry]] (constant expected
+    * bucket occupancy — recall at small n, candidate control at large
+    * n), overridable via `spark.graft.lsh.{tables,bits}`. The sizing
+    * count is a zero-column scan (parquet row-group counts, no data
+    * pages) — the one extra job a self-tuning index probe costs. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (tables, bits) = annGeometry(s, emb(s, dir).count())
     val e = emb(s, dir)
       .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
-      .withColumn("buckets", bucketsCol(lshTables(s), lshBits(s)))
+      .withColumn("buckets", bucketsCol(tables, bits))
     val tabs = e.select($"vec_id", $"embedding", $"nrm",
       posexplode($"buckets").as(Seq("t", "bucket")))
     val q = tabs.filter($"vec_id" === 0)

@@ -98,6 +98,26 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assertNoRegression("ivf_pq_nprobe4_rerank50", r)
   }
 
+  test("auto-derived LSH geometry: out-of-the-box recall > 0 on the shipped corpora") {
+    // the r9 fixed default (4 tables × 6 bits) measured recall 0.0 at
+    // sf0.01 (RECALL_CURVE_r09) — correct per its bucket contract, but a
+    // user calling annLsh out of the box got zero true neighbors. The
+    // default geometry is now derived from the corpus count (constant
+    // expected bucket occupancy); this gates that the derived operating
+    // point actually retrieves, at BOTH shipped corpus sizes.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      assert(spark.conf.getOption("spark.graft.lsh.bits").isEmpty,
+        "gate must measure the UNCONFIGURED default")
+      val truth = ids(Similarity.topkBrute(spark, dir))
+      val r = (ids(Similarity.annLsh(spark, dir)) & truth).size / 10.0
+      info(f"recall@10 of annLsh auto geometry at $dir = $r%.2f")
+      assert(r > 0.0, s"auto LSH geometry retrieves nothing at $dir")
+    }
+    val rDefault = (ids(Similarity.annLsh(spark, sf)) &
+      ids(Similarity.topkBrute(spark, sf))).size / 10.0
+    assertNoRegression("lsh_auto", rDefault)
+  }
+
   test("high-recall operating point (the documented default dial) holds its recall") {
     // RECALL_CURVE_r09.json's sweep picked the high-recall dials a real
     // deployment should default to: learned IVF probing 8 of 10 lists
