@@ -2916,6 +2916,7 @@ object SparkEntry {
     // train AND encode, so the encode half is value-hash-gated even
     // though each round's merge is a data-dependent argmax
     "text_bpe_encode" -> graft.operators.Bpe.encodeOracleSql(),
+    "text_bpe_learn" -> graft.operators.Bpe.learnOracleSql(),
     // the streaming twin is exact on this corpus (no shard ever trims:
     // vocabulary ≪ m), so the finite drain shares the oracle verbatim
     "stream_heavy_hitters" -> HeavyHittersOracleSql,

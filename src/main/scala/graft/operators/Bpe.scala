@@ -29,12 +29,13 @@ case class BpeWord(syms: Seq[String], freq: Long)
   * working set is persisted and the previous round's released, so
   * lineage stays one round deep.
   *
-  * [[learn]]'s queries entry is rows-only (its output is the merge
-  * table itself — k data-dependent argmaxes); [[encode]] IS
-  * hash-gated cross-engine via [[encodeOracleSql]], which unrolls the
-  * k rounds as generated CTEs. BpeSpec additionally pins exact parity
-  * against an independent single-threaded reference implementation
-  * plus the monotone-frequency invariant. */
+  * BOTH halves are hash-gated cross-engine: [[encodeOracleSql]] unrolls
+  * the k learn rounds as generated CTEs and encodes with them;
+  * [[learnOracleSql]] shares those CTEs verbatim and emits the merge
+  * table itself, so every data-dependent argmax gates as a value row.
+  * BpeSpec additionally pins exact parity against an independent
+  * single-threaded reference implementation plus the
+  * monotone-frequency invariant. */
 object Bpe {
 
   /** End-of-word sentinel — lets merges learn word-final units ("ing</w>")
@@ -122,7 +123,40 @@ object Bpe {
     * replays the trainer's (cnt DESC, a, b) binary-order tie rule.
     * Scalar subqueries against the 1-row argmax CTE keep an exhausted
     * round (no pairs left) a no-op instead of annihilating the join. */
-  def encodeOracleSql(k: Int = 8): String = {
+  def encodeOracleSql(k: Int = 8): String =
+    s"""${learnCtes(k)},
+       |dict AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM s$k GROUP BY word),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id, word)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, CAST(sum(n * n_sym) AS BIGINT) AS n_tokens
+       |FROM dw JOIN dict USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[learn]] itself: the SAME generated learn-replay
+    * CTEs as [[encodeOracleSql]] (one training definition, shared
+    * verbatim), emitting the merge table instead of encoding with it —
+    * round r's 1-row argmax b_r carries its pair count, so every
+    * data-dependent selection hash-gates as (rank, left, right,
+    * pair_freq). Early exhaustion agrees by construction: an empty
+    * round's argmax is empty (contributes no row) and its merge is a
+    * no-op, so every later round stays empty — exactly [[learn]]'s
+    * stop. */
+  def learnOracleSql(k: Int = 8): String = {
+    val arms = (1 to k).map { r =>
+      s"SELECT $r AS rank, a, b, cnt FROM b$r"
+    }.mkString(" UNION ALL ")
+    s"""${learnCtes(k)}
+       |SELECT CAST(rank AS BIGINT) AS rank, a AS "left", b AS "right",
+       |       CAST(cnt AS BIGINT) AS pair_freq
+       |FROM ($arms) ORDER BY rank""".stripMargin
+  }
+
+  /** The shared learn-replay interior: word-frequency dictionary, the
+    * exploded symbol start state, and k unrolled merge rounds (pair
+    * count → deterministic argmax b_r → leftmost-first merge s_r). */
+  private def learnCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       val prev = if (r == 1) "s0" else s"s${r - 1}"
       s"""pa$r AS MATERIALIZED (
@@ -130,7 +164,7 @@ object Bpe {
          |    SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, freq
          |    FROM $prev)
          |  WHERE b IS NOT NULL GROUP BY a, b),
-         |b$r AS MATERIALIZED (SELECT a, b FROM pa$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |b$r AS MATERIALIZED (SELECT a, b, cnt FROM pa$r ORDER BY cnt DESC, a, b LIMIT 1),
          |c$r AS (
          |  SELECT word, freq, sym,
          |         row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
@@ -160,15 +194,7 @@ object Bpe {
        |  SELECT word, freq, CAST(pos AS INT) AS pos,
        |         CASE WHEN pos <= len(word) THEN substr(word, CAST(pos AS INT), 1) ELSE '$Eow' END AS sym
        |  FROM s0pos),
-       |$rounds,
-       |dict AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM s$k GROUP BY word),
-       |tok AS (
-       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
-       |  FROM documents),
-       |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id, word)
-       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, CAST(sum(n * n_sym) AS BIGINT) AS n_tokens
-       |FROM dw JOIN dict USING (word)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** ENCODE with a learned merge table — the serving half of the
@@ -187,8 +213,8 @@ object Bpe {
     * Hash-gated cross-engine via [[encodeOracleSql]] — the k learn
     * rounds unroll as generated CTEs, so DuckDB replays the full
     * train→encode path including every data-dependent argmax ([[learn]]
-    * itself stays rows-only: its OUTPUT is the merge table, whose
-    * SQL replay is exactly that oracle's interior). BpeSpec additionally
+    * gates separately through [[learnOracleSql]], the same CTEs emitting
+    * the merge table itself). BpeSpec additionally
     * pins exact parity against an independent single-threaded reference
     * on crafted docs, plus the token-count bounds
     * (n_words ≤ n_tokens ≤ chars + words). */
