@@ -319,6 +319,7 @@ object SparkEntry {
     // an append never touches day-1 bytes), the probe reads the union;
     // the full-corpus oracle certifies append ≡ rebuild
     "text_search_day2" -> ((s, d) => TextAnalysis.searchDay2(s, d)),
+    "text_search_compact" -> ((s, d) => TextAnalysis.searchCompact(s, d)),
     // BM25 ranked retrieval: per-(doc,term) contribution quantized to an
     // integer at 1e6 before the per-doc sum (exact cross-engine rank),
     // top-N via TakeOrderedAndProject — no global window over candidates
@@ -2834,6 +2835,21 @@ object SparkEntry {
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
         |  FROM documents),
+        |m AS (SELECT doc_id, unnest(range(len(t) - 1)) AS i, t FROM tk WHERE len(t) >= 2),
+        |hit AS (SELECT doc_id, CAST(i AS BIGINT) AS pos FROM m
+        |        WHERE t[i+1] = 'agg' AND t[i+2] = 'join')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(pos) AS first_pos
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the phrase SQL over the survivor universe (docs not in the
+    // retired ≡ 5 mod 17 takedown slice): one hash certifies that a
+    // retired doc can never match (its postings are gone from the
+    // compacted index) and that survivors are byte-identical to a
+    // fresh index of the survivor corpus — compaction ≡ rebuild
+    "text_search_compact" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 17 <> 5),
         |m AS (SELECT doc_id, unnest(range(len(t) - 1)) AS i, t FROM tk WHERE len(t) >= 2),
         |hit AS (SELECT doc_id, CAST(i AS BIGINT) AS pos FROM m
         |        WHERE t[i+1] = 'agg' AND t[i+2] = 'join')

@@ -538,6 +538,68 @@ object TextAnalysis {
     }
   }
 
+  /** DAY-2 COMPACTION — deletion support for the positional index,
+    * closing the text family's lifecycle gap with the dedup/PQ indexes
+    * ([[Dedup.compactIndex]], `sim_pq_index_day2`): drop every retired
+    * document's rows from the postings AND the doc-length sidecar and
+    * rewrite both in the SAME layout [[writePositionalIndexOf]]
+    * produces (word-partitioned, (word, doc_id)-sorted — the pushed
+    * word-IN probe keeps its row-group skipping). Takes the UNION of
+    * posting file sets, so one compaction pass also folds day-N appends
+    * back into a single set (the retention + small-file job in one).
+    * Cost is one broadcast anti-join + rewrite per relation — index
+    * bytes, never a corpus re-tokenize; at 100 TB this is the takedown
+    * job that actually deletes a document from search. Both relations
+    * are per-doc deterministic functions, so removal commutes with
+    * construction: the compacted index is bit-equivalent to an index
+    * built fresh from the surviving documents (pinned in
+    * CorpusToolsSpec; the `text_search_compact` oracle is the phrase
+    * SQL over the survivor universe). */
+  private[graft] def compactPositionalIndex(
+      s: SparkSession, indexPaths: Seq[String], retired: DataFrame,
+      outPath: String): Unit = {
+    import s.implicits._
+    val gone = broadcast(retired.select($"doc_id").distinct())
+    s.read.parquet(indexPaths: _*)
+      .join(gone, Seq("doc_id"), "left_anti")
+      .repartition($"word")
+      .sortWithinPartitions($"word", $"doc_id")
+      .write.mode("overwrite").parquet(outPath)
+    s.read.parquet(indexPaths.map(doclenPath): _*)
+      .join(gone, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(doclenPath(outPath))
+  }
+
+  /** `text_search_compact`: the full deletion lifecycle of the
+    * positional index — standing day-1 postings (the per-process
+    * store, doc_id ≢ 7 mod 10), APPEND the day-2 batch (≡ 7), RETIRE a
+    * takedown slice (doc_id ≡ 5 mod 17, the `dedup_index_compact`
+    * convention), COMPACT the union into one survivor set, and answer
+    * the phrase query from the compacted index alone. The oracle is
+    * the usual phrase SQL over documents excluding the retired slice,
+    * so one hash certifies both halves: a retired doc can never match
+    * (its postings are gone) and survivors rank byte-identical to a
+    * fresh index of the survivor corpus. */
+  def searchCompact(s: SparkSession, dir: String,
+                    phrase: Seq[String] = Seq("agg", "join")): DataFrame = {
+    import s.implicits._
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val day1 = day1IndexPath(s, dir)
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "textidx"), "compact").toAbsolutePath
+    try {
+      writePositionalIndexOf(s,
+        docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === lit(7)),
+        s"$base/batch")
+      val retired = docs(s, dir)
+        .filter(pmod($"doc_id", lit(17)) === lit(5)).select($"doc_id")
+      compactPositionalIndex(s, Seq(day1, s"$base/batch"), retired, s"$base/day2")
+      val out = searchIndex(s, s.read.parquet(s"$base/day2"), phrase)
+      // materialize before the finally-delete of batch + compacted files
+      Dedup.trackCheckpoint(out.localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** Bigram language-model scoring — the CCNet/KenLM-style perplexity
     * filter of a pre-training pipeline: train an add-one-smoothed bigram
     * LM on a reference slice (here the `trainLang` documents) and score

@@ -60,6 +60,47 @@ class CorpusToolsSpec extends AnyFunSuite {
       "day-2 appended index drifted from the from-scratch index")
   }
 
+  test("text_search_compact: retired docs actually vanish, survivors ≡ fresh rebuild (phrase + BM25)") {
+    import spark.implicits._
+    // at sf0.001 the ≡ 5 mod 17 takedown slice CONTAINS matching docs,
+    // so this corpus genuinely exercises the deletion (the sf0.01
+    // driver corpus happens to retire no matching doc for this phrase)
+    val full = TextAnalysis.search(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    val retiredMatches = full.keySet.filter(_ % 17 == 5)
+    assert(retiredMatches.nonEmpty,
+      "fixture drift: the takedown slice must contain phrase matches for this pin to bite")
+    val compacted = TextAnalysis.searchCompact(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    assert(retiredMatches.forall(id => !compacted.contains(id)),
+      "a retired doc still matches through the compacted index")
+    // compaction ≡ rebuild: surviving matches are exactly the full
+    // result minus the retired slice, row for row
+    assert(compacted === full.filter { case (id, _) => id % 17 != 5 })
+
+    // the BM25 probe through a compacted index equals the probe through
+    // a fresh index of the survivors (same scoring core, so any
+    // difference is a compaction defect, not arithmetic drift)
+    val scratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "tsc").toString
+    try {
+      val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      TextAnalysis.writePositionalIndexOf(spark, docsDf, s"$scratch/all")
+      TextAnalysis.compactPositionalIndex(spark, Seq(s"$scratch/all"),
+        docsDf.filter(pmod($"doc_id", lit(17)) === 5).select($"doc_id"),
+        s"$scratch/compact")
+      TextAnalysis.writePositionalIndexOf(spark,
+        docsDf.filter(pmod($"doc_id", lit(17)) =!= 5), s"$scratch/fresh")
+      val viaCompact = TextAnalysis.bm25ViaIndex(spark,
+        Seq(s"$scratch/compact"), Seq("dup", "merge")).collect().map(_.toString)
+      val viaFresh = TextAnalysis.bm25ViaIndex(spark,
+        Seq(s"$scratch/fresh"), Seq("dup", "merge")).collect().map(_.toString)
+      assert(viaCompact.nonEmpty && viaCompact.sameElements(viaFresh),
+        "BM25 through the compacted index drifted from a fresh survivor index")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(scratch))
+    Dedup.unpersistIntermediates(spark)
+  }
+
   test("stream_corpus_quality_gate ≡ the fused batch quality+langid filter") {
     import spark.implicits._
     // the streaming gate is a stateless per-doc function, so its rows
