@@ -271,6 +271,7 @@ object SparkEntry {
     // (k-means training → rows-only; recall ladder + rerank-all ≡ exact
     // identity pinned in SimilarityRecallSpec)
     "sim_ivf_pq"          -> ((s, d) => Similarity.ivfPqTopk(s, d)),
+    "sim_pq_exact"        -> (Similarity.pqExact _),
     // persisted-PQ-index twin (build + write + read in one run, like
     // dedup_incremental_idx): codes partitioned by coarse list so probe
     // filters prune whole directories; persisted ≡ recomputed pinned
@@ -1034,6 +1035,92 @@ object SparkEntry {
       |  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.3)
       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM $last
       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id""".stripMargin
+  }
+
+  /** `sim_pq_exact`: generated-CTE replay of the integer-exact PQ twin —
+    * per SUBSPACE, the same farthest-point seeding + integer Lloyd
+    * rounds as [[QuantKmeansOracleSql]] over the milli-quantized slice
+    * (DuckDB 1-based inclusive list slicing), then the final assignment
+    * IS the encode (tie → lowest code via the (d², cluster) row_number)
+    * and the query-0 ADC lookup joins each vector's assigned
+    * sub-centroid against the quantized query slice — integer dot
+    * products exact in doubles (all terms ≪ 2^53), cast back to BIGINT.
+    * One static SQL at the fixed gate geometry (M=4, Sub=16, Ksub=4,
+    * Iters=3), valid at every SF. */
+  private val PqExactOracleSql: String = {
+    val M = 4; val Sub = 16; val Ksub = 4; val Iters = 3
+    def d2(a: String, b: String): String =
+      s"(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])) - " +
+        s"2*list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) + " +
+        s"list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += """WITH nv AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT vec_id, list_transform(emb, x -> CAST(round(x / nrm * 1000) AS BIGINT)) AS q
+      |  FROM nv WHERE nrm > 0)""".stripMargin
+    for (m <- 0 until M) {
+      val off = m * Sub
+      parts += s"qs$m AS MATERIALIZED (SELECT vec_id, q[${off + 1}:${off + Sub}] AS q FROM qv)"
+      parts += s"seed${m}_0 AS (SELECT 0 AS cluster, q AS c FROM qs$m " +
+        s"WHERE vec_id = (SELECT min(vec_id) FROM qs$m))"
+      for (i <- 1 until Ksub) {
+        val prev = (0 until i).map(j => s"SELECT cluster, c FROM seed${m}_$j")
+          .mkString(" UNION ALL ")
+        parts += s"""seeds${m}_${i}_prev AS ($prev),
+          |seed${m}_$i AS (
+          |  SELECT $i AS cluster, q AS c FROM (
+          |    SELECT v.vec_id, v.q, min(${d2("v.q", "s.c")}) AS dm
+          |    FROM qs$m v CROSS JOIN seeds${m}_${i}_prev s
+          |    GROUP BY v.vec_id, v.q)
+          |  ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin
+      }
+      parts += s"cent${m}_0 AS (" +
+        (0 until Ksub).map(j => s"SELECT cluster, c FROM seed${m}_$j").mkString(" UNION ALL ") + ")"
+      for (it <- 0 until Iters) {
+        parts += s"""asn${m}_$it AS MATERIALIZED (
+          |  SELECT vec_id, q, cluster FROM (
+          |    SELECT v.vec_id, v.q, c.cluster,
+          |      row_number() OVER (PARTITION BY v.vec_id
+          |        ORDER BY ${d2("v.q", "c.c")}, c.cluster) AS rn
+          |    FROM qs$m v CROSS JOIN cent${m}_$it c) WHERE rn = 1)""".stripMargin
+        if (it < Iters - 1)
+          parts += s"""upd${m}_$it AS (
+            |  SELECT cluster, list(CAST(mv AS BIGINT) ORDER BY j) AS c FROM (
+            |    SELECT cluster, j,
+            |      CASE WHEN S >= 0 THEN (2*S + cnt) // (2*cnt)
+            |           ELSE -((2*(-S) + cnt) // (2*cnt)) END AS mv
+            |    FROM (
+            |      SELECT cluster, j, SUM(q[j + 1]) AS S, count(*) AS cnt
+            |      FROM (SELECT cluster, q, unnest(range($Sub)) AS j FROM asn${m}_$it)
+            |      GROUP BY 1, 2))
+            |  GROUP BY cluster),
+            |cent${m}_${it + 1} AS (
+            |  SELECT p.cluster, coalesce(u.c, p.c) AS c
+            |  FROM cent${m}_$it p LEFT JOIN upd${m}_$it u USING (cluster))""".stripMargin
+      }
+      parts += s"""lut$m AS (
+        |  SELECT c.cluster,
+        |    CAST(list_dot_product(CAST(qq.q AS DOUBLE[]), CAST(c.c AS DOUBLE[])) AS BIGINT) AS lv
+        |  FROM cent${m}_${Iters - 1} c, (SELECT q FROM qs$m WHERE vec_id = 0) qq)""".stripMargin
+    }
+    val last = Iters - 1
+    parts.mkString(",\n") + s"""
+      |SELECT a0.vec_id,
+      |  CAST(a0.cluster AS BIGINT) AS c0, CAST(a1.cluster AS BIGINT) AS c1,
+      |  CAST(a2.cluster AS BIGINT) AS c2, CAST(a3.cluster AS BIGINT) AS c3,
+      |  CAST(l0.lv + l1.lv + l2.lv + l3.lv AS BIGINT) AS adc_q
+      |FROM asn0_$last a0
+      |JOIN asn1_$last a1 USING (vec_id)
+      |JOIN asn2_$last a2 USING (vec_id)
+      |JOIN asn3_$last a3 USING (vec_id)
+      |JOIN lut0 l0 ON l0.cluster = a0.cluster
+      |JOIN lut1 l1 ON l1.cluster = a1.cluster
+      |JOIN lut2 l2 ON l2.cluster = a2.cluster
+      |JOIN lut3 l3 ON l3.cluster = a3.cluster
+      |ORDER BY a0.vec_id""".stripMargin
   }
 
   /** `sim_pca_project`: generated-CTE replay of the ENTIRE fixed-point
@@ -1844,6 +1931,8 @@ object SparkEntry {
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_semantic_kmeans_exact" -> QuantKmeansOracleSql,
+
+    "sim_pq_exact" -> PqExactOracleSql,
 
     "sim_mmr_diversify" -> MmrOracleSql,
 

@@ -293,17 +293,47 @@ object Similarity {
       .withColumn("q",
         expr("transform(embedding, x -> cast(round(x / nrm * 1000) as bigint))")))
     val data = base.select($"vec_id", $"q").as[(Long, Array[Long])]
-    def d2(a: Array[Long], b: Array[Long]): Long = {
-      var d = 0L; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
-      d
-    }
-    // farthest-point seeding: seed 0 = min vec_id; each next seed
-    // maximizes distance to its nearest chosen seed (tie → lowest id).
-    // One argmax reduce per seed — selection under a total order, so
-    // the tree reduction is order-insensitive.
+    val cent = quantizedKmeansCentroids(s, data, k, iters)
+    val bc = s.sparkContext.broadcast(cent)
+    base.select($"vec_id", $"embedding", $"nrm", $"q")
+      .as[(Long, Array[Float], Double, Array[Long])]
+      .map { case (id, embv, nrm, q) =>
+        var best = 0; var bd = Long.MaxValue; var i = 0
+        while (i < bc.value.length) {
+          val d = d2(q, bc.value(i)); if (d < bd) { bd = d; best = i }; i += 1
+        }
+        (id, best.toLong, embv, nrm)
+      }
+      .toDF("vec_id", "cluster", "embedding", "nrm")
+  }
+
+  /** Exact integer squared L2 between quantized vectors — the one
+    * distance every integer trainer/encoder in this file ranks on. */
+  private def d2(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** The integer k-means CORE (farthest-point seeding + exact integer
+    * Lloyd updates) over an arbitrary quantized dataset — extracted
+    * from [[quantizedKmeansAssignment]] so the integer-exact PQ twin
+    * ([[pqExact]]) trains each SUBSPACE with bit-identical arithmetic.
+    * Seed 0 = the min-vec_id vector; each next seed maximizes distance
+    * to its nearest chosen seed (tie → lowest id) — one argmax reduce
+    * per seed, selection under a total order so the tree reduction is
+    * order-insensitive. `iters` means iters−1 centroid updates (the
+    * caller's final assignment is the iters-th pass); empty clusters
+    * keep their centroid; updates round half away from zero in
+    * integers. All mirrored CTE-for-CTE by the replay oracles. */
+  private[graft] def quantizedKmeansCentroids(s: SparkSession,
+      data: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      k: Int, iters: Int): Array[Array[Long]] = {
+    import s.implicits._
+    // the id is the tuple's first field whatever the caller named it
+    // ("vec_id" from the assignment path, "_1" from a mapped slice)
     val seeds = scala.collection.mutable.ArrayBuffer(
-      data.orderBy($"vec_id").head()._2)
+      data.orderBy(col(data.columns.head)).head()._2)
     for (_ <- 1 until k) {
       val bcS = s.sparkContext.broadcast(seeds.toArray)
       val pick = data.map { case (id, q) =>
@@ -316,9 +346,6 @@ object Similarity {
       seeds += pick._3
     }
     var cent: Array[Array[Long]] = seeds.toArray
-    // iters assignment passes = iters−1 centroid updates (the final
-    // assignment is the output); empty clusters keep their centroid —
-    // both mirrored by the oracle's unrolled CTEs
     for (_ <- 0 until iters - 1) {
       val bc = s.sparkContext.broadcast(cent)
       val partials = data.mapPartitions { rows =>
@@ -356,17 +383,7 @@ object Similarity {
       }
       cent = next
     }
-    val bc = s.sparkContext.broadcast(cent)
-    base.select($"vec_id", $"embedding", $"nrm", $"q")
-      .as[(Long, Array[Float], Double, Array[Long])]
-      .map { case (id, embv, nrm, q) =>
-        var best = 0; var bd = Long.MaxValue; var i = 0
-        while (i < bc.value.length) {
-          val d = d2(q, bc.value(i)); if (d < bd) { bd = d; best = i }; i += 1
-        }
-        (id, best.toLong, embv, nrm)
-      }
-      .toDF("vec_id", "cluster", "embedding", "nrm")
+    cent
   }
 
   /** Salt needed to hold per-task pair work near 2M dot products given
@@ -966,6 +983,73 @@ object Similarity {
         expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)
+  }
+
+  /** `sim_pq_exact`: the INTEGER-EXACT PQ twin — the
+    * `dedup_semantic_kmeans_exact` recipe (quantized integer training +
+    * generated CTE-replay oracle) applied to product quantization, so
+    * the last learned-operator family gains an end-to-end hash gate.
+    * Fixed gate geometry (4 subspaces × 16 dims, 4 sub-centroids, 3
+    * iterations — valid at every SF under one static SQL): unit vectors
+    * quantize to integer milli-units, each subspace trains through
+    * [[quantizedKmeansCentroids]] (farthest-point seeding + exact
+    * integer Lloyd rounds), every vector ENCODES as its per-subspace
+    * nearest sub-centroid (exact integer d², tie → lowest code), and
+    * the query-0 ADC lookup table is the exact integer dot of the
+    * quantized query slice with each sub-centroid — so codes AND the
+    * additive ADC score are integers both engines must reproduce bit
+    * for bit. Any drift in seeding, tie rules, centroid rounding,
+    * update count, encode, or LUT arithmetic hash-fails. The production
+    * [[ivfPqTopk]] / persisted-index path keeps its float trainer and
+    * recall-artifact contract; this entry certifies the PQ train→encode
+    * →ADC MECHANICS cross-engine. */
+  def pqExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val pqM = 4; val ksub = 4; val iters = 3
+    val data = Dedup.tracked(emb(s, dir)
+      .select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+      .filter($"nrm" > 0)
+      .select($"vec_id", expr(
+        "transform(embedding, x -> cast(round(x / nrm * 1000) as bigint))").as("q")))
+      .as[(Long, Array[Long])]
+    val dim = data.head()._2.length
+    require(dim % pqM == 0, s"pqM=$pqM must divide dim=$dim")
+    val sub = dim / pqM
+    val books: Array[Array[Array[Long]]] = (0 until pqM).toArray.map { m =>
+      quantizedKmeansCentroids(s,
+        data.map { case (id, q) =>
+          (id, java.util.Arrays.copyOfRange(q, m * sub, (m + 1) * sub)) },
+        ksub, iters)
+    }
+    val qv = data.filter(_._1 == 0L).head()._2
+    val lut: Array[Array[Long]] = Array.tabulate(pqM, ksub) { (m, c) =>
+      var acc = 0L; var j = 0
+      while (j < sub) { acc += qv(m * sub + j) * books(m)(c)(j); j += 1 }
+      acc
+    }
+    val bc = s.sparkContext.broadcast((books, lut))
+    data.map { case (id, q) =>
+      val (bks, l) = bc.value
+      val codes = new Array[Int](bks.length)
+      var adc = 0L
+      var m = 0
+      while (m < bks.length) {
+        val w = q.length / bks.length
+        var best = 0; var bd = Long.MaxValue; var c = 0
+        while (c < bks(m).length) {
+          var d = 0L; var j = 0
+          while (j < w) { val t = q(m * w + j) - bks(m)(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        codes(m) = best
+        adc += l(m)(best)
+        m += 1
+      }
+      (id, codes(0).toLong, codes(1).toLong, codes(2).toLong, codes(3).toLong, adc)
+    }.toDF("vec_id", "c0", "c1", "c2", "c3", "adc_q")
+      .orderBy($"vec_id")
   }
 
   /** PERSIST the PQ index: the encoded code relation PARTITIONED BY

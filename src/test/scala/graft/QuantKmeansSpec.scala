@@ -21,6 +21,30 @@ class QuantKmeansSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("sim_pq_exact: deterministic, codes span multiple sub-centroids, ADC consistent with codes") {
+    import spark.implicits._
+    try {
+      val a = Similarity.pqExact(spark, sf).collect().map(_.toString)
+      val b = Similarity.pqExact(spark, sf).collect().map(_.toString)
+      assert(a.nonEmpty && a.sameElements(b), "integer PQ twin is not deterministic")
+      val rows = Similarity.pqExact(spark, sf)
+        .select($"c0", $"c1", $"c2", $"c3", $"adc_q").collect()
+      // a degenerate trainer would put every vector in sub-centroid 0
+      (0 until 4).foreach { m =>
+        val used = rows.map(_.getLong(m)).toSet
+        assert(used.size >= 2, s"subspace $m collapsed to one code: $used")
+        assert(used.forall(c => c >= 0 && c < 4), s"subspace $m code out of range")
+      }
+      // identical code words ⇒ identical ADC score (ADC is a pure
+      // function of the codes through the query LUT)
+      val byCode = rows.groupBy(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      byCode.foreach { case (code, rs) =>
+        assert(rs.map(_.getLong(4)).toSet.size == 1,
+          s"ADC not a pure function of code word $code")
+      }
+    } finally Dedup.unpersistIntermediates(spark)
+  }
+
   test("non-degenerate (≥2 populated clusters), deterministic, kept rows have no kept lower-id neighbor ≥ τ") {
     import spark.implicits._
     try {
