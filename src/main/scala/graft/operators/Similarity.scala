@@ -106,7 +106,54 @@ object Similarity {
           .as("relq"))
       .orderBy($"relq".desc, $"vec_id")
       .limit(shortN)
-    // driver-bounded by the dial: ≤ shortN rows and shortN² pairs
+    mmrGreedy(s, sl, k)
+  }
+
+  /** `sim_mmr_diversify` AT SCALE: the same greedy MMR contract over a
+    * shortlist produced by the PERSISTED PQ INDEX probe instead of the
+    * brute scan — the composition a 100 TB deployment runs (pruned
+    * partition probe → ADC shortlist → exact rerank → driver-bounded
+    * greedy). Only the candidate ids come from the index; relevance,
+    * pairwise similarities and the integer objective are recomputed
+    * from the corpus rows of those ids exactly as [[mmrDiversify]]
+    * does, so shortlist PROVENANCE cannot change the greedy arithmetic
+    * — pinned in SimilarityRecallSpec: at rerank-all dials (probe all
+    * lists, rerank ≥ corpus) the PQ shortlist IS the brute shortlist
+    * and the diversified output is identical row for row. */
+  def mmrDiversifyPq(s: SparkSession, dir: String,
+                     shortN: Int = 30, k: Int = 10,
+                     nprobe: Int = 8, rerank: Int = 200): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val idxPath = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "pqidx"), "mmr").toAbsolutePath
+    try {
+      // in production, yesterday's standing artifact — built here so the
+      // entry is self-contained, probed exactly like pqDay2ViaIndex
+      writePqIndex(s, dir, idxPath.toString)
+      val ids = pqTopkFromIndex(s, dir, idxPath.toString, nprobe, rerank,
+          topN = shortN)
+        .select($"vec_id").as[Long].collect() // ≤ shortN — dial-bounded
+      val e = emb(s, dir).select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+      val q = e.filter($"vec_id" === 0)
+        .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+      val sl = e.filter($"vec_id".isin(ids.toIndexedSeq: _*)) // In-pushed scan
+        .join(broadcast(q))
+        .select($"vec_id", $"embedding", $"nrm",
+          expr("cast(round(graft_dot(embedding, q_emb) / (nrm * q_nrm) * 1e6) as bigint)")
+            .as("relq"))
+      mmrGreedy(s, sl, k)
+    } finally graft.util.Fs.deleteRecursively(idxPath)
+  }
+
+  /** The driver-bounded greedy tail shared by [[mmrDiversify]] and
+    * [[mmrDiversifyPq]]: `sl` must carry (vec_id, embedding, nrm, relq)
+    * and be ≤ shortN rows by construction. Collects the shortlist and
+    * its ≤ shortN² pairwise micro-unit cosines, then k integer-argmax
+    * selections (score, then vec_id ascending) — selection under a
+    * total order, so shortlist row order is irrelevant. */
+  private def mmrGreedy(s: SparkSession, sl: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
     val pairs = sl.as("a").join(sl.as("b"), $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
         (call_function("graft_dot", $"a.embedding", $"b.embedding") /
@@ -863,7 +910,7 @@ object Similarity {
     * recall ladder and the rerank-all ≡ exact degenerate identity are
     * pinned in SimilarityRecallSpec. */
   def ivfPqTopk(s: SparkSession, dir: String, pqM: Int = 8, ksub: Int = 16,
-                nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+                nprobe: Int = 4, rerank: Int = 50, topN: Int = 10): DataFrame = {
     import s.implicits._
     val e = unitVecs(s, dir).persist()
     val model = trainPq(s, e, pqM, ksub)
@@ -872,7 +919,7 @@ object Similarity {
     // pqSearch's shortlist collect is the encode pass's first (and only)
     // action — unpersisting before it would re-scan and re-normalize
     // the whole corpus from parquet instead of reading the cache
-    val out = pqSearch(s, dir, encoded, model, qUnit, nprobe, rerank)
+    val out = pqSearch(s, dir, encoded, model, qUnit, nprobe, rerank, topN)
     e.unpersist(false)
     out
   }
@@ -943,7 +990,7 @@ object Similarity {
     * into the parquet scan). */
   private def pqSearch(s: SparkSession, dir: String, encoded: DataFrame,
                        model: PqModel, qUnit: Array[Float],
-                       nprobe: Int, rerank: Int): DataFrame = {
+                       nprobe: Int, rerank: Int, topN: Int = 10): DataFrame = {
     import s.implicits._
     val pqM = model.books.length
     val ksub = model.books(0).length
@@ -982,7 +1029,7 @@ object Similarity {
       .select($"vec_id",
         expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
-      .limit(10)
+      .limit(topN)
   }
 
   /** `sim_pq_exact`: the INTEGER-EXACT PQ twin — the
@@ -1176,7 +1223,7 @@ object Similarity {
     * output identical to the recomputing [[ivfPqTopk]], pinned in
     * SimilarityRecallSpec. */
   def pqTopkFromIndex(s: SparkSession, dir: String, path: String,
-                      nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+                      nprobe: Int = 4, rerank: Int = 50, topN: Int = 10): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
     val model = readPqModel(s, path)
@@ -1192,7 +1239,7 @@ object Similarity {
     val qUnit = qRaw.map(x => (x.toDouble / qn).toFloat)
     val encoded = s.read.parquet(s"$path/codes")
       .select($"vec_id", $"codes", $"cluster".cast("int").as("cluster"))
-    pqSearch(s, dir, encoded, model, qUnit, nprobe, rerank)
+    pqSearch(s, dir, encoded, model, qUnit, nprobe, rerank, topN)
   }
 
   /** Query twin of [[ivfPqTopk]] through the persisted-index path:

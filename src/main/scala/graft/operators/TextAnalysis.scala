@@ -810,15 +810,33 @@ object TextAnalysis {
       .withColumn("rank_lex",
         row_number().over(Window.orderBy($"score_q".desc, $"doc_id")).cast("long"))
       .select($"doc_id", $"rank_lex")
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
-      .select($"vec_id", $"embedding", expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
-    val q = e.filter($"vec_id" === 0)
-      .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-    val vec = e.filter($"vec_id" =!= 0)
-      .join(broadcast(q))
-      .select($"vec_id".as("doc_id"),
-        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
-      .orderBy($"cos_sim".desc, $"doc_id").limit(armN)
+    // the dense arm is a DIAL (spark.graft.hybrid.denseArm): "brute" —
+    // the oracle-pinned exact baseline — or "ivf_pq", the tier a 100 TB
+    // deployment actually runs (pruned-list ADC probe + exact rerank;
+    // nprobe/rerank dials below). RankedSearchSpec pins that at
+    // rerank-all dials the PQ arm reproduces the brute arm — and thus
+    // the whole fused ranking — row for row, so flipping the dial
+    // trades recall for cost without touching fusion semantics.
+    val armScores: DataFrame =
+      s.conf.get("spark.graft.hybrid.denseArm", "brute") match {
+        case "ivf_pq" =>
+          val np = s.conf.get("spark.graft.hybrid.nprobe", "8").toInt
+          val rr = s.conf.get("spark.graft.hybrid.rerank", "200").toInt
+          Similarity.ivfPqTopk(s, dir, nprobe = np, rerank = rr, topN = armN)
+            .withColumnRenamed("vec_id", "doc_id")
+        case _ =>
+          val e = s.read.parquet(s"$dir/embeddings.parquet")
+            .select($"vec_id", $"embedding",
+              expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+          val q = e.filter($"vec_id" === 0)
+            .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+          e.filter($"vec_id" =!= 0)
+            .join(broadcast(q))
+            .select($"vec_id".as("doc_id"),
+              expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
+            .orderBy($"cos_sim".desc, $"doc_id").limit(armN)
+      }
+    val vec = armScores
       .withColumn("rank_vec",
         row_number().over(Window.orderBy($"cos_sim".desc, $"doc_id")).cast("long"))
       .select($"doc_id", $"rank_vec")

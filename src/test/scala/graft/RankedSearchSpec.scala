@@ -102,6 +102,28 @@ class RankedSearchSpec extends AnyFunSuite {
     assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("text_search_hybrid: the IVF-PQ dense arm at rerank-all dials reproduces the brute fusion exactly") {
+    // the 100 TB composition (pruned PQ probe + BM25 postings) must be
+    // the TESTED path, not a comment: probing every coarse list with
+    // rerank ≥ corpus makes the PQ arm's exact-rerank shortlist the
+    // whole corpus, so the fused ranking must equal the brute arm's row
+    // for row — flipping the dial trades recall for cost only
+    val brute = TextAnalysis.hybridSearch(spark, sf).collect().map(_.toString)
+    try {
+      spark.conf.set("spark.graft.hybrid.denseArm", "ivf_pq")
+      spark.conf.set("spark.graft.hybrid.nprobe", "10")
+      spark.conf.set("spark.graft.hybrid.rerank", "1000000")
+      val viaPq = TextAnalysis.hybridSearch(spark, sf).collect().map(_.toString)
+      assert(viaPq.nonEmpty && viaPq.sameElements(brute),
+        "PQ dense arm at rerank-all dials drifted from the brute fusion")
+    } finally {
+      spark.conf.unset("spark.graft.hybrid.denseArm")
+      spark.conf.unset("spark.graft.hybrid.nprobe")
+      spark.conf.unset("spark.graft.hybrid.rerank")
+    }
+    graft.operators.Dedup.unpersistIntermediates(spark)
+  }
+
   test("text_search_hybrid: both-arm docs dominate equal-rank single-arm docs") {
     val rows = TextAnalysis.hybridSearch(spark, sf).collect()
     val both = rows.filter(r =>

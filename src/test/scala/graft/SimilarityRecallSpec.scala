@@ -133,6 +133,20 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assertNoRegression("ivf_pq_nprobe8_rerank200", rPq)
   }
 
+  test("MMR over the PQ-index shortlist: provenance cannot change the greedy (rerank-all ≡ brute)") {
+    // the diversify-at-scale path (index probe → shortlist → greedy):
+    // at rerank-all dials the PQ probe's exact-rerank shortlist IS the
+    // brute top-shortN, so the diversified output must be identical row
+    // for row — the greedy contract is independent of where the
+    // shortlist came from
+    val brute = Similarity.mmrDiversify(spark, sf).collect().map(_.toString)
+    val viaPq = Similarity.mmrDiversifyPq(spark, sf,
+      nprobe = 10, rerank = 1000000).collect().map(_.toString)
+    assert(viaPq.nonEmpty && viaPq.sameElements(brute),
+      "PQ-shortlist MMR at rerank-all dials drifted from the brute MMR")
+    graft.operators.Dedup.unpersistIntermediates(spark)
+  }
+
   test("persisted PQ index: identical to the recomputing path, probe prunes partitions") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory(
