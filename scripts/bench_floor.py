@@ -23,9 +23,16 @@ movers (merge accepts any number of run files); r9's 10-process merge
 cleared every flagged regression without a code change.
 
 Usage:
-    python3 scripts/bench_floor.py run  [N] [sfDir]   # run + merge
+    python3 scripts/bench_floor.py run  [N] [sfDir] [focusCSV] [focusN]
     python3 scripts/bench_floor.py merge f1.json f2.json ...
     python3 scripts/bench_floor.py compare floor.json BENCH_rXX.json
+
+`focusCSV` names queries that get focusN (default 3) EXTRA dedicated
+processes up front (SPARK_GRAFT_BENCH_ONLY, 3 passes each) before the
+merge — the r9 adjudication follow-up: the two movers that flagged REAL
+against unchanged code (text_inverted_index, dicom_partitioned_sql)
+deserve their own multi-pass processes so their floors are not one
+lucky (or unlucky) 182-query JVM.
 
 `run` writes target/bench_run<i>.json per process and the merged
 target/bench_floor.json. `compare` prints the like-for-like table:
@@ -69,17 +76,27 @@ def merge(files, out_path="target/bench_floor.json"):
     return merged
 
 
-def run(n, sf_dir):
+def run(n, sf_dir, focus=None, focus_n=3):
     files = []
-    for i in range(n):
-        out = f"target/bench_run{i + 1}.json"
+
+    def one(out, extra_env):
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-                   SPARK_GRAFT_BENCH_OUT=out)
-        print(f"[bench_floor] process {i + 1}/{n} ...", flush=True)
+                   SPARK_GRAFT_BENCH_OUT=out, **extra_env)
         subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        env=env, check=True, stdout=subprocess.DEVNULL,
                        stderr=subprocess.DEVNULL)
         files.append(out)
+
+    if focus:
+        for i in range(focus_n):
+            print(f"[bench_floor] focus process {i + 1}/{focus_n} "
+                  f"({focus}) ...", flush=True)
+            one(f"target/bench_focus{i + 1}.json",
+                {"SPARK_GRAFT_BENCH_ONLY": focus,
+                 "SPARK_GRAFT_BENCH_RUNS": "3"})
+    for i in range(n):
+        print(f"[bench_floor] process {i + 1}/{n} ...", flush=True)
+        one(f"target/bench_run{i + 1}.json", {})
     merge(files)
 
 
@@ -119,7 +136,9 @@ if __name__ == "__main__":
     if cmd == "run":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
         sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-        run(n, sf)
+        focus = sys.argv[4] if len(sys.argv) > 4 else None
+        focus_n = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+        run(n, sf, focus, focus_n)
     elif cmd == "merge":
         merge(sys.argv[2:])
     elif cmd == "compare":

@@ -46,6 +46,14 @@ object Bench {
     // optional comma-separated subset for local iteration on one operator
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // optional semicolon-separated conf overrides (k=v;k=v) for A/B runs
+    // of engine dials without a code edit (e.g. the catalog-reuse arm)
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
     // Output-emitting entries whose deliverable IS a wide string column:
     // under the count() consumer Catalyst prunes the very re-assembly a
     // real pipeline pays (measured: dedup_substring_scrub 0.40 s counted

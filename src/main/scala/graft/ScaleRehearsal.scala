@@ -185,55 +185,12 @@ object ScaleRehearsal {
     // routes: the 10% gate batch overflows the pushdown cap (sequential
     // sets scan), the 0.1% batch rides the In-pushdown row-group
     // skipping the doc_id-range-sorted layout exists for.
-    def diskBytes(p: String): Long = {
-      val root = java.nio.file.Paths.get(p)
-      if (!java.nio.file.Files.exists(root)) 0L
-      else {
-        val w = java.nio.file.Files.walk(root)
-        try {
-          var sum = 0L
-          val it = w.iterator()
-          while (it.hasNext) {
-            val f = it.next()
-            if (java.nio.file.Files.isRegularFile(f)) sum += java.nio.file.Files.size(f)
-          }
-          sum
-        } finally w.close()
-      }
-    }
+    def diskBytes(p: String): Long = graft.util.Metrics.diskBytes(p)
     // (result, input bytes read, shuffle bytes written) over the block —
-    // shuffle write is the axis the index-side bloom runtime filter
-    // moves: pruned index rows never reach the candidate exchange
-    def bytesReadDuring[A](f: => A): (A, Long, Long) = {
-      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
-      val shuf = new java.util.concurrent.atomic.AtomicLong(0L)
-      val events = new java.util.concurrent.atomic.AtomicLong(0L)
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) {
-            acc.addAndGet(m.inputMetrics.bytesRead)
-            shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          }
-          events.incrementAndGet()
-        }
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        val r = f
-        // the listener bus is async — poll until the EVENT COUNT
-        // stabilizes. Input bytes alone would be the wrong sentinel:
-        // shuffle-writing reduce-stage tasks read no file input, so
-        // their late events move only `shuf` and a bytes-based loop
-        // could exit while they are still queued, under-reporting the
-        // shuffle column the bloom A/B is built from
-        var prev = -1L; var cur = events.get(); var spins = 0
-        while (prev != cur && spins < 40) {
-          Thread.sleep(250); prev = cur; cur = events.get(); spins += 1
-        }
-        (r, acc.get(), shuf.get())
-      } finally spark.sparkContext.removeSparkListener(l)
-    }
+    // extracted to graft.util.Metrics so Sf10Rehearsal measures its
+    // tiers with the same listener mechanics
+    def bytesReadDuring[A](f: => A): (A, Long, Long) =
+      graft.util.Metrics.bytesReadDuring(spark)(f)
     val idxDir = java.nio.file.Files.createTempDirectory(
       graft.util.Fs.scratchDir(spark, "dayidx"), "idx").toAbsolutePath.toString
     val sf1docs = spark.read.parquet(s"$Sf1/documents.parquet")

@@ -57,7 +57,7 @@ object Sf10Rehearsal {
     // section filter for local iteration on ONE part of the rehearsal
     // (family,lsh,ngram,semantic; default all). A partial run writes a
     // suffixed artifact so it can never masquerade as the full one.
-    val AllSections = Set("family", "lsh", "ngram", "semantic", "pq")
+    val AllSections = Set("family", "lsh", "ngram", "semantic", "pq", "tiers")
     val sections = sys.env.get("SPARK_GRAFT_SF10_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(AllSections)
@@ -200,12 +200,90 @@ object Sf10Rehearsal {
       s""","pq_day2":{"build_sec":${fmt(buildSec)},$armJson,"compact_sec":${fmt(compactSec)},"probe_query_sec":${fmt(probeSec)}}"""
     } else ""
 
+    // ---- the r9 retrieval/curation tiers at the decade (500k docs),
+    // same arm structure as ScaleRehearsal's sf1 run so the two rows
+    // read as one table: BM25/positional index lifecycle
+    // (build / append / probe / r10's COMPACT / probe-after-compact),
+    // NB model train→ship→score, and the composed streaming pipeline
+    // with its state-rows bound. Every arm reports wall + the bytes
+    // axis its scale claim is made of (probe bytes ≪ corpus bytes;
+    // score bytes ∝ batch; state rows ∝ survivors).
+    val tiersJson = if (sections("tiers")) {
+      import graft.util.Metrics.{bytesReadDuring, diskBytes}
+      val docs10 = spark.read.parquet(s"$Sf10/documents.parquet")
+      val isBatch10 = pmod(col("doc_id"), lit(10)) === lit(7)
+      val root = java.nio.file.Files.createTempDirectory(
+        graft.util.Fs.scratchDir(spark, "dayidx"), "tiers10").toAbsolutePath
+      val day1 = s"$root/day1"; val batch = s"$root/batch"
+      val tb = System.nanoTime()
+      graft.operators.TextAnalysis.writePositionalIndexOf(
+        spark, docs10.filter(!isBatch10), day1)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val idxBytes = diskBytes(day1) + diskBytes(s"${day1}_doclen")
+      val ta = System.nanoTime()
+      graft.operators.TextAnalysis.writePositionalIndexOf(
+        spark, docs10.filter(isBatch10), batch)
+      val appendSec = (System.nanoTime() - ta) / 1e9
+      val tp0 = System.nanoTime()
+      val (_, probeBytes, _) = bytesReadDuring(spark) {
+        graft.operators.TextAnalysis.bm25ViaIndex(
+          spark, Seq(day1, batch), Seq("dup", "merge")).collect()
+      }
+      val probeSec = (System.nanoTime() - tp0) / 1e9
+      val tc0 = System.nanoTime()
+      graft.operators.TextAnalysis.compactPositionalIndex(spark,
+        Seq(day1, batch),
+        docs10.filter(pmod(col("doc_id"), lit(17)) === lit(5)).select(col("doc_id")),
+        s"$root/compact")
+      val compactSec = (System.nanoTime() - tc0) / 1e9
+      val compactBytes = diskBytes(s"$root/compact") + diskBytes(s"$root/compact_doclen")
+      val tp1 = System.nanoTime()
+      val (_, probe2Bytes, _) = bytesReadDuring(spark) {
+        graft.operators.TextAnalysis.bm25ViaIndex(
+          spark, Seq(s"$root/compact"), Seq("dup", "merge")).collect()
+      }
+      val probe2Sec = (System.nanoTime() - tp1) / 1e9
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      System.err.println(f"[sf10] bm25_idx build ${fmt(buildSec)}s (${idxBytes / 1048576}%d MiB), append ${fmt(appendSec)}s, " +
+        f"probe ${fmt(probeSec)}s ${probeBytes / 1048576}%d MiB, compact ${fmt(compactSec)}s (${compactBytes / 1048576}%d MiB), " +
+        f"probe_compacted ${fmt(probe2Sec)}s ${probe2Bytes / 1048576}%d MiB")
+
+      val tn0 = System.nanoTime()
+      val (_, trainBytes, _) = bytesReadDuring(spark) {
+        graft.operators.Curation.writeNbModel(spark, Sf10, s"$root/model")
+      }
+      val trainSec = (System.nanoTime() - tn0) / 1e9
+      val modelBytes = diskBytes(s"$root/model")
+      val ts0 = System.nanoTime()
+      val (scoreRows, scoreBytes, _) = bytesReadDuring(spark) {
+        graft.operators.Curation.nbScoreBatch(
+          spark, docs10.filter(isBatch10), s"$root/model").count()
+      }
+      val scoreSec = (System.nanoTime() - ts0) / 1e9
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      System.err.println(f"[sf10] nb_model train ${fmt(trainSec)}s ${trainBytes / 1048576}%d MiB read " +
+        f"(model ${modelBytes / 1024}%d KiB), score_batch ${fmt(scoreSec)}s $scoreRows rows ${scoreBytes / 1048576}%d MiB read")
+
+      val tpl = System.nanoTime()
+      val plKept = graft.queries.StreamQueries.streamCorpusPipeline(spark, Sf10).count()
+      val plSec = (System.nanoTime() - tpl) / 1e9
+      val (plRows, plBytes) =
+        graft.queries.StreamQueries.lastNearDupState.getOrElse((-1L, -1L))
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      System.err.println(f"[sf10] pipeline ${fmt(plSec)}s kept=$plKept state_rows=$plRows state_bytes=$plBytes")
+      graft.util.Fs.deleteRecursively(root)
+      s""","tiers10":{"bm25_idx":{"build_sec":${fmt(buildSec)},"index_bytes":$idxBytes,"append_sec":${fmt(appendSec)},"probe":{"sec":${fmt(probeSec)},"bytes_read":$probeBytes},"compact_sec":${fmt(compactSec)},"compact_bytes":$compactBytes,"probe_compacted":{"sec":${fmt(probe2Sec)},"bytes_read":$probe2Bytes}},"nb_model":{"train_sec":${fmt(trainSec)},"train_bytes":$trainBytes,"model_bytes":$modelBytes,"score_batch":{"sec":${fmt(scoreSec)},"rows":$scoreRows,"bytes_read":$scoreBytes}},"pipeline_state":{"sec":${fmt(plSec)},"kept":$plKept,"state_rows":$plRows,"state_bytes":$plBytes}}"""
+    } else ""
+
     val qjson = rows.map { case (n, s1, r1, s10, r10, ratio) =>
       s""""$n":{"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"sf10_sec":${fmt(s10)},"sf10_rows":$r10,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
     val cjson = cand.map { case (g, c) => s""""$g":$c""" }.mkString("{", ",", "}")
     val vjson = vols.map { case (cap, v) => s""""maxdf_$cap":$v""" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}},"semantic_kmeans_scaled_k":$semJson$pqJson}"""
+    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}},"semantic_kmeans_scaled_k":$semJson$pqJson$tiersJson}"""
     println(json)
     val out = java.nio.file.Paths.get(
       if (partial) "target/sf10_rehearsal_partial.json"

@@ -629,13 +629,19 @@ object Curation {
   private def nbCore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val lab = docs(s, dir).select($"doc_id", $"text",
+    // ONE corpus scan: the doc-grain label+token relation checkpoints
+    // (so the keep-everything classifier's label branch — which must
+    // include docs with NO tokens — reads it, not a second parquet
+    // scan; PlanQualitySpec pins the final plan documents-scan-free),
+    // and the (doc, label, word) count grain checkpoints off it
+    val lab = Dedup.trackCheckpoint(docs(s, dir).select($"doc_id",
       when(expr("size(filter(split(lower(text), ' '), x -> x = 'hash'))") * 25 >=
            expr("size(filter(split(text, ' '), x -> length(x) > 0))"), 1)
-        .otherwise(0).as("y"))
+        .otherwise(0).as("y"),
+      expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+      .localCheckpoint())
     val cnt = Dedup.trackCheckpoint(lab
-      .select($"doc_id", $"y",
-        explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("w"))
+      .select($"doc_id", $"y", explode($"tk").as("w"))
       .groupBy($"doc_id", $"y", $"w").agg(count(lit(1)).as("n"))
       .localCheckpoint())
     val train = cnt.filter($"doc_id" % 2 === 0)

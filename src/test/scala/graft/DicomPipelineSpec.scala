@@ -74,6 +74,25 @@ class DicomPipelineSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || pruned.count() < total)
   }
 
+  test("dicom_partitioned_sql: standing-catalog reuse ≡ fresh-table-per-call, repeat call stable") {
+    // the reuse path (default) clears + fully re-extracts the data but
+    // keeps the registration; the A/B arm re-DDLs a fresh random table
+    // each call — both must produce identical rows, and a SECOND reuse
+    // call (registration now standing) must reproduce them again
+    val viaReuse = graft.queries.DicomQueries.partitionedSql(spark, "")
+      .collect().map(_.toString)
+    val again = graft.queries.DicomQueries.partitionedSql(spark, "")
+      .collect().map(_.toString)
+    try {
+      spark.conf.set("spark.graft.dicom.catalogReuse", "false")
+      val fresh = graft.queries.DicomQueries.partitionedSql(spark, "")
+        .collect().map(_.toString)
+      assert(viaReuse.nonEmpty && viaReuse.sameElements(fresh),
+        "standing-catalog path drifted from the fresh-table path")
+      assert(again.sameElements(fresh), "second reuse call drifted")
+    } finally spark.conf.unset("spark.graft.dicom.catalogReuse")
+  }
+
   test("crawler merges divergent per-batch schemas") {
     val out = tmp()
     // batch 1: loose files only; batch 2: the zip (different column sets
