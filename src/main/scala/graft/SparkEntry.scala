@@ -325,6 +325,7 @@ object SparkEntry {
     // integer at 1e6 before the per-doc sum (exact cross-engine rank),
     // top-N via TakeOrderedAndProject — no global window over candidates
     "text_search_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "text_search_bm25_compact" -> ((s, d) => TextAnalysis.bm25Compact(s, d)),
     // day-2 BM25 through the persisted positional index + doc-length
     // sidecar: tf = len(positions) off the pruned posting scan, dl off
     // the sidecar — no corpus re-tokenize; the full-corpus oracle
@@ -789,9 +790,16 @@ object SparkEntry {
     * gate certifies index ≡ corpus and append ≡ rebuild at once.
     * Per-(doc, term) contributions are integer-quantized at 1e6 before
     * the per-doc sum — both engines rank on an exact integer. */
-  private val Bm25OracleSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, w FROM documents,
+  private val Bm25OracleSql: String = bm25OracleSql("")
+
+  /** The BM25 SQL over a restrictable document universe: after a
+    * takedown the compacted index's sidecar carries SURVIVOR statistics
+    * (N, avgdl, df), so the compaction gate is this same SQL with the
+    * retired slice excluded — a full re-normalized ranking, not just
+    * absence of the retired docs. */
+  private def bm25OracleSql(universe: String): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, w FROM (SELECT * FROM documents$universe) documents,
       |    UNNEST(str_split(lower(text), ' ')) AS t(w) WHERE length(w) > 0),
       |dt AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
@@ -2950,6 +2958,11 @@ object SparkEntry {
     // same full-corpus SQL: the day-2 unioned index + sidecar must
     // reproduce the corpus-derived ranking byte-for-byte
     "text_search_bm25_day2" -> Bm25OracleSql,
+
+    // survivor-universe BM25: after the takedown compaction the sidecar
+    // carries survivor stats, so the index-derived ranking must equal a
+    // full BM25 over documents minus the retired slice
+    "text_search_bm25_compact" -> bm25OracleSql(" WHERE doc_id % 17 <> 5"),
 
     "text_search_hybrid" ->
       """WITH tok AS (

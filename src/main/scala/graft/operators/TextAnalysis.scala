@@ -600,6 +600,34 @@ object TextAnalysis {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** `text_search_bm25_compact`: the takedown lifecycle through the
+    * RANKED path — same build/append/retire/compact as [[searchCompact]]
+    * but the probe is BM25 over the compacted postings + sidecar. After
+    * a takedown the corpus STATISTICS change (N, avgdl, df are survivor
+    * stats off the compacted sidecar), so this gate certifies more than
+    * absence: the ranking is re-normalized exactly as a fresh index of
+    * the survivors would score it — the oracle is the full BM25 SQL
+    * over the survivor universe. */
+  def bm25Compact(s: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("dup", "merge"),
+                  topN: Int = 20): DataFrame = {
+    import s.implicits._
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val day1 = day1IndexPath(s, dir)
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "textidx"), "bm25c").toAbsolutePath
+    try {
+      writePositionalIndexOf(s,
+        docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === lit(7)),
+        s"$base/batch")
+      val retired = docs(s, dir)
+        .filter(pmod($"doc_id", lit(17)) === lit(5)).select($"doc_id")
+      compactPositionalIndex(s, Seq(day1, s"$base/batch"), retired, s"$base/day2")
+      val out = bm25ViaIndex(s, Seq(s"$base/day2"), terms, topN)
+      Dedup.trackCheckpoint(out.localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** Bigram language-model scoring — the CCNet/KenLM-style perplexity
     * filter of a pre-training pipeline: train an add-one-smoothed bigram
     * LM on a reference slice (here the `trainLang` documents) and score
