@@ -170,6 +170,7 @@ object SparkEntry {
     // a vocab-sized integer weight relation; held-out half measures
     // generalization
     "corpus_quality_classifier" -> (Curation.nbQualityClassifier _),
+    "corpus_nb_day2"     -> (Curation.nbModelDay2 _),
     // writer-side layout: md5-bucketed shards with contiguous
     // within-shard positions in hash-shuffled order (one exchange)
     "corpus_shard"         -> ((s, d) => Curation.shard(s, d)),
@@ -700,6 +701,21 @@ object SparkEntry {
         |pri AS (SELECT
         |    CAST(floor((ln((d1 + 1) / (d1 + d0 + 2.0)) - ln((d0 + 1) / (d1 + d0 + 2.0))) * 1e9 + 0.5) AS BIGINT) AS pq
         |  FROM tots)""".stripMargin
+
+  /** Full-corpus retrain + |wq|-desc cap + stateless score — shared by
+    * `stream_corpus_nb_score` (persisted capped model, streaming fold)
+    * and `corpus_nb_day2` (model derived from merged persisted counts):
+    * three execution models, ONE training definition, so the persisted
+    * model, the count-append refresh AND the in-query trainer must all
+    * agree bit for bit; docs with no model token score exactly the
+    * prior (LEFT JOIN + COALESCE 0). */
+  private val NbScoreOracleSql: String = NbTrainCtes + """,
+        |cap AS (SELECT w, wq FROM lw ORDER BY abs(wq) DESC, w LIMIT 4096),
+        |wt AS (SELECT c.doc_id, CAST(sum(c.n * w.wq) AS BIGINT) AS sw
+        |       FROM cnt c JOIN cap w USING (w) GROUP BY 1)
+        |SELECT d.doc_id, CAST(p.pq + COALESCE(wt.sw, 0) AS BIGINT) AS score_q,
+        |  CAST(CASE WHEN p.pq + COALESCE(wt.sw, 0) > 0 THEN 1 ELSE 0 END AS INT) AS pred
+        |FROM documents d LEFT JOIN wt USING (doc_id), pri p ORDER BY d.doc_id""".stripMargin
 
   /** `sim_mmr_diversify`'s oracle: the brute shortlist + pairwise
     * micro-unit cosines, then each of the 10 greedy MMR selections
@@ -2119,13 +2135,13 @@ object SparkEntry {
     // total order), so one hash gates persisted-model ≡ in-query-model
     // AND the stateless stream arithmetic; docs with no model token
     // score exactly the prior (LEFT JOIN + COALESCE 0)
-    "stream_corpus_nb_score" -> (NbTrainCtes + """,
-        |cap AS (SELECT w, wq FROM lw ORDER BY abs(wq) DESC, w LIMIT 4096),
-        |wt AS (SELECT c.doc_id, CAST(sum(c.n * w.wq) AS BIGINT) AS sw
-        |       FROM cnt c JOIN cap w USING (w) GROUP BY 1)
-        |SELECT d.doc_id, CAST(p.pq + COALESCE(wt.sw, 0) AS BIGINT) AS score_q,
-        |  CAST(CASE WHEN p.pq + COALESCE(wt.sw, 0) > 0 THEN 1 ELSE 0 END AS INT) AS pred
-        |FROM documents d LEFT JOIN wt USING (doc_id), pri p ORDER BY d.doc_id""".stripMargin),
+    // the day-2 count-append lifecycle shares the stream scorer's
+    // oracle VERBATIM: a model derived from merged persisted counts
+    // must be bit-identical to the full retrain the SQL performs —
+    // append ≡ rebuild for a learned model's sufficient statistics
+    "corpus_nb_day2" -> NbScoreOracleSql,
+
+    "stream_corpus_nb_score" -> NbScoreOracleSql,
 
     // the composed pipeline's oracle replays all three stages in one
     // SQL chain — gate predicates, NB train/cap/score through the SAME

@@ -629,21 +629,7 @@ object Curation {
   private def nbCore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    // ONE corpus scan: the doc-grain label+token relation checkpoints
-    // (so the keep-everything classifier's label branch — which must
-    // include docs with NO tokens — reads it, not a second parquet
-    // scan; PlanQualitySpec pins the final plan documents-scan-free),
-    // and the (doc, label, word) count grain checkpoints off it
-    val lab = Dedup.trackCheckpoint(docs(s, dir).select($"doc_id",
-      when(expr("size(filter(split(lower(text), ' '), x -> x = 'hash'))") * 25 >=
-           expr("size(filter(split(text, ' '), x -> length(x) > 0))"), 1)
-        .otherwise(0).as("y"),
-      expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
-      .localCheckpoint())
-    val cnt = Dedup.trackCheckpoint(lab
-      .select($"doc_id", $"y", explode($"tk").as("w"))
-      .groupBy($"doc_id", $"y", $"w").agg(count(lit(1)).as("n"))
-      .localCheckpoint())
+    val (lab, cnt) = nbGrainOf(s, docs(s, dir))
     val train = cnt.filter($"doc_id" % 2 === 0)
     val cls = train.groupBy($"y")
       .agg(sum($"n").cast("double").as("nc"),
@@ -657,16 +643,51 @@ object Curation {
       coalesce(sum(when($"y" === 1, $"dc")), lit(0.0)).as("d1"),
       coalesce(sum(when($"y" === 0, $"dc")), lit(0.0)).as("d0"))
       .crossJoin(cby.agg(count(lit(1)).cast("double").as("v"))) // 1×1 totals
+    val (lw, pri) = nbWeightsOf(cby, tots)
+    (lab.select($"doc_id", $"y"), cnt, lw, pri)
+  }
+
+  /** ONE corpus scan over an arbitrary `(doc_id, text)` frame: the
+    * doc-grain label+token relation checkpoints (so the keep-everything
+    * classifier's label branch — which must include docs with NO
+    * tokens — reads it, not a second parquet scan; PlanQualitySpec pins
+    * the final plan documents-scan-free), and the (doc, label, word)
+    * count grain checkpoints off it. Shared by the full-corpus trainer
+    * and the per-batch count writer of the day-2 lifecycle. */
+  private def nbGrainOf(s: SparkSession, d: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val lab = Dedup.trackCheckpoint(d.select($"doc_id",
+      when(expr("size(filter(split(lower(text), ' '), x -> x = 'hash'))") * 25 >=
+           expr("size(filter(split(text, ' '), x -> length(x) > 0))"), 1)
+        .otherwise(0).as("y"),
+      expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
+      .localCheckpoint())
+    val cnt = Dedup.trackCheckpoint(lab
+      .select($"doc_id", $"y", explode($"tk").as("w"))
+      .groupBy($"doc_id", $"y", $"w").agg(count(lit(1)).as("n"))
+      .localCheckpoint())
+    (lab, cnt)
+  }
+
+  /** The quantization formulas — ONE definition of the model
+    * arithmetic, fed either by the in-query training aggregates
+    * ([[nbCore]]) or by the merged persisted counts
+    * ([[deriveNbModel]]), so the two training paths cannot drift.
+    * `cby` = (w, c1, c0); `tots` = 1 row (n1, n0, d1, d0, v) as
+    * doubles (exactly-representable integer values < 2^53). */
+  private def nbWeightsOf(cby: DataFrame, tots: DataFrame)
+      : (DataFrame, DataFrame) = {
     val lw = cby.crossJoin(broadcast(tots))
-      .select($"w",
-        floor((log(($"c1" + lit(1)).cast("double") / ($"n1" + $"v")) -
-               log(($"c0" + lit(1)).cast("double") / ($"n0" + $"v"))) * lit(1e9) + lit(0.5))
+      .select(col("w"),
+        floor((log((col("c1") + lit(1)).cast("double") / (col("n1") + col("v"))) -
+               log((col("c0") + lit(1)).cast("double") / (col("n0") + col("v")))) * lit(1e9) + lit(0.5))
           .cast("long").as("wq"))
     val pri = tots.select(
-      floor((log(($"d1" + lit(1)) / ($"d1" + $"d0" + lit(2.0))) -
-             log(($"d0" + lit(1)) / ($"d1" + $"d0" + lit(2.0)))) * lit(1e9) + lit(0.5))
+      floor((log((col("d1") + lit(1)) / (col("d1") + col("d0") + lit(2.0))) -
+             log((col("d0") + lit(1)) / (col("d1") + col("d0") + lit(2.0)))) * lit(1e9) + lit(0.5))
         .cast("long").as("pq"))
-    (lab.select($"doc_id", $"y"), cnt, lw, pri)
+    (lw, pri)
   }
 
   /** Persist the trained NB model: the top-`cap` weights by
@@ -687,6 +708,88 @@ object Curation {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
     pri.coalesce(1).write.mode("overwrite").parquet(s"$path/prior")
     Dedup.unpersistIntermediates(s)
+  }
+
+  /** DAY-2 MODEL MAINTENANCE, part 1 — persist the ADDITIVE training
+    * counts of one document batch: per-word class counts (w, c1, c0)
+    * and the 1-row class totals (n1, n0, d1, d0), both over the even-
+    * doc_id train slice OF THIS BATCH. Naive Bayes is exactly
+    * incremental in these sufficient statistics — counts over disjoint
+    * batches SUM to the counts of their union — so `mode = "append"`
+    * lands a new batch's files next to yesterday's and the model
+    * derives from the union by aggregation alone ([[deriveNbModel]]):
+    * a curation model that refreshes at batch cost, never a corpus
+    * retrain. Cost here is the batch's one tokenize; the artifact is
+    * vocab-sized. */
+  def writeNbCounts(s: SparkSession, d: DataFrame, path: String,
+                    mode: String): Unit = {
+    import s.implicits._
+    val train = nbGrainOf(s, d)._2.filter($"doc_id" % 2 === 0)
+    train.groupBy($"w").agg(
+        sum(when($"y" === 1, $"n").otherwise(lit(0L))).as("c1"),
+        sum(when($"y" === 0, $"n").otherwise(lit(0L))).as("c0"))
+      .write.mode(mode).parquet(s"$path/cby")
+    train.agg(
+        coalesce(sum(when($"y" === 1, $"n")), lit(0L)).as("n1"),
+        coalesce(sum(when($"y" === 0, $"n")), lit(0L)).as("n0"),
+        countDistinct(when($"y" === 1, $"doc_id")).as("d1"),
+        countDistinct(when($"y" === 0, $"doc_id")).as("d0"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/cls")
+    Dedup.unpersistIntermediates(s)
+  }
+
+  /** DAY-2 MODEL MAINTENANCE, part 2 — derive the shipped capped model
+    * from the merged persisted counts: sum the per-word files (a word
+    * present in several batches merges by addition — the NB sufficient-
+    * statistic property), sum the 1-row class totals, count the merged
+    * vocabulary, and run the SAME quantization formulas as the
+    * in-query trainer ([[nbWeightsOf]]) before the |wq|-desc cap. Cost
+    * is counts bytes (vocab-sized), never corpus bytes; output layout
+    * is [[writeNbModel]]'s, so every existing scorer consumes it
+    * unchanged. Merged-counts model ≡ full-retrain model is the
+    * `corpus_nb_day2` oracle's claim (append ≡ rebuild, the persisted-
+    * index family convention applied to a learned model). */
+  def deriveNbModel(s: SparkSession, countsPath: String, modelPath: String,
+                    cap: Int = -1): Unit = {
+    import s.implicits._
+    val c = if (cap > 0) cap else s.conf.get("spark.graft.nb.cap", "4096").toInt
+    val cby = s.read.parquet(s"$countsPath/cby")
+      .groupBy($"w").agg(sum($"c1").as("c1"), sum($"c0").as("c0"))
+    val tots = s.read.parquet(s"$countsPath/cls")
+      .agg(sum($"n1").cast("double").as("n1"),
+        sum($"n0").cast("double").as("n0"),
+        sum($"d1").cast("double").as("d1"),
+        sum($"d0").cast("double").as("d0"))
+      .crossJoin(cby.agg(count(lit(1)).cast("double").as("v")))
+    val (lw, pri) = nbWeightsOf(cby, tots)
+    lw.orderBy(abs($"wq").desc, $"w").limit(c)
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelPath/weights")
+    pri.coalesce(1).write.mode("overwrite").parquet(s"$modelPath/prior")
+  }
+
+  /** `corpus_nb_day2`: the full day-2 lifecycle of the quality model —
+    * persist day-1 training counts (doc_id ≢ 7 mod 10), APPEND the
+    * day-2 batch's counts (≡ 7), derive the capped model from the
+    * merged statistics, and score EVERY document through it with the
+    * streaming scorer's arithmetic. The oracle is the full-corpus
+    * retrain + cap + score SQL (`stream_corpus_nb_score`'s), so one
+    * hash certifies the whole claim: a model refreshed by count
+    * APPEND is bit-identical to one retrained from scratch on the
+    * union — because disjoint batches' even-half train slices union to
+    * the corpus's even half, and NB's sufficient statistics are sums. */
+  def nbModelDay2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = docs(s, dir)
+    val isBatch = pmod($"doc_id", lit(10)) === lit(7)
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "nbmodel"), "day2").toAbsolutePath
+    try {
+      writeNbCounts(s, all.filter(!isBatch), s"$base/counts", "overwrite")
+      writeNbCounts(s, all.filter(isBatch), s"$base/counts", "append")
+      deriveNbModel(s, s"$base/counts", s"$base/model")
+      val out = nbScoreBatch(s, all, s"$base/model").orderBy($"doc_id")
+      Dedup.trackCheckpoint(out.localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(base)
   }
 
   /** Score a `(doc_id, text)` relation through a PERSISTED capped NB

@@ -55,6 +55,38 @@ class QualityClassifierSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("corpus_nb_day2: append order is irrelevant, and deriving the model reads counts, not corpus") {
+    import org.apache.spark.sql.functions._
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val isBatch = pmod(col("doc_id"), lit(10)) === lit(7)
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "nbday2").toString
+    try {
+      // counts are sufficient statistics: batch landing ORDER cannot
+      // matter (sums commute) — the property the oracle hash can't name
+      Curation.writeNbCounts(spark, docsDf.filter(!isBatch), s"$base/a", "overwrite")
+      Curation.writeNbCounts(spark, docsDf.filter(isBatch), s"$base/a", "append")
+      Curation.writeNbCounts(spark, docsDf.filter(isBatch), s"$base/b", "overwrite")
+      Curation.writeNbCounts(spark, docsDf.filter(!isBatch), s"$base/b", "append")
+      val (_, deriveBytes, _) = graft.util.Metrics.bytesReadDuring(spark) {
+        Curation.deriveNbModel(spark, s"$base/a", s"$base/ma")
+      }
+      Curation.deriveNbModel(spark, s"$base/b", s"$base/mb")
+      def model(p: String) = (
+        spark.read.parquet(s"$p/weights").collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq,
+        spark.read.parquet(s"$p/prior").head().getLong(0))
+      assert(model(s"$base/ma") === model(s"$base/mb"),
+        "batch landing order changed the derived model")
+      // the refresh's price: model derivation reads the vocab-sized
+      // count artifact, never the corpus (here corpus ≈ 150 KiB text;
+      // at 100 TB this inequality is the whole point)
+      val countsBytes = graft.util.Metrics.diskBytes(s"$base/a")
+      assert(deriveBytes <= countsBytes * 3,
+        s"derive read $deriveBytes bytes vs counts artifact $countsBytes — is it re-reading the corpus?")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   test("held-out generalization: beats the majority class and is not constant") {
     import spark.implicits._
     val held = Curation.nbQualityClassifier(spark, sf)
