@@ -273,6 +273,7 @@ object SparkEntry {
     // identity pinned in SimilarityRecallSpec)
     "sim_ivf_pq"          -> ((s, d) => Similarity.ivfPqTopk(s, d)),
     "sim_pq_exact"        -> (Similarity.pqExact _),
+    "sim_mmr_pq"          -> ((s, d) => Similarity.mmrDiversifyPqExact(s, d)),
     // persisted-PQ-index twin (build + write + read in one run, like
     // dedup_incremental_idx): codes partitioned by coarse list so probe
     // filters prune whole directories; persisted ≡ recomputed pinned
@@ -739,6 +740,19 @@ object SparkEntry {
         |ps AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
         |         CAST(round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 1e6) AS BIGINT) AS sq
         |       FROM sl a JOIN sl b ON a.vec_id <> b.vec_id)""".stripMargin
+    base + ",\n" + MmrStepsSql
+  }
+
+  /** The k greedy MMR selections as generated MATERIALIZED CTEs plus
+    * the rank-ordered emission — shared by the brute-shortlist oracle
+    * ([[MmrOracleSql]]) and the PQ-shortlist oracle ([[MmrPqOracleSql]]):
+    * the preceding CTE chain must define `sl` (vec_id, emb, nrm, relq)
+    * and `ps` (pairwise micro-unit cosines over sl). One greedy
+    * definition, two shortlist provenances. */
+  // a def, not a val: referenced by oracle vals declared BEFORE this
+  // point (object vals initialize in declaration order — a forward val
+  // reference is null at init time, which an r10 refactor hit)
+  private def MmrStepsSql: String = {
     val steps = (1 to 10).map { i =>
       if (i == 1)
         """s1 AS MATERIALIZED (SELECT vec_id, relq, 7 * relq AS mmr_q FROM sl ORDER BY 7 * relq DESC, vec_id LIMIT 1),
@@ -753,7 +767,7 @@ object SparkEntry {
     val finals = (1 to 10).map { i =>
       s"SELECT $i AS sel_rank, vec_id, round(CAST(relq AS DOUBLE)/1e6, 6) AS cos_sim, mmr_q FROM s$i"
     }.mkString("\nUNION ALL\n")
-    base + ",\n" + steps.mkString(",\n") + "\n" + finals + "\nORDER BY sel_rank"
+    steps.mkString(",\n") + "\n" + finals + "\nORDER BY sel_rank"
   }
 
   /** The minhash band CTEs (documents → (doc_id, band, band_hash)) every
@@ -1071,7 +1085,7 @@ object SparkEntry {
     * products exact in doubles (all terms ≪ 2^53), cast back to BIGINT.
     * One static SQL at the fixed gate geometry (M=4, Sub=16, Ksub=4,
     * Iters=3), valid at every SF. */
-  private val PqExactOracleSql: String = {
+  private val PqExactParts: (String, Int) = {
     val M = 4; val Sub = 16; val Ksub = 4; val Iters = 3
     def d2(a: String, b: String): String =
       s"(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])) - " +
@@ -1131,7 +1145,12 @@ object SparkEntry {
         |  FROM cent${m}_${Iters - 1} c, (SELECT q FROM qs$m WHERE vec_id = 0) qq)""".stripMargin
     }
     val last = Iters - 1
-    parts.mkString(",\n") + s"""
+    (parts.mkString(",\n"), last)
+  }
+
+  private val PqExactOracleSql: String = {
+    val (ctes, last) = PqExactParts
+    ctes + s"""
       |SELECT a0.vec_id,
       |  CAST(a0.cluster AS BIGINT) AS c0, CAST(a1.cluster AS BIGINT) AS c1,
       |  CAST(a2.cluster AS BIGINT) AS c2, CAST(a3.cluster AS BIGINT) AS c3,
@@ -1145,6 +1164,40 @@ object SparkEntry {
       |JOIN lut2 l2 ON l2.cluster = a2.cluster
       |JOIN lut3 l3 ON l3.cluster = a3.cluster
       |ORDER BY a0.vec_id""".stripMargin
+  }
+
+  /** `sim_mmr_pq`: the two exact machineries CONCATENATED — the PQ
+    * twin's per-subspace trainer/encoder/LUT CTEs select the integer-ADC
+    * top-30 shortlist, then the shared greedy MMR step CTEs
+    * ([[MmrStepsSql]]) run over it. Every data-dependent decision in
+    * the composition — subspace seeding, Lloyd rounds, encode ties, the
+    * additive ADC ranking, the shortlist cut, and each of the 10 greedy
+    * selections — is hash-gated by one SQL string. */
+  private val MmrPqOracleSql: String = {
+    val (ctes, last) = PqExactParts
+    ctes + s""",
+      |enc AS MATERIALIZED (
+      |  SELECT a0.vec_id, CAST(l0.lv + l1.lv + l2.lv + l3.lv AS BIGINT) AS adc_q
+      |  FROM asn0_$last a0
+      |  JOIN asn1_$last a1 USING (vec_id)
+      |  JOIN asn2_$last a2 USING (vec_id)
+      |  JOIN asn3_$last a3 USING (vec_id)
+      |  JOIN lut0 l0 ON l0.cluster = a0.cluster
+      |  JOIN lut1 l1 ON l1.cluster = a1.cluster
+      |  JOIN lut2 l2 ON l2.cluster = a2.cluster
+      |  JOIN lut3 l3 ON l3.cluster = a3.cluster
+      |  WHERE a0.vec_id <> 0),
+      |slids AS MATERIALIZED (SELECT vec_id FROM enc ORDER BY adc_q DESC, vec_id LIMIT 30),
+      |q2 AS MATERIALIZED (SELECT emb AS q_emb, nrm AS q_nrm FROM nv WHERE vec_id = 0),
+      |rel AS MATERIALIZED (
+      |  SELECT n.vec_id, CAST(round(list_dot_product(n.emb, q2.q_emb) / (n.nrm * q2.q_nrm) * 1e6) AS BIGINT) AS relq
+      |  FROM nv n, q2 WHERE n.vec_id <> 0),
+      |sl AS MATERIALIZED (SELECT n.vec_id, n.emb, n.nrm, r.relq
+      |  FROM nv n JOIN rel r USING (vec_id) JOIN slids USING (vec_id)),
+      |ps AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |  CAST(round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 1e6) AS BIGINT) AS sq
+      |  FROM sl a JOIN sl b ON a.vec_id <> b.vec_id),
+      |""".stripMargin + MmrStepsSql
   }
 
   /** `sim_pca_project`: generated-CTE replay of the ENTIRE fixed-point
@@ -1957,6 +2010,8 @@ object SparkEntry {
     "dedup_semantic_kmeans_exact" -> QuantKmeansOracleSql,
 
     "sim_pq_exact" -> PqExactOracleSql,
+
+    "sim_mmr_pq" -> MmrPqOracleSql,
 
     "sim_mmr_diversify" -> MmrOracleSql,
 

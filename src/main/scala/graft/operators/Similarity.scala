@@ -146,6 +146,36 @@ object Similarity {
     } finally graft.util.Fs.deleteRecursively(idxPath)
   }
 
+  /** `sim_mmr_pq`: diversified retrieval over an INDEX-SHAPED shortlist
+    * with the WHOLE composition hash-gated — the shortlist is the
+    * integer-exact PQ twin's ADC top-`shortN` ([[pqExact]]: exact
+    * integer codes + additive integer ADC vs query 0, so the shortlist
+    * selection is an integer ranking both engines reproduce), and the
+    * greedy is the shared [[mmrGreedy]] integer argmax chain. Where
+    * [[mmrDiversifyPq]] exercises the float production index (recall-
+    * contract, spec-pinned at rerank-all dials), this entry certifies
+    * the MECHANICS of diversify-over-an-index cross-engine: the oracle
+    * concatenates the PQ-twin CTEs with the MMR step CTEs, so a drift
+    * anywhere — subspace training, encode, ADC, shortlist cut, or any
+    * of the k greedy selections — hash-fails. */
+  def mmrDiversifyPqExact(s: SparkSession, dir: String,
+                          shortN: Int = 30, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val ids = pqExact(s, dir)
+      .filter($"vec_id" =!= 0)
+      .orderBy($"adc_q".desc, $"vec_id").limit(shortN)
+      .select($"vec_id").as[Long].collect() // ≤ shortN — dial-bounded
+    val e = emb(s, dir).select($"vec_id", $"embedding", expr(normExpr).as("nrm"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val sl = e.filter($"vec_id".isin(ids.toIndexedSeq: _*)) // In-pushed scan
+      .join(broadcast(q))
+      .select($"vec_id", $"embedding", $"nrm",
+        expr("cast(round(graft_dot(embedding, q_emb) / (nrm * q_nrm) * 1e6) as bigint)")
+          .as("relq"))
+    mmrGreedy(s, sl, k)
+  }
+
   /** The driver-bounded greedy tail shared by [[mmrDiversify]] and
     * [[mmrDiversifyPq]]: `sl` must carry (vec_id, embedding, nrm, relq)
     * and be ≤ shortN rows by construction. Collects the shortlist and
