@@ -171,6 +171,7 @@ object SparkEntry {
     // generalization
     "corpus_quality_classifier" -> (Curation.nbQualityClassifier _),
     "corpus_nb_day2"     -> (Curation.nbModelDay2 _),
+    "stream_corpus_nb_refresh" -> (StreamQueries.streamCorpusNbRefresh _),
     // writer-side layout: md5-bucketed shards with contiguous
     // within-shard positions in hash-shuffled order (one exchange)
     "corpus_shard"         -> ((s, d) => Curation.shard(s, d)),
@@ -2195,6 +2196,10 @@ object SparkEntry {
     // must be bit-identical to the full retrain the SQL performs —
     // append ≡ rebuild for a learned model's sufficient statistics
     "corpus_nb_day2" -> NbScoreOracleSql,
+
+    // continuous count-accrual over arbitrary micro-batch boundaries:
+    // sufficient statistics sum, so the same full-retrain SQL gates it
+    "stream_corpus_nb_refresh" -> NbScoreOracleSql,
 
     "stream_corpus_nb_score" -> NbScoreOracleSql,
 

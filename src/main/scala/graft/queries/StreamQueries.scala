@@ -1419,6 +1419,51 @@ object StreamQueries {
       dropView = Some(name), deleteDirs = Seq(in))
   }
 
+  /** CONTINUOUS MODEL MAINTENANCE — the streaming twin of
+    * `corpus_nb_day2`: documents ARRIVE over many micro-batches
+    * (maxFilesPerTrigger = 1 over an 8-file staging of the corpus), and
+    * each batch's foreachBatch sink APPENDS its training counts to the
+    * persisted additive artifact ([[graft.operators.Curation
+    * .writeNbCounts]]); after the drain the capped model derives from
+    * the merged counts and scores every document. Because NB's
+    * sufficient statistics are sums, the micro-batch BOUNDARIES are
+    * invisible to the final model — this entry shares
+    * `stream_corpus_nb_score`'s full-retrain oracle VERBATIM, so one
+    * hash now gates FOUR execution models of one training definition:
+    * in-query train+score, persisted-model stream scoring, batch
+    * count-append (day-2), and this continuous count-accrual. Per-batch
+    * cost is the batch tokenize + a vocab-sized count write; the model
+    * refresh reads counts bytes — the shape of a quality model that
+    * keeps learning on a 100 TB continuous ingest without ever
+    * retraining from the corpus. */
+  def streamCorpusNbRefresh(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "nbmodel"), "stream").toAbsolutePath
+    try {
+      val docsDf = s.read.parquet(s"$dir/documents.parquet")
+      // 8 arrival files so counts genuinely accrue across micro-batches
+      docsDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
+      val src = s.readStream.schema(docsDf.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/arrivals")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Curation.writeNbCounts(
+            s, batch, s"$base/counts", "append")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Curation.deriveNbModel(s, s"$base/counts", s"$base/model")
+      // materialize before the finally-delete of the model artifact
+      // (driver-bounded: one integer score row per document)
+      materializeAndRelease(s,
+        graft.operators.Curation.nbScoreBatch(s, docsDf, s"$base/model")
+          .orderBy($"doc_id"),
+        dropView = None, deleteDirs = Seq.empty)
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   case class PipeBandRow(doc_id: Long, score_q: Long, band: Int, band_hash: String)
   case class PipeOwn(doc_id: Long, score_q: Long, owner: Long)
 
