@@ -275,6 +275,7 @@ object SparkEntry {
     "sim_ivf_pq"          -> ((s, d) => Similarity.ivfPqTopk(s, d)),
     "sim_pq_exact"        -> (Similarity.pqExact _),
     "sim_mmr_pq"          -> ((s, d) => Similarity.mmrDiversifyPqExact(s, d)),
+    "sim_ivf_exact"       -> (Similarity.ivfExact _),
     // persisted-PQ-index twin (build + write + read in one run, like
     // dedup_incremental_idx): codes partitioned by coarse list so probe
     // filters prune whole directories; persisted ≡ recomputed pinned
@@ -1017,6 +1018,42 @@ object SparkEntry {
     * engine's trainer — seed order, tie rule, rounding, update count —
     * lands on a different assignment and hash-fails. */
   private val QuantKmeansOracleSql: String = {
+    val (ctes, last) = QuantKmeansParts
+    ctes + s""",
+      |dropped AS (
+      |  SELECT DISTINCT cb.vec_id
+      |  FROM $last ca JOIN $last cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+      |  JOIN nv a ON a.vec_id = ca.vec_id JOIN nv b ON b.vec_id = cb.vec_id
+      |  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.3)
+      |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM $last
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id""".stripMargin
+  }
+
+  /** `sim_ivf_exact`: the IVF PROBE mechanics hash-gated — the same
+    * integer coarse quantizer as `dedup_semantic_kmeans_exact` (one CTE
+    * chain, shared verbatim), probe = the query's own final assignment
+    * (its nearest centroid under the assigner's integer d²), search =
+    * exact top-10 cosine among THAT list's members only. Alongside
+    * [[PqExactOracleSql]] this closes the ANN family's mechanics: the
+    * float production entries (`sim_ivf_kmeans`, `sim_ivf_pq`, the
+    * persisted index) keep their recall-artifact contracts, while the
+    * quantizer/probe/rank arithmetic is cross-engine exact. */
+  private val IvfExactOracleSql: String = {
+    val (ctes, last) = QuantKmeansParts
+    ctes + s""",
+      |qc AS (SELECT cluster FROM $last WHERE vec_id = 0),
+      |qv2 AS (SELECT emb AS q_emb, nrm AS q_nrm FROM nv WHERE vec_id = 0)
+      |SELECT n.vec_id,
+      |  round(list_dot_product(n.emb, q.q_emb) / (n.nrm * q.q_nrm), 6) AS cos_sim
+      |FROM $last a JOIN qc USING (cluster)
+      |JOIN nv n ON n.vec_id = a.vec_id, qv2 q
+      |WHERE n.vec_id <> 0
+      |ORDER BY cos_sim DESC, n.vec_id LIMIT 10""".stripMargin
+  }
+
+  // lazy: referenced by oracle vals declared above (object vals
+  // initialize in declaration order — a forward val reference is null)
+  private lazy val QuantKmeansParts: (String, String) = {
     val K = 4; val Iters = 3; val Dim = 64
     def d2(a: String, b: String): String =
       s"(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])) - " +
@@ -1065,15 +1102,7 @@ object SparkEntry {
           |  SELECT p.cluster, coalesce(u.c, p.c) AS c
           |  FROM cent$it p LEFT JOIN upd$it u USING (cluster))""".stripMargin
     }
-    val last = s"a${Iters - 1}"
-    parts.mkString(",\n") + s""",
-      |dropped AS (
-      |  SELECT DISTINCT cb.vec_id
-      |  FROM $last ca JOIN $last cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
-      |  JOIN nv a ON a.vec_id = ca.vec_id JOIN nv b ON b.vec_id = cb.vec_id
-      |  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.3)
-      |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM $last
-      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id""".stripMargin
+    (parts.mkString(",\n"), s"a${Iters - 1}")
   }
 
   /** `sim_pq_exact`: generated-CTE replay of the integer-exact PQ twin —
@@ -2011,6 +2040,8 @@ object SparkEntry {
     "dedup_semantic_kmeans_exact" -> QuantKmeansOracleSql,
 
     "sim_pq_exact" -> PqExactOracleSql,
+
+    "sim_ivf_exact" -> IvfExactOracleSql,
 
     "sim_mmr_pq" -> MmrPqOracleSql,
 

@@ -1062,6 +1062,30 @@ object Similarity {
       .limit(topN)
   }
 
+  /** `sim_ivf_exact`: the IVF PROBE mechanics hash-gated, completing
+    * the ANN family's exact-twin coverage alongside [[pqExact]]. Coarse
+    * quantizer = the SAME integer trainer as
+    * [[semanticDedupKmeansExact]] (k = 4, iters = 3 — one CTE chain in
+    * the oracle, shared verbatim); the probed list is the query's OWN
+    * final assignment (its nearest centroid under the assigner's exact
+    * integer d², which is what nprobe = 1 means), and the search ranks
+    * ONLY that list's members by exact cosine — so the quantizer, the
+    * probe selection, the list restriction and the ranking are all one
+    * hash. The float production tiers ([[ivfKmeansTopk]], [[ivfPqTopk]])
+    * keep their recall-artifact contracts. */
+  def ivfExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = quantizedKmeansAssignment(s, dir, k = 4, iters = 3)
+    val q = a.filter($"vec_id" === 0)
+      .select($"cluster", $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    a.join(broadcast(q), Seq("cluster")) // list restriction: probe = q's list
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        expr("round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6)").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** `sim_pq_exact`: the INTEGER-EXACT PQ twin — the
     * `dedup_semantic_kmeans_exact` recipe (quantized integer training +
     * generated CTE-replay oracle) applied to product quantization, so
