@@ -409,8 +409,11 @@ object Similarity {
     import s.implicits._
     // the id is the tuple's first field whatever the caller named it
     // ("vec_id" from the assignment path, "_1" from a mapped slice)
-    val seeds = scala.collection.mutable.ArrayBuffer(
-      data.orderBy(col(data.columns.head)).head()._2)
+    val first = data.orderBy(col(data.columns.head)).take(1)
+    require(first.nonEmpty,
+      "integer k-means: cannot train on an empty corpus (the learned " +
+        "entries fail fast on degenerate input by convention)")
+    val seeds = scala.collection.mutable.ArrayBuffer(first.head._2)
     for (_ <- 1 until k) {
       val bcS = s.sparkContext.broadcast(seeds.toArray)
       val pick = data.map { case (id, q) =>
@@ -1114,7 +1117,11 @@ object Similarity {
       .select($"vec_id", expr(
         "transform(embedding, x -> cast(round(x / nrm * 1000) as bigint))").as("q")))
       .as[(Long, Array[Long])]
-    val dim = data.head()._2.length
+    val first = data.take(1)
+    require(first.nonEmpty,
+      "sim_pq_exact: cannot train on an empty embedding corpus (the " +
+        "learned entries fail fast on degenerate input by convention)")
+    val dim = first.head._2.length
     require(dim % pqM == 0, s"pqM=$pqM must divide dim=$dim")
     val sub = dim / pqM
     val books: Array[Array[Array[Long]]] = (0 until pqM).toArray.map { m =>

@@ -1442,6 +1442,11 @@ object StreamQueries {
       graft.util.Fs.scratchDir(s, "nbmodel"), "stream").toAbsolutePath
     try {
       val docsDf = s.read.parquet(s"$dir/documents.parquet")
+      // day-0 baseline: all-zero counts, additive-neutral — also what
+      // makes an EMPTY corpus well-defined (zero arrival files → zero
+      // micro-batches → without this the derive would find no artifact)
+      graft.operators.Curation.writeNbCounts(
+        s, docsDf.limit(0), s"$base/counts", "overwrite")
       // 8 arrival files so counts genuinely accrue across micro-batches
       docsDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
       val src = s.readStream.schema(docsDf.schema)

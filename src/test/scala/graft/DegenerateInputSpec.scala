@@ -85,7 +85,21 @@ class DegenerateInputSpec extends AnyFunSuite {
       "stream_corpus_pipeline" -> (() => graft.queries.StreamQueries.streamCorpusPipeline(spark, emptyDir).count()),
       // no query vector, so the shortlist and pairwise relations are
       // empty and the greedy loop never iterates
-      "sim_mmr_diversify" -> (() => graft.operators.Similarity.mmrDiversify(spark, emptyDir).count()))
+      "sim_mmr_diversify" -> (() => graft.operators.Similarity.mmrDiversify(spark, emptyDir).count()),
+      // r10 additions — the takedown entries compact an EMPTY posting
+      // union (the anti-join and both probes collapse to zero rows);
+      // the integer-twin trainers (sim_pq_exact / sim_ivf_exact /
+      // sim_mmr_pq) are excluded like every kmeans-trained op, with the
+      // fail-fast message pinned below
+      "text_search_compact" -> (() => graft.operators.TextAnalysis.searchCompact(spark, emptyDir).count()),
+      "text_search_bm25_compact" -> (() => graft.operators.TextAnalysis.bm25Compact(spark, emptyDir).count()),
+      // counts over an empty corpus are a 1-row all-zero totals file +
+      // an empty per-word relation; the derived model is an empty
+      // weight table + zero prior, scoring zero documents
+      "corpus_nb_day2" -> (() => graft.operators.Curation.nbModelDay2(spark, emptyDir).count()),
+      // zero arrival files → zero micro-batches; the day-0 baseline
+      // counts keep the post-drain derive well-defined
+      "stream_corpus_nb_refresh" -> (() => graft.queries.StreamQueries.streamCorpusNbRefresh(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>
@@ -95,6 +109,21 @@ class DegenerateInputSpec extends AnyFunSuite {
       Dedup.unpersistIntermediates(spark)
       spark.catalog.clearCache()
     }
+  }
+
+  test("integer trainers fail FAST with a clear message on an empty corpus") {
+    // the learned entries' degenerate contract: no silent empty result
+    // from a trainer (an empty model scoring everything identically is
+    // worse than an error), and no bare NoSuchElementException either
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pqExact(spark, emptyDir).count()
+    }
+    assert(e1.getMessage.contains("empty embedding corpus"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.ivfExact(spark, emptyDir).count()
+    }
+    assert(e2.getMessage.contains("empty corpus"))
+    graft.operators.Dedup.unpersistIntermediates(spark)
   }
 
   test("all-zero-token corpus: length buckets report pad_frac 0, not NaN") {
