@@ -101,6 +101,29 @@ class CorpusToolsSpec extends AnyFunSuite {
     Dedup.unpersistIntermediates(spark)
   }
 
+  test("compaction preserves the probe layout: the pushed word-IN filter survives the rewrite") {
+    import spark.implicits._
+    // the takedown rewrite must land in writePositionalIndexOf's layout
+    // (word-partitioned, (word, doc_id)-sorted) or every post-takedown
+    // probe silently degrades from row-group skipping to a full scan
+    val scratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "tscplan").toString
+    try {
+      val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      TextAnalysis.writePositionalIndexOf(spark, docsDf, s"$scratch/all")
+      TextAnalysis.compactPositionalIndex(spark, Seq(s"$scratch/all"),
+        docsDf.filter(pmod($"doc_id", lit(17)) === 5).select($"doc_id"),
+        s"$scratch/compact")
+      val probe = spark.read.parquet(s"$scratch/compact")
+        .filter($"word".isin("agg", "join"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(word") ||
+             plan.contains("PushedFilters: [Or(EqualTo(word"),
+        s"compacted-index probe lost its pushed word filter:\n$plan")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(scratch))
+    Dedup.unpersistIntermediates(spark)
+  }
+
   test("stream_corpus_quality_gate ≡ the fused batch quality+langid filter") {
     import spark.implicits._
     // the streaming gate is a stateless per-doc function, so its rows

@@ -182,6 +182,16 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(graft.operators.Similarity.rangeSearch(spark, dir).count() == 0)
       assert(graft.queries.StreamQueries.streamEmbedNearDup(spark, dir).count() == 0)
       assert(graft.queries.StreamQueries.streamNearDupIndexed(spark, dir).count() == 0)
+      // r10: the integer trainers are defined on a single vector — all
+      // farthest-point seeds coincide, every code is sub-centroid 0,
+      // ADC stays finite; the IVF/MMR entries exclude the query itself
+      // so their result sets are empty
+      val pq1 = graft.operators.Similarity.pqExact(spark, dir).collect()
+      assert(pq1.length == 1 &&
+        (1 to 4).forall(i => pq1(0).getLong(i) == 0L),
+        "one vector must encode as code 0 in every subspace")
+      assert(graft.operators.Similarity.ivfExact(spark, dir).count() == 0)
+      assert(graft.operators.Similarity.mmrDiversifyPqExact(spark, dir).count() == 0)
     } finally {
       Dedup.unpersistIntermediates(spark) // editJoin's tracked checkpoints
       spark.catalog.clearCache()
