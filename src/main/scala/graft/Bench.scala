@@ -50,8 +50,9 @@ object Bench {
     // of engine dials without a code edit (e.g. the catalog-reuse arm)
     sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(";").foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
-        case _ =>
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case other => if (other.mkString.trim.nonEmpty)
+          System.err.println(s"[bench] skipping malformed conf segment: '$kv'")
       }
     })
     // Output-emitting entries whose deliverable IS a wide string column:

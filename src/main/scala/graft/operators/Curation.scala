@@ -738,6 +738,35 @@ object Curation {
     Dedup.unpersistIntermediates(s)
   }
 
+  /** IDEMPOTENT variant of [[writeNbCounts]] for streaming foreachBatch
+    * sinks: each batch's counts land at `$path/cby/batch=<id>` (and
+    * `cls/batch=<id>`) in OVERWRITE mode, so under Spark's at-least-once
+    * micro-batch semantics a checkpointed restart that REPLAYS a batch
+    * rewrites the same location instead of appending duplicate counts.
+    * The `batch=` directories read back through standard partition
+    * discovery (the extra `batch` column is dropped by
+    * [[deriveNbModel]]'s aggregations), so the derive step is layout-
+    * agnostic: append-mode day-2 files and batch-keyed streaming files
+    * merge by the same sums. Use a distinct sentinel id (e.g. -1) for a
+    * day-0 baseline so the root stays free of bare files, which would
+    * defeat partition discovery. */
+  def writeNbCountsBatch(s: SparkSession, d: DataFrame, path: String,
+                         batchId: Long): Unit = {
+    import s.implicits._
+    val train = nbGrainOf(s, d)._2.filter($"doc_id" % 2 === 0)
+    train.groupBy($"w").agg(
+        sum(when($"y" === 1, $"n").otherwise(lit(0L))).as("c1"),
+        sum(when($"y" === 0, $"n").otherwise(lit(0L))).as("c0"))
+      .write.mode("overwrite").parquet(s"$path/cby/batch=$batchId")
+    train.agg(
+        coalesce(sum(when($"y" === 1, $"n")), lit(0L)).as("n1"),
+        coalesce(sum(when($"y" === 0, $"n")), lit(0L)).as("n0"),
+        countDistinct(when($"y" === 1, $"doc_id")).as("d1"),
+        countDistinct(when($"y" === 0, $"doc_id")).as("d0"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cls/batch=$batchId")
+    Dedup.unpersistIntermediates(s)
+  }
+
   /** DAY-2 MODEL MAINTENANCE, part 2 — derive the shipped capped model
     * from the merged persisted counts: sum the per-word files (a word
     * present in several batches merges by addition — the NB sufficient-

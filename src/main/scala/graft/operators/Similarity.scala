@@ -1130,7 +1130,10 @@ object Similarity {
           (id, java.util.Arrays.copyOfRange(q, m * sub, (m + 1) * sub)) },
         ksub, iters)
     }
-    val qv = data.filter(_._1 == 0L).head()._2
+    val qv = data.filter(_._1 == 0L).head(1).headOption.getOrElse(
+      sys.error("sim_pq_exact: query vector vec_id=0 absent from the " +
+        "quantized corpus (missing or zero-norm) — the learned entries " +
+        "fail fast on degenerate input by convention"))._2
     val lut: Array[Array[Long]] = Array.tabulate(pqM, ksub) { (m, c) =>
       var acc = 0L; var j = 0
       while (j < sub) { acc += qv(m * sub + j) * books(m)(c)(j); j += 1 }

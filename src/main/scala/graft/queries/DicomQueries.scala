@@ -114,7 +114,11 @@ object DicomQueries {
     import s.implicits._
     val reuse = s.conf.get("spark.graft.dicom.catalogReuse", "true").toBoolean
     val (out, table) =
-      if (reuse) (graft.util.Fs.scratchDir(s, "dicomq").resolve("std").toString,
+      // per-process standing location: two JVMs on one checkout (bench
+      // alongside tests) must not race on deleteRecursively + rewrite
+      // of a shared data dir one of them is querying
+      if (reuse) (graft.util.Fs.scratchDir(s, "dicomq")
+          .resolve(s"std-${ProcessHandle.current.pid}").toString,
         "dicom_metadata_std")
       else (scratch(s), "dicom_metadata_" + java.lang.Long.toHexString(
         java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8))

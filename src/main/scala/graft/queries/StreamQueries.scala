@@ -1422,9 +1422,12 @@ object StreamQueries {
   /** CONTINUOUS MODEL MAINTENANCE — the streaming twin of
     * `corpus_nb_day2`: documents ARRIVE over many micro-batches
     * (maxFilesPerTrigger = 1 over an 8-file staging of the corpus), and
-    * each batch's foreachBatch sink APPENDS its training counts to the
-    * persisted additive artifact ([[graft.operators.Curation
-    * .writeNbCounts]]); after the drain the capped model derives from
+    * each batch's foreachBatch sink lands its training counts in the
+    * persisted additive artifact under a batchId-keyed partition
+    * ([[graft.operators.Curation.writeNbCountsBatch]] — overwrite of
+    * `batch=<id>`, so an at-least-once REPLAY of a micro-batch after a
+    * checkpointed restart rewrites the same location instead of
+    * double-counting); after the drain the capped model derives from
     * the merged counts and scores every document. Because NB's
     * sufficient statistics are sums, the micro-batch BOUNDARIES are
     * invisible to the final model — this entry shares
@@ -1445,16 +1448,19 @@ object StreamQueries {
       // day-0 baseline: all-zero counts, additive-neutral — also what
       // makes an EMPTY corpus well-defined (zero arrival files → zero
       // micro-batches → without this the derive would find no artifact)
-      graft.operators.Curation.writeNbCounts(
-        s, docsDf.limit(0), s"$base/counts", "overwrite")
+      graft.operators.Curation.writeNbCountsBatch(
+        s, docsDf.limit(0), s"$base/counts", batchId = -1L)
       // 8 arrival files so counts genuinely accrue across micro-batches
       docsDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
       val src = s.readStream.schema(docsDf.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/arrivals")
+      // batchId-keyed OVERWRITE sink: a replayed micro-batch (the
+      // at-least-once case under a checkpointed restart) rewrites its
+      // own batch=<id> location instead of appending duplicate counts
       val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.operators.Curation.writeNbCounts(
-            s, batch, s"$base/counts", "append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Curation.writeNbCountsBatch(
+            s, batch, s"$base/counts", batchId)
         }
         .trigger(Trigger.AvailableNow())
         .start()
