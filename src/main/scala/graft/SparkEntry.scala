@@ -172,6 +172,10 @@ object SparkEntry {
     "corpus_quality_classifier" -> (Curation.nbQualityClassifier _),
     "corpus_nb_day2"     -> (Curation.nbModelDay2 _),
     "stream_corpus_nb_refresh" -> (StreamQueries.streamCorpusNbRefresh _),
+    // live search-index maintenance: per-micro-batch posting appends
+    // (disjoint doc_ids ⇒ disjoint rows), post-drain phrase probe over
+    // the unioned file sets shares text_search's full-corpus oracle
+    "stream_text_index_refresh" -> (StreamQueries.streamTextIndexRefresh _),
     // writer-side layout: md5-bucketed shards with contiguous
     // within-shard positions in hash-shuffled order (one exchange)
     "corpus_shard"         -> ((s, d) => Curation.shard(s, d)),
@@ -339,6 +343,10 @@ object SparkEntry {
     // floor(1e6/(60+rank)) per arm on a full-outer join of two
     // top-100 relations; 0-rank sentinel marks a missing arm
     "text_search_hybrid" -> ((s, d) => TextAnalysis.hybridSearch(s, d)),
+    // hybrid with the dense arm = the integer-exact PQ twin's ADC
+    // ranking: the fuse-BM25-with-a-PQ-index composition hash-gated
+    // end-to-end (the sim_mmr_pq twin-CTE recipe applied to retrieval)
+    "text_search_hybrid_pq" -> ((s, d) => TextAnalysis.hybridSearchPqExact(s, d)),
     // per-source tokens~chars least-squares fit (slope/intercept/R²):
     // closed-form regr_* aggregates, 5 doubles per source cross the wire
     "text_quality_regression" -> (TextAnalysis.qualityRegression _),
@@ -1228,6 +1236,64 @@ object SparkEntry {
       |  CAST(round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 1e6) AS BIGINT) AS sq
       |  FROM sl a JOIN sl b ON a.vec_id <> b.vec_id),
       |""".stripMargin + MmrStepsSql
+  }
+
+  /** `text_search_hybrid_pq`: the retrieval composition hash-gated —
+    * the PQ twin's trainer/encoder/LUT CTEs produce the integer ADC
+    * ranking that IS the dense arm (top-100 cut + rank assignment),
+    * the BM25 CTEs (verbatim from `text_search_hybrid`'s oracle, query
+    * CTE renamed `qterms` to stay clear of the PQ columns) produce the
+    * lexical arm, and the integer RRF full-outer fusion runs over
+    * both — one SQL string certifies subspace training, encode ties,
+    * ADC, both arm cuts, both rank orders, and the fused top-20. */
+  private val HybridPqOracleSql: String = {
+    val (ctes, last) = PqExactParts
+    ctes + s""",
+      |adc AS MATERIALIZED (
+      |  SELECT a0.vec_id, CAST(l0.lv + l1.lv + l2.lv + l3.lv AS BIGINT) AS adc_q
+      |  FROM asn0_$last a0
+      |  JOIN asn1_$last a1 USING (vec_id)
+      |  JOIN asn2_$last a2 USING (vec_id)
+      |  JOIN asn3_$last a3 USING (vec_id)
+      |  JOIN lut0 l0 ON l0.cluster = a0.cluster
+      |  JOIN lut1 l1 ON l1.cluster = a1.cluster
+      |  JOIN lut2 l2 ON l2.cluster = a2.cluster
+      |  JOIN lut3 l3 ON l3.cluster = a3.cluster
+      |  WHERE a0.vec_id <> 0),
+      |vec AS (SELECT doc_id,
+      |          CAST(row_number() OVER (ORDER BY adc_q DESC, doc_id) AS BIGINT) AS rank_vec
+      |        FROM (SELECT vec_id AS doc_id, adc_q FROM adc
+      |              ORDER BY adc_q DESC, doc_id LIMIT 100)),
+      |tok AS (
+      |  SELECT doc_id, w FROM documents,
+      |    UNNEST(str_split(lower(text), ' ')) AS t(w) WHERE length(w) > 0),
+      |dt AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qterms AS (SELECT unnest(['dup', 'merge']) AS word),
+      |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM dt JOIN qterms USING (word) GROUP BY 1),
+      |contrib AS (
+      |  SELECT dt.doc_id,
+      |    CAST(round(1e6 * ln(1 + (tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * (dt.tf * 2.2) / (dt.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))) AS BIGINT) AS wq
+      |  FROM dt JOIN qterms USING (word) JOIN df USING (word)
+      |  JOIN dl USING (doc_id) CROSS JOIN tot),
+      |lexsc AS (SELECT doc_id, CAST(sum(wq) AS BIGINT) AS score_q FROM contrib GROUP BY 1),
+      |lex AS (SELECT doc_id,
+      |          CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_lex
+      |        FROM (SELECT * FROM lexsc ORDER BY score_q DESC, doc_id LIMIT 100)),
+      |fused AS (
+      |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+      |    CAST(COALESCE(1000000 // (60 + rank_lex), 0)
+      |       + COALESCE(1000000 // (60 + rank_vec), 0) AS BIGINT) AS rrf,
+      |    COALESCE(rank_lex, CAST(0 AS BIGINT)) AS rank_lex,
+      |    COALESCE(rank_vec, CAST(0 AS BIGINT)) AS rank_vec
+      |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+      |topn AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+      |       doc_id, rank_lex, rank_vec, rrf
+      |FROM topn ORDER BY rank""".stripMargin
   }
 
   /** `sim_pca_project`: generated-CTE replay of the ENTIRE fixed-point
@@ -2232,6 +2298,19 @@ object SparkEntry {
     // sufficient statistics sum, so the same full-retrain SQL gates it
     "stream_corpus_nb_refresh" -> NbScoreOracleSql,
 
+    // stream-maintained index ≡ built-from-scratch: the post-drain
+    // phrase probe over the unioned per-batch posting files must match
+    // text_search's full-corpus SQL byte for byte
+    "stream_text_index_refresh" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, unnest(range(len(t) - 1)) AS i, t FROM tk WHERE len(t) >= 2),
+        |hit AS (SELECT doc_id, CAST(i AS BIGINT) AS pos FROM m
+        |        WHERE t[i+1] = 'agg' AND t[i+2] = 'join')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(pos) AS first_pos
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "stream_corpus_nb_score" -> NbScoreOracleSql,
 
     // the composed pipeline's oracle replays all three stages in one
@@ -3112,6 +3191,8 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
         |       doc_id, rank_lex, rank_vec, rrf
         |FROM topn ORDER BY rank""".stripMargin,
+
+    "text_search_hybrid_pq" -> HybridPqOracleSql,
 
     "text_quality_regression" ->
       """SELECT source,

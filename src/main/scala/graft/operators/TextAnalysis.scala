@@ -491,6 +491,15 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** The phrase probe over the UNION of posting file sets — shared by
+    * the streaming index-maintenance twin ([[graft.queries.StreamQueries
+    * .streamTextIndexRefresh]]), which accumulates one posting dir per
+    * micro-batch: disjoint doc_ids ⇒ disjoint posting rows, so the
+    * union reads exactly like one index. */
+  private[graft] def searchViaIndexPaths(s: SparkSession, paths: Seq[String],
+                                         phrase: Seq[String]): DataFrame =
+    searchIndex(s, s.read.parquet(paths: _*), phrase)
+
   // Per-process store of the day-1 positional index (the standing
   // artifact a deployment amortizes) — the components-store pattern:
   // first consumer builds + writes, every later call reads index bytes.
@@ -868,6 +877,50 @@ object TextAnalysis {
       .withColumn("rank_vec",
         row_number().over(Window.orderBy($"cos_sim".desc, $"doc_id")).cast("long"))
       .select($"doc_id", $"rank_vec")
+    rrfFuse(s, lex, vec, rrfK, topN)
+  }
+
+  /** `text_search_hybrid_pq`: the hybrid composition with the dense arm
+    * HASH-GATED end-to-end — the lexical arm is [[bm25Scores]]' integer
+    * BM25 ranking verbatim, and the dense arm is the integer-exact PQ
+    * twin's ADC ranking ([[Similarity.pqExact]]: exact integer subspace
+    * training + encode + additive ADC vs query 0), so every
+    * data-dependent decision in the ACTUAL 100 TB retrieval plan —
+    * postings-derived lexical scores, codebook training, encode ties,
+    * the ADC shortlist cut, both rank assignments, and the integer RRF
+    * fusion — is certified by one oracle hash. Where
+    * [[hybridSearch]]'s `ivf_pq` dial exercises the float production
+    * index (rerank-all parity pinned in RankedSearchSpec), this entry
+    * certifies the MECHANICS of fuse-BM25-with-a-PQ-index cross-engine,
+    * the same twin-CTE recipe `sim_mmr_pq` used for
+    * diversify-over-an-index. */
+  def hybridSearchPqExact(s: SparkSession, dir: String,
+                          terms: Seq[String] = Seq("dup", "merge"),
+                          rrfK: Int = 60, armN: Int = 100,
+                          topN: Int = 20): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Scores(s, dir, terms, k1 = 1.2, b = 0.75)
+      .orderBy($"score_q".desc, $"doc_id").limit(armN)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy($"score_q".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"rank_lex")
+    val vec = Similarity.pqExact(s, dir)
+      .filter($"vec_id" =!= 0)
+      .orderBy($"adc_q".desc, $"vec_id").limit(armN)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy($"adc_q".desc, $"vec_id")).cast("long"))
+      .select($"vec_id".as("doc_id"), $"rank_vec")
+    rrfFuse(s, lex, vec, rrfK, topN)
+  }
+
+  /** Shared RRF fusion tail: full-outer equi-join of the two ≤ armN-row
+    * rank relations, integer `⌊1e6/(rrfK + rank)⌋` per arm present (0
+    * sentinel for a missing arm), top-`topN` re-ranked. */
+  private def rrfFuse(s: SparkSession, lex: DataFrame, vec: DataFrame,
+                      rrfK: Int, topN: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select($"doc_id",
         (coalesce(expr(s"$RrfScale div (${rrfK}L + rank_lex)"), lit(0L)) +

@@ -1475,6 +1475,59 @@ object StreamQueries {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** STREAMING TEXT-INDEX MAINTENANCE — the search-index twin of
+    * [[streamCorpusNbRefresh]]: documents ARRIVE over many
+    * micro-batches (maxFilesPerTrigger = 1 over an 8-file staging of
+    * the corpus), and each batch's foreachBatch sink lands ITS OWN
+    * posting + doc-length files as a batchId-keyed index directory
+    * ([[graft.operators.TextAnalysis.writePositionalIndexOf]] in
+    * overwrite mode at `idx/b<batchId>` — idempotent under
+    * at-least-once replay, the same contract as the NB count sink).
+    * Because posting rows are per-(word, doc) and a document's rows are
+    * wholly contained in its arrival batch, DISJOINT doc_ids ⇒ disjoint
+    * posting rows (the `text_search_day2` invariant): the union of the
+    * per-batch file sets reads exactly like one index, and micro-batch
+    * BOUNDARIES are invisible to the probe. The post-drain phrase probe
+    * shares [[graft.operators.TextAnalysis.search]]'s full-corpus
+    * oracle VERBATIM — stream-maintained ≡ built-from-scratch. Per
+    * batch cost is the batch tokenize + its own file writes; the probe
+    * reads query-term postings behind the pushed word-IN filter — the
+    * shape that keeps a live 100 TB ingest's search index current
+    * without ever re-indexing the corpus. */
+  def streamTextIndexRefresh(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "textidx"), "stream").toAbsolutePath
+    try {
+      val docsDf = s.read.parquet(s"$dir/documents.parquet")
+      // day-0 baseline: an empty posting dir keeps the post-drain probe
+      // well-defined when zero arrival files mean zero micro-batches
+      graft.operators.TextAnalysis.writePositionalIndexOf(
+        s, docsDf.limit(0), s"$base/idx/b-1")
+      docsDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
+      val src = s.readStream.schema(docsDf.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/arrivals")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.TextAnalysis.writePositionalIndexOf(
+            s, batch, s"$base/idx/b$batchId")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the probe reads the union of every batch's posting files (the
+      // deterministic b<batchId> names dedup replays by construction)
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(base.resolve("idx"))
+      val parts = try ls.iterator().asScala.map(_.toString)
+        .filterNot(_.endsWith("_doclen")).toSeq.sorted finally ls.close()
+      materializeAndRelease(s,
+        graft.operators.TextAnalysis.searchViaIndexPaths(
+          s, parts, Seq("agg", "join")),
+        dropView = None, deleteDirs = Seq.empty)
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   case class PipeBandRow(doc_id: Long, score_q: Long, band: Int, band_hash: String)
   case class PipeOwn(doc_id: Long, score_q: Long, owner: Long)
 

@@ -99,7 +99,10 @@ class DegenerateInputSpec extends AnyFunSuite {
       "corpus_nb_day2" -> (() => graft.operators.Curation.nbModelDay2(spark, emptyDir).count()),
       // zero arrival files → zero micro-batches; the day-0 baseline
       // counts keep the post-drain derive well-defined
-      "stream_corpus_nb_refresh" -> (() => graft.queries.StreamQueries.streamCorpusNbRefresh(spark, emptyDir).count()))
+      "stream_corpus_nb_refresh" -> (() => graft.queries.StreamQueries.streamCorpusNbRefresh(spark, emptyDir).count()),
+      // zero arrival files → zero micro-batches; the day-0 empty
+      // posting dir keeps the post-drain phrase probe well-defined
+      "stream_text_index_refresh" -> (() => graft.queries.StreamQueries.streamTextIndexRefresh(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>

@@ -124,6 +124,31 @@ class RankedSearchSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistIntermediates(spark)
   }
 
+  test("text_search_hybrid_pq: the hash-gated PQ composition fuses the exact-twin ADC ranking") {
+    // the dense arm IS pqExact's integer ADC order: recompute the arm's
+    // rank assignment from the twin and check every fused row's
+    // rank_vec matches — drift in training/encode/ADC/cut would move a
+    // rank and fail here before the oracle hash ever runs
+    val adcRank = graft.operators.Similarity.pqExact(spark, sf)
+      .filter("vec_id <> 0")
+      .orderBy(org.apache.spark.sql.functions.col("adc_q").desc,
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(100).collect().map(_.getAs[Long]("vec_id"))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val rows = TextAnalysis.hybridSearchPqExact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, rv, rrf, rl) = (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_vec"),
+        r.getAs[Long]("rrf"), r.getAs[Long]("rank_lex"))
+      assert(rv === adcRank.getOrElse(id, 0L),
+        s"dense-arm rank drifted from the PQ twin at doc $id")
+      val want = (if (rl > 0) 1000000L / (60L + rl) else 0L) +
+        (if (rv > 0) 1000000L / (60L + rv) else 0L)
+      assert(rrf === want, s"RRF mismatch at doc $id")
+    }
+    graft.operators.Dedup.unpersistIntermediates(spark)
+  }
+
   test("text_search_hybrid: both-arm docs dominate equal-rank single-arm docs") {
     val rows = TextAnalysis.hybridSearch(spark, sf).collect()
     val both = rows.filter(r =>
