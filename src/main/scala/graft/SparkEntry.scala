@@ -302,7 +302,11 @@ object SparkEntry {
     // learned-cluster variant (k-means assignment; training loop not
     // SQL-expressible → rows-only; SemanticDedupSpec pins the keep-set
     // invariant and determinism)
-    "dedup_semantic_kmeans" -> ((s, d) => Similarity.semanticDedupKmeans(s, d)),
+    // HASH-GATED learned k ∝ n variant: integer-exact trainer at the
+    // corpus-derived k (shared derivedSemanticK rule; oracle replays
+    // seeding as a recursive CTE). The float trainer
+    // (semanticDedupKmeans) stays the spec-pinned FP arm.
+    "dedup_semantic_kmeans" -> ((s, d) => Similarity.semanticDedupKmeansDerived(s, d)),
     "sim_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     // typed-UDAF (Aggregator) twin of the explode-based centroids —
@@ -1028,6 +1032,75 @@ object SparkEntry {
   private val QuantKmeansOracleSql: String = {
     val (ctes, last) = QuantKmeansParts
     ctes + s""",
+      |dropped AS (
+      |  SELECT DISTINCT cb.vec_id
+      |  FROM $last ca JOIN $last cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+      |  JOIN nv a ON a.vec_id = ca.vec_id JOIN nv b ON b.vec_id = cb.vec_id
+      |  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.3)
+      |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM $last
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id""".stripMargin
+  }
+
+  /** `dedup_semantic_kmeans`: the DERIVED-k replay — identical integer
+    * arithmetic to [[QuantKmeansOracleSql]], but k comes from the data
+    * (`GREATEST(2, (2·count + t) // (2t))`, the Spark side's
+    * [[graft.operators.Similarity.derivedSemanticK]] in SQL) and the
+    * farthest-point seeding runs as a RECURSIVE CTE accumulating the
+    * seed list to that k — the one data-dependent loop static unrolling
+    * can't express. The Lloyd rounds are k-AGNOSTIC (per-vector argmin
+    * via row_number, per-cluster GROUP BY update), so the same 3
+    * unrolled rounds serve any derived k; the τ = 0.3 keep-set tail is
+    * verbatim. */
+  private val QuantKmeansDerivedOracleSql: String = {
+    val Iters = 3; val Dim = 64; val TargetSize = 200
+    def d2(a: String, b: String): String =
+      s"(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])) - " +
+        s"2*list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) + " +
+        s"list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += s"""WITH RECURSIVE nv AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT vec_id, list_transform(emb, x -> CAST(round(x / nrm * 1000) AS BIGINT)) AS q
+      |  FROM nv WHERE nrm > 0),
+      |kval AS (SELECT GREATEST(2, (2*count(*) + $TargetSize) // (2*$TargetSize)) AS k FROM qv),
+      |sr(i, cs) AS (
+      |  SELECT 1, [(SELECT q FROM qv WHERE vec_id = (SELECT min(vec_id) FROM qv))]
+      |  UNION ALL
+      |  SELECT i + 1, list_append(cs, (
+      |      SELECT q FROM qv
+      |      ORDER BY list_min(list_transform(cs, c -> ${d2("q", "c")})) DESC, vec_id
+      |      LIMIT 1))
+      |  FROM sr WHERE i < (SELECT k FROM kval)),
+      |seeds AS (SELECT cs FROM sr ORDER BY i DESC LIMIT 1),
+      |cent0 AS (SELECT CAST(j AS INT) AS cluster, cs[CAST(j AS INT)+1] AS c
+      |          FROM seeds, unnest(range(len(cs))) AS t(j))""".stripMargin
+    for (it <- 0 until Iters) {
+      parts += s"""a$it AS (
+        |  SELECT vec_id, q, cluster FROM (
+        |    SELECT v.vec_id, v.q, c.cluster,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${d2("v.q", "c.c")}, c.cluster) AS rn
+        |    FROM qv v CROSS JOIN cent$it c) WHERE rn = 1)""".stripMargin
+      if (it < Iters - 1)
+        parts += s"""upd$it AS (
+          |  SELECT cluster, list(CAST(m AS BIGINT) ORDER BY j) AS c FROM (
+          |    SELECT cluster, j,
+          |      CASE WHEN S >= 0 THEN (2*S + cnt) // (2*cnt)
+          |           ELSE -((2*(-S) + cnt) // (2*cnt)) END AS m
+          |    FROM (
+          |      SELECT cluster, j, SUM(q[j + 1]) AS S, count(*) AS cnt
+          |      FROM (SELECT cluster, q, unnest(range($Dim)) AS j FROM a$it)
+          |      GROUP BY 1, 2))
+          |  GROUP BY cluster),
+          |cent${it + 1} AS (
+          |  SELECT p.cluster, coalesce(u.c, p.c) AS c
+          |  FROM cent$it p LEFT JOIN upd$it u USING (cluster))""".stripMargin
+    }
+    val last = s"a${Iters - 1}"
+    parts.mkString(",\n") + s""",
       |dropped AS (
       |  SELECT DISTINCT cb.vec_id
       |  FROM $last ca JOIN $last cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
@@ -2104,6 +2177,11 @@ object SparkEntry {
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_semantic_kmeans_exact" -> QuantKmeansOracleSql,
+
+    // derived-k twin: recursive-CTE seeding to the corpus-derived k,
+    // k-agnostic Lloyd rounds + keep-set verbatim — flips the learned
+    // k ∝ n entry from rows-only to hash-green
+    "dedup_semantic_kmeans" -> QuantKmeansDerivedOracleSql,
 
     "sim_pq_exact" -> PqExactOracleSql,
 

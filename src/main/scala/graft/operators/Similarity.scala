@@ -357,6 +357,41 @@ object Similarity {
   def semanticDedupKmeansExact(s: SparkSession, dir: String): DataFrame =
     semanticKeepSet(s, quantizedKmeansAssignment(s, dir, k = 4, iters = 3))
 
+  /** `dedup_semantic_kmeans`: the LEARNED k ∝ n semantic dedup,
+    * HASH-GATED — the integer-exact trainer ([[quantizedKmeansAssignment]])
+    * with the cluster count DERIVED from the corpus (the
+    * [[annGeometry]] pattern applied to a learned model's geometry):
+    * k = max(2, round(n / targetClusterSize)) computed by the shared
+    * integer rule [[derivedSemanticK]], which the oracle replays in SQL
+    * from `count(*)` over the same quantized universe. Constant
+    * expected cluster size keeps within-cluster pair volume LINEAR in
+    * the corpus (n·targetSize/2 — the sf10 lesson), the trainer is one
+    * cached corpus scan + k-row reduces, assignment is a broadcast map,
+    * and the keep-set join auto-derives its salt from the target-size
+    * pair budget. The DuckDB oracle replays farthest-point seeding as a
+    * RECURSIVE CTE to the derived k (the one data-dependent loop a
+    * static unrolling can't express), then the k-agnostic Lloyd rounds
+    * and τ = 0.3 keep-set verbatim from `dedup_semantic_kmeans_exact` —
+    * so seed order, every Lloyd update, assignment ties, AND the k
+    * derivation itself hash-fail on drift. The float production trainer
+    * ([[semanticDedupKmeans]]) keeps its SemanticDedupSpec invariants as
+    * the FP arm. */
+  def semanticDedupKmeansDerived(s: SparkSession, dir: String,
+                                 iters: Int = 3): DataFrame = {
+    val targetSize = math.max(1,
+      s.conf.get("spark.graft.dedup.semantic.targetClusterSize", "200").toInt)
+    semanticKeepSet(s, quantizedKmeansAssignment(s, dir, k = 0, iters),
+      autoSaltFor(targetSize.toDouble))
+  }
+
+  /** The shared k-derivation: max(2, round(n / targetSize)) with
+    * half-up rounding done in exact integer arithmetic —
+    * (2n + t) / (2t) truncated — so the SQL twin
+    * `GREATEST(2, (2*count(*) + t) // (2*t))` lands on the same k at
+    * any corpus size. */
+  private[graft] def derivedSemanticK(n: Long, targetSize: Int): Int =
+    math.max(2, ((2L * n + targetSize) / (2L * targetSize)).toInt)
+
   /** The quantized-integer trainer + assigner behind
     * [[semanticDedupKmeansExact]]: returns (vec_id, cluster, embedding,
     * nrm), cluster ∈ [0, k). Exposed for QuantKmeansSpec. */
@@ -370,7 +405,12 @@ object Similarity {
       .withColumn("q",
         expr("transform(embedding, x -> cast(round(x / nrm * 1000) as bigint))")))
     val data = base.select($"vec_id", $"q").as[(Long, Array[Long])]
-    val cent = quantizedKmeansCentroids(s, data, k, iters)
+    // k ≤ 0 → derive from the quantized universe's count (cached — the
+    // tracked base makes this a metadata-cheap second action) by the
+    // shared integer rule the oracle replays in SQL
+    val kUse = if (k > 0) k else derivedSemanticK(data.count(), math.max(1,
+      s.conf.get("spark.graft.dedup.semantic.targetClusterSize", "200").toInt))
+    val cent = quantizedKmeansCentroids(s, data, kUse, iters)
     val bc = s.sparkContext.broadcast(cent)
     base.select($"vec_id", $"embedding", $"nrm", $"q")
       .as[(Long, Array[Float], Double, Array[Long])]

@@ -85,4 +85,27 @@ class QuantKmeansSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("dedup_semantic_kmeans: derived k matches the shared integer rule and the assignment uses all k clusters") {
+    import spark.implicits._
+    try {
+      val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+      val kWant = Similarity.derivedSemanticK(n, 200)
+      assert(kWant >= 2)
+      // the keep-set can drop whole clusters only if every member has a
+      // lower-id ≥ τ neighbor — at τ=0.3 the kept set spans clusters;
+      // the ASSIGNMENT must span exactly [0, kWant)
+      val assigned = Similarity.quantizedKmeansAssignment(spark, sf, k = 0, iters = 3)
+        .select($"cluster").distinct().as[Long].collect().toSet
+      assert(assigned.subsetOf((0L until kWant.toLong).toSet),
+        s"assignment uses out-of-range clusters: $assigned (k=$kWant)")
+      assert(assigned.size >= 2, s"derived-k training collapsed: $assigned")
+      val a = Similarity.semanticDedupKmeansDerived(spark, sf).collect().map(_.toString)
+      val b = Similarity.semanticDedupKmeansDerived(spark, sf).collect().map(_.toString)
+      assert(a.nonEmpty && a.sameElements(b), "derived-k entry is not deterministic")
+    } finally {
+      Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+    }
+  }
 }
