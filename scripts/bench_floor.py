@@ -50,14 +50,27 @@ def merge(files, out_path="target/bench_floor.json"):
     runs = [json.load(open(f)) for f in files]
     names = sorted(set().union(*[r["queries"].keys() for r in runs]))
     floor, xspread, per_run = {}, {}, {}
+    # r11 validity gate (VERDICT r10 "What's wrong" #2): a floor is only
+    # as trustworthy as the process it came from — a loaded box
+    # (valid:false self-stamp) can inflate a query's min exactly like a
+    # code regression. Record, per query, whether its floor came from a
+    # self-stamped-valid process, and the valid-only floor alongside, so
+    # `compare` adjudicates movers against measurements, not load.
+    floor_from_valid, floor_valid_only = {}, {}
+    valids = [bool(r.get("valid")) for r in runs]
     for q in names:
-        mins = [r["queries"][q] for r in runs if r["queries"].get(q, -1) >= 0]
+        mins = [(r["queries"][q], valids[i]) for i, r in enumerate(runs)
+                if r["queries"].get(q, -1) >= 0]
         if not mins:
             floor[q], xspread[q] = -1.0, -1.0
             continue
-        floor[q] = min(mins)
-        xspread[q] = max(mins) - min(mins)
-        per_run[q] = mins
+        vals = [m for m, _ in mins]
+        floor[q] = min(vals)
+        xspread[q] = max(vals) - min(vals)
+        per_run[q] = vals
+        floor_from_valid[q] = min(mins)[1]
+        vmins = [m for m, ok in mins if ok]
+        floor_valid_only[q] = min(vmins) if vmins else -1.0
     merged = {
         "metric": "total_floor",
         "value": sum(v for v in floor.values() if v >= 0),
@@ -66,13 +79,19 @@ def merge(files, out_path="target/bench_floor.json"):
         "queries": floor,
         "cross_process_spread": xspread,
         "per_process_mins": per_run,
+        "floor_from_valid": floor_from_valid,
+        "queries_valid_only": floor_valid_only,
         "sf": runs[0].get("sf", "?"),
-        "valid_runs": [bool(r.get("valid")) for r in runs],
+        "valid_runs": valids,
     }
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
+    n_invalid_floor = sum(1 for q in floor_from_valid
+                          if not floor_from_valid[q])
     print(f"wrote {out_path}: {len(names)} queries, "
-          f"summed floor {merged['value']:.1f}s over {len(runs)} processes")
+          f"summed floor {merged['value']:.1f}s over {len(runs)} processes "
+          f"({sum(valids)} valid); {n_invalid_floor} floors from "
+          f"invalid-stamped processes")
     return merged
 
 
@@ -123,6 +142,10 @@ def compare(floor_file, baseline_file):
         if abs(delta) > env and abs(delta) > 0.05:
             verdict = "REAL " + ("regression" if delta > 0 else "improvement")
             real.append((q, o, nv, delta, env, verdict))
+        # a floor sourced from an invalid-stamped (loaded-box) process
+        # is flagged: its REAL verdict needs a valid-run re-measure
+        if not new.get("floor_from_valid", {}).get(q, True):
+            verdict += " [floor from invalid run]"
         print(f"{q:34s} {o:8.2f} {nv:8.2f} {delta:+8.2f} {env:9.2f}  {verdict}")
     print(f"\nonly-new: {sorted(set(new['queries']) - set(old_q))}")
     print(f"only-old: {sorted(set(old_q) - set(new['queries']))}")
