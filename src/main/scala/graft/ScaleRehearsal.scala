@@ -363,11 +363,33 @@ object ScaleRehearsal {
       graft.operators.TextAnalysis.bm25(spark, Sf1).collect()
     }
     val txtCorpusSec = (System.nanoTime() - ttc0) / 1e9
+    // takedown at this decade too (the sf10 tiers row's sf1 twin):
+    // compaction is whole-index-priced (anti-join + rewrite of INDEX
+    // bytes, never a corpus re-tokenize) and the NEXT probe off the
+    // compacted set stays query-term-postings-sized — both claims need
+    // the ×10 ratio, so measure wall + bytes-rewritten + probe bytes
+    // here exactly as Sf10Rehearsal does at 500k docs
+    val ttk0 = System.nanoTime()
+    graft.operators.TextAnalysis.compactPositionalIndex(spark,
+      Seq(txtDay1, txtBatch),
+      sf1docs.filter(pmod(col("doc_id"), lit(17)) === lit(5)).select(col("doc_id")),
+      s"$txtIdxRoot/compact")
+    val txtCompactSec = (System.nanoTime() - ttk0) / 1e9
+    val txtCompactBytes = diskBytes(s"$txtIdxRoot/compact") +
+      diskBytes(s"$txtIdxRoot/compact_doclen")
+    val ttk1 = System.nanoTime()
+    val (_, txtProbe2Bytes, _) = bytesReadDuring {
+      graft.operators.TextAnalysis.bm25ViaIndex(
+        spark, Seq(s"$txtIdxRoot/compact"), Seq("dup", "merge")).collect()
+    }
+    val txtProbe2Sec = (System.nanoTime() - ttk1) / 1e9
     graft.operators.Dedup.unpersistIntermediates(spark)
     spark.catalog.clearCache()
     System.err.println(f"[rehearsal] bm25_day2 build ${fmt(txtBuildSec)}s (index ${txtIdxBytes / 1048576}%d MiB), " +
       f"append ${fmt(txtAppendSec)}s, probe ${fmt(txtProbeSec)}s ${txtProbeBytes / 1048576}%d MiB read " +
-      f"vs corpus one-shot ${fmt(txtCorpusSec)}s ${txtCorpusBytes / 1048576}%d MiB read")
+      f"vs corpus one-shot ${fmt(txtCorpusSec)}s ${txtCorpusBytes / 1048576}%d MiB read; " +
+      f"compact ${fmt(txtCompactSec)}s (${txtCompactBytes / 1048576}%d MiB rewritten), " +
+      f"probe_compacted ${fmt(txtProbe2Sec)}s ${txtProbe2Bytes / 1048576}%d MiB read")
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(txtIdxRoot))
 
     // ---- NB quality-model lifecycle behind stream_corpus_nb_score:
@@ -437,7 +459,7 @@ object ScaleRehearsal {
     val ccJson =
       s""""cc_day2":{"cold_sec":${fmt(ccColdSec)},"day2_only_sec":${fmt(ccDay2Sec)},"rows":$ccN2,"bytes_read":$ccDay2Bytes,"shuffle_bytes":$ccDay2Shuf}"""
     val bm25Json =
-      s""""bm25_day2":{"build_sec":${fmt(txtBuildSec)},"index_bytes":$txtIdxBytes,"append_sec":${fmt(txtAppendSec)},"probe":{"sec":${fmt(txtProbeSec)},"bytes_read":$txtProbeBytes},"corpus_one_shot":{"sec":${fmt(txtCorpusSec)},"bytes_read":$txtCorpusBytes}}"""
+      s""""bm25_day2":{"build_sec":${fmt(txtBuildSec)},"index_bytes":$txtIdxBytes,"append_sec":${fmt(txtAppendSec)},"probe":{"sec":${fmt(txtProbeSec)},"bytes_read":$txtProbeBytes},"corpus_one_shot":{"sec":${fmt(txtCorpusSec)},"bytes_read":$txtCorpusBytes},"compact_sec":${fmt(txtCompactSec)},"compact_bytes":$txtCompactBytes,"probe_compacted":{"sec":${fmt(txtProbe2Sec)},"bytes_read":$txtProbe2Bytes}}"""
     val nbJson =
       s""""nb_model":{"train_sec":${fmt(nbTrainSec)},"train_bytes":$nbTrainBytes,"model_bytes":$nbModelBytes,"score_batch":{"sec":${fmt(nbScoreSec)},"rows":$nbBatchRows,"bytes_read":$nbScoreBytes},"in_query":{"sec":${fmt(nbFullSec)},"rows":$nbFullRows,"bytes_read":$nbFullBytes}}"""
     val plJson =

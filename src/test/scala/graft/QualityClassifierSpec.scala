@@ -87,6 +87,40 @@ class QualityClassifierSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  test("batchId-keyed count sink is idempotent: a replayed micro-batch cannot double-count") {
+    import org.apache.spark.sql.functions._
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val isBatch = pmod(col("doc_id"), lit(10)) === lit(7)
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "nbreplay").toString
+    try {
+      def model(p: String) = (
+        spark.read.parquet(s"$p/weights").collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq,
+        spark.read.parquet(s"$p/prior").head().getLong(0))
+      // once-each arm
+      Curation.writeNbCountsBatch(spark, docsDf.filter(!isBatch), s"$base/a", 0L)
+      Curation.writeNbCountsBatch(spark, docsDf.filter(isBatch), s"$base/a", 1L)
+      Curation.deriveNbModel(spark, s"$base/a", s"$base/ma")
+      // at-least-once arm: batch 1 REPLAYS (checkpointed-restart
+      // semantics) — the overwrite of batch=1 must land on the same
+      // location, so the derived model is identical, not double-counted
+      Curation.writeNbCountsBatch(spark, docsDf.filter(!isBatch), s"$base/b", 0L)
+      Curation.writeNbCountsBatch(spark, docsDf.filter(isBatch), s"$base/b", 1L)
+      Curation.writeNbCountsBatch(spark, docsDf.filter(isBatch), s"$base/b", 1L)
+      Curation.deriveNbModel(spark, s"$base/b", s"$base/mb")
+      assert(model(s"$base/ma") === model(s"$base/mb"),
+        "a replayed batch changed the derived model — the sink is not idempotent")
+      // and batch-keyed counts merge with append-mode day-2 files: the
+      // derive is layout-agnostic across the two writers
+      Curation.writeNbCounts(spark, docsDf.filter(!isBatch), s"$base/c", "overwrite")
+      Curation.writeNbCounts(spark, docsDf.filter(isBatch), s"$base/c", "append")
+      Curation.deriveNbModel(spark, s"$base/c", s"$base/mc")
+      assert(model(s"$base/ma") === model(s"$base/mc"),
+        "batch-keyed and append-mode count layouts derived different models")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   test("held-out generalization: beats the majority class and is not constant") {
     import spark.implicits._
     val held = Curation.nbQualityClassifier(spark, sf)
