@@ -176,6 +176,10 @@ object SparkEntry {
     // (disjoint doc_ids ⇒ disjoint rows), post-drain phrase probe over
     // the unioned file sets shares text_search's full-corpus oracle
     "stream_text_index_refresh" -> (StreamQueries.streamTextIndexRefresh _),
+    // streaming ANN-index maintenance: frozen day-0 codebooks, per-batch
+    // encode + batchId-keyed code append; the probe-all/rerank-all probe
+    // is definitionally exact, so the brute oracle gates the lifecycle
+    "stream_pq_index_refresh" -> (StreamQueries.streamPqIndexRefresh _),
     // writer-side layout: md5-bucketed shards with contiguous
     // within-shard positions in hash-shuffled order (one exchange)
     "corpus_shard"         -> ((s, d) => Curation.shard(s, d)),
@@ -2165,6 +2169,20 @@ object SparkEntry {
         |SELECT vec_id, label FROM n
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
+
+    // the streamed PQ index at probe-all/rerank-all dials IS the exact
+    // brute top-10 (the pinned degenerate identity), so the brute SQL
+    // gates codebook persistence, per-batch encode, batch-keyed layout,
+    // union read, ADC and rerank in one hash
+    "stream_pq_index_refresh" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
+        |FROM n, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH n AS (

@@ -1226,11 +1226,60 @@ object Similarity {
     val model = trainPq(s, cached, pqM, ksub)
     writePqCodes(s, cached, model, path, "overwrite")
     cached.unpersist(false)
+    writeCodebookSidecar(s, model, path, pqM, ksub)
+  }
+
+  private def writeCodebookSidecar(s: SparkSession, model: PqModel,
+                                   path: String, pqM: Int, ksub: Int): Unit = {
+    import s.implicits._
     val bookRows = for (m <- 0 until pqM; c <- 0 until ksub)
       yield ("book", m, c, model.books(m)(c).toSeq)
     val coarseRows = model.coarse.indices.map(c => ("coarse", 0, c, model.coarse(c).toSeq))
     (bookRows ++ coarseRows).toDF("kind", "m", "c", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Codebook-ONLY writer — the day-0 step of the STREAMING index
+    * lifecycle ([[graft.queries.StreamQueries.streamPqIndexRefresh]]):
+    * train the frozen coordinate system on the corpus and persist just
+    * the sidecar; every code arrives later, one micro-batch at a time.
+    * Production pattern: codebooks retrain on a schedule, never per
+    * batch (the [[appendPqIndex]] contract, minus any day-1 codes). */
+  private[graft] def writePqCodebooks(s: SparkSession, dir: String,
+      path: String, pqM: Int = 8, ksub: Int = 16): Unit = {
+    val cached = unitVecs(s, dir).persist()
+    require(cached.take(1).nonEmpty,
+      "stream_pq_index_refresh: cannot train codebooks on an empty " +
+        "embedding corpus (the learned entries fail fast on degenerate " +
+        "input by convention)")
+    val model = trainPq(s, cached, pqM, ksub)
+    cached.unpersist(false)
+    writeCodebookSidecar(s, model, path, pqM, ksub)
+  }
+
+  /** Encode ONE arrival batch with the index's frozen codebook sidecar
+    * and land its codes at a batchId-keyed location in the
+    * cluster-partitioned layout — `overwrite` of `codes/batch=<id>`, so
+    * an at-least-once REPLAY of a micro-batch (checkpointed-restart
+    * semantics) rewrites the same files instead of double-encoding.
+    * The probe reads `codes/` through two-level partition discovery
+    * (batch, cluster); cluster filters still prune directories inside
+    * every batch, and the extra `batch` column is dropped by the
+    * probe's projection. */
+  private[graft] def writePqCodesBatch(s: SparkSession, indexPath: String,
+      rawBatch: DataFrame, batchId: Long): Unit = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val batch = rawBatch
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x / nrm as float))").as("unit"))
+      .as[(Long, Array[Float])]
+    encodePq(s, batch, readPqModel(s, indexPath))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexPath/codes/batch=$batchId")
   }
 
   /** Encode `e` with `model` and land the codes in the index's

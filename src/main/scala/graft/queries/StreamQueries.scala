@@ -1528,6 +1528,53 @@ object StreamQueries {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** STREAMING ANN-INDEX MAINTENANCE — the PQ twin of
+    * [[streamTextIndexRefresh]], closing the index-family symmetry
+    * (dedup: `stream_neardup_indexed`; text: `stream_text_index_refresh`;
+    * vectors: this): day-0 trains and persists ONLY the frozen codebook
+    * sidecar ([[graft.operators.Similarity.writePqCodebooks]] — the
+    * production contract where codebooks retrain on a schedule, never
+    * per batch), then vectors ARRIVE over 8 micro-batches and each
+    * batch's foreachBatch sink encodes against the frozen sidecar and
+    * lands ITS OWN codes at a batchId-keyed partition of the
+    * cluster-partitioned code relation (overwrite of `codes/batch=<id>`
+    * — idempotent under at-least-once replay, the family's shared
+    * contract). Per-batch cost is one narrow encode pass + the batch's
+    * 8-byte-code files; no batch ever reads existing codes or vectors.
+    *
+    * The post-drain probe runs at PROBE-ALL + RERANK-ALL dials, where
+    * the index answer is definitionally the exact brute top-10 (the
+    * degenerate identity SimilarityRecallSpec pins for the PQ tier) —
+    * so the entry shares `sim_topk_brute`'s oracle VERBATIM and one
+    * hash gates the whole streamed lifecycle: codebook persistence,
+    * per-batch encode, batch-keyed layout, union read, ADC shortlist,
+    * exact rerank. Production dials then trade recall for cost without
+    * touching any of the gated machinery. */
+  def streamPqIndexRefresh(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "pqidx"), "stream").toAbsolutePath
+    try {
+      graft.operators.Similarity.writePqCodebooks(s, dir, s"$base/idx")
+      val embDf = s.read.parquet(s"$dir/embeddings.parquet")
+      embDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
+      val src = s.readStream.schema(embDf.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/arrivals")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Similarity.writePqCodesBatch(
+            s, s"$base/idx", batch, batchId)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndRelease(s,
+        graft.operators.Similarity.pqTopkFromIndex(
+          s, dir, s"$base/idx", nprobe = 1000, rerank = 1000000),
+        dropView = None, deleteDirs = Seq.empty)
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   case class PipeBandRow(doc_id: Long, score_q: Long, band: Int, band_hash: String)
   case class PipeOwn(doc_id: Long, score_q: Long, owner: Long)
 

@@ -126,6 +126,12 @@ class DegenerateInputSpec extends AnyFunSuite {
       graft.operators.Similarity.ivfExact(spark, emptyDir).count()
     }
     assert(e2.getMessage.contains("empty corpus"))
+    // the streaming PQ refresh trains day-0 codebooks — a learned
+    // entry, so it fails fast rather than returning an empty index
+    val e3 = intercept[IllegalArgumentException] {
+      graft.queries.StreamQueries.streamPqIndexRefresh(spark, emptyDir).count()
+    }
+    assert(e3.getMessage.contains("empty embedding corpus"))
     graft.operators.Dedup.unpersistIntermediates(spark)
   }
 
