@@ -173,6 +173,42 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed batch-keyed PQ layout: cluster pruning survives the batch dimension, replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "pqstream").toString
+    try {
+      // day-0 codebooks, then two "micro-batches" land batch-keyed codes
+      Similarity.writePqCodebooks(spark, sf, idx)
+      val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      val b0 = raw.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val b1 = raw.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Similarity.writePqCodesBatch(spark, idx, b0, 0L)
+      Similarity.writePqCodesBatch(spark, idx, b1, 1L)
+      val once = Similarity.pqTopkFromIndex(spark, sf, idx,
+        nprobe = 1000, rerank = 1000000).collect().map(_.toString)
+      // at exact dials the streamed union ≡ brute (the entry's gate)
+      val brute = Similarity.topkBrute(spark, sf).collect().map(_.toString)
+      assert(once.nonEmpty && once.sameElements(brute),
+        "streamed batch-keyed index at exact dials drifted from brute")
+      // at-least-once REPLAY of batch 1 rewrites, never duplicates
+      Similarity.writePqCodesBatch(spark, idx, b1, 1L)
+      val n = spark.read.parquet(s"$idx/codes").count()
+      assert(n == raw.count(),
+        s"replayed batch duplicated codes: $n rows for ${raw.count()} vectors")
+      // cluster probe must still prune DIRECTORIES under every batch=
+      // level — the scale property the two-level layout must not break
+      val codes = spark.read.parquet(s"$idx/codes")
+        .filter(col("cluster").isin(0, 1))
+      val plan = codes.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("cluster"),
+        "cluster probe must prune code partitions under the batch dimension")
+    } finally {
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
+    }
+  }
+
   test("k-means training is deterministic across runs") {
     val a = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 3)
     val b = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 3)
