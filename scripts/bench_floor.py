@@ -68,7 +68,10 @@ def merge(files, out_path="target/bench_floor.json"):
         floor[q] = min(vals)
         xspread[q] = max(vals) - min(vals)
         per_run[q] = vals
-        floor_from_valid[q] = min(mins)[1]
+        # a floor counts as valid-sourced if ANY valid process achieved
+        # it — min() over (value, valid) tuples would break ties toward
+        # False (False < True) and mislabel a tie as invalid-sourced
+        floor_from_valid[q] = any(ok for m, ok in mins if m == floor[q])
         vmins = [m for m, ok in mins if ok]
         floor_valid_only[q] = min(vmins) if vmins else -1.0
     merged = {
@@ -139,13 +142,23 @@ def compare(floor_file, baseline_file):
         env = max(new["cross_process_spread"].get(q, 0.0),
                   old_spread.get(q, 0.0))
         verdict = "noise"
+        # a floor sourced from an invalid-stamped (loaded-box) process
+        # is flagged: its REAL verdict needs a valid-run re-measure.
+        # The tags MUST land on verdict before real.append() captures the
+        # string, so the final adjudication summary carries them too —
+        # and the like-for-like rule needs BOTH sides valid-sourced, so
+        # an invalid old-side baseline is tagged as well.
+        tags = ""
+        if not new.get("floor_from_valid", {}).get(q, True):
+            tags += " [new floor from invalid run]"
+        if old.get("floor_from_valid", {}).get(q, True) is False:
+            tags += " [old floor from invalid run]"
         if abs(delta) > env and abs(delta) > 0.05:
             verdict = "REAL " + ("regression" if delta > 0 else "improvement")
+            verdict += tags
             real.append((q, o, nv, delta, env, verdict))
-        # a floor sourced from an invalid-stamped (loaded-box) process
-        # is flagged: its REAL verdict needs a valid-run re-measure
-        if not new.get("floor_from_valid", {}).get(q, True):
-            verdict += " [floor from invalid run]"
+        else:
+            verdict += tags
         print(f"{q:34s} {o:8.2f} {nv:8.2f} {delta:+8.2f} {env:9.2f}  {verdict}")
     print(f"\nonly-new: {sorted(set(new['queries']) - set(old_q))}")
     print(f"only-old: {sorted(set(old_q) - set(new['queries']))}")

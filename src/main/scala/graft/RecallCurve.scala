@@ -77,10 +77,38 @@ object RecallCurve {
       }
     }
 
+    // fused-retrieval quality (VERDICT r11 #6): the float production arm
+    // has dense-arm recall above, but the USER-facing artifact is the
+    // fused list — measure overlap@20 of hybridSearch at the production
+    // ivf_pq dials (nprobe=8, rerank=200) vs the brute-dense-arm fusion,
+    // so end-to-end retrieval quality is a recorded number, not an
+    // inference from dense-arm recall.
+    def fusedIds(arm: String): Seq[Long] = {
+      if (arm != "brute") spark.conf.set("spark.graft.hybrid.denseArm", arm)
+      try graft.operators.TextAnalysis.hybridSearch(spark, sfDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      finally spark.conf.unset("spark.graft.hybrid.denseArm")
+    }
+    val bruteFused = fusedIds("brute")
+    var pqSec = Double.MaxValue
+    var overlap = 0.0
+    for (_ <- 1 to passes) {
+      val t0 = System.nanoTime()
+      val pqFused = fusedIds("ivf_pq")
+      pqSec = math.min(pqSec, (System.nanoTime() - t0) / 1e9)
+      overlap = (pqFused.toSet & bruteFused.toSet).size.toDouble / bruteFused.size
+      spark.catalog.clearCache()
+      graft.operators.Dedup.unpersistIntermediates(spark)
+    }
+    System.err.println(
+      f"[recall_curve] hybrid_pq_vs_brute_fusion   overlap@20 = $overlap%.2f  ${fmt(pqSec)}s")
+
     val body = points.map { case (l, r, sec) =>
       s""""$l":{"recall_at_10":${fmt(r)},"sec":${fmt(sec)}}"""
     }.mkString(",")
-    val json = s"""{"metric":"recall_curve","sf":"$sfDir","passes":$passes,"points":{$body}}"""
+    val json = s"""{"metric":"recall_curve","sf":"$sfDir","passes":$passes,""" +
+      s""""hybrid_fusion":{"overlap_at_20":${fmt(overlap)},"sec":${fmt(pqSec)}},""" +
+      s""""points":{$body}}"""
     println(json)
     val out = java.nio.file.Paths.get("target", "recall_curve.json")
     java.nio.file.Files.createDirectories(out.getParent)

@@ -438,6 +438,103 @@ object ScaleRehearsal {
     System.err.println(f"[rehearsal] pipeline sf1 ${fmt(plSec)}s kept=$plKept " +
       f"state_rows=$plRows state_bytes=$plBytes (unfiltered near-dup store: $sr1 rows)")
 
+    // ---- streamed-maintenance decade rows (VERDICT r11 #5): per-batch
+    // cost of LIVE index maintenance at sf1 batch sizes, and the probe
+    // cost as a function of ACCUMULATED batch dirs — the degradation
+    // curve that motivates composing compaction into the streamed
+    // lifecycle (stream_text_index_compact) and prices its cadence.
+    // The per-batch writes ARE the foreachBatch bodies of
+    // stream_text_index_refresh / stream_pq_index_refresh, measured
+    // without the micro-batch harness overhead the bench floors price.
+    val smRoot = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(spark, "dayidx"), "smaint").toAbsolutePath.toString
+    val B = 32
+    val txtBatchSecs = (0 until B).map { i =>
+      val t0 = System.nanoTime()
+      graft.operators.TextAnalysis.writePositionalIndexOf(spark,
+        sf1docs.filter(pmod(col("doc_id"), lit(B)) === lit(i)),
+        s"$smRoot/tidx/b$i")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tidxDirs = (0 until B).map(i => s"$smRoot/tidx/b$i")
+    val txtIdxUnionBytes =
+      tidxDirs.map(p => diskBytes(p) + diskBytes(s"${p}_doclen")).sum
+    // probe wall + bytes vs accumulated batch-dir count (same phrase as
+    // the gated entries) — the curve a deployment reads the compaction
+    // cadence off
+    val probeCurve = Seq(1, 2, 4, 8, 16, 32).map { k =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val (_, b, _) = bytesReadDuring {
+        graft.operators.TextAnalysis.searchViaIndexPaths(
+          spark, tidxDirs.take(k), Seq("agg", "join")).collect()
+      }
+      (k, (System.nanoTime() - t0) / 1e9, b)
+    }
+    // the compaction payoff: fold all dirs (+ the ≡ 5 mod 17 takedown)
+    // into ONE set and probe again — next-probe bytes vs the
+    // uncompacted union is stream_text_index_compact's pricing row
+    val tsc0 = System.nanoTime()
+    graft.operators.TextAnalysis.compactPositionalIndex(spark, tidxDirs,
+      sf1docs.filter(pmod(col("doc_id"), lit(17)) === lit(5)).select(col("doc_id")),
+      s"$smRoot/tidx_compact")
+    val smCompactSec = (System.nanoTime() - tsc0) / 1e9
+    val smCompactBytes = diskBytes(s"$smRoot/tidx_compact") +
+      diskBytes(s"$smRoot/tidx_compact_doclen")
+    spark.catalog.clearCache()
+    val tscp0 = System.nanoTime()
+    val (_, smProbeCompBytes, _) = bytesReadDuring {
+      graft.operators.TextAnalysis.searchViaIndexPaths(
+        spark, Seq(s"$smRoot/tidx_compact"), Seq("agg", "join")).collect()
+    }
+    val smProbeCompSec = (System.nanoTime() - tscp0) / 1e9
+    val txtBatchMean = txtBatchSecs.sum / B
+    System.err.println(
+      f"[rehearsal] stream_maint text: $B batches, per-batch ${fmt(txtBatchMean)}s mean " +
+      f"(min ${fmt(txtBatchSecs.min)} max ${fmt(txtBatchSecs.max)}), union ${txtIdxUnionBytes / 1048576}%d MiB; " +
+      "probe curve " + probeCurve.map { case (k, s, b) =>
+        f"$k dirs=${fmt(s)}s/${b / 1024}%d KiB" }.mkString(", ") +
+      f"; compact ${fmt(smCompactSec)}s (${smCompactBytes / 1048576}%d MiB rewritten), " +
+      f"probe_compacted ${fmt(smProbeCompSec)}s/${smProbeCompBytes / 1024}%d KiB")
+
+    // PQ twin: day-0 codebook sidecar, then per-batch frozen-codebook
+    // encodes into batchId-keyed partitions; probe the 32-batch layout
+    // vs a single-set encode of the same corpus — the footprint cost of
+    // the batch dimension on the probe path
+    val tcb0 = System.nanoTime()
+    graft.operators.Similarity.writePqCodebooks(spark, Sf1, s"$smRoot/pidx")
+    val pqCodebookSec = (System.nanoTime() - tcb0) / 1e9
+    val sf1emb = spark.read.parquet(s"$Sf1/embeddings.parquet")
+    val pqBatchSecs = (0 until B).map { i =>
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.writePqCodesBatch(spark, s"$smRoot/pidx",
+        sf1emb.filter(pmod(col("vec_id"), lit(B)) === lit(i)), i.toLong)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pqBatchedCodesBytes = diskBytes(s"$smRoot/pidx/codes")
+    spark.catalog.clearCache()
+    val tpb0 = System.nanoTime()
+    val (_, pqProbeBatchedBytes, _) = bytesReadDuring {
+      graft.operators.Similarity.pqTopkFromIndex(spark, Sf1, s"$smRoot/pidx").collect()
+    }
+    val pqProbeBatchedSec = (System.nanoTime() - tpb0) / 1e9
+    graft.operators.Similarity.writePqIndexOf(spark,
+      graft.operators.Similarity.unitVecs(spark, Sf1), s"$smRoot/pone")
+    spark.catalog.clearCache()
+    val tps0 = System.nanoTime()
+    val (_, pqProbeSingleBytes, _) = bytesReadDuring {
+      graft.operators.Similarity.pqTopkFromIndex(spark, Sf1, s"$smRoot/pone").collect()
+    }
+    val pqProbeSingleSec = (System.nanoTime() - tps0) / 1e9
+    graft.operators.Dedup.unpersistIntermediates(spark)
+    val pqBatchMean = pqBatchSecs.sum / B
+    System.err.println(
+      f"[rehearsal] stream_maint pq: codebooks ${fmt(pqCodebookSec)}s, $B batches per-batch ${fmt(pqBatchMean)}s mean " +
+      f"(min ${fmt(pqBatchSecs.min)} max ${fmt(pqBatchSecs.max)}), codes ${pqBatchedCodesBytes / 1048576}%d MiB; " +
+      f"probe batched ${fmt(pqProbeBatchedSec)}s/${pqProbeBatchedBytes / 1024}%d KiB " +
+      f"vs single-set ${fmt(pqProbeSingleSec)}s/${pqProbeSingleBytes / 1024}%d KiB")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(smRoot))
+
     val qjson = rows.map { case (n, s01, r01, s1, r1, ratio) =>
       s""""$n":{"sf01_sec":${fmt(s01)},"sf01_rows":$r01,"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
@@ -464,7 +561,14 @@ object ScaleRehearsal {
       s""""nb_model":{"train_sec":${fmt(nbTrainSec)},"train_bytes":$nbTrainBytes,"model_bytes":$nbModelBytes,"score_batch":{"sec":${fmt(nbScoreSec)},"rows":$nbBatchRows,"bytes_read":$nbScoreBytes},"in_query":{"sec":${fmt(nbFullSec)},"rows":$nbFullRows,"bytes_read":$nbFullBytes}}"""
     val plJson =
       s""""pipeline_state":{"sf1":{"sec":${fmt(plSec)},"kept":$plKept,"state_rows":$plRows,"state_bytes":$plBytes,"unfiltered_state_rows":$sr1}}"""
-    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson,$bm25Json,$nbJson,$plJson}"""
+    val probeCurveJson = probeCurve.map { case (k, s, b) =>
+      s"""{"dirs":$k,"sec":${fmt(s)},"bytes_read":$b}"""
+    }.mkString("[", ",", "]")
+    val smJson =
+      s""""stream_maint":{"batches":$B,""" +
+      s""""text":{"batch_sec_mean":${fmt(txtBatchMean)},"batch_sec_min":${fmt(txtBatchSecs.min)},"batch_sec_max":${fmt(txtBatchSecs.max)},"union_index_bytes":$txtIdxUnionBytes,"probe_curve":$probeCurveJson,"compact":{"sec":${fmt(smCompactSec)},"bytes_rewritten":$smCompactBytes},"probe_compacted":{"sec":${fmt(smProbeCompSec)},"bytes_read":$smProbeCompBytes}},""" +
+      s""""pq":{"codebook_sec":${fmt(pqCodebookSec)},"batch_sec_mean":${fmt(pqBatchMean)},"batch_sec_min":${fmt(pqBatchSecs.min)},"batch_sec_max":${fmt(pqBatchSecs.max)},"codes_bytes":$pqBatchedCodesBytes,"probe_batched":{"sec":${fmt(pqProbeBatchedSec)},"bytes_read":$pqProbeBatchedBytes},"probe_single_set":{"sec":${fmt(pqProbeSingleSec)},"bytes_read":$pqProbeSingleBytes}}}"""
+    val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson,$bm25Json,$nbJson,$plJson,$smJson}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)

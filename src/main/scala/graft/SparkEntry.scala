@@ -176,6 +176,11 @@ object SparkEntry {
     // (disjoint doc_ids ⇒ disjoint rows), post-drain phrase probe over
     // the unioned file sets shares text_search's full-corpus oracle
     "stream_text_index_refresh" -> (StreamQueries.streamTextIndexRefresh _),
+    // compaction composed into the streamed lifecycle: the accumulated
+    // per-batch posting dirs + a takedown fold into ONE file set via the
+    // oracle-gated union compaction; probe shares text_search_compact's
+    // survivor oracle — closes the unbounded-batch-dir growth gap
+    "stream_text_index_compact" -> (StreamQueries.streamTextIndexCompact _),
     // streaming ANN-index maintenance: frozen day-0 codebooks, per-batch
     // encode + batchId-keyed code append; the probe-all/rerank-all probe
     // is definitionally exact, so the brute oracle gates the lifecycle
@@ -294,6 +299,12 @@ object SparkEntry {
     // equivalences pinned in PqIndexDay2Spec (rows-gated: learned
     // codebooks have no SQL replay, same justification as sim_pq_index)
     "sim_pq_index_day2"   -> (Similarity.pqDay2ViaIndex _),
+    // day-N codebook retrain/re-encode/swap through the versioned root:
+    // the sidecar drifts (appends encoded in a pre-growth coordinate
+    // system), the scheduled migration retrains on the grown corpus,
+    // re-encodes into v2 and swaps CURRENT atomically; the probe-all/
+    // rerank-all probe is definitionally exact → brute oracle gates it
+    "sim_pq_index_retrain" -> (Similarity.pqIndexRetrain _),
     // one-pass fixed-state second-moment partials vs DuckDB's naive
     // quadratic definition — the partial-aggregation path is hash-gated
     "sim_gram_matrix"     -> (Similarity.gramMatrix _),
@@ -310,7 +321,8 @@ object SparkEntry {
     // corpus-derived k (shared derivedSemanticK rule; oracle replays
     // seeding as a recursive CTE). The float trainer
     // (semanticDedupKmeans) stays the spec-pinned FP arm.
-    "dedup_semantic_kmeans" -> ((s, d) => Similarity.semanticDedupKmeansDerived(s, d)),
+    "dedup_semantic_kmeans" -> ((s, d) =>
+      Similarity.semanticDedupKmeansDerived(requireSemanticOracleDefaults(s), d)),
     "sim_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     // typed-UDAF (Aggregator) twin of the explode-based centroids —
@@ -410,6 +422,11 @@ object SparkEntry {
     "graph_bfs"           -> (Graph.bfs _),
     // ——— DICOM pipeline (SURVEY §2.1-2.3; fixture-driven, rows-only) ———
     "dicom_extract_flat"   -> (DicomQueries.extractFlat _),
+    // the two halves composed: binary ingest → extracted metadata →
+    // normalize → exact dedup → quality gate, attrition-accounted per
+    // doc (rows-only: binary fixture source, same justification as
+    // every dicom_* entry; stage expressions are the oracle-gated ones)
+    "dicom_corpus_funnel"  -> (DicomQueries.corpusFunnel _),
     // listing-free twin: routing + content reads driven by a (path,
     // length) manifest — the 10M+-object entry point (ManifestSpec pins
     // rows+errors parity with the listed route)
@@ -1055,6 +1072,48 @@ object SparkEntry {
     * via row_number, per-cluster GROUP BY update), so the same 3
     * unrolled rounds serve any derived k; the τ = 0.3 keep-set tail is
     * verbatim. */
+  /** [[QuantKmeansDerivedOracleSql]] bakes targetClusterSize=200 and
+    * τ=0.3 into its generated SQL, while the Spark side reads them from
+    * session conf — a non-default conf would surface as a confusing hash
+    * mismatch rather than an error (CONFIG.md documents the caveat; this
+    * enforces it in the verify path). Fail fast on drift. */
+  private def requireSemanticOracleDefaults(s: SparkSession): SparkSession = {
+    val t = s.conf.get("spark.graft.dedup.semantic.targetClusterSize", "200")
+    val tau = s.conf.get("spark.graft.dedup.semantic.tau", "0.3")
+    require(t.toInt == 200 && tau.toDouble == 0.3,
+      s"dedup_semantic_kmeans oracle SQL bakes targetClusterSize=200, tau=0.3; " +
+        s"session conf has targetClusterSize=$t, tau=$tau — unset the conf " +
+        "for gated verification (the operator itself honors any conf)")
+    s
+  }
+
+  /** Phrase search over the survivor universe (doc_id ≢ 5 mod 17) —
+    * shared verbatim by the batch takedown (`text_search_compact`) and
+    * the streamed-lifecycle compaction (`stream_text_index_compact`). */
+  private val CompactPhraseOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+      |  FROM documents WHERE doc_id % 17 <> 5),
+      |m AS (SELECT doc_id, unnest(range(len(t) - 1)) AS i, t FROM tk WHERE len(t) >= 2),
+      |hit AS (SELECT doc_id, CAST(i AS BIGINT) AS pos FROM m
+      |        WHERE t[i+1] = 'agg' AND t[i+2] = 'join')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(pos) AS first_pos
+      |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Exact brute-force cosine top-10 from query vec_id=0 — the oracle
+    * every probe-all/rerank-all PQ identity entry shares verbatim
+    * (`sim_topk_brute`, `stream_pq_index_refresh`,
+    * `sim_pq_index_retrain`). */
+  private val BruteTopkOracleSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
+      |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
+      |FROM n, q WHERE vec_id <> 0
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   private val QuantKmeansDerivedOracleSql: String = {
     val Iters = 3; val Dim = 64; val TargetSize = 200
     def d2(a: String, b: String): String =
@@ -2174,25 +2233,15 @@ object SparkEntry {
     // brute top-10 (the pinned degenerate identity), so the brute SQL
     // gates codebook persistence, per-batch encode, batch-keyed layout,
     // union read, ADC and rerank in one hash
-    "stream_pq_index_refresh" ->
-      """WITH n AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings),
-        |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
-        |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
-        |FROM n, q WHERE vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "stream_pq_index_refresh" -> BruteTopkOracleSql,
 
-    "sim_topk_brute" ->
-      """WITH n AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings),
-        |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
-        |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
-        |FROM n, q WHERE vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // same identity gates the day-N codebook retrain migration: the
+    // post-swap CURRENT index probed at probe-all/rerank-all must be
+    // the exact brute top-10 — retrained sidecar, full re-encode and
+    // pointer swap all sit under the one hash
+    "sim_pq_index_retrain" -> BruteTopkOracleSql,
+
+    "sim_topk_brute" -> BruteTopkOracleSql,
 
     "dedup_semantic_kmeans_exact" -> QuantKmeansOracleSql,
 
@@ -3225,15 +3274,13 @@ object SparkEntry {
     // retired doc can never match (its postings are gone from the
     // compacted index) and that survivors are byte-identical to a
     // fresh index of the survivor corpus — compaction ≡ rebuild
-    "text_search_compact" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
-        |  FROM documents WHERE doc_id % 17 <> 5),
-        |m AS (SELECT doc_id, unnest(range(len(t) - 1)) AS i, t FROM tk WHERE len(t) >= 2),
-        |hit AS (SELECT doc_id, CAST(i AS BIGINT) AS pos FROM m
-        |        WHERE t[i+1] = 'agg' AND t[i+2] = 'join')
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(pos) AS first_pos
-        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_search_compact" -> CompactPhraseOracleSql,
+
+    // the streamed lifecycle shares the survivor oracle VERBATIM: N
+    // per-micro-batch posting dirs + a takedown, folded by the same
+    // union compaction, must answer identically to a fresh survivor
+    // index — stream-accrued ≡ batch-built ≡ rebuild in one hash
+    "stream_text_index_compact" -> CompactPhraseOracleSql,
 
     "text_search_bm25" -> Bm25OracleSql,
 

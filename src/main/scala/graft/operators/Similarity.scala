@@ -1369,6 +1369,100 @@ object Similarity {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  // ——— versioned PQ index root: the codebook-retrain migration ———
+
+  /** Resolve the LIVE version of a versioned PQ index root: `CURRENT`
+    * is a one-line pointer file naming the version directory readers
+    * must use. Readers resolve the pointer per query; a migration swaps
+    * it atomically, so no reader ever sees a half-written index. */
+  private[graft] def currentPqIndex(root: String): String = {
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "CURRENT")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    s"$root/$v"
+  }
+
+  /** Atomically point `root/CURRENT` at `version`: write a sibling tmp
+    * file, then ATOMIC_MOVE over the pointer — the swap is all-or-
+    * nothing even if the driver dies mid-migration. */
+  private def swapCurrentPqIndex(root: String, version: String): Unit = {
+    val tmp = java.nio.file.Paths.get(root, "CURRENT.tmp")
+    java.nio.file.Files.write(tmp,
+      version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Day-0 of the versioned lifecycle: build `v1` (train + encode) and
+    * point `CURRENT` at it. */
+  private[graft] def initPqIndexRoot(s: SparkSession,
+      vectors: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      root: String): Unit = {
+    writePqIndexOf(s, vectors, s"$root/v1")
+    swapCurrentPqIndex(root, "v1")
+  }
+
+  /** DAY-N CODEBOOK RETRAIN — the migration [[writePqCodebooks]]'s
+    * contract documents ("codebooks retrain on a schedule, never per
+    * batch") but no entry exercised until now: after enough appends the
+    * frozen sidecar is DRIFTED relative to the corpus it indexes
+    * (appended vectors were encoded in a coordinate system trained
+    * before they existed), so quantization error creeps and the
+    * scheduled job retrains. The migration (1) retrains books + coarse
+    * centroids on the CURRENT corpus, (2) re-encodes every vector into
+    * a fresh `v<N+1>` directory — one full encode pass, the cost the
+    * schedule amortizes; this is the only lifecycle step that re-reads
+    * corpus vectors, because 8-byte codes are lossy and cannot be
+    * transcoded — and (3) swaps `CURRENT` atomically. Readers on vN are
+    * undisturbed throughout; the degenerate retrain-on-empty fails fast
+    * BEFORE any write, so a bad scheduled run can never break the live
+    * index (pinned in PqRetrainSpec). Returns the new version name. */
+  private[graft] def migratePqIndex(s: SparkSession,
+      vectors: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      root: String): String = {
+    require(vectors.take(1).nonEmpty,
+      "sim_pq_index_retrain: cannot retrain codebooks on an empty " +
+        "corpus — the migration aborts and CURRENT keeps serving the " +
+        "live index (the learned entries fail fast on degenerate input " +
+        "by convention)")
+    val cur = currentPqIndex(root)
+    val next = "v" + (cur.substring(cur.lastIndexOf("/v") + 2).toInt + 1)
+    writePqIndexOf(s, vectors, s"$root/$next")
+    swapCurrentPqIndex(root, next)
+    next
+  }
+
+  /** `sim_pq_index_retrain`: the full day-N retrain/re-encode/swap
+    * migration through the versioned root — day-0 trains + encodes the
+    * STANDING corpus only (vec_id % 10 != 7) into `v1`, the corpus then
+    * GROWS by the % 10 = 7 batch appended in the frozen day-0
+    * coordinate system (the [[appendPqIndex]] contract — after which
+    * the sidecar is genuinely drifted: it never saw the appended
+    * vectors), and the scheduled migration retrains on the grown
+    * corpus, re-encodes everything into `v2`, and swaps `CURRENT`
+    * atomically. The probe resolves `CURRENT` and runs at PROBE-ALL +
+    * RERANK-ALL dials, where the index answer is definitionally the
+    * exact brute top-10 — so the entry shares `sim_topk_brute`'s oracle
+    * VERBATIM and one hash gates the whole migration: retrained sidecar
+    * persistence, full re-encode, pointer swap, post-swap probe.
+    * Production dials then trade recall for cost on the RETRAINED
+    * coordinate system, whose point is recall at those dials. */
+  def pqIndexRetrain(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "pqidx"), "retrain").toAbsolutePath
+    try {
+      val all = unitVecs(s, dir)
+      initPqIndexRoot(s, all.filter(v => v._1 % 10 != 7), root.toString)
+      appendPqIndex(s, currentPqIndex(root.toString),
+        all.filter(v => v._1 % 10 == 7))
+      migratePqIndex(s, all, root.toString)
+      Dedup.trackCheckpoint(
+        pqTopkFromIndex(s, dir, currentPqIndex(root.toString),
+          nprobe = 1000, rerank = 1000000).localCheckpoint())
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   /** Query a PERSISTED PQ index ([[writePqIndex]]): collect the tiny
     * codebook sidecar, read ONLY the probed code partitions (partition
     * pruning does the list restriction — no full-index scan), share

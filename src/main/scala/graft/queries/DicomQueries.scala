@@ -207,6 +207,68 @@ object DicomQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** DICOM → CORPUS COMPOSITION — the end-to-end story the north star
+    * describes (binary ingest → curated training data), joining the
+    * repo's two halves in one entry: the full extraction pipeline
+    * (route→expand→parse→flatten, [[extractFlat]]'s projection) feeds
+    * its STRING metadata through the curation funnel — normalize →
+    * exact dedup → quality gate — stage for stage the expressions the
+    * gated corpus entries ship (`text_normalize`'s canonical form,
+    * `dedup_exact`'s first-per-hash canonical rule, `text_quality`'s
+    * C4-style keep rule), so the composition inherits their oracle-
+    * certified semantics on a relation those oracles cannot reach (the
+    * source is binary fixture bytes → rows-only by the same
+    * justification as every dicom_* entry). Output is attrition-
+    * accounted, one row PER DOCUMENT with its stage outcomes (`is_dup`,
+    * `quality_keep`, final `curated`), not just the survivor set — the
+    * corpus-card shape [[graft.operators.Curation.qualityFunnel]]
+    * reports in aggregate.
+    *
+    * Scale shape: extraction is the pipeline's own per-object work, the
+    * doc relation is a narrow projection of it, normalize/quality are
+    * per-row expressions, and dedup is one exchange on the norm-hash —
+    * at 100 TB this is extract + one shuffle, the same plan
+    * `dedup_exact` runs on the documents table. */
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flat = extractFlat(s, dir)
+    val doc = flat.select($"source_key", $"archive_path",
+      concat_ws(" ", $"modality", $"conversion_type", $"patient_id",
+        $"patient_sex", $"study_date", $"photometric_interpretation",
+        $"patient_family_name", $"image_type", $"pixel_spacing",
+        $"sopinstance_uid").as("text"))
+    // stage 1 — normalize (text_normalize's canonical form verbatim):
+    // lowercase, collapse whitespace runs, trim
+    val norm = trim(regexp_replace(lower($"text"), " +", " "))
+    val keyed = doc.select($"source_key", $"archive_path",
+      norm.as("text"), md5(norm).as("norm_md5"))
+    // stage 2 — exact dedup on the normalized hash (dedup_exact's
+    // canonical rule): the first doc per hash in deterministic order
+    // survives, later copies flag is_dup
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"norm_md5").orderBy($"source_key", $"archive_path")
+    val deduped = keyed
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("long"))
+    // stage 3 — quality gate (text_quality's composite keep rule
+    // verbatim: token floor, sane mean token length, low punctuation)
+    deduped
+      .withColumn("tk",
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
+      .select(
+        $"source_key", $"archive_path", $"norm_md5", $"is_dup",
+        size($"tk").cast("long").as("n_tokens"),
+        round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
+          .as("mean_tok_len"),
+        round(size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+          length($"text"), 4).as("punct_ratio"))
+      .withColumn("quality_keep",
+        when($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 &&
+          $"mean_tok_len" <= 15.0 && $"punct_ratio" <= 0.2, 1L).otherwise(0L))
+      .withColumn("curated",
+        (($"is_dup" === 0) && ($"quality_keep" === 1)).cast("long"))
+      .orderBy($"source_key", $"archive_path")
+  }
+
   /** PN component split as a SQL scalar function over synthetic PN
     * strings built from customer rows. Oracle-checked. */
   def parsePnFn(s: SparkSession, dir: String): DataFrame = {

@@ -1495,35 +1495,81 @@ object StreamQueries {
     * shape that keeps a live 100 TB ingest's search index current
     * without ever re-indexing the corpus. */
   def streamTextIndexRefresh(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
-    import s.implicits._
     val base = java.nio.file.Files.createTempDirectory(
       graft.util.Fs.scratchDir(s, "textidx"), "stream").toAbsolutePath
     try {
-      val docsDf = s.read.parquet(s"$dir/documents.parquet")
-      // day-0 baseline: an empty posting dir keeps the post-drain probe
-      // well-defined when zero arrival files mean zero micro-batches
-      graft.operators.TextAnalysis.writePositionalIndexOf(
-        s, docsDf.limit(0), s"$base/idx/b-1")
-      docsDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
-      val src = s.readStream.schema(docsDf.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/arrivals")
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.TextAnalysis.writePositionalIndexOf(
-            s, batch, s"$base/idx/b$batchId")
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // the probe reads the union of every batch's posting files (the
-      // deterministic b<batchId> names dedup replays by construction)
-      import scala.jdk.CollectionConverters._
-      val ls = java.nio.file.Files.list(base.resolve("idx"))
-      val parts = try ls.iterator().asScala.map(_.toString)
-        .filterNot(_.endsWith("_doclen")).toSeq.sorted finally ls.close()
+      val parts = streamTextIndexDirs(s, dir, base)
       materializeAndRelease(s,
         graft.operators.TextAnalysis.searchViaIndexPaths(
           s, parts, Seq("agg", "join")),
+        dropView = None, deleteDirs = Seq.empty)
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** The arrival half shared by [[streamTextIndexRefresh]] and
+    * [[streamTextIndexCompact]]: stage the corpus as 8 arrival files,
+    * stream them one per micro-batch into batchId-keyed posting dirs at
+    * `base/idx/b<id>` (plus the day-0 empty baseline), and return the
+    * accumulated posting-dir paths sorted for a deterministic union. */
+  private def streamTextIndexDirs(s: SparkSession, dir: String,
+      base: java.nio.file.Path): Seq[String] = {
+    val docsDf = s.read.parquet(s"$dir/documents.parquet")
+    // day-0 baseline: an empty posting dir keeps the post-drain probe
+    // well-defined when zero arrival files mean zero micro-batches
+    graft.operators.TextAnalysis.writePositionalIndexOf(
+      s, docsDf.limit(0), s"$base/idx/b-1")
+    docsDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
+    val src = s.readStream.schema(docsDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/arrivals")
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextAnalysis.writePositionalIndexOf(
+          s, batch, s"$base/idx/b$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the union reads every batch's posting files (the deterministic
+    // b<batchId> names dedup replays by construction)
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(base.resolve("idx"))
+    try ls.iterator().asScala.map(_.toString)
+      .filterNot(_.endsWith("_doclen")).toSeq.sorted finally ls.close()
+  }
+
+  /** STREAMED-INDEX COMPACTION — composes the takedown/compaction job
+    * into the streamed text-index lifecycle, closing its one open
+    * 100 TB posture gap: a live ingest accrues one posting dir PER
+    * MICRO-BATCH forever, so the probe's listing/footer cost grows with
+    * batch count, not data. Documents arrive exactly as in
+    * [[streamTextIndexRefresh]] (batchId-keyed `idx/b<id>` dirs,
+    * idempotent under replay), then the scheduled maintenance pass runs
+    * the existing oracle-gated union takedown
+    * ([[graft.operators.TextAnalysis.compactPositionalIndex]]: one
+    * broadcast anti-join over the accumulated dirs, retiring the
+    * ≡ 5 mod 17 slice — the `dedup_index_compact` convention) and
+    * rewrites postings + doc-length sidecar as ONE file set in the
+    * probe-optimal layout. The phrase probe answers from the compacted
+    * set alone and shares `text_search_compact`'s survivor-universe
+    * oracle VERBATIM — one hash certifies that folding N batch dirs +
+    * a takedown into a single relation loses no surviving posting and
+    * retires every takedown doc. Cost is index bytes (never a corpus
+    * re-tokenize), and the post-compaction probe is back to
+    * batch-count-independent: the cadence knob a production deployment
+    * tunes against the accrual curve ScaleRehearsal measures. */
+  def streamTextIndexCompact(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "textidx"), "streamc").toAbsolutePath
+    try {
+      val parts = streamTextIndexDirs(s, dir, base)
+      val retired = s.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod($"doc_id", lit(17)) === lit(5)).select($"doc_id")
+      graft.operators.TextAnalysis.compactPositionalIndex(
+        s, parts, retired, s"$base/compacted")
+      materializeAndRelease(s,
+        graft.operators.TextAnalysis.searchViaIndexPaths(
+          s, Seq(s"$base/compacted"), Seq("agg", "join")),
         dropView = None, deleteDirs = Seq.empty)
     } finally graft.util.Fs.deleteRecursively(base)
   }

@@ -102,7 +102,10 @@ class DegenerateInputSpec extends AnyFunSuite {
       "stream_corpus_nb_refresh" -> (() => graft.queries.StreamQueries.streamCorpusNbRefresh(spark, emptyDir).count()),
       // zero arrival files → zero micro-batches; the day-0 empty
       // posting dir keeps the post-drain phrase probe well-defined
-      "stream_text_index_refresh" -> (() => graft.queries.StreamQueries.streamTextIndexRefresh(spark, emptyDir).count()))
+      "stream_text_index_refresh" -> (() => graft.queries.StreamQueries.streamTextIndexRefresh(spark, emptyDir).count()),
+      // compacting zero accumulated batch dirs (just the day-0 empty
+      // baseline) with an empty takedown slice is a no-op rewrite
+      "stream_text_index_compact" -> (() => graft.queries.StreamQueries.streamTextIndexCompact(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case scala.util.control.NonFatal(e) =>

@@ -206,4 +206,29 @@ class DicomPipelineSpec extends AnyFunSuite {
     assert(tblMeta.get("Statistics").exists(_.contains("2 rows")),
       s"table rowCount must be in catalog statistics, got ${tblMeta.get("Statistics")}")
   }
+
+  test("dicom→corpus funnel: deterministic, one row per image, stage law holds") {
+    import spark.implicits._
+    val a = graft.queries.DicomQueries.corpusFunnel(spark, "")
+      .collect()
+    val b = graft.queries.DicomQueries.corpusFunnel(spark, "")
+      .collect()
+    assert(a.length == 10, "funnel must account for every extracted image")
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "composition is not deterministic")
+    // stage-composition law: curated ⇔ survived dedup AND quality gate
+    val rows = graft.queries.DicomQueries.corpusFunnel(spark, "")
+      .select("norm_md5", "is_dup", "quality_keep", "curated")
+      .collect()
+    rows.foreach { r =>
+      val (dup, keep, cur) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cur == (if (dup == 0 && keep == 1) 1L else 0L),
+        s"curated flag violates the stage law: dup=$dup keep=$keep cur=$cur")
+    }
+    // exact-dedup rule: per norm_md5, exactly one survivor (is_dup=0)
+    rows.groupBy(_.getString(0)).foreach { case (h, g) =>
+      assert(g.count(_.getLong(1) == 0L) == 1,
+        s"hash $h must have exactly one canonical doc")
+    }
+  }
 }

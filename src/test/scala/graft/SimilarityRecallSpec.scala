@@ -118,6 +118,28 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assertNoRegression("lsh_auto", rDefault)
   }
 
+  test("fused-retrieval quality: PQ-dense-arm fusion overlaps the brute-arm fusion") {
+    // the float production arm's END-TO-END quality (VERDICT r11 #6):
+    // dense-arm recall alone doesn't bound what the user reads — the
+    // fused RRF list. Measure overlap@20 of hybridSearch at the
+    // production ivf_pq dials vs the brute-dense-arm fusion and gate a
+    // > 0 floor (RecallCurve records the per-SF values each round).
+    def fused(arm: String): Seq[Long] = {
+      if (arm != "brute") spark.conf.set("spark.graft.hybrid.denseArm", arm)
+      try graft.operators.TextAnalysis.hybridSearch(spark, sf)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      finally spark.conf.unset("spark.graft.hybrid.denseArm")
+    }
+    val brute = fused("brute")
+    val pq = fused("ivf_pq")
+    assert(brute.size == 20 && pq.size == 20,
+      s"fusion must return topN=20 rows (got brute=${brute.size}, pq=${pq.size})")
+    val overlap = (pq.toSet & brute.toSet).size / 20.0
+    info(f"overlap@20 of ivf_pq-fused vs brute-fused = $overlap%.2f")
+    assert(overlap > 0.0, "PQ-arm fusion shares nothing with the brute-arm fusion")
+    assertNoRegression("hybrid_fusion_overlap_at_20", overlap)
+  }
+
   test("high-recall operating point (the documented default dial) holds its recall") {
     // RECALL_CURVE_r09.json's sweep picked the high-recall dials a real
     // deployment should default to: learned IVF probing 8 of 10 lists
