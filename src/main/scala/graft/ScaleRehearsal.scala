@@ -526,13 +526,31 @@ object ScaleRehearsal {
       graft.operators.Similarity.pqTopkFromIndex(spark, Sf1, s"$smRoot/pone").collect()
     }
     val pqProbeSingleSec = (System.nanoTime() - tps0) / 1e9
+    // PQ compaction payoff (stream_pq_index_compact's pricing row): fold
+    // the 32-batch layout + the ≡ 5 mod 17 takedown into the batch-free
+    // cluster layout and probe again — index bytes only, vectors never
+    // re-read
+    val tpqc0 = System.nanoTime()
+    graft.operators.Similarity.compactPqIndex(spark, s"$smRoot/pidx",
+      sf1emb.filter(pmod(col("vec_id"), lit(17)) === lit(5)).select(col("vec_id")),
+      s"$smRoot/pidx_compact")
+    val pqCompactStreamSec = (System.nanoTime() - tpqc0) / 1e9
+    val pqCompactStreamBytes = diskBytes(s"$smRoot/pidx_compact/codes")
+    spark.catalog.clearCache()
+    val tpqcq0 = System.nanoTime()
+    val (_, pqProbeCompactBytes, _) = bytesReadDuring {
+      graft.operators.Similarity.pqTopkFromIndex(spark, Sf1, s"$smRoot/pidx_compact").collect()
+    }
+    val pqProbeCompactSec = (System.nanoTime() - tpqcq0) / 1e9
     graft.operators.Dedup.unpersistIntermediates(spark)
     val pqBatchMean = pqBatchSecs.sum / B
     System.err.println(
       f"[rehearsal] stream_maint pq: codebooks ${fmt(pqCodebookSec)}s, $B batches per-batch ${fmt(pqBatchMean)}s mean " +
       f"(min ${fmt(pqBatchSecs.min)} max ${fmt(pqBatchSecs.max)}), codes ${pqBatchedCodesBytes / 1048576}%d MiB; " +
       f"probe batched ${fmt(pqProbeBatchedSec)}s/${pqProbeBatchedBytes / 1024}%d KiB " +
-      f"vs single-set ${fmt(pqProbeSingleSec)}s/${pqProbeSingleBytes / 1024}%d KiB")
+      f"vs single-set ${fmt(pqProbeSingleSec)}s/${pqProbeSingleBytes / 1024}%d KiB; " +
+      f"compact ${fmt(pqCompactStreamSec)}s (${pqCompactStreamBytes / 1048576}%d MiB rewritten), " +
+      f"probe_compacted ${fmt(pqProbeCompactSec)}s/${pqProbeCompactBytes / 1024}%d KiB")
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(smRoot))
 
     val qjson = rows.map { case (n, s01, r01, s1, r1, ratio) =>
@@ -567,7 +585,7 @@ object ScaleRehearsal {
     val smJson =
       s""""stream_maint":{"batches":$B,""" +
       s""""text":{"batch_sec_mean":${fmt(txtBatchMean)},"batch_sec_min":${fmt(txtBatchSecs.min)},"batch_sec_max":${fmt(txtBatchSecs.max)},"union_index_bytes":$txtIdxUnionBytes,"probe_curve":$probeCurveJson,"compact":{"sec":${fmt(smCompactSec)},"bytes_rewritten":$smCompactBytes},"probe_compacted":{"sec":${fmt(smProbeCompSec)},"bytes_read":$smProbeCompBytes}},""" +
-      s""""pq":{"codebook_sec":${fmt(pqCodebookSec)},"batch_sec_mean":${fmt(pqBatchMean)},"batch_sec_min":${fmt(pqBatchSecs.min)},"batch_sec_max":${fmt(pqBatchSecs.max)},"codes_bytes":$pqBatchedCodesBytes,"probe_batched":{"sec":${fmt(pqProbeBatchedSec)},"bytes_read":$pqProbeBatchedBytes},"probe_single_set":{"sec":${fmt(pqProbeSingleSec)},"bytes_read":$pqProbeSingleBytes}}}"""
+      s""""pq":{"codebook_sec":${fmt(pqCodebookSec)},"batch_sec_mean":${fmt(pqBatchMean)},"batch_sec_min":${fmt(pqBatchSecs.min)},"batch_sec_max":${fmt(pqBatchSecs.max)},"codes_bytes":$pqBatchedCodesBytes,"probe_batched":{"sec":${fmt(pqProbeBatchedSec)},"bytes_read":$pqProbeBatchedBytes},"probe_single_set":{"sec":${fmt(pqProbeSingleSec)},"bytes_read":$pqProbeSingleBytes},"compact":{"sec":${fmt(pqCompactStreamSec)},"bytes_rewritten":$pqCompactStreamBytes},"probe_compacted":{"sec":${fmt(pqProbeCompactSec)},"bytes_read":$pqProbeCompactBytes}}}"""
     val json = s"""{"metric":"scale_rehearsal","n_vectors":{"sf01":$n01,"sf1":$n1},"queries":$qjson,"lsh_candidates":$cjson,"ngram_maxdf200_sf1":{"rows":$ngramScaled,"sec":${fmt(ngramScaledSec)}},$scrubJson,$sjson,$djson,$ccJson,$pqJson,$bm25Json,$nbJson,$plJson,$smJson}"""
     println(json)
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")

@@ -185,6 +185,11 @@ object SparkEntry {
     // encode + batchId-keyed code append; the probe-all/rerank-all probe
     // is definitionally exact, so the brute oracle gates the lifecycle
     "stream_pq_index_refresh" -> (StreamQueries.streamPqIndexRefresh _),
+    // the vector twin of stream_text_index_compact: fold the accrued
+    // batch=<id> code partitions + a takedown through the day-2
+    // compaction into the batch-free cluster layout; probe-all over the
+    // compacted index is exact, so brute-over-survivors gates it
+    "stream_pq_index_compact" -> (StreamQueries.streamPqIndexCompact _),
     // writer-side layout: md5-bucketed shards with contiguous
     // within-shard positions in hash-shuffled order (one exchange)
     "corpus_shard"         -> ((s, d) => Curation.shard(s, d)),
@@ -1112,6 +1117,20 @@ object SparkEntry {
       |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
       |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
       |FROM n, q WHERE vec_id <> 0
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** [[BruteTopkOracleSql]] restricted to the compaction survivors
+    * (vec_id ≢ 5 mod 17): the candidate universe is filtered, the query
+    * vector comes from the unfiltered corpus — mirroring the probe path,
+    * which reads the query row directly and scans only surviving codes. */
+  private val BruteTopkSurvivorsOracleSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
+      |SELECT vec_id, round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS cos_sim
+      |FROM n, q WHERE vec_id <> 0 AND vec_id % 17 <> 5
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
   private val QuantKmeansDerivedOracleSql: String = {
@@ -2240,6 +2259,13 @@ object SparkEntry {
     // the exact brute top-10 — retrained sidecar, full re-encode and
     // pointer swap all sit under the one hash
     "sim_pq_index_retrain" -> BruteTopkOracleSql,
+
+    // streamed-lifecycle PQ compaction: the accrued batch-keyed codes
+    // minus the takedown slice, probed at probe-all/rerank-all, is the
+    // exact brute top-10 over the SURVIVORS — the candidate set is
+    // filtered, the query vector is read from the unfiltered corpus
+    // exactly as the Spark probe does
+    "stream_pq_index_compact" -> BruteTopkSurvivorsOracleSql,
 
     "sim_topk_brute" -> BruteTopkOracleSql,
 

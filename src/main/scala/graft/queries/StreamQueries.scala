@@ -1597,26 +1597,77 @@ object StreamQueries {
     * exact rerank. Production dials then trade recall for cost without
     * touching any of the gated machinery. */
   def streamPqIndexRefresh(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
-    import s.implicits._
     val base = java.nio.file.Files.createTempDirectory(
       graft.util.Fs.scratchDir(s, "pqidx"), "stream").toAbsolutePath
     try {
-      graft.operators.Similarity.writePqCodebooks(s, dir, s"$base/idx")
-      val embDf = s.read.parquet(s"$dir/embeddings.parquet")
-      embDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
-      val src = s.readStream.schema(embDf.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/arrivals")
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.Similarity.writePqCodesBatch(
-            s, s"$base/idx", batch, batchId)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamPqCodes(s, dir, base)
       materializeAndRelease(s,
         graft.operators.Similarity.pqTopkFromIndex(
           s, dir, s"$base/idx", nprobe = 1000, rerank = 1000000),
+        dropView = None, deleteDirs = Seq.empty)
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** Shared arrival stage of [[streamPqIndexRefresh]] /
+    * [[streamPqIndexCompact]]: day-0 codebook sidecar at `base/idx`,
+    * then 8 micro-batches of vectors encoded against the frozen sidecar
+    * into batchId-keyed `codes/batch=<id>` partitions (idempotent
+    * overwrite under at-least-once replay). */
+  private def streamPqCodes(s: SparkSession, dir: String,
+      base: java.nio.file.Path): Unit = {
+    graft.operators.Similarity.writePqCodebooks(s, dir, s"$base/idx")
+    val embDf = s.read.parquet(s"$dir/embeddings.parquet")
+    embDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
+    val src = s.readStream.schema(embDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/arrivals")
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.writePqCodesBatch(
+          s, s"$base/idx", batch, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STREAMED PQ-INDEX COMPACTION — the vector twin of
+    * [[streamTextIndexCompact]], closing the same 100 TB posture gap on
+    * the ANN side: the streamed code relation accrues one
+    * `codes/batch=<id>` partition per micro-batch forever, so the
+    * probe's partition-discovery/footer cost grows with BATCH COUNT,
+    * not data. Vectors arrive exactly as in [[streamPqIndexRefresh]]
+    * (frozen day-0 codebooks, batchId-keyed encode), then the scheduled
+    * maintenance pass runs the existing day-2 compaction
+    * ([[graft.operators.Similarity.compactPqIndex]]) VERBATIM over the
+    * accrued batch-keyed relation: one broadcast anti-join against the
+    * takedown slice (vec_id ≡ 5 mod 17 — the `dedup_index_compact`
+    * convention), rewritten WITHOUT the batch dimension in the
+    * probe-optimal cluster-partitioned layout; the codebook sidecar is
+    * copied untouched (deletions change WHICH codes exist, never the
+    * coordinate system). Cost is index bytes — 8-byte codes per row,
+    * the corpus vectors are never re-read — and the post-compaction
+    * probe is back to batch-count-independent cluster pruning.
+    *
+    * Gated like the refresh twin: at PROBE-ALL + RERANK-ALL dials the
+    * compacted index's answer is definitionally the exact brute top-10
+    * over the SURVIVORS, so one brute-over-survivors hash certifies the
+    * whole streamed lifecycle (codebook persistence, per-batch encode,
+    * batch-keyed accrual, anti-join retirement, layout rewrite, ADC +
+    * rerank). Stream-accrued + compacted ≡ batch-built + compacted is
+    * additionally pinned in StreamIndexCompactSpec. */
+  def streamPqIndexCompact(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "pqidx"), "streamc").toAbsolutePath
+    try {
+      streamPqCodes(s, dir, base)
+      val retired = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(pmod($"vec_id", lit(17)) === lit(5)).select($"vec_id")
+      graft.operators.Similarity.compactPqIndex(
+        s, s"$base/idx", retired, s"$base/compacted")
+      materializeAndRelease(s,
+        graft.operators.Similarity.pqTopkFromIndex(
+          s, dir, s"$base/compacted", nprobe = 1000, rerank = 1000000),
         dropView = None, deleteDirs = Seq.empty)
     } finally graft.util.Fs.deleteRecursively(base)
   }

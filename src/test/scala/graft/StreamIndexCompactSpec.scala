@@ -35,4 +35,34 @@ class StreamIndexCompactSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect()
     assert(ids.forall(_ % 17 != 5), "a retired doc surfaced post-compaction")
   }
+
+  test("PQ twin: stream-accrued + compacted == batch-built + compacted") {
+    import spark.implicits._
+    // batch lifecycle with the same training universe (full corpus) and
+    // the same takedown slice: the deterministic trainer makes the two
+    // codebook sidecars identical, so the compacted code relations — and
+    // the probe-all answers — must match row for row
+    val base = java.nio.file.Files.createTempDirectory("pq-compact-spec")
+    val batchTopk =
+      try {
+        graft.operators.Similarity.writePqIndex(spark, sf, s"$base/full")
+        val retired = spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter(org.apache.spark.sql.functions.pmod(
+            $"vec_id", org.apache.spark.sql.functions.lit(17)) === 5)
+          .select($"vec_id")
+        graft.operators.Similarity.compactPqIndex(
+          spark, s"$base/full", retired, s"$base/compacted")
+        graft.operators.Similarity.pqTopkFromIndex(
+          spark, sf, s"$base/compacted", nprobe = 1000, rerank = 1000000)
+          .collect().map(_.toString)
+      } finally graft.util.Fs.deleteRecursively(base)
+    val streamed = graft.queries.StreamQueries
+      .streamPqIndexCompact(spark, sf).collect().map(_.toString)
+    assert(streamed.nonEmpty, "PQ probe returned nothing — spec vacuous")
+    assert(streamed.sameElements(batchTopk),
+      "streamed-lifecycle PQ compaction diverges from the batch lifecycle")
+    val ids = graft.queries.StreamQueries.streamPqIndexCompact(spark, sf)
+      .select("vec_id").as[Long].collect()
+    assert(ids.forall(_ % 17 != 5), "a retired vector surfaced post-compaction")
+  }
 }
