@@ -57,7 +57,7 @@ object Sf10Rehearsal {
     // section filter for local iteration on ONE part of the rehearsal
     // (family,lsh,ngram,semantic; default all). A partial run writes a
     // suffixed artifact so it can never masquerade as the full one.
-    val AllSections = Set("family", "lsh", "ngram", "semantic", "pq", "tiers")
+    val AllSections = Set("family", "lsh", "ngram", "semantic", "pq", "tiers", "smaint")
     val sections = sys.env.get("SPARK_GRAFT_SF10_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(AllSections)
@@ -278,12 +278,105 @@ object Sf10Rehearsal {
       s""","tiers10":{"bm25_idx":{"build_sec":${fmt(buildSec)},"index_bytes":$idxBytes,"append_sec":${fmt(appendSec)},"probe":{"sec":${fmt(probeSec)},"bytes_read":$probeBytes},"compact_sec":${fmt(compactSec)},"compact_bytes":$compactBytes,"probe_compacted":{"sec":${fmt(probe2Sec)},"bytes_read":$probe2Bytes}},"nb_model":{"train_sec":${fmt(trainSec)},"train_bytes":$trainBytes,"model_bytes":$modelBytes,"score_batch":{"sec":${fmt(scoreSec)},"rows":$scoreRows,"bytes_read":$scoreBytes}},"pipeline_state":{"sec":${fmt(plSec)},"kept":$plKept,"state_rows":$plRows,"state_bytes":$plBytes}}"""
     } else ""
 
+    // ---- streamed-maintenance decade row (the sf10 arm of
+    // ScaleRehearsal's stream_maint curve, VERDICT r11 #5): per-batch
+    // cost of live index upkeep at REAL batch sizes (500k docs → ~15.6k
+    // docs/batch over 32 batches; 200k vecs → 6.25k/batch), the probe
+    // wall/bytes vs accumulated batch-dir count, and both families'
+    // compaction payoff — the curve that sets a production compaction
+    // cadence one decade past the bench scale.
+    val smaintJson = if (sections("smaint")) {
+      import graft.util.Metrics.{bytesReadDuring, diskBytes}
+      val docs10 = spark.read.parquet(s"$Sf10/documents.parquet")
+      val root = java.nio.file.Files.createTempDirectory(
+        graft.util.Fs.scratchDir(spark, "dayidx"), "smaint10").toAbsolutePath
+      val B = 32
+      val txtSecs = (0 until B).map { i =>
+        val t0 = System.nanoTime()
+        graft.operators.TextAnalysis.writePositionalIndexOf(spark,
+          docs10.filter(pmod(col("doc_id"), lit(B)) === lit(i)), s"$root/t/b$i")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tDirs = (0 until B).map(i => s"$root/t/b$i")
+      val probeCurve = Seq(1, 8, 32).map { k =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val (_, b, _) = bytesReadDuring(spark) {
+          graft.operators.TextAnalysis.searchViaIndexPaths(
+            spark, tDirs.take(k), Seq("agg", "join")).collect()
+        }
+        (k, (System.nanoTime() - t0) / 1e9, b)
+      }
+      val tc0 = System.nanoTime()
+      graft.operators.TextAnalysis.compactPositionalIndex(spark, tDirs,
+        docs10.filter(pmod(col("doc_id"), lit(17)) === lit(5)).select(col("doc_id")),
+        s"$root/t_compact")
+      val tCompactSec = (System.nanoTime() - tc0) / 1e9
+      val tCompactBytes = diskBytes(s"$root/t_compact") + diskBytes(s"$root/t_compact_doclen")
+      spark.catalog.clearCache()
+      val tq0 = System.nanoTime()
+      val (_, tProbeCompBytes, _) = bytesReadDuring(spark) {
+        graft.operators.TextAnalysis.searchViaIndexPaths(
+          spark, Seq(s"$root/t_compact"), Seq("agg", "join")).collect()
+      }
+      val tProbeCompSec = (System.nanoTime() - tq0) / 1e9
+      System.err.println(
+        f"[sf10] smaint text: per-batch ${fmt(txtSecs.sum / B)}s mean " +
+        "(probe " + probeCurve.map { case (k, s, b) =>
+          f"$k dirs=${fmt(s)}s/${b / 1024}%d KiB" }.mkString(", ") +
+        f"), compact ${fmt(tCompactSec)}s (${tCompactBytes / 1048576}%d MiB), " +
+        f"probe_compacted ${fmt(tProbeCompSec)}s/${tProbeCompBytes / 1024}%d KiB")
+
+      val tcb0 = System.nanoTime()
+      graft.operators.Similarity.writePqCodebooks(spark, Sf10, s"$root/p")
+      val pqCbSec = (System.nanoTime() - tcb0) / 1e9
+      val emb10 = spark.read.parquet(s"$Sf10/embeddings.parquet")
+      val pqSecs = (0 until B).map { i =>
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.writePqCodesBatch(spark, s"$root/p",
+          emb10.filter(pmod(col("vec_id"), lit(B)) === lit(i)), i.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      val tpb0 = System.nanoTime()
+      val (_, pqBatchedBytes, _) = bytesReadDuring(spark) {
+        graft.operators.Similarity.pqTopkFromIndex(spark, Sf10, s"$root/p").collect()
+      }
+      val pqBatchedSec = (System.nanoTime() - tpb0) / 1e9
+      val tpc0 = System.nanoTime()
+      graft.operators.Similarity.compactPqIndex(spark, s"$root/p",
+        emb10.filter(pmod(col("vec_id"), lit(17)) === lit(5)).select(col("vec_id")),
+        s"$root/p_compact")
+      val pqCompactSec = (System.nanoTime() - tpc0) / 1e9
+      val pqCompactBytes = diskBytes(s"$root/p_compact/codes")
+      spark.catalog.clearCache()
+      val tpq0 = System.nanoTime()
+      val (_, pqProbeCompBytes, _) = bytesReadDuring(spark) {
+        graft.operators.Similarity.pqTopkFromIndex(spark, Sf10, s"$root/p_compact").collect()
+      }
+      val pqProbeCompSec = (System.nanoTime() - tpq0) / 1e9
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      System.err.println(
+        f"[sf10] smaint pq: codebooks ${fmt(pqCbSec)}s, per-batch ${fmt(pqSecs.sum / B)}s mean, " +
+        f"probe batched ${fmt(pqBatchedSec)}s/${pqBatchedBytes / 1024}%d KiB, " +
+        f"compact ${fmt(pqCompactSec)}s (${pqCompactBytes / 1024}%d KiB), " +
+        f"probe_compacted ${fmt(pqProbeCompSec)}s/${pqProbeCompBytes / 1024}%d KiB")
+      graft.util.Fs.deleteRecursively(root)
+      val pcJson = probeCurve.map { case (k, s, b) =>
+        s"""{"dirs":$k,"sec":${fmt(s)},"bytes_read":$b}"""
+      }.mkString("[", ",", "]")
+      s""","smaint10":{"batches":$B,""" +
+        s""""text":{"batch_sec_mean":${fmt(txtSecs.sum / B)},"batch_sec_min":${fmt(txtSecs.min)},"batch_sec_max":${fmt(txtSecs.max)},"probe_curve":$pcJson,"compact":{"sec":${fmt(tCompactSec)},"bytes_rewritten":$tCompactBytes},"probe_compacted":{"sec":${fmt(tProbeCompSec)},"bytes_read":$tProbeCompBytes}},""" +
+        s""""pq":{"codebook_sec":${fmt(pqCbSec)},"batch_sec_mean":${fmt(pqSecs.sum / B)},"batch_sec_min":${fmt(pqSecs.min)},"batch_sec_max":${fmt(pqSecs.max)},"probe_batched":{"sec":${fmt(pqBatchedSec)},"bytes_read":$pqBatchedBytes},"compact":{"sec":${fmt(pqCompactSec)},"bytes_rewritten":$pqCompactBytes},"probe_compacted":{"sec":${fmt(pqProbeCompSec)},"bytes_read":$pqProbeCompBytes}}}"""
+    } else ""
+
     val qjson = rows.map { case (n, s1, r1, s10, r10, ratio) =>
       s""""$n":{"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"sf10_sec":${fmt(s10)},"sf10_rows":$r10,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
     val cjson = cand.map { case (g, c) => s""""$g":$c""" }.mkString("{", ",", "}")
     val vjson = vols.map { case (cap, v) => s""""maxdf_$cap":$v""" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}},"semantic_kmeans_scaled_k":$semJson$pqJson$tiersJson}"""
+    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}},"semantic_kmeans_scaled_k":$semJson$pqJson$tiersJson$smaintJson}"""
     println(json)
     val out = java.nio.file.Paths.get(
       if (partial) "target/sf10_rehearsal_partial.json"
