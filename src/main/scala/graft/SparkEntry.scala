@@ -451,6 +451,10 @@ object SparkEntry {
     "dicom_parse_da_fn"    -> (DicomQueries.parseDaFn _),
     "dicom_parse_pn_fn"    -> (DicomQueries.parsePnFn _),
     "dicom_stream_ingest"  -> (StreamQueries.streamIngest _),
+    // the live twin of dicom_corpus_funnel: per-object micro-batch
+    // extraction into the checkpointed sink, then the same curation
+    // funnel over the sink relation (streamed ≡ batch, spec-pinned)
+    "stream_dicom_corpus_funnel" -> (StreamQueries.streamCorpusFunnel _),
     "stream_events_window" -> (StreamQueries.streamEventsWindow _),
     "stream_sessionize"    -> (StreamQueries.streamSessionize _),
     // engine-native session_window twin of the custom sessionizer

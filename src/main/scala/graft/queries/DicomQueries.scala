@@ -229,9 +229,19 @@ object DicomQueries {
     * per-row expressions, and dedup is one exchange on the norm-hash —
     * at 100 TB this is extract + one shuffle, the same plan
     * `dedup_exact` runs on the documents table. */
-  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(s, extractFlat(s, dir))
+
+  /** [[corpusFunnel]]'s stages over a RAW extraction relation (the
+    * streamed sink's schema — [[graft.pipeline.DicomPipeline.toDataFrame]]
+    * output): apply the flat projection, then the same funnel. Lets the
+    * streaming twin (`stream_dicom_corpus_funnel`) share every stage
+    * expression verbatim. */
+  private[graft] def funnelFromRaw(s: SparkSession, raw: DataFrame): DataFrame =
+    funnelOf(s, flatProjection(s, raw))
+
+  private def funnelOf(s: SparkSession, flat: DataFrame): DataFrame = {
     import s.implicits._
-    val flat = extractFlat(s, dir)
     val doc = flat.select($"source_key", $"archive_path",
       concat_ws(" ", $"modality", $"conversion_type", $"patient_id",
         $"patient_sex", $"study_date", $"photometric_interpretation",

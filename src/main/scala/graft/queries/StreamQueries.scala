@@ -111,6 +111,46 @@ object StreamQueries {
       deleteDirs = Seq(java.nio.file.Paths.get(out)))
   }
 
+  /** STREAMING DICOM→CORPUS FUNNEL — the live twin of
+    * [[graft.queries.DicomQueries.corpusFunnel]], closing the end-to-end
+    * story in the deployment shape the reference actually runs (one
+    * event per arriving object): every fixture object drains through
+    * [[graft.streaming.DicomStream]] at `maxFilesPerTrigger=1` (route →
+    * expand → parse → flatten per micro-batch, checkpointed
+    * exactly-once, partitioned parquet sink — the gated ingest path
+    * unchanged), then the curation funnel runs over the SINK relation
+    * via [[graft.queries.DicomQueries.funnelFromRaw]] — the same
+    * normalize/dedup/quality expressions, stage for stage. Per-batch
+    * schemas differ (each object observes its own key set), so the sink
+    * read merges schemas — the union-of-observed-keys semantics the
+    * batch extraction computes in one pass; values are per-row
+    * deterministic either way, so streamed ≡ batch row-for-row
+    * (pinned in DicomPipelineSpec). At scale: extraction cost is the
+    * ingest stream's own (per-object narrow work), the funnel adds the
+    * one dedup exchange — the exact batch-funnel plan over yesterday's
+    * standing sink instead of a re-extraction. */
+  def streamCorpusFunnel(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "dicomq"), "sfunnel").toAbsolutePath
+    try {
+      val in = base.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Paths.get(DicomQueries.Fixtures)
+      val ls = java.nio.file.Files.list(src)
+      try ls.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .foreach(p => java.nio.file.Files.copy(p, in.resolve(p.getFileName)))
+      finally ls.close()
+      val q = graft.streaming.DicomStream.start(
+        s, in.toString, s"$base/data", s"$base/errors", s"$base/ckpt",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      val sunk = s.read.option("mergeSchema", "true").parquet(s"$base/data")
+      materializeAndRelease(s, DicomQueries.funnelFromRaw(s, sunk),
+        dropView = None, deleteDirs = Seq.empty)
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** The streaming twin of `Relational.eventsNs`: whatever physical
     * `ts` the driver's generator wrote — epoch-ns long (TIMESTAMP(NANOS)
     * under `nanosAsLong`), TIMESTAMP (µs), or TIMESTAMP_NTZ (µs, naive;

@@ -231,4 +231,17 @@ class DicomPipelineSpec extends AnyFunSuite {
         s"hash $h must have exactly one canonical doc")
     }
   }
+
+  test("streamed dicom→corpus funnel == batch funnel, row for row") {
+    // per-object micro-batches write per-batch observed-key schemas; the
+    // merged sink read must reconstruct exactly the batch extraction's
+    // union-of-observed-keys relation, so the funnel output is identical
+    val streamed = graft.queries.StreamQueries.streamCorpusFunnel(spark, "")
+      .collect().map(_.toString)
+    val batch = graft.queries.DicomQueries.corpusFunnel(spark, "")
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty, "streamed funnel returned nothing — spec vacuous")
+    assert(streamed.sameElements(batch),
+      "streamed funnel diverges from the batch funnel")
+  }
 }
