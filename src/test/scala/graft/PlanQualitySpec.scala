@@ -330,4 +330,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("Join"), "probe joins must be present")
   }
+
+  test("dicom→corpus funnel: the dedup hash partition is the plan's only data exchange") {
+    // the scale claim in DicomQueries.corpusFunnel's doc: normalize and
+    // the quality gate are per-row expressions, so the whole funnel adds
+    // exactly ONE shuffle to extraction — the norm_md5 window partition
+    // (plus the presentation sort's range exchange, which is the
+    // deliverable ordering, not funnel work)
+    val p = plan("dicom_corpus_funnel")
+    assert("Exchange hashpartitioning\\(norm_md5".r.findAllIn(p).length == 1,
+      s"expected exactly the norm_md5 dedup exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "normalize/quality must stay per-row — no second hash exchange")
+  }
 }
