@@ -216,7 +216,14 @@ object Bench {
     // the r4 artifact shipped steady_spread/total ≈ 0.30 stamped valid,
     // and its four worst mins were 1.5-3× their idle floors.
     val okTotal = mins.values.filter(_ >= 0).sum
-    val valid = okTotal > 0.0 && steadySpread / okTotal <= 0.15 && flagged.isEmpty
+    // the same 200 ms absolute grace suspect() applies per query: on a
+    // dedicated SUB-SECOND-total process the proportional cut reads the
+    // tail of the JIT warm-up descent as load (r12 adjudication: every
+    // q10-only process stamped invalid at floors its 8-process agreement
+    // and the old-code control proved honest). On a full-suite total
+    // (~260 s) the grace is noise-level and changes nothing.
+    val valid = okTotal > 0.0 && steadySpread <= 0.15 * okTotal + 0.2 &&
+      flagged.isEmpty
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$passes,"spread":${fmt(spread)},"steady_spread":${fmt(steadySpread)},"valid":$valid,"flagged":$flaggedJson,"reran":${rerun.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"queries":$qs,"passes":$allPasses,"spread_q":$spreadQJson,"materialized":$materializedJson,"sf":"$sfDir"}"""
     println(json)
     // also land the artifact on disk: the stdout line has been lost to
