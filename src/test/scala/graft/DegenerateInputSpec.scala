@@ -135,6 +135,13 @@ class DegenerateInputSpec extends AnyFunSuite {
       graft.queries.StreamQueries.streamPqIndexRefresh(spark, emptyDir).count()
     }
     assert(e3.getMessage.contains("empty embedding corpus"))
+    // the streamed-compaction twin shares the refresh's day-0 trainer,
+    // so the same fail-fast applies BEFORE any code is streamed or
+    // compacted — never an empty compacted index
+    val e4 = intercept[IllegalArgumentException] {
+      graft.queries.StreamQueries.streamPqIndexCompact(spark, emptyDir).count()
+    }
+    assert(e4.getMessage.contains("empty embedding corpus"))
     graft.operators.Dedup.unpersistIntermediates(spark)
   }
 
