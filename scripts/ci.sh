@@ -27,6 +27,10 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
 
 python3 scripts/check_oracle.py "$SF" "$PWD/$OUT"
 
+# bench-protocol tooling gate: the three r12 floor-provenance fixes
+# (tag-before-capture, old-side validity, valid/invalid tie) stay fixed
+python3 scripts/test_bench_floor.py
+
 # README count drift gate: the contract-facing totals on README.md must
 # match the compiled registry (counts.json is written by graft.Verify)
 python3 - "$PWD/$OUT/counts.json" <<'EOF'

@@ -103,11 +103,55 @@ object RecallCurve {
     System.err.println(
       f"[recall_curve] hybrid_pq_vs_brute_fusion   overlap@20 = $overlap%.2f  ${fmt(pqSec)}s")
 
+    // fusion dial attribution (VERDICT r12 #6): the sf0.01 r12 dip
+    // (overlap@20 = 0.65 at nprobe=8/rerank=200) needs a CAUSE — per
+    // dial, record the fused overlap@20 NEXT TO the dense arm's own
+    // recall@100 (the armN=100 cut that actually enters fusion), so a
+    // low fused row is attributable to the dense arm (recall@100 low
+    // too) vs the RRF arithmetic (recall@100 high, fused still low).
+    import org.apache.spark.sql.functions.{broadcast, col}
+    graft.functions.VectorExpressions.register(spark)
+    val e100 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding",
+        "sqrt(graft_dot(embedding, embedding)) AS nrm")
+    val q100 = e100.filter(col("vec_id") === 0)
+      .selectExpr("embedding AS q_emb", "nrm AS q_nrm")
+    val brute100 = e100.filter(col("vec_id") =!= 0).join(broadcast(q100))
+      .selectExpr("vec_id",
+        "round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6) AS cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(100)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val dialRows = for ((np, rr) <- Seq((4, 200), (8, 200), (16, 200), (8, 50))) yield {
+      val dense = Similarity.ivfPqTopk(spark, sfDir, nprobe = np,
+          rerank = rr, topN = 100)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      val denseRecall = (dense & brute100).size.toDouble / brute100.size
+      spark.conf.set("spark.graft.hybrid.denseArm", "ivf_pq")
+      spark.conf.set("spark.graft.hybrid.nprobe", np.toString)
+      spark.conf.set("spark.graft.hybrid.rerank", rr.toString)
+      val fused = try graft.operators.TextAnalysis.hybridSearch(spark, sfDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      finally {
+        spark.conf.unset("spark.graft.hybrid.denseArm")
+        spark.conf.unset("spark.graft.hybrid.nprobe")
+        spark.conf.unset("spark.graft.hybrid.rerank")
+      }
+      val fusedOverlap = (fused & bruteFused.toSet).size.toDouble / bruteFused.size
+      spark.catalog.clearCache()
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      System.err.println(
+        f"[recall_curve] hybrid_dial np=$np%-2d rr=$rr%-3d  dense recall@100 = " +
+          f"$denseRecall%.2f  fused overlap@20 = $fusedOverlap%.2f")
+      s""""np${np}_rr$rr":{"dense_recall_at_100":${fmt(denseRecall)},""" +
+        s""""fused_overlap_at_20":${fmt(fusedOverlap)}}"""
+    }
+
     val body = points.map { case (l, r, sec) =>
       s""""$l":{"recall_at_10":${fmt(r)},"sec":${fmt(sec)}}"""
     }.mkString(",")
     val json = s"""{"metric":"recall_curve","sf":"$sfDir","passes":$passes,""" +
       s""""hybrid_fusion":{"overlap_at_20":${fmt(overlap)},"sec":${fmt(pqSec)}},""" +
+      s""""hybrid_dials":{${dialRows.mkString(",")}},""" +
       s""""points":{$body}}"""
     println(json)
     val out = java.nio.file.Paths.get("target", "recall_curve.json")

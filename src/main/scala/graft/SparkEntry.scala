@@ -327,7 +327,7 @@ object SparkEntry {
     // seeding as a recursive CTE). The float trainer
     // (semanticDedupKmeans) stays the spec-pinned FP arm.
     "dedup_semantic_kmeans" -> ((s, d) =>
-      Similarity.semanticDedupKmeansDerived(requireSemanticOracleDefaults(s), d)),
+      Similarity.semanticDedupKmeansDerived(requireSemanticOracleDefaults(s, d), d)),
     "sim_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     // typed-UDAF (Aggregator) twin of the explode-based centroids —
@@ -432,6 +432,10 @@ object SparkEntry {
     // doc (rows-only: binary fixture source, same justification as
     // every dicom_* entry; stage expressions are the oracle-gated ones)
     "dicom_corpus_funnel"  -> (DicomQueries.corpusFunnel _),
+    // day-2 funnel: manifest-delta extraction only, docs deduped
+    // against the standing sink (hash semi-join + incremental minhash);
+    // incremental ≡ arrival-ordered recompute pinned in DicomPipelineSpec
+    "dicom_corpus_funnel_delta" -> (DicomQueries.corpusFunnelDelta _),
     // listing-free twin: routing + content reads driven by a (path,
     // length) manifest — the 10M+-object entry point (ManifestSpec pins
     // rows+errors parity with the listed route)
@@ -1081,18 +1085,31 @@ object SparkEntry {
     * via row_number, per-cluster GROUP BY update), so the same 3
     * unrolled rounds serve any derived k; the τ = 0.3 keep-set tail is
     * verbatim. */
-  /** [[QuantKmeansDerivedOracleSql]] bakes targetClusterSize=200 and
-    * τ=0.3 into its generated SQL, while the Spark side reads them from
-    * session conf — a non-default conf would surface as a confusing hash
-    * mismatch rather than an error (CONFIG.md documents the caveat; this
-    * enforces it in the verify path). Fail fast on drift. */
-  private def requireSemanticOracleDefaults(s: SparkSession): SparkSession = {
+  /** [[QuantKmeansDerivedOracleSql]] bakes targetClusterSize=200, τ=0.3
+    * and Dim=64 into its generated SQL, while the Spark side reads the
+    * dials from session conf and the dimension from the data — a
+    * non-default conf or an off-spec embeddings table would surface as
+    * a confusing hash mismatch rather than an error (CONFIG.md documents
+    * the contract; this enforces it in the verify path, pinned by
+    * SemanticDedupSpec). Fail fast on drift. */
+  private def requireSemanticOracleDefaults(s: SparkSession,
+                                            dir: String): SparkSession = {
     val t = s.conf.get("spark.graft.dedup.semantic.targetClusterSize", "200")
     val tau = s.conf.get("spark.graft.dedup.semantic.tau", "0.3")
     require(t.toInt == 200 && tau.toDouble == 0.3,
       s"dedup_semantic_kmeans oracle SQL bakes targetClusterSize=200, tau=0.3; " +
         s"session conf has targetClusterSize=$t, tau=$tau — unset the conf " +
         "for gated verification (the operator itself honors any conf)")
+    // the oracle's Lloyd-update loop is unrolled over exactly 64
+    // dimensions; one head row (a bounded single-row scan) checks the
+    // corpus matches before any hash can silently diverge
+    val dim = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")).as("d"))
+      .head().getInt(0)
+    require(dim == 64,
+      s"dedup_semantic_kmeans oracle SQL bakes Dim=64; $dir/embeddings.parquet " +
+        s"has $dim-dim embeddings — regenerate the oracle for this corpus")
     s
   }
 

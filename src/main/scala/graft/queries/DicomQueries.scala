@@ -55,10 +55,14 @@ object DicomQueries {
     val manifest = DicomPipeline.manifestOf(s, Fixtures)
     val newToday = pmod(abs(hash(col("path"))), lit(3)) === 0
     val processed = manifest.filter(!newToday)
-      // one "changed" object: the log remembers a different length, so
-      // the anti-join re-admits it even though the path matched
+      // one "changed" object FROM THE PROCESSED SET: the log remembers a
+      // different length, so the anti-join re-admits it even though the
+      // path matched. example-0 is in the processed set under the hash
+      // rule (example-6 is hash-new already — drifting it would be a
+      // no-op, the r13 fix); the delta is the hash-new subset plus this
+      // changed object.
       .withColumn("length",
-        when(col("path").endsWith("example-6"), col("length") + 1L)
+        when(col("path").endsWith("example-0"), col("length") + 1L)
           .otherwise(col("length")))
     val delta = DicomPipeline.manifestDelta(manifest, processed)
     val df = DicomPipeline.toDataFrame(s,
@@ -212,60 +216,158 @@ object DicomQueries {
     * repo's two halves in one entry: the full extraction pipeline
     * (route→expand→parse→flatten, [[extractFlat]]'s projection) feeds
     * its STRING metadata through the curation funnel — normalize →
-    * exact dedup → quality gate — stage for stage the expressions the
+    * exact dedup → MinHash near-dup removal → quality gate, the
+    * `corpus_clean` composition — stage for stage the expressions the
     * gated corpus entries ship (`text_normalize`'s canonical form,
-    * `dedup_exact`'s first-per-hash canonical rule, `text_quality`'s
-    * C4-style keep rule), so the composition inherits their oracle-
-    * certified semantics on a relation those oracles cannot reach (the
-    * source is binary fixture bytes → rows-only by the same
-    * justification as every dicom_* entry). Output is attrition-
-    * accounted, one row PER DOCUMENT with its stage outcomes (`is_dup`,
+    * `dedup_exact`'s first-per-hash canonical rule,
+    * `dedup_minhash_lsh`'s pair machinery via
+    * [[graft.operators.Dedup.minhashPairs]], `text_quality`'s C4-style
+    * keep rule), so the composition inherits their oracle-certified
+    * semantics on a relation those oracles cannot reach (the source is
+    * binary fixture bytes → rows-only by the same justification as
+    * every dicom_* entry). Output is attrition-accounted, one row PER
+    * DOCUMENT with its stage outcomes (`is_dup`, `is_neardup`,
     * `quality_keep`, final `curated`), not just the survivor set — the
     * corpus-card shape [[graft.operators.Curation.qualityFunnel]]
     * reports in aggregate.
     *
     * Scale shape: extraction is the pipeline's own per-object work, the
     * doc relation is a narrow projection of it, normalize/quality are
-    * per-row expressions, and dedup is one exchange on the norm-hash —
-    * at 100 TB this is extract + one shuffle, the same plan
-    * `dedup_exact` runs on the documents table. */
+    * per-row expressions, exact dedup is one exchange on the norm-hash,
+    * and near-dup is the banded LSH plan (Σn_b² candidates, never n²) —
+    * at 100 TB this is extract + the same exchanges `dedup_exact` and
+    * `dedup_minhash_lsh` run on the documents table. */
   def corpusFunnel(s: SparkSession, dir: String): DataFrame =
     funnelOf(s, extractFlat(s, dir))
 
-  /** [[corpusFunnel]]'s stages over a RAW extraction relation (the
-    * streamed sink's schema — [[graft.pipeline.DicomPipeline.toDataFrame]]
-    * output): apply the flat projection, then the same funnel. Lets the
-    * streaming twin (`stream_dicom_corpus_funnel`) share every stage
-    * expression verbatim. */
-  private[graft] def funnelFromRaw(s: SparkSession, raw: DataFrame): DataFrame =
-    funnelOf(s, flatProjection(s, raw))
-
-  private def funnelOf(s: SparkSession, flat: DataFrame): DataFrame = {
+  /** DAY-2 FUNNEL DELTA — the incremental twin of [[corpusFunnel]],
+    * composing the manifest delta route with the incremental-dedup
+    * pattern: yesterday's processed log covers the corpus except the
+    * deterministic "arrived today" subset (the [[manifestDelta]] rule,
+    * including the one changed object whose recorded length drifted),
+    * so today extracts ONLY `DicomPipeline.manifestDelta`'s output and
+    * funnels those docs against the STANDING sink — exact dedup is a
+    * semi-join of delta norm-hashes against the standing hash relation
+    * (the `dedup_exact`-vs-index shape of `dedup_incremental`), near-dup
+    * is [[graft.operators.Dedup.incrementalPairs]] (delta bands probe the
+    * standing band relation plus within-delta expansion — the standing
+    * corpus is never re-paired with itself), quality is per-row. Emits
+    * one attrition row PER DELTA DOC, the same schema as the full
+    * funnel. The changed object's re-extracted docs dedup away against
+    * the standing copies of themselves — re-processing an unchanged
+    * payload costs its extraction, never duplicate corpus rows.
+    *
+    * Law (DicomPipelineSpec): this incremental computation equals the
+    * FULL arrival-ordered recompute ([[funnelOf]] over standing ∪ delta
+    * with the `arrival` precedence column) restricted to the delta docs,
+    * row for row. At 100 TB: extraction cost ∝ delta, the hash
+    * semi-join reads yesterday's hash relation (bytes ∝ corpus hashes,
+    * not corpus text), and the near-dup probe is the persisted-index
+    * economics of `dedup_incremental_idx` — nothing re-reads, re-bands,
+    * or re-pairs the standing corpus. */
+  def corpusFunnelDelta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val doc = flat.select($"source_key", $"archive_path",
-      concat_ws(" ", $"modality", $"conversion_type", $"patient_id",
-        $"patient_sex", $"study_date", $"photometric_interpretation",
-        $"patient_family_name", $"image_type", $"pixel_spacing",
-        $"sopinstance_uid").as("text"))
-    // stage 1 — normalize (text_normalize's canonical form verbatim):
-    // lowercase, collapse whitespace runs, trim
+    val (standingRaw, deltaRaw) = dayTwoExtractions(s)
+    funnelDelta(s, flatProjection(s, standingRaw), flatProjection(s, deltaRaw))
+  }
+
+  /** The day-2 fixture split shared by [[corpusFunnelDelta]] and its
+    * spec: standing = yesterday's processed objects (manifest minus the
+    * hash-mod-3 "new today" subset), delta = [[DicomPipeline.manifestDelta]]
+    * of the true manifest vs the processed log with one drifted length
+    * (the changed object re-admits) — the exact [[manifestDelta]] entry
+    * construction, so the two entries rehearse one day-2 story. */
+  private[graft] def dayTwoExtractions(s: SparkSession): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{abs, col, hash, pmod}
+    val manifest = DicomPipeline.manifestOf(s, Fixtures)
+    val newToday = pmod(abs(hash(col("path"))), lit(3)) === 0
+    val processedLog = manifest.filter(!newToday)
+      // the changed object must come from the PROCESSED set (example-0;
+      // example-6 is hash-new already) or the drift is a no-op
+      .withColumn("length",
+        when(col("path").endsWith("example-0"), col("length") + 1L)
+          .otherwise(col("length")))
+    val standingRaw = DicomPipeline.toDataFrame(s,
+      DicomPipeline.extractFromManifest(s, manifest.filter(!newToday),
+        "ref-bucket", "ref-region").rows)
+    val delta = DicomPipeline.manifestDelta(manifest, processedLog)
+    val deltaRaw = DicomPipeline.toDataFrame(s,
+      DicomPipeline.extractFromManifest(s, delta, "ref-bucket", "ref-region").rows)
+    (standingRaw, deltaRaw)
+  }
+
+  /** The day-2 law's OTHER arm (DicomPipelineSpec only): the full
+    * arrival-ordered recompute — [[funnelOf]] over standing ∪ delta with
+    * the `arrival` precedence column — restricted to the delta docs.
+    * [[corpusFunnelDelta]] must equal this row for row while never
+    * re-reading, re-hashing or re-banding the standing corpus text. */
+  private[graft] def funnelDayTwoRecompute(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val (standingRaw, deltaRaw) = dayTwoExtractions(s)
+    val flat = flatProjection(s, standingRaw).withColumn("arrival", lit(0L))
+      .unionByName(flatProjection(s, deltaRaw).withColumn("arrival", lit(1L)))
+    funnelOf(s, flat)
+      .filter($"arrival" === 1L).drop("arrival")
+      .orderBy($"source_key", $"archive_path")
+  }
+
+  /** The incremental funnel over (standing, delta) flat relations —
+    * [[corpusFunnelDelta]]'s stages. Kept separate from [[funnelOf]] on
+    * purpose: the spec pins this batch-vs-index computation against the
+    * arrival-ordered recompute, two implementations of one law. */
+  private def funnelDelta(s: SparkSession, standingFlat: DataFrame,
+                          deltaFlat: DataFrame): DataFrame = {
+    import s.implicits._
     val norm = trim(regexp_replace(lower($"text"), " +", " "))
-    val keyed = doc.select($"source_key", $"archive_path",
-      norm.as("text"), md5(norm).as("norm_md5"))
-    // stage 2 — exact dedup on the normalized hash (dedup_exact's
-    // canonical rule): the first doc per hash in deterministic order
-    // survives, later copies flag is_dup
-    val w = org.apache.spark.sql.expressions.Window
+    def keyedOf(flat: DataFrame, arrival: Long): DataFrame = flat
+      .withColumn("arrival", lit(arrival))
+      .select($"arrival", $"source_key", $"archive_path",
+        concat_ws(" ", $"modality", $"conversion_type", $"patient_id",
+          $"patient_sex", $"study_date", $"photometric_interpretation",
+          $"patient_family_name", $"image_type", $"pixel_spacing",
+          $"sopinstance_uid").as("text"))
+      .select($"arrival", $"source_key", $"archive_path",
+        norm.as("text"), md5(norm).as("norm_md5"), funnelDocId.as("doc_id"))
+    val standing = keyedOf(standingFlat, 0L)
+    val delta = keyedOf(deltaFlat, 1L)
+    // exact dedup, incremental: a delta doc is a dup if its hash exists
+    // in the standing relation (broadcast — hashes, never text) OR an
+    // earlier delta doc claimed the hash today
+    val standingHashes = standing.select($"norm_md5").distinct()
+      .withColumn("seen", lit(1L))
+    val wDelta = org.apache.spark.sql.expressions.Window
       .partitionBy($"norm_md5").orderBy($"source_key", $"archive_path")
-    val deduped = keyed
-      .withColumn("is_dup", (row_number().over(w) > 1).cast("long"))
-    // stage 3 — quality gate (text_quality's composite keep rule
-    // verbatim: token floor, sane mean token length, low punctuation)
+    val deduped = delta
+      .join(broadcast(standingHashes), Seq("norm_md5"), "left")
+      // `seen` is null on a miss: the when() treats the null condition
+      // as not-matched, so un-seen first-per-hash docs land on 0L
+      .withColumn("is_dup",
+        when($"seen" === 1L || row_number().over(wDelta) > 1, 1L)
+          .otherwise(0L))
+      .drop("seen")
+    // near-dup, incremental: yesterday's canonical set (first-per-hash,
+    // the standing sink's own exact survivors) is the index side; the
+    // delta's exact survivors are the batch. incrementalPairs never
+    // pairs the index with itself, and the arrival-prefixed ids make
+    // every cross pair's doc_b the delta doc — drop set = doc_b ∩ delta.
+    val wStanding = org.apache.spark.sql.expressions.Window
+      .partitionBy($"norm_md5").orderBy($"source_key", $"archive_path")
+    val standingCanon = standing
+      .withColumn("rn", row_number().over(wStanding))
+      .filter($"rn" === 1).select($"doc_id", $"text")
+    val ndDrop = graft.operators.Dedup
+      .incrementalPairs(s, standingCanon,
+        deduped.filter($"is_dup" === 0).select($"doc_id", $"text"))
+      .select($"doc_b".as("doc_id")).distinct()
+      .withColumn("nd_hit", lit(1L))
     deduped
+      .join(ndDrop, Seq("doc_id"), "left")
+      .withColumn("is_neardup",
+        when($"is_dup" === 0 && $"nd_hit" === 1L, 1L).otherwise(0L))
       .withColumn("tk",
         expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
       .select(
-        $"source_key", $"archive_path", $"norm_md5", $"is_dup",
+        $"source_key", $"archive_path", $"norm_md5", $"is_dup", $"is_neardup",
         size($"tk").cast("long").as("n_tokens"),
         round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
           .as("mean_tok_len"),
@@ -275,9 +377,93 @@ object DicomQueries {
         when($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 &&
           $"mean_tok_len" <= 15.0 && $"punct_ratio" <= 0.2, 1L).otherwise(0L))
       .withColumn("curated",
-        (($"is_dup" === 0) && ($"quality_keep" === 1)).cast("long"))
+        (($"is_dup" === 0) && ($"is_neardup" === 0) &&
+          ($"quality_keep" === 1)).cast("long"))
       .orderBy($"source_key", $"archive_path")
   }
+
+  /** [[corpusFunnel]]'s stages over a RAW extraction relation (the
+    * streamed sink's schema — [[graft.pipeline.DicomPipeline.toDataFrame]]
+    * output): apply the flat projection, then the same funnel. Lets the
+    * streaming twin (`stream_dicom_corpus_funnel`) share every stage
+    * expression verbatim. */
+  private[graft] def funnelFromRaw(s: SparkSession, raw: DataFrame): DataFrame =
+    funnelOf(s, flatProjection(s, raw))
+
+  /** The funnel stages over a flat-projection relation. An optional
+    * `arrival` column (0 = standing/yesterday, 1 = delta/today) makes
+    * dedup precedence ARRIVAL-ORDERED: earlier-arrived docs are
+    * canonical regardless of name order — the recompute twin of the
+    * incremental day-2 law [[corpusFunnelDelta]] is pinned against
+    * (DicomPipelineSpec). Without it every doc shares arrival 0 and the
+    * order is the original (source_key, archive_path). */
+  private[graft] def funnelOf(s: SparkSession, flat: DataFrame): DataFrame = {
+    import s.implicits._
+    val hadArrival = flat.columns.contains("arrival")
+    val in = if (hadArrival) flat else flat.withColumn("arrival", lit(0L))
+    val doc = in.select($"arrival", $"source_key", $"archive_path",
+      concat_ws(" ", $"modality", $"conversion_type", $"patient_id",
+        $"patient_sex", $"study_date", $"photometric_interpretation",
+        $"patient_family_name", $"image_type", $"pixel_spacing",
+        $"sopinstance_uid").as("text"))
+    // stage 1 — normalize (text_normalize's canonical form verbatim):
+    // lowercase, collapse whitespace runs, trim
+    val norm = trim(regexp_replace(lower($"text"), " +", " "))
+    val keyed = doc.select($"arrival", $"source_key", $"archive_path",
+      norm.as("text"), md5(norm).as("norm_md5"))
+    // stage 2 — exact dedup on the normalized hash (dedup_exact's
+    // canonical rule): the first doc per hash in deterministic
+    // (arrival, name) order survives, later copies flag is_dup
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"norm_md5")
+      .orderBy($"arrival", $"source_key", $"archive_path")
+    val deduped = keyed
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("long"))
+      .withColumn("doc_id", funnelDocId)
+    // stage 3 — MinHash-LSH near-dup removal over the exact-dedup
+    // survivors (dedup_minhash_lsh's machinery verbatim via
+    // [[graft.operators.Dedup.minhashPairs]]; corpus_clean's drop rule:
+    // the LATER doc of every pair ≥ 0.5 shingle-Jaccard is dropped —
+    // doc ids are arrival-prefixed strings, so "later" is arrival-then-
+    // name order and a standing doc always beats a delta doc)
+    val ndDrop = graft.operators.Dedup
+      .minhashPairs(s, deduped.filter($"is_dup" === 0).select($"doc_id", $"text"))
+      .select($"doc_b".as("doc_id")).distinct()
+      .withColumn("nd_hit", lit(1L))
+    // stage 4 — quality gate (text_quality's composite keep rule
+    // verbatim: token floor, sane mean token length, low punctuation)
+    val withQuality = deduped
+      .join(ndDrop, Seq("doc_id"), "left")
+      .withColumn("is_neardup",
+        when($"is_dup" === 0 && $"nd_hit" === 1L, 1L).otherwise(0L))
+      .withColumn("tk",
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
+      .select(
+        $"arrival", $"source_key", $"archive_path", $"norm_md5", $"is_dup",
+        $"is_neardup",
+        size($"tk").cast("long").as("n_tokens"),
+        round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
+          .as("mean_tok_len"),
+        round(size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+          length($"text"), 4).as("punct_ratio"))
+      .withColumn("quality_keep",
+        when($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 &&
+          $"mean_tok_len" <= 15.0 && $"punct_ratio" <= 0.2, 1L).otherwise(0L))
+      .withColumn("curated",
+        (($"is_dup" === 0) && ($"is_neardup" === 0) &&
+          ($"quality_keep" === 1)).cast("long"))
+    val shaped = if (hadArrival) withQuality else withQuality.drop("arrival")
+    shaped.orderBy($"source_key", $"archive_path")
+  }
+
+  /** Stable per-document key for the funnel's near-dup stage: arrival
+    * precedence first (string "0|" < "1|"), then the deterministic
+    * (source_key, archive_path) name — the SAME total order the exact-
+    * dedup window ranks by, so both dedup stages share one notion of
+    * "earlier doc wins". */
+  private def funnelDocId: org.apache.spark.sql.Column =
+    concat(col("arrival").cast("string"), lit("|"), col("source_key"),
+      lit("|"), coalesce(col("archive_path"), lit("")))
 
   /** PN component split as a SQL scalar function over synthetic PN
     * strings built from customer rows. Oracle-checked. */

@@ -120,7 +120,8 @@ object StreamQueries {
     * exactly-once, partitioned parquet sink — the gated ingest path
     * unchanged), then the curation funnel runs over the SINK relation
     * via [[graft.queries.DicomQueries.funnelFromRaw]] — the same
-    * normalize/dedup/quality expressions, stage for stage. Per-batch
+    * normalize/exact-dedup/near-dup/quality expressions, stage for
+    * stage. Per-batch
     * schemas differ (each object observes its own key set), so the sink
     * read merges schemas — the union-of-observed-keys semantics the
     * batch extraction computes in one pass; values are per-row

@@ -216,19 +216,50 @@ class DicomPipelineSpec extends AnyFunSuite {
     assert(a.length == 10, "funnel must account for every extracted image")
     assert(a.map(_.toString).sameElements(b.map(_.toString)),
       "composition is not deterministic")
-    // stage-composition law: curated ⇔ survived dedup AND quality gate
+    // stage-composition law: curated ⇔ survived exact dedup AND
+    // near-dup removal AND the quality gate
     val rows = graft.queries.DicomQueries.corpusFunnel(spark, "")
-      .select("norm_md5", "is_dup", "quality_keep", "curated")
+      .select("norm_md5", "is_dup", "is_neardup", "quality_keep", "curated")
       .collect()
     rows.foreach { r =>
-      val (dup, keep, cur) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(cur == (if (dup == 0 && keep == 1) 1L else 0L),
-        s"curated flag violates the stage law: dup=$dup keep=$keep cur=$cur")
+      val (dup, nd, keep, cur) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cur == (if (dup == 0 && nd == 0 && keep == 1) 1L else 0L),
+        s"curated flag violates the stage law: dup=$dup nd=$nd keep=$keep cur=$cur")
+      // stage order: only exact-dedup SURVIVORS reach the near-dup stage
+      assert(!(dup == 1 && nd == 1),
+        "a doc dropped at exact dedup must never carry a near-dup flag")
     }
     // exact-dedup rule: per norm_md5, exactly one survivor (is_dup=0)
     rows.groupBy(_.getString(0)).foreach { case (h, g) =>
       assert(g.count(_.getLong(1) == 0L) == 1,
         s"hash $h must have exactly one canonical doc")
+    }
+  }
+
+  test("day-2 funnel delta == arrival-ordered full recompute restricted to delta docs") {
+    // two implementations of one law: the incremental entry (hash
+    // semi-join vs the standing relation + incrementalPairs batch-vs-
+    // index near-dup) must reproduce the full funnelOf recompute with
+    // arrival precedence, row for row over the delta docs
+    val inc = graft.queries.DicomQueries.corpusFunnelDelta(spark, "")
+      .collect().map(_.toString)
+    val re = graft.queries.DicomQueries.funnelDayTwoRecompute(spark)
+      .collect().map(_.toString)
+    assert(inc.nonEmpty, "delta funnel returned nothing — spec vacuous")
+    assert(inc.sameElements(re),
+      s"incremental delta funnel diverges from the arrival-ordered recompute:\n" +
+        s"inc=${inc.mkString("; ")}\nre =${re.mkString("; ")}")
+    // the changed object re-extracts but its unchanged docs must dedup
+    // away against the standing copies of themselves (is_dup=1), never
+    // emit as curated delta rows
+    val changed = graft.queries.DicomQueries.corpusFunnelDelta(spark, "")
+      .filter("source_key = 'example-0'").collect()
+    assert(changed.nonEmpty, "the drifted-length object must re-extract")
+    changed.foreach { r =>
+      assert(r.getAs[Long]("is_dup") == 1L,
+        s"re-extracted unchanged doc must exact-dup against the standing sink: $r")
+      assert(r.getAs[Long]("curated") == 0L)
     }
   }
 

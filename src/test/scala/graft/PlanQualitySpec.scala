@@ -331,16 +331,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Join"), "probe joins must be present")
   }
 
-  test("dicom→corpus funnel: the dedup hash partition is the plan's only data exchange") {
+  test("dicom→corpus funnel: exchanges are the dedup partition + the near-dup doc_id join only") {
     // the scale claim in DicomQueries.corpusFunnel's doc: normalize and
-    // the quality gate are per-row expressions, so the whole funnel adds
-    // exactly ONE shuffle to extraction — the norm_md5 window partition
-    // (plus the presentation sort's range exchange, which is the
-    // deliverable ordering, not funnel work)
+    // the quality gate are per-row expressions, so the funnel's data
+    // exchanges are exactly (a) the norm_md5 window partition (exact
+    // dedup) and (b) the doc_id-keyed equi-join folding the near-dup
+    // drop set back onto the corpus — whose candidate side is a
+    // CHECKPOINTED pair-sized leaf (the LSH shingle/band machinery runs
+    // once behind it, never re-planned into this query), with
+    // broadcast-only verify joins. Plus the presentation sort's range
+    // exchange, which is deliverable ordering, not funnel work.
     val p = plan("dicom_corpus_funnel")
     assert("Exchange hashpartitioning\\(norm_md5".r.findAllIn(p).length == 1,
       s"expected exactly the norm_md5 dedup exchange:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
-      "normalize/quality must stay per-row — no second hash exchange")
+    val hashEx = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.count(_ == "norm_md5") == 1 &&
+      hashEx.filterNot(_ == "norm_md5").forall(_ == "doc_id") &&
+      hashEx.length <= 3,
+      s"normalize/quality must stay per-row — only the dedup partition and " +
+        s"the doc_id near-dup join may exchange, got $hashEx:\n$p")
+    assert(p.contains("Scan ExistingRDD[doc_a"),
+      "the near-dup candidate relation must be a checkpointed leaf, " +
+        "not a re-planned LSH pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 }

@@ -94,4 +94,52 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(run(3) == unsalted, "salt=3 keep-set diverged from unsalted")
     assert(run(16) == unsalted, "salt=16 keep-set diverged from unsalted")
   }
+
+  test("gated entry fails fast when conf drifts from the oracle's baked constants") {
+    // dedup_semantic_kmeans' DuckDB oracle bakes targetClusterSize=200
+    // and tau=0.3 into its generated SQL while the Spark side reads them
+    // from conf — a non-default conf must be a clear error in the verify
+    // path, never a silent hash mismatch (VERDICT r12 #2 / ADVICE r12 #4)
+    def gated(): Unit = {
+      SparkEntry.queries("dedup_semantic_kmeans")(spark, sf)
+      ()
+    }
+    spark.conf.set("spark.graft.dedup.semantic.targetClusterSize", "100")
+    try {
+      val e = intercept[IllegalArgumentException](gated())
+      assert(e.getMessage.contains("bakes targetClusterSize=200"),
+        s"drift message must name the baked constant, got: ${e.getMessage}")
+      assert(e.getMessage.contains("targetClusterSize=100"),
+        s"drift message must name the offending conf value, got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.dedup.semantic.targetClusterSize")
+    spark.conf.set("spark.graft.dedup.semantic.tau", "0.42")
+    try intercept[IllegalArgumentException](gated())
+    finally spark.conf.unset("spark.graft.dedup.semantic.tau")
+    // defaults restored: the gate constructs (lazily) without error, and
+    // the OPERATOR itself still honors a non-default conf — only the
+    // oracle-gated entry is pinned to the baked constants
+    gated()
+    spark.conf.set("spark.graft.dedup.semantic.targetClusterSize", "100")
+    try assert(Similarity.semanticDedupKmeansDerived(spark, sf).limit(1)
+      .count() >= 0L)
+    finally spark.conf.unset("spark.graft.dedup.semantic.targetClusterSize")
+  }
+
+  test("gated entry fails fast on an off-spec embedding dimension (oracle bakes Dim=64)") {
+    // a 32-dim corpus must not reach the hash compare: the oracle's
+    // Lloyd update is unrolled over exactly 64 dims
+    val tmp = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(spark, "semspec"), "dim32").toAbsolutePath
+    try {
+      import spark.implicits._
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select($"vec_id", expr("slice(embedding, 1, 32)").as("embedding"))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val e = intercept[IllegalArgumentException](
+        SparkEntry.queries("dedup_semantic_kmeans")(spark, tmp.toString))
+      assert(e.getMessage.contains("bakes Dim=64") &&
+        e.getMessage.contains("32-dim"),
+        s"dim-drift message must name both dims, got: ${e.getMessage}")
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
 }
