@@ -19,9 +19,12 @@ import org.apache.spark.sql.SparkSession
   *     recorded before/after, gated against a fixed budget far below
   *     what any per-object driver state would cost (120k objects × even
   *     100 bytes of driver state would blow it);
-  *  3. day-2 delta cost ∝ delta at the decade — a ~1% delta through
-  *     `manifestDelta` must cost ~1% of the full extraction, not re-pay
-  *     the corpus.
+  *  3. day-2 delta cost ∝ delta at the decade — the discriminating gate
+  *     is CORPUS-SIZE INVARIANCE (the synthetic per-object cost is so
+  *     low that a fixed ~2 s job constant dominates any ratio gate):
+  *     the same ~1k-object delta extracted against the full manifest
+  *     and against a 10× smaller one must cost the same, because the
+  *     anti-join is metadata-only and only object work scales.
   *
   * Test scope because fixture generation rides [[DicomWriter]].
   * Run: SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.ExtractionDecade"
@@ -160,21 +163,46 @@ object ExtractionDecade {
     require(heapAfterMB - heapBeforeMB < 512,
       f"driver heap grew ${heapAfterMB - heapBeforeMB}%.0f MB over the decade extraction")
 
-    // --- day-2 delta at the decade: ~1% new objects ---
+    // --- day-2 delta at the decade: ~1% new objects. The synthetic
+    // objects are so cheap (0.03 ms/obj above) that a fixed per-run job
+    // constant (~2 s of scheduling + the metadata anti-join) dominates
+    // ANY ratio against the 3-4 s full extraction — so the gate that
+    // actually discriminates O(delta) from O(corpus) is CORPUS-SIZE
+    // INVARIANCE: extracting the SAME ~1k-object delta against the full
+    // 105k-row manifest and against a 10× smaller one must cost the
+    // same (the anti-join is metadata-only; only object work scales).
     val isDelta = pmod(abs(hash(col("path"))), lit(100)) === 0
-    val processedLog = manifest.filter(!isDelta)
     val nDelta = manifest.filter(isDelta).count()
-    val tD0 = System.nanoTime()
-    val deltaImages = extractCount(
-      graft.pipeline.DicomPipeline.manifestDelta(manifest, processedLog))
-    val deltaSec = (System.nanoTime() - tD0) / 1e9
+    def timeDelta(corpus: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val processed = corpus.filter(!isDelta)
+      val t0 = System.nanoTime()
+      val imgs = extractCount(
+        graft.pipeline.DicomPipeline.manifestDelta(corpus, processed))
+      (imgs, (System.nanoTime() - t0) / 1e9)
+    }
+    val (deltaImages, deltaSec) = timeDelta(manifest)
+    val smallCorpus = manifest.filter(subsetSel || isDelta)
+    val nSmall = smallCorpus.count()
+    val (deltaImagesSmall, deltaSecSmall) = timeDelta(smallCorpus)
     System.err.println(
-      f"[decade] delta   $nDelta%7d objects  ${fmt(deltaSec)}s  " +
+      f"[decade] delta   $nDelta%7d objects  vs $nObjects%7d-manifest ${fmt(deltaSec)}s, " +
+        f"vs $nSmall%7d-manifest ${fmt(deltaSecSmall)}s " +
         f"(${fmt(deltaSec * 1000 / nDelta)} ms/obj incl. anti-join)")
-    require(deltaImages > 0 && nDelta < nObjects / 50,
-      s"delta construction drifted: $nDelta of $nObjects")
-    require(deltaSec < fullSec / 10.0 + 2.0,
-      f"a ~1%% delta must cost ~1%% of the corpus, not $deltaSec%.1f s vs $fullSec%.1f s")
+    require(deltaImages > 0 && deltaImages == deltaImagesSmall &&
+      nDelta < nObjects / 50,
+      s"delta construction drifted: $nDelta of $nObjects, " +
+        s"$deltaImages vs $deltaImagesSmall images")
+    // corpus-size invariance: a 10× manifest may only move the delta run
+    // by noise (0.5× + 1 s grace), never by anything corpus-shaped
+    require(deltaSec < 1.5 * deltaSecSmall + 1.0,
+      f"delta cost scaled with the corpus, not the delta: " +
+        f"$deltaSec%.2f s vs $deltaSecSmall%.2f s on a 10x smaller manifest")
+    // NO delta-vs-full ratio gate on purpose: at 0.02-0.03 ms/obj the
+    // whole 105k-object extraction costs ~2 s — the same order as one
+    // run's fixed job constant — so delta/full ratios measure scheduling
+    // constants, not scaling. The invariance gate above plus the
+    // per-object flatness gate carry the scale claim; real corpora pay
+    // real per-object costs and the constant vanishes into them.
 
     val json =
       s"""{"metric":"sf10_rehearsal_extract","extract10":{""" +
@@ -187,7 +215,9 @@ object ExtractionDecade {
       s""""driver_heap_before_mb":${fmt(heapBeforeMB)},""" +
       s""""driver_heap_after_mb":${fmt(heapAfterMB)},""" +
       s""""delta_objects":$nDelta,"delta_images":$deltaImages,""" +
-      s""""delta_sec":${fmt(deltaSec)}}}"""
+      s""""delta_sec":${fmt(deltaSec)},""" +
+      s""""delta_sec_vs_small_manifest":${fmt(deltaSecSmall)},""" +
+      s""""small_manifest_objects":$nSmall}}"""
     println(json)
     val outPath = java.nio.file.Paths.get("target", "sf10_rehearsal_extract.json")
     java.nio.file.Files.createDirectories(outPath.getParent)
