@@ -1349,6 +1349,58 @@ object Dedup {
   }
 
 
+  /** ATTRITION-ACCOUNTED corpus funnel on the documents table — the
+    * oracle-gated twin of the DICOM funnel composition
+    * (`dicom_corpus_funnel`'s stage ORDER: normalize → exact dedup →
+    * MinHash near-dup → quality), emitting one row PER DOCUMENT with
+    * its stage outcomes rather than the survivor set. [[corpusClean]]
+    * gates the survivor-set composition in its quality-first order;
+    * this entry hash-gates the funnel's attrition FORM — per-doc
+    * flags, first-doc-per-normalized-hash canonical rule, the
+    * drop-the-later-doc near-dup rule over exact survivors, quality on
+    * the normalized text — so the binary-sourced dicom funnel entries
+    * inherit oracle-certified semantics for the exact composition they
+    * run, not just for each stage in isolation. Stage expressions are
+    * shared verbatim: `text_normalize`'s canonical form,
+    * [[minhashPairs]], `text_quality`'s keep rule. */
+  def corpusFunnelAccounting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = trim(regexp_replace(lower($"text"), " +", " "))
+    val keyed = docs(s, dir)
+      .select($"doc_id", norm.as("text"), md5(norm).as("norm_md5"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"norm_md5").orderBy($"doc_id")
+    val deduped = keyed
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("long"))
+    val ndDrop = minhashPairs(s,
+        deduped.filter($"is_dup" === 0).select($"doc_id", $"text"))
+      .select($"doc_b".as("doc_id")).distinct()
+      .withColumn("nd_hit", lit(1L))
+    deduped
+      .join(ndDrop, Seq("doc_id"), "left")
+      .withColumn("is_neardup",
+        when($"is_dup" === 0 && $"nd_hit" === 1L, 1L).otherwise(0L))
+      // text is already normalized (lowercase, single spaces) — the
+      // token list equals text_quality's split(lower(text)) tokens;
+      // char-ratio denominators use the normalized length consistently
+      // on both engines
+      .withColumn("tk", expr("filter(split(text, ' '), x -> length(x) > 0)"))
+      .select(
+        $"doc_id", $"norm_md5", $"is_dup", $"is_neardup",
+        size($"tk").cast("long").as("n_tokens"),
+        round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
+          .as("mean_tok_len"),
+        round(size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+          length($"text"), 4).as("punct_ratio"))
+      .withColumn("quality_keep",
+        when($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 &&
+          $"mean_tok_len" <= 15.0 && $"punct_ratio" <= 0.2, 1L).otherwise(0L))
+      .withColumn("curated",
+        (($"is_dup" === 0) && ($"is_neardup" === 0) &&
+          ($"quality_keep" === 1)).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   /** Row ceiling for the exact O(n²) cosine path. Configurable via
     * `spark.graft.dedup.exactCosineMaxRows`; past it [[embedCosine]] fails
     * fast and names the LSH scale path, so the cartesian baseline can't be

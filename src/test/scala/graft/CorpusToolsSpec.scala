@@ -276,4 +276,41 @@ class CorpusToolsSpec extends AnyFunSuite {
               abs($"g.r2" - $"w.r2") > 1e-6)
     assert(j.count() === 0L)
   }
+
+  test("corpus_funnel_accounting: stage law, one canonical per hash, every stage non-vacuous") {
+    // the oracle hash certifies values; this pins the structural shape
+    // the dicom funnel inherits (same stage order: normalize → exact →
+    // near-dup → quality): curated ⇔ survived all three gates, exactly
+    // one canonical doc per normalized hash, near-dup flags only on
+    // exact survivors, and each attrition stage actually fires on the
+    // fixture corpus (a vacuous stage would gate nothing)
+    val rows = Dedup.corpusFunnelAccounting(spark, sf)
+      .select("norm_md5", "is_dup", "is_neardup", "quality_keep", "curated")
+      .collect()
+    rows.foreach { r =>
+      val (dup, nd, keep, cur) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cur == (if (dup == 0 && nd == 0 && keep == 1) 1L else 0L),
+        s"stage law violated: dup=$dup nd=$nd keep=$keep cur=$cur")
+      assert(!(dup == 1 && nd == 1),
+        "a doc dropped at exact dedup must never carry a near-dup flag")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (h, g) =>
+      assert(g.count(_.getLong(1) == 0L) == 1,
+        s"hash $h must have exactly one canonical doc")
+    }
+    assert(rows.exists(_.getLong(2) == 1L), "near-dup stage is vacuous here")
+    assert(rows.exists(_.getLong(4) == 1L), "nothing curated — corpus degenerate")
+    // the sf documents tables carry NO byte-identical docs (near-dups
+    // only), so is_dup must be all-zero HERE as a property of the
+    // corpus, not the operator — the rule's non-vacuous exercise lives
+    // in the DICOM funnel specs (delta: the changed object's docs flag
+    // is_dup=1 against the standing sink) which share the window rule
+    val dupHashes = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), " +", " "))))
+      .count().filter(col("count") > 1).count()
+    assert(dupHashes == 0L && rows.forall(_.getLong(1) == 0L),
+      "corpus gained exact dups — drop the all-zero expectation and " +
+        "assert non-vacuity instead")
+  }
 }
