@@ -235,6 +235,11 @@ class DicomPipelineSpec extends AnyFunSuite {
       assert(g.count(_.getLong(1) == 0L) == 1,
         s"hash $h must have exactly one canonical doc")
     }
+    // the near-dup stage must actually fire on the fixture corpus
+    // (same-series images share most metadata tokens) — a vacuous
+    // stage would gate nothing
+    assert(rows.exists(_.getLong(2) == 1L),
+      "near-dup stage is vacuous on the fixture corpus")
   }
 
   test("day-2 funnel delta == arrival-ordered full recompute restricted to delta docs") {
