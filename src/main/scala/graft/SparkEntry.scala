@@ -464,6 +464,10 @@ object SparkEntry {
     // extraction into the checkpointed sink, then the same curation
     // funnel over the sink relation (streamed ≡ batch, spec-pinned)
     "stream_dicom_corpus_funnel" -> (StreamQueries.streamCorpusFunnel _),
+    // day-2 symmetry: ONLY delta objects drain through the per-object
+    // stream; the incremental funnel runs vs the standing batch relation
+    // (streamed ≡ batch delta, spec-pinned)
+    "stream_dicom_corpus_funnel_delta" -> (StreamQueries.streamCorpusFunnelDelta _),
     "stream_events_window" -> (StreamQueries.streamEventsWindow _),
     "stream_sessionize"    -> (StreamQueries.streamSessionize _),
     // engine-native session_window twin of the custom sessionizer

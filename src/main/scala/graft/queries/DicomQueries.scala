@@ -278,6 +278,19 @@ object DicomQueries {
     * (the changed object re-admits) — the exact [[manifestDelta]] entry
     * construction, so the two entries rehearse one day-2 story. */
   private[graft] def dayTwoExtractions(s: SparkSession): (DataFrame, DataFrame) = {
+    val (standing, delta) = dayTwoManifests(s)
+    val standingRaw = DicomPipeline.toDataFrame(s,
+      DicomPipeline.extractFromManifest(s, standing,
+        "ref-bucket", "ref-region").rows)
+    val deltaRaw = DicomPipeline.toDataFrame(s,
+      DicomPipeline.extractFromManifest(s, delta, "ref-bucket", "ref-region").rows)
+    (standingRaw, deltaRaw)
+  }
+
+  /** The (standing, delta) MANIFESTS of the day-2 fixture split — the
+    * streamed twin stages the delta manifest's objects into its source
+    * dir instead of batch-extracting them. */
+  private[graft] def dayTwoManifests(s: SparkSession): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.{abs, col, hash, pmod}
     val manifest = DicomPipeline.manifestOf(s, Fixtures)
     val newToday = pmod(abs(hash(col("path"))), lit(3)) === 0
@@ -287,13 +300,7 @@ object DicomQueries {
       .withColumn("length",
         when(col("path").endsWith("example-0"), col("length") + 1L)
           .otherwise(col("length")))
-    val standingRaw = DicomPipeline.toDataFrame(s,
-      DicomPipeline.extractFromManifest(s, manifest.filter(!newToday),
-        "ref-bucket", "ref-region").rows)
-    val delta = DicomPipeline.manifestDelta(manifest, processedLog)
-    val deltaRaw = DicomPipeline.toDataFrame(s,
-      DicomPipeline.extractFromManifest(s, delta, "ref-bucket", "ref-region").rows)
-    (standingRaw, deltaRaw)
+    (manifest.filter(!newToday), DicomPipeline.manifestDelta(manifest, processedLog))
   }
 
   /** The day-2 law's OTHER arm (DicomPipelineSpec only): the full
@@ -310,6 +317,14 @@ object DicomQueries {
       .filter($"arrival" === 1L).drop("arrival")
       .orderBy($"source_key", $"archive_path")
   }
+
+  /** [[corpusFunnelDelta]]'s stages over RAW extraction relations — the
+    * streamed twin (`stream_dicom_corpus_funnel_delta`) shares every
+    * stage expression verbatim, its delta side being the checkpointed
+    * sink instead of a batch extraction. */
+  private[graft] def funnelDeltaFromRaw(s: SparkSession, standingRaw: DataFrame,
+                                        deltaRaw: DataFrame): DataFrame =
+    funnelDelta(s, flatProjection(s, standingRaw), flatProjection(s, deltaRaw))
 
   /** The incremental funnel over (standing, delta) flat relations —
     * [[corpusFunnelDelta]]'s stages. Kept separate from [[funnelOf]] on

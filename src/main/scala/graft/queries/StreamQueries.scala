@@ -152,6 +152,51 @@ object StreamQueries {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** STREAMED DAY-2 FUNNEL DELTA — the live twin of
+    * [[graft.queries.DicomQueries.corpusFunnelDelta]], completing the
+    * batch/stream symmetry for the day-2 composition: ONLY the delta
+    * manifest's objects (the hash-new subset + the changed object)
+    * drain through the checkpointed per-object ingest stream
+    * (`maxFilesPerTrigger=1` — each arriving object is its own
+    * micro-batch, the reference's event-per-object shape), the standing
+    * corpus stays a batch relation (yesterday's sink stand-in), and the
+    * SAME incremental funnel runs over the merged-schema sink via
+    * [[graft.queries.DicomQueries.funnelDeltaFromRaw]] — hash semi-join
+    * vs standing hashes, incrementalPairs near-dup, per-row quality,
+    * stage for stage the batch twin's expressions. Streamed ≡ batch
+    * delta row for row (DicomPipelineSpec). At scale this IS the
+    * deployment: objects arrive as events, extraction amortizes into
+    * the ingest stream, and each morning's funnel job reads the
+    * standing sink's hash/band relations plus only the new micro-batch
+    * dirs. */
+  def streamCorpusFunnelDelta(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    val base = java.nio.file.Files.createTempDirectory(
+      graft.util.Fs.scratchDir(s, "dicomq"), "sfdelta").toAbsolutePath
+    try {
+      val in = base.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val (standingManifest, deltaManifest) = DicomQueries.dayTwoManifests(s)
+      // the delta manifest is fixture-sized (a handful of rows) — the
+      // driver stages those objects into the stream source, exactly the
+      // event notifications a deployment would receive
+      deltaManifest.select("path").collect().foreach { r =>
+        val p = java.nio.file.Paths.get(new java.net.URI(r.getString(0)))
+        java.nio.file.Files.copy(p, in.resolve(p.getFileName))
+      }
+      val q = graft.streaming.DicomStream.start(
+        s, in.toString, s"$base/data", s"$base/errors", s"$base/ckpt",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      val standingRaw = graft.pipeline.DicomPipeline.toDataFrame(s,
+        graft.pipeline.DicomPipeline.extractFromManifest(
+          s, standingManifest, "ref-bucket", "ref-region").rows)
+      val sunk = s.read.option("mergeSchema", "true").parquet(s"$base/data")
+      materializeAndRelease(s,
+        DicomQueries.funnelDeltaFromRaw(s, standingRaw, sunk),
+        dropView = None, deleteDirs = Seq.empty)
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** The streaming twin of `Relational.eventsNs`: whatever physical
     * `ts` the driver's generator wrote — epoch-ns long (TIMESTAMP(NANOS)
     * under `nanosAsLong`), TIMESTAMP (µs), or TIMESTAMP_NTZ (µs, naive;

@@ -268,6 +268,20 @@ class DicomPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed day-2 funnel delta == batch delta funnel, row for row") {
+    // only the delta objects flow through the checkpointed per-object
+    // stream; the standing side stays batch — the merged sink must
+    // reconstruct the batch delta extraction's relation exactly, so the
+    // shared incremental funnel emits identical attrition rows
+    val streamed = graft.queries.StreamQueries.streamCorpusFunnelDelta(spark, "")
+      .collect().map(_.toString)
+    val batch = graft.queries.DicomQueries.corpusFunnelDelta(spark, "")
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty, "streamed delta funnel returned nothing — spec vacuous")
+    assert(streamed.sameElements(batch),
+      "streamed delta funnel diverges from the batch delta funnel")
+  }
+
   test("streamed dicom→corpus funnel == batch funnel, row for row") {
     // per-object micro-batches write per-batch observed-key schemas; the
     // merged sink read must reconstruct exactly the batch extraction's
