@@ -35,8 +35,14 @@ def run_pair(d, old, new):
 
 
 def main():
-    d = tempfile.mkdtemp(prefix="bftest")
+    # TemporaryDirectory (not mkdtemp): ci.sh runs this every gate pass —
+    # an uncleaned scratch dir per run would accumulate under /tmp
+    with tempfile.TemporaryDirectory(prefix="bftest") as d:
+        run_all(d)
+    print("bench_floor self-test: all three protocol fixes hold")
 
+
+def run_all(d):
     # --- (c) exact tie between a valid and an invalid process ---
     runs = [
         write(d, "r1.json", {"valid": False, "sf": "x",
@@ -77,8 +83,6 @@ def main():
     old_legacy = {"queries": {"q": 1.0}, "cross_process_spread": {"q": 0.1}}
     text = run_pair(d, old_legacy, new_v)
     assert "from invalid run" not in text
-
-    print("bench_floor self-test: all three protocol fixes hold")
 
 
 if __name__ == "__main__":

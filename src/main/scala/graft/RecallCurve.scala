@@ -80,9 +80,9 @@ object RecallCurve {
     // fused-retrieval quality (VERDICT r11 #6): the float production arm
     // has dense-arm recall above, but the USER-facing artifact is the
     // fused list — measure overlap@20 of hybridSearch at the production
-    // ivf_pq dials (nprobe=8, rerank=200) vs the brute-dense-arm fusion,
-    // so end-to-end retrieval quality is a recorded number, not an
-    // inference from dense-arm recall.
+    // ivf_pq dials (nprobe = geometry-driven auto since r14, rerank=200)
+    // vs the brute-dense-arm fusion, so end-to-end retrieval quality is
+    // a recorded number, not an inference from dense-arm recall.
     def fusedIds(arm: String): Seq[Long] = {
       if (arm != "brute") spark.conf.set("spark.graft.hybrid.denseArm", arm)
       try graft.operators.TextAnalysis.hybridSearch(spark, sfDir)
@@ -121,6 +121,27 @@ object RecallCurve {
         "round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6) AS cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(100)
       .collect().map(_.getAs[Long]("vec_id")).toSet
+    // the GEOMETRY-DRIVEN default (VERDICT r13 #4): what a user gets with
+    // no dial at this corpus — record the chosen nprobe per SF next to
+    // its dense recall@100 and fused overlap@20, so the auto dial's
+    // operating point is a recorded artifact row, not an inference
+    val nVecs = e100.count()
+    val autoNp = Similarity.autoNprobe(nVecs, 10, 200)
+    val autoDense = Similarity.ivfPqTopk(spark, sfDir, nprobe = autoNp,
+        rerank = 200, topN = 100)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val autoDenseRecall = (autoDense & brute100).size.toDouble / brute100.size
+    spark.conf.set("spark.graft.hybrid.denseArm", "ivf_pq")
+    val autoFused = try graft.operators.TextAnalysis.hybridSearch(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    finally spark.conf.unset("spark.graft.hybrid.denseArm")
+    val autoOverlap = (autoFused & bruteFused.toSet).size.toDouble / bruteFused.size
+    spark.catalog.clearCache()
+    graft.operators.Dedup.unpersistIntermediates(spark)
+    System.err.println(
+      f"[recall_curve] auto_dial  n=$nVecs np=$autoNp  dense recall@100 = " +
+        f"$autoDenseRecall%.2f  fused overlap@20 = $autoOverlap%.2f")
+
     val dialRows = for ((np, rr) <- Seq((4, 200), (8, 200), (16, 200), (8, 50))) yield {
       val dense = Similarity.ivfPqTopk(spark, sfDir, nprobe = np,
           rerank = rr, topN = 100)
@@ -151,6 +172,9 @@ object RecallCurve {
     }.mkString(",")
     val json = s"""{"metric":"recall_curve","sf":"$sfDir","passes":$passes,""" +
       s""""hybrid_fusion":{"overlap_at_20":${fmt(overlap)},"sec":${fmt(pqSec)}},""" +
+      s""""auto_dial":{"n_vectors":$nVecs,"nprobe":$autoNp,"rerank":200,""" +
+      s""""dense_recall_at_100":${fmt(autoDenseRecall)},""" +
+      s""""fused_overlap_at_20":${fmt(autoOverlap)}},""" +
       s""""hybrid_dials":{${dialRows.mkString(",")}},""" +
       s""""points":{$body}}"""
     println(json)

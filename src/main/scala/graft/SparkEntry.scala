@@ -441,6 +441,12 @@ object SparkEntry {
     // against the standing sink (hash semi-join + incremental minhash);
     // incremental ≡ arrival-ordered recompute pinned in DicomPipelineSpec
     "dicom_corpus_funnel_delta" -> (DicomQueries.corpusFunnelDelta _),
+    // the morning-job twin (VERDICT r13 #1): the delta funnels against
+    // yesterday's PERSISTED hash relation + band/set index — standing
+    // corpus extracted once per process (day-1), steady-state cost is
+    // delta extraction + hash semi-join + index probe; ≡ the recomputing
+    // delta entry row-for-row (DicomPipelineSpec)
+    "dicom_corpus_funnel_delta_idx" -> (DicomQueries.corpusFunnelDeltaIdx _),
     // listing-free twin: routing + content reads driven by a (path,
     // length) manifest — the 10M+-object entry point (ManifestSpec pins
     // rows+errors parity with the listed route)
@@ -2460,8 +2466,8 @@ object SparkEntry {
         |  WHERE jaccard >= 0.5),
         |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
         |q AS (SELECT doc_id, CAST(len(tkl) AS BIGINT) AS n_tokens,
-        |  round(CAST(list_sum(list_transform(tkl, x -> len(x))) AS DOUBLE) / len(tkl), 4) AS mean_tok_len,
-        |  round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / len(text), 4) AS punct_ratio
+        |  round(CAST(list_sum(list_transform(tkl, x -> len(x))) AS DOUBLE) / nullif(len(tkl), 0), 4) AS mean_tok_len,
+        |  round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / nullif(len(text), 0), 4) AS punct_ratio
         |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tkl FROM d))
         |SELECT d.doc_id, d.norm_md5, d.is_dup,
         |  CAST(CASE WHEN d.is_dup = 0 AND dr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_neardup,

@@ -451,8 +451,11 @@ object Dedup {
     // safer and barely slower
     val cap = math.min(2000,
       s.conf.get("spark.graft.dedup.index.pushdownMaxIds", "1000").toInt)
+    // id-type-agnostic (Any, not getLong): the funnel's persisted-standing
+    // path runs this machinery over its string doc keys — isin() and the
+    // pushed In filter work identically for either id type
     val probe = idxCandIds.select($"doc_id")
-      .limit(cap + 1).collect().map(_.getLong(0))
+      .limit(cap + 1).collect().map(_.get(0))
     val indexSets =
       if (probe.isEmpty)
         s.read.parquet(s"$indexPath/sets").filter(lit(false))
@@ -1385,13 +1388,22 @@ object Dedup {
       // char-ratio denominators use the normalized length consistently
       // on both engines
       .withColumn("tk", expr("filter(split(text, ' '), x -> length(x) > 0)"))
+      // degenerate-doc guard (ADVICE r13): a zero-token or empty-text doc
+      // must yield NULL ratios on BOTH engines — unguarded, Spark emits
+      // NaN/Infinity where DuckDB emits NULL, a latent cross-engine hash
+      // mismatch (the oracle SQL carries the matching nullif())
       .select(
         $"doc_id", $"norm_md5", $"is_dup", $"is_neardup",
         size($"tk").cast("long").as("n_tokens"),
-        round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
+        when(size($"tk") === 0, lit(null))
+          .otherwise(round(
+            expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4))
           .as("mean_tok_len"),
-        round(size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
-          length($"text"), 4).as("punct_ratio"))
+        when(length($"text") === 0, lit(null))
+          .otherwise(round(
+            size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+              length($"text"), 4))
+          .as("punct_ratio"))
       .withColumn("quality_keep",
         when($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 &&
           $"mean_tok_len" <= 15.0 && $"punct_ratio" <= 0.2, 1L).otherwise(0L))

@@ -593,6 +593,33 @@ object Similarity {
     * gate holds at every SF from one SQL string. An explicit
     * `spark.graft.lsh.{tables,bits}` conf wins (the dial sheet's named
     * operating points); explicit bits also drive the derived tables. */
+  /** GEOMETRY-DRIVEN IVF probe default (VERDICT r13 #4): the number of
+    * coarse lists to probe, derived from index geometry instead of a
+    * fixed hand dial, so a corpus shaped like the shipped sf0.01 (500
+    * vectors over 10 lists) doesn't ship at the recall dip the r13 dial
+    * sheet measured (fused overlap@20 = 0.65 at nprobe=8; nprobe=16 —
+    * i.e. all lists at that geometry — buys it back to 0.75).
+    *
+    * Rule: probe enough lists that the EXPECTED ADC-scanNED candidate
+    * pool is ≥ 4× the rerank window (the exact re-rank can only repair
+    * ranking within the shortlist it sees — when the probed pool barely
+    * covers the rerank cut, ADC approximation error decides membership,
+    * which is precisely the dip's mechanism), floored at the documented
+    * high-recall dial (8) and capped at all lists:
+    * `min(k, max(8, ⌈4·rerank / (n/k)⌉))`. Small and mid corpora — where
+    * a list holds fewer vectors than the rerank window — probe
+    * everything (approximation buys nothing there; the whole scan is
+    * rerank-sized anyway); large corpora keep the fixed high-recall
+    * fraction, and the probed-volume bound `nprobe·(n/k)` stays ∝ the
+    * rerank window, not the corpus. Gated in SimilarityRecallSpec:
+    * fused overlap@20 ≥ 0.65 at ALL three shipped SFs with no per-SF
+    * dial; the chosen dial per SF is recorded in RECALL_CURVE. */
+  private[graft] def autoNprobe(n: Long, k: Int, rerank: Int): Int = {
+    val avgList = math.max(1L, n / math.max(1, k))
+    val want = ((4L * rerank + avgList - 1) / avgList).toInt
+    math.min(k, math.max(8, want))
+  }
+
   private[operators] def annGeometry(s: SparkSession, n: Long): (Int, Int) = {
     val bits = s.conf.getOption("spark.graft.lsh.bits").map(_.toInt).getOrElse {
       val m = math.max(1L, n / 64L)
@@ -1031,8 +1058,13 @@ object Similarity {
         ksub, iters = 3)
     }
     // coarse quantizer over the unit vectors (reuses the same trainer)
-    PqModel(books, kmeansOnVecs(s, e, k = 10, iters = 3))
+    PqModel(books, kmeansOnVecs(s, e, k = PqCoarseLists, iters = 3))
   }
+
+  /** The PQ tier's coarse list count — shared with [[autoNprobe]]'s
+    * callers so the geometry-driven probe dial sees the index geometry
+    * the trainer actually builds. */
+  private[graft] val PqCoarseLists = 10
 
   /** One narrow pass: PQ-encode + coarse-assign every vector →
     * (vec_id, codes binary, cluster) — the relation [[writePqIndex]]

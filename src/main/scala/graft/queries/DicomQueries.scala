@@ -70,7 +70,7 @@ object DicomQueries {
     flatProjection(s, df)
   }
 
-  private def flatProjection(s: SparkSession, df: DataFrame): DataFrame = {
+  private[graft] def flatProjection(s: SparkSession, df: DataFrame): DataFrame = {
     import s.implicits._
     df.select(
         element_at(split($"source_s3_key", "/"), -1).as("source_key"),
@@ -271,6 +271,46 @@ object DicomQueries {
     funnelDelta(s, flatProjection(s, standingRaw), flatProjection(s, deltaRaw))
   }
 
+  /** DAY-2 FUNNEL DELTA, PRODUCTION ECONOMICS (VERDICT r13 #1) — the
+    * persisted-standing twin of [[corpusFunnelDelta]]: where the
+    * self-contained entry re-extracts the standing corpus each run to
+    * derive the relations the delta probes, THIS entry runs the morning
+    * job a deployment actually schedules — yesterday's job persisted the
+    * standing sink's normalized-hash relation and its MinHash band/set
+    * index ([[persistStandingFunnel]], the `dedup_incremental_idx`
+    * artifact shape); today extracts ONLY the manifest delta and funnels
+    * it against those artifacts ([[funnelDeltaFromPersisted]]). The
+    * standing corpus is extracted ONCE PER PROCESS (the day-1 job,
+    * same standing-object convention as [[partitionedSql]]'s catalog
+    * reuse — `spark.graft.dicom.funnelIdxReuse`=false restores the
+    * rebuild-every-call A/B arm), so the steady-state cost a bench
+    * floor records is delta extraction + a broadcast hash semi-join +
+    * the banded index probe: bytes ∝ delta + corpus hashes/bands, never
+    * standing corpus text. Output ≡ [[corpusFunnelDelta]] row for row
+    * (DicomPipelineSpec pins it; both standing relations are
+    * deterministic functions of the standing corpus). */
+  def corpusFunnelDeltaIdx(s: SparkSession, dir: String): DataFrame = {
+    val reuse = s.conf.get("spark.graft.dicom.funnelIdxReuse", "true").toBoolean
+    val base =
+      if (reuse) graft.util.Fs.scratchDir(s, "dicomq")
+        .resolve(s"funnelstd-${ProcessHandle.current.pid}")
+      else java.nio.file.Paths.get(scratch(s))
+    val (standingM, deltaM) = dayTwoManifests(s)
+    val marker = base.resolve("_standing_built")
+    if (!reuse || !java.nio.file.Files.exists(marker)) {
+      val standingFlat = flatProjection(s, DicomPipeline.toDataFrame(s,
+        DicomPipeline.extractFromManifest(s, standingM,
+          "ref-bucket", "ref-region").rows))
+      persistStandingFunnel(s, standingFlat, base.toString)
+      java.nio.file.Files.createDirectories(base)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    val deltaFlat = flatProjection(s, DicomPipeline.toDataFrame(s,
+      DicomPipeline.extractFromManifest(s, deltaM,
+        "ref-bucket", "ref-region").rows))
+    funnelDeltaFromPersisted(s, base.toString, deltaFlat)
+  }
+
   /** The day-2 fixture split shared by [[corpusFunnelDelta]] and its
     * spec: standing = yesterday's processed objects (manifest minus the
     * hash-mod-3 "new today" subset), delta = [[DicomPipeline.manifestDelta]]
@@ -326,53 +366,115 @@ object DicomQueries {
                                         deltaRaw: DataFrame): DataFrame =
     funnelDelta(s, flatProjection(s, standingRaw), flatProjection(s, deltaRaw))
 
+  /** The funnel's keyed document relation of a flat-projection frame:
+    * (arrival, source_key, archive_path, normalized text, norm_md5,
+    * doc_id) — stage 1 (normalize) plus the stable per-doc key, shared
+    * by the delta paths and [[persistStandingFunnel]]. */
+  private def keyedOf(flat: DataFrame, arrival: Long): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+    flat
+      .withColumn("arrival", lit(arrival))
+      .select(col("arrival"), col("source_key"), col("archive_path"),
+        concat_ws(" ", col("modality"), col("conversion_type"),
+          col("patient_id"), col("patient_sex"), col("study_date"),
+          col("photometric_interpretation"), col("patient_family_name"),
+          col("image_type"), col("pixel_spacing"),
+          col("sopinstance_uid")).as("text"))
+      .select(col("arrival"), col("source_key"), col("archive_path"),
+        norm.as("text"), md5(norm).as("norm_md5"), funnelDocId.as("doc_id"))
+  }
+
+  /** Yesterday's canonical set (first doc per normalized hash — the
+    * standing sink's own exact survivors): the index side of the
+    * incremental near-dup stage. */
+  private def standingCanonOf(standing: DataFrame): DataFrame = {
+    import standing.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"norm_md5").orderBy($"source_key", $"archive_path")
+    standing.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"doc_id", $"text")
+  }
+
   /** The incremental funnel over (standing, delta) flat relations —
     * [[corpusFunnelDelta]]'s stages. Kept separate from [[funnelOf]] on
     * purpose: the spec pins this batch-vs-index computation against the
-    * arrival-ordered recompute, two implementations of one law. */
+    * arrival-ordered recompute, two implementations of one law. The
+    * standing relations are RE-DERIVED here for oracle self-containment;
+    * [[funnelDeltaFromPersisted]] is the production twin that reads
+    * yesterday's persisted artifacts instead. */
   private def funnelDelta(s: SparkSession, standingFlat: DataFrame,
                           deltaFlat: DataFrame): DataFrame = {
     import s.implicits._
-    val norm = trim(regexp_replace(lower($"text"), " +", " "))
-    def keyedOf(flat: DataFrame, arrival: Long): DataFrame = flat
-      .withColumn("arrival", lit(arrival))
-      .select($"arrival", $"source_key", $"archive_path",
-        concat_ws(" ", $"modality", $"conversion_type", $"patient_id",
-          $"patient_sex", $"study_date", $"photometric_interpretation",
-          $"patient_family_name", $"image_type", $"pixel_spacing",
-          $"sopinstance_uid").as("text"))
-      .select($"arrival", $"source_key", $"archive_path",
-        norm.as("text"), md5(norm).as("norm_md5"), funnelDocId.as("doc_id"))
     val standing = keyedOf(standingFlat, 0L)
-    val delta = keyedOf(deltaFlat, 1L)
+    val standingCanon = standingCanonOf(standing)
+    funnelDeltaCore(s, keyedOf(deltaFlat, 1L),
+      standing.select($"norm_md5").distinct(),
+      survivors => graft.operators.Dedup
+        .incrementalPairs(s, standingCanon, survivors))
+  }
+
+  /** PERSIST the standing corpus' funnel relations — the day-1 job's
+    * artifacts the morning delta run reads instead of re-extracting and
+    * re-banding the standing corpus (VERDICT r13 #1):
+    *   - `$dir/hashes`: the distinct normalized-hash relation (exact
+    *     dedup's semi-join side — bytes ∝ corpus HASHES, never text);
+    *   - `$dir/ndidx`: [[graft.operators.Dedup.writeIndex]] of the
+    *     standing canonical set (band + shingle-set relations — the
+    *     near-dup probe side, `dedup_incremental_idx`'s economics). */
+  private[graft] def persistStandingFunnel(s: SparkSession,
+                                           standingFlat: DataFrame,
+                                           dir: String): Unit = {
+    import s.implicits._
+    val standing = keyedOf(standingFlat, 0L)
+    standing.select($"norm_md5").distinct()
+      .coalesce(1) // hash-width rows; one file keeps the day-2 read a single-split scan at fixture scale
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    graft.operators.Dedup.writeIndex(s, standingCanonOf(standing), s"$dir/ndidx")
+  }
+
+  /** [[funnelDelta]] fed from the PERSISTED standing relations (see
+    * [[persistStandingFunnel]]) — the morning-job shape: nothing here
+    * reads, re-hashes or re-bands the standing corpus TEXT; the exact
+    * stage reads the persisted hash relation and the near-dup stage
+    * probes the persisted band/set index
+    * ([[graft.operators.Dedup.incrementalPairsFromIndex]]). Output is
+    * row-for-row [[funnelDelta]] (both standing relations are
+    * deterministic functions of the standing corpus — pinned in
+    * DicomPipelineSpec and exercised by `dicom_corpus_funnel_delta_idx`). */
+  private[graft] def funnelDeltaFromPersisted(s: SparkSession, standingDir: String,
+                                              deltaFlat: DataFrame): DataFrame =
+    funnelDeltaCore(s, keyedOf(deltaFlat, 1L),
+      s.read.parquet(s"$standingDir/hashes"),
+      survivors => graft.operators.Dedup
+        .incrementalPairsFromIndex(s, s"$standingDir/ndidx", survivors))
+
+  /** Stages 2-4 of the incremental funnel over an already-keyed delta
+    * relation: exact dedup vs the standing hash relation + within-delta
+    * window, near-dup via the supplied incremental pair source (recomputed
+    * standing bands or the persisted index), per-row quality. */
+  private def funnelDeltaCore(s: SparkSession, delta: DataFrame,
+                              standingHashes: DataFrame,
+                              ndPairsOf: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
     // exact dedup, incremental: a delta doc is a dup if its hash exists
     // in the standing relation (broadcast — hashes, never text) OR an
     // earlier delta doc claimed the hash today
-    val standingHashes = standing.select($"norm_md5").distinct()
+    val seenHashes = standingHashes.select($"norm_md5").distinct()
       .withColumn("seen", lit(1L))
     val wDelta = org.apache.spark.sql.expressions.Window
       .partitionBy($"norm_md5").orderBy($"source_key", $"archive_path")
     val deduped = delta
-      .join(broadcast(standingHashes), Seq("norm_md5"), "left")
+      .join(broadcast(seenHashes), Seq("norm_md5"), "left")
       // `seen` is null on a miss: the when() treats the null condition
       // as not-matched, so un-seen first-per-hash docs land on 0L
       .withColumn("is_dup",
         when($"seen" === 1L || row_number().over(wDelta) > 1, 1L)
           .otherwise(0L))
       .drop("seen")
-    // near-dup, incremental: yesterday's canonical set (first-per-hash,
-    // the standing sink's own exact survivors) is the index side; the
-    // delta's exact survivors are the batch. incrementalPairs never
-    // pairs the index with itself, and the arrival-prefixed ids make
-    // every cross pair's doc_b the delta doc — drop set = doc_b ∩ delta.
-    val wStanding = org.apache.spark.sql.expressions.Window
-      .partitionBy($"norm_md5").orderBy($"source_key", $"archive_path")
-    val standingCanon = standing
-      .withColumn("rn", row_number().over(wStanding))
-      .filter($"rn" === 1).select($"doc_id", $"text")
-    val ndDrop = graft.operators.Dedup
-      .incrementalPairs(s, standingCanon,
-        deduped.filter($"is_dup" === 0).select($"doc_id", $"text"))
+    // near-dup, incremental: the standing index is never paired with
+    // itself, and the arrival-prefixed ids make every cross pair's doc_b
+    // the delta doc — drop set = doc_b ∩ delta.
+    val ndDrop = ndPairsOf(deduped.filter($"is_dup" === 0).select($"doc_id", $"text"))
       .select($"doc_b".as("doc_id")).distinct()
       .withColumn("nd_hit", lit(1L))
     deduped
@@ -384,10 +486,18 @@ object DicomQueries {
       .select(
         $"source_key", $"archive_path", $"norm_md5", $"is_dup", $"is_neardup",
         size($"tk").cast("long").as("n_tokens"),
-        round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
+        // degenerate-doc guard (ADVICE r13, shared with the oracle-gated
+        // accounting twin): zero-token / empty-text docs yield NULL
+        // ratios, never NaN/Infinity
+        when(size($"tk") === 0, lit(null))
+          .otherwise(round(
+            expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4))
           .as("mean_tok_len"),
-        round(size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
-          length($"text"), 4).as("punct_ratio"))
+        when(length($"text") === 0, lit(null))
+          .otherwise(round(
+            size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+              length($"text"), 4))
+          .as("punct_ratio"))
       .withColumn("quality_keep",
         when($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 &&
           $"mean_tok_len" <= 15.0 && $"punct_ratio" <= 0.2, 1L).otherwise(0L))
@@ -457,10 +567,18 @@ object DicomQueries {
         $"arrival", $"source_key", $"archive_path", $"norm_md5", $"is_dup",
         $"is_neardup",
         size($"tk").cast("long").as("n_tokens"),
-        round(expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4)
+        // degenerate-doc guard (ADVICE r13, shared with the oracle-gated
+        // accounting twin): zero-token / empty-text docs yield NULL
+        // ratios, never NaN/Infinity
+        when(size($"tk") === 0, lit(null))
+          .otherwise(round(
+            expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4))
           .as("mean_tok_len"),
-        round(size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
-          length($"text"), 4).as("punct_ratio"))
+        when(length($"text") === 0, lit(null))
+          .otherwise(round(
+            size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+              length($"text"), 4))
+          .as("punct_ratio"))
       .withColumn("quality_keep",
         when($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 &&
           $"mean_tok_len" <= 15.0 && $"punct_ratio" <= 0.2, 1L).otherwise(0L))
@@ -472,13 +590,18 @@ object DicomQueries {
   }
 
   /** Stable per-document key for the funnel's near-dup stage: arrival
-    * precedence first (string "0|" < "1|"), then the deterministic
-    * (source_key, archive_path) name — the SAME total order the exact-
-    * dedup window ranks by, so both dedup stages share one notion of
-    * "earlier doc wins". */
+    * precedence first, then the deterministic (source_key, archive_path)
+    * name — the SAME total order the exact-dedup window ranks by, so
+    * both dedup stages share one notion of "earlier doc wins". The field
+    * separator is "\u0001", which sorts BELOW every expected key character
+    * (ADVICE r13: '|' = 0x7C sorts above alphanumerics, so when one
+    * source_key is a prefix of another — example.tar vs example.tar.gz —
+    * the concatenated-string order would disagree with the window's
+    * tuple order and the near-dup drop rule could drop the doc exact
+    * dedup treats as earlier). */
   private def funnelDocId: org.apache.spark.sql.Column =
-    concat(col("arrival").cast("string"), lit("|"), col("source_key"),
-      lit("|"), coalesce(col("archive_path"), lit("")))
+    concat(col("arrival").cast("string"), lit("\u0001"), col("source_key"),
+      lit("\u0001"), coalesce(col("archive_path"), lit("")))
 
   /** PN component split as a SQL scalar function over synthetic PN
     * strings built from customer rows. Oracle-checked. */

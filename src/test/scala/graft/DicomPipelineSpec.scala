@@ -268,6 +268,34 @@ class DicomPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted-standing day-2 funnel == recomputing delta funnel, row for row") {
+    // VERDICT r13 #1: the production-economics twin reads yesterday's
+    // PERSISTED hash relation + band/set index instead of re-deriving
+    // the standing relations — both are deterministic functions of the
+    // standing corpus, so the funnel output must be identical. Run it
+    // twice: the first call builds the per-process standing artifacts
+    // (the day-1 job), the second exercises the steady-state morning
+    // job against the already-persisted relations — both must match.
+    val batch = graft.queries.DicomQueries.corpusFunnelDelta(spark, "")
+      .collect().map(_.toString)
+    val viaIdxCold = graft.queries.DicomQueries.corpusFunnelDeltaIdx(spark, "")
+      .collect().map(_.toString)
+    val viaIdxWarm = graft.queries.DicomQueries.corpusFunnelDeltaIdx(spark, "")
+      .collect().map(_.toString)
+    assert(viaIdxCold.nonEmpty, "persisted-standing delta funnel returned nothing — spec vacuous")
+    assert(viaIdxCold.sameElements(batch),
+      s"persisted-standing delta funnel diverges from the recomputing twin:\n" +
+        s"idx=${viaIdxCold.mkString("; ")}\nbatch=${batch.mkString("; ")}")
+    assert(viaIdxWarm.sameElements(batch),
+      "steady-state (reused-artifact) run diverges from the recomputing twin")
+    // the law must hold for the dup story too: the changed object's
+    // unchanged docs exact-dup away against the PERSISTED hash relation
+    val changed = graft.queries.DicomQueries.corpusFunnelDeltaIdx(spark, "")
+      .filter("source_key = 'example-0'").collect()
+    assert(changed.nonEmpty && changed.forall(_.getAs[Long]("is_dup") == 1L),
+      "re-extracted unchanged docs must exact-dup against the persisted hashes")
+  }
+
   test("streamed day-2 funnel delta == batch delta funnel, row for row") {
     // only the delta objects flow through the checkpointed per-object
     // stream; the standing side stays batch — the merged sink must

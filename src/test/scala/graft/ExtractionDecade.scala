@@ -35,18 +35,35 @@ object ExtractionDecade {
 
   private val Modalities = Array("CT", "MR", "US", "CR", "DX")
 
+  /** Synthetic image i. Most metadata is seeded by the COUPLE index
+    * g = i - (i % 2): images 2g and 2g+1 share every funnel-text token
+    * except the trailing SOPInstanceUID, making each couple a true
+    * near-duplicate pair (10-token text, 8 shingles, the single
+    * differing trailing token kills 1 → Jaccard 7/9 ≈ 0.78 ≥ 0.5) while
+    * every cross-couple pair differs in patient/name/date tokens and
+    * stays far below threshold — so the decade funnel's banded probe has
+    * real work (couples straddling the standing/delta split) without
+    * bucket blow-up (bucket size stays 2). */
   private def dcmBytes(i: Int): Array[Byte] = {
     val w = 32; val h = 24
+    val g = i - (i % 2)
     val px = Array.tabulate(w * h)(j => ((i * 31 + j * 7) % 251).toByte)
     DicomWriter.file(Seq(
-      DicomWriter.strElement(0x0008, 0x0020, "DA", f"202402${i % 28 + 1}%02d"),
-      DicomWriter.strElement(0x0008, 0x0060, "CS", Modalities(i % Modalities.length)),
-      DicomWriter.strElement(0x0010, 0x0010, "PN", s"Family$i^Given$i"),
-      DicomWriter.strElement(0x0010, 0x0020, "LO", f"P$i%06d"),
-      DicomWriter.strElement(0x0020, 0x000d, "UI", s"1.2.3.$i"),
+      DicomWriter.strElement(0x0008, 0x0008, "CS", "ORIGINAL\\PRIMARY"),
+      DicomWriter.strElement(0x0008, 0x0018, "UI", s"1.2.3.$i"),
+      DicomWriter.strElement(0x0008, 0x0020, "DA", f"202402${g % 28 + 1}%02d"),
+      DicomWriter.strElement(0x0008, 0x0060, "CS", Modalities(g % Modalities.length)),
+      DicomWriter.strElement(0x0008, 0x0064, "CS", "WSD"),
+      DicomWriter.strElement(0x0010, 0x0010, "PN", s"Family$g^Given$g"),
+      DicomWriter.strElement(0x0010, 0x0020, "LO", f"P$g%06d"),
+      DicomWriter.strElement(0x0010, 0x0040, "CS", Seq("M", "F", "O")(g % 3)),
+      DicomWriter.strElement(0x0020, 0x000d, "UI", s"1.9.$g"),
+      DicomWriter.strElement(0x0020, 0x0011, "IS", (g % 9 + 1).toString),
       DicomWriter.usElement(0x0028, 0x0002, 1),
+      DicomWriter.strElement(0x0028, 0x0004, "CS", "MONOCHROME2"),
       DicomWriter.usElement(0x0028, 0x0010, h),
       DicomWriter.usElement(0x0028, 0x0011, w),
+      DicomWriter.strElement(0x0028, 0x0030, "DS", "0.5\\0.5"),
       DicomWriter.usElement(0x0028, 0x0100, 8),
       DicomWriter.element(0x7fe0, 0x0010, "OB", px)))
   }
@@ -69,6 +86,15 @@ object ExtractionDecade {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    // Wall-clock/heap gates are DEFERRED (ADVICE r13): every recorded
+    // number lands in the JSON artifact FIRST, then the gates evaluate —
+    // a loaded box still yields the artifact (with the failure printed)
+    // instead of dying mid-run with nothing written. The thresholds stay
+    // generous tripwires, and this main stays OUT of scripts/ci.sh by
+    // design (it is a manually-run artifact generator).
+    val gateFails = scala.collection.mutable.ArrayBuffer[String]()
+    def gate(cond: Boolean, msg: => String): Unit = if (!cond) gateFails += msg
 
     val scratch = graft.util.Fs.scratchDir(spark, "extraction_decade")
     val input = scratch.resolve("input")
@@ -155,12 +181,12 @@ object ExtractionDecade {
         f"${fmt(nObjects / fullSec)} obj/s, ${fmt(nImages / fullSec)} img/s)")
     System.err.println(
       f"[decade] driver heap ${fmt(heapBeforeMB)} -> ${fmt(heapAfterMB)} MB")
-    require(fullPerObjMs < 2.0 * subPerObjMs,
+    gate(fullPerObjMs < 2.0 * subPerObjMs,
       f"per-object cost not flat: $subPerObjMs%.3f ms/obj at 1/10 vs " +
         f"$fullPerObjMs%.3f ms/obj at the decade")
     // O(1)-in-objects driver: allow a fixed budget (GC slack + plan
     // state), far below any per-object accumulation signature
-    require(heapAfterMB - heapBeforeMB < 512,
+    gate(heapAfterMB - heapBeforeMB < 512,
       f"driver heap grew ${heapAfterMB - heapBeforeMB}%.0f MB over the decade extraction")
 
     // --- day-2 delta at the decade: ~1% new objects. The synthetic
@@ -194,7 +220,7 @@ object ExtractionDecade {
         s"$deltaImages vs $deltaImagesSmall images")
     // corpus-size invariance: a 10× manifest may only move the delta run
     // by noise (0.5× + 1 s grace), never by anything corpus-shaped
-    require(deltaSec < 1.5 * deltaSecSmall + 1.0,
+    gate(deltaSec < 1.5 * deltaSecSmall + 1.0,
       f"delta cost scaled with the corpus, not the delta: " +
         f"$deltaSec%.2f s vs $deltaSecSmall%.2f s on a 10x smaller manifest")
     // NO delta-vs-full ratio gate on purpose: at 0.02-0.03 ms/obj the
@@ -203,6 +229,68 @@ object ExtractionDecade {
     // constants, not scaling. The invariance gate above plus the
     // per-object flatness gate carry the scale claim; real corpora pay
     // real per-object costs and the constant vanishes into them.
+
+    // --- day-2 FUNNEL delta at the decade (VERDICT r13 #2): run the
+    // ACTUAL delta-funnel stages (broadcast hash semi-join + banded
+    // index probe, via the persisted standing relations the
+    // dicom_corpus_funnel_delta_idx entry reads) with the same ~1%
+    // delta against the full standing corpus AND a 10× smaller one.
+    // The claim "bytes ∝ corpus hashes/bands, never standing text"
+    // (PLANS.md) becomes a measured corpus-size-INVARIANCE gate — the
+    // r13-lesson shape — instead of a plan argument. Day-1 build cost
+    // (extract + persist hashes + band/set index) is recorded,
+    // un-gated: it is the amortized morning-job artifact.
+    import graft.queries.DicomQueries
+    val changedSel = pmod(abs(hash(col("path"))), lit(1000)) === 1
+    // delta manifest = the hash-new 1% plus a ~0.1% re-delivered slice of
+    // the standing corpus (the changed-object story: their docs must
+    // exact-dup away against the persisted hash relation)
+    val deltaManifest = manifest.filter(isDelta || (changedSel && !isDelta))
+    def flatOf(m: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      DicomQueries.flatProjection(spark,
+        graft.pipeline.DicomPipeline.toDataFrame(spark,
+          graft.pipeline.DicomPipeline.extractFromManifest(
+            spark, m, "decade", "local").rows))
+    val funnelScratch = scratch.resolve("funnelstd")
+    graft.util.Fs.deleteRecursively(funnelScratch)
+    def buildStanding(m: org.apache.spark.sql.DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      DicomQueries.persistStandingFunnel(spark, flatOf(m), s"$funnelScratch/$tag")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val buildDecadeSec = buildStanding(manifest.filter(!isDelta), "decade")
+    val buildSmallSec = buildStanding(
+      manifest.filter(subsetSel && !isDelta), "small")
+    val nSmallStanding = manifest.filter(subsetSel && !isDelta).count()
+    def runFunnel(tag: String): (Array[org.apache.spark.sql.Row], Double) = {
+      spark.catalog.clearCache()
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      val t0 = System.nanoTime()
+      val rows = DicomQueries.funnelDeltaFromPersisted(
+        spark, s"$funnelScratch/$tag", flatOf(deltaManifest)).collect()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    runFunnel("small") // JIT/codegen warm pass — both measured runs start equally warm
+    val (fRowsSmall, fSecSmall) = runFunnel("small")
+    val (fRows, fSec) = runFunnel("decade")
+    val fDup = fRows.count(_.getAs[Long]("is_dup") == 1L)
+    val fNear = fRows.count(_.getAs[Long]("is_neardup") == 1L)
+    System.err.println(
+      f"[decade] funnel  ${fRows.length}%7d delta docs vs ${nObjects - nDelta}%7d-object standing " +
+        f"${fmt(fSec)}s, vs $nSmallStanding%7d-object standing ${fmt(fSecSmall)}s " +
+        f"(day-1 builds ${fmt(buildDecadeSec)}s / ${fmt(buildSmallSec)}s; " +
+        f"$fDup dups, $fNear near-dups)")
+    require(fRows.length == fRowsSmall.length && fRows.nonEmpty,
+      s"funnel delta row count drifted between standings: " +
+        s"${fRows.length} vs ${fRowsSmall.length}")
+    require(fDup > 0 && fNear > 0,
+      s"decade funnel stages vacuous: $fDup dups, $fNear near-dups")
+    // the same invariance shape as extraction: a 10× standing corpus may
+    // move the MORNING JOB (delta extract + hash semi-join + band probe)
+    // only by noise — nothing in it may be standing-text-shaped
+    gate(fSec < 1.5 * fSecSmall + 1.0,
+      f"funnel delta cost scaled with the standing corpus: " +
+        f"$fSec%.2f s vs $fSecSmall%.2f s on a 10x smaller standing")
 
     val json =
       s"""{"metric":"sf10_rehearsal_extract","extract10":{""" +
@@ -217,13 +305,27 @@ object ExtractionDecade {
       s""""delta_objects":$nDelta,"delta_images":$deltaImages,""" +
       s""""delta_sec":${fmt(deltaSec)},""" +
       s""""delta_sec_vs_small_manifest":${fmt(deltaSecSmall)},""" +
-      s""""small_manifest_objects":$nSmall}}"""
+      s""""small_manifest_objects":$nSmall},""" +
+      s""""funnel_delta10":{""" +
+      s""""standing_objects":${nObjects - nDelta},""" +
+      s""""small_standing_objects":$nSmallStanding,""" +
+      s""""day1_build_sec":${fmt(buildDecadeSec)},""" +
+      s""""day1_build_small_sec":${fmt(buildSmallSec)},""" +
+      s""""delta_docs":${fRows.length},"n_dup":$fDup,"n_neardup":$fNear,""" +
+      s""""delta_funnel_sec":${fmt(fSec)},""" +
+      s""""delta_funnel_sec_vs_small_standing":${fmt(fSecSmall)}}}"""
     println(json)
     val outPath = java.nio.file.Paths.get("target", "sf10_rehearsal_extract.json")
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     graft.util.Fs.deleteRecursively(input)
+    graft.util.Fs.deleteRecursively(funnelScratch)
+    // the artifact is on disk — NOW evaluate the deferred wall-clock/heap
+    // gates (ADVICE r13: a loaded box yields the artifact + the failure,
+    // never an artifact-less death mid-run)
+    require(gateFails.isEmpty,
+      s"decade gates failed (artifact written):\n  ${gateFails.mkString("\n  ")}")
     spark.stop()
   }
 }
