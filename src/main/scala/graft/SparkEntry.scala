@@ -138,6 +138,11 @@ object SparkEntry {
     // per doc — certifies the binary-sourced funnel's COMPOSITION, not
     // just its stages
     "corpus_funnel_accounting" -> (Dedup.corpusFunnelAccounting _),
+    // day-2 twin of the accounting oracle (the 175th): the INCREMENTAL
+    // funnel composition the dicom delta twins run — hash semi-join +
+    // incrementalPairs under the bloom prune — hash-gated against the
+    // FULL arrival-ordered recompute restricted to the delta docs
+    "corpus_funnel_accounting_delta" -> (Dedup.corpusFunnelAccountingDelta _),
     // RefinedWeb-style repeated-segment (boilerplate "line") removal:
     // df-gated aligned segments, order-preserving reassembly
     "dedup_lines"         -> ((s, d) => Dedup.lineDedup(s, d)),
@@ -2479,6 +2484,71 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS BIGINT) AS curated
         |FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
         |JOIN q ON d.doc_id = q.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the LAW the DICOM delta twins pin, cross-engine: the FULL
+    // arrival-ordered funnel accounting (arrival 0 = standing docs,
+    // 1 = the doc_id % 10 = 7 delta batch; dedup window and pair-drop
+    // rule both order by (arrival, doc_id)) restricted to the delta
+    // docs — the incremental Spark side (hash semi-join +
+    // incrementalPairs under the bloom prune) must reproduce it by the
+    // batch-vs-index equivalence the dedup_incremental oracle already
+    // certifies for raw pairs, here certified for the composed
+    // attrition accounting
+    "corpus_funnel_accounting_delta" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(doc_id % 10 = 7 AS INT) AS arrival,
+        |         trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS text,
+        |         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_md5
+        |  FROM documents),
+        |d AS (SELECT doc_id, arrival, text, norm_md5,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY norm_md5 ORDER BY arrival, doc_id) > 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup FROM n),
+        |base AS (SELECT doc_id, arrival, text FROM d WHERE is_dup = 0),
+        |tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk FROM base),
+        |pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM tk WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM pos),
+        |perms AS (SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh),
+        |sig AS (SELECT doc_id, perm, min(substr(md5(CAST(perm // 4 AS VARCHAR) || '|' || shingle), (perm % 4) * 8 + 1, 8)) AS mh
+        |        FROM perms GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 2 AS band,
+        |  md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
+        |      ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |shh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shv FROM sh),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand JOIN shh sa ON doc_a = sa.doc_id
+        |  JOIN shh sb ON doc_b = sb.doc_id AND sa.shv = sb.shv
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |dropped AS (SELECT DISTINCT
+        |  CASE WHEN ba.arrival > bb.arrival THEN doc_a ELSE doc_b END AS doc_id
+        |  FROM pairs JOIN base ba ON doc_a = ba.doc_id
+        |  JOIN base bb ON doc_b = bb.doc_id),
+        |q AS (SELECT doc_id, CAST(len(tkl) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(tkl, x -> len(x))) AS DOUBLE) / nullif(len(tkl), 0), 4) AS mean_tok_len,
+        |  round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / nullif(len(text), 0), 4) AS punct_ratio
+        |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tkl FROM d))
+        |SELECT d.doc_id, d.norm_md5, d.is_dup,
+        |  CAST(CASE WHEN d.is_dup = 0 AND dr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_neardup,
+        |  q.n_tokens, q.mean_tok_len, q.punct_ratio,
+        |  CAST(CASE WHEN q.n_tokens >= 10 AND q.mean_tok_len >= 2.0 AND q.mean_tok_len <= 15.0
+        |       AND q.punct_ratio <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS quality_keep,
+        |  CAST(CASE WHEN d.is_dup = 0 AND dr.doc_id IS NULL AND q.n_tokens >= 10
+        |       AND q.mean_tok_len >= 2.0 AND q.mean_tok_len <= 15.0 AND q.punct_ratio <= 0.2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS curated
+        |FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+        |JOIN q ON d.doc_id = q.doc_id
+        |WHERE d.arrival = 1
         |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_split" ->

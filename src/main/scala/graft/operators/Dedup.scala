@@ -1413,6 +1413,80 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** DAY-2 ATTRITION ACCOUNTING — the incremental twin of
+    * [[corpusFunnelAccounting]], ORACLE-hash-gating the batch-vs-index
+    * funnel composition the DICOM delta twins run
+    * (`dicom_corpus_funnel_delta*`): standing = doc_id % 10 != 7,
+    * delta = the % 10 == 7 batch (the `dedup_incremental` convention).
+    * Exact dedup is the incremental rule (a delta doc dups if its
+    * normalized hash exists in the standing relation — broadcast,
+    * hashes never text — or an earlier delta doc claimed it today);
+    * near-dup pairs come from [[incrementalPairs]] (delta bands probe
+    * the standing band relation under the bloom prune, the standing
+    * corpus is never re-paired with itself) with the arrival-ordered
+    * drop rule (a standing partner always wins; within-delta the lower
+    * doc_id wins); quality is the shared per-row tail. The DuckDB
+    * oracle states the LAW the DicomPipelineSpec pins for the binary
+    * twins — the FULL arrival-ordered accounting restricted to the
+    * delta docs — so incremental ≡ recompute is certified cross-engine
+    * by one hash, not just Spark-vs-Spark. One row per DELTA doc. */
+  def corpusFunnelAccountingDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = trim(regexp_replace(lower($"text"), " +", " "))
+    val keyed = docs(s, dir)
+      .select($"doc_id", norm.as("text"), md5(norm).as("norm_md5"))
+    val isDelta = pmod($"doc_id", lit(10)) === lit(7)
+    val standing = keyed.filter(!isDelta)
+    val delta = keyed.filter(isDelta)
+    val seenHashes = standing.select($"norm_md5").distinct()
+      .withColumn("seen", lit(1L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"norm_md5").orderBy($"doc_id")
+    val deduped = delta
+      .join(broadcast(seenHashes), Seq("norm_md5"), "left")
+      .withColumn("is_dup",
+        when($"seen" === 1L || row_number().over(w) > 1, 1L).otherwise(0L))
+      .drop("seen")
+    val standingCanon = standing
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"text")
+    // arrival-ordered drop: cross pairs drop the DELTA end regardless of
+    // numeric id order; within-delta pairs drop the numerically later
+    // (ids share arrival, so numeric order IS the tuple order)
+    val ndDrop = incrementalPairs(s, standingCanon,
+        deduped.filter($"is_dup" === 0).select($"doc_id", $"text"))
+      .select(
+        when(pmod($"doc_a", lit(10)) === 7 && pmod($"doc_b", lit(10)) === 7, $"doc_b")
+          .when(pmod($"doc_a", lit(10)) === 7, $"doc_a")
+          .otherwise($"doc_b").as("doc_id"))
+      .distinct()
+      .withColumn("nd_hit", lit(1L))
+    deduped
+      .join(ndDrop, Seq("doc_id"), "left")
+      .withColumn("is_neardup",
+        when($"is_dup" === 0 && $"nd_hit" === 1L, 1L).otherwise(0L))
+      .withColumn("tk", expr("filter(split(text, ' '), x -> length(x) > 0)"))
+      .select(
+        $"doc_id", $"norm_md5", $"is_dup", $"is_neardup",
+        size($"tk").cast("long").as("n_tokens"),
+        when(size($"tk") === 0, lit(null))
+          .otherwise(round(
+            expr("aggregate(tk, cast(0 as double), (s, x) -> s + length(x)) / size(tk)"), 4))
+          .as("mean_tok_len"),
+        when(length($"text") === 0, lit(null))
+          .otherwise(round(
+            size(regexp_extract_all($"text", lit("[.!?,;:]"), lit(0))).cast("double") /
+              length($"text"), 4))
+          .as("punct_ratio"))
+      .withColumn("quality_keep",
+        when($"n_tokens" >= 10 && $"mean_tok_len" >= 2.0 &&
+          $"mean_tok_len" <= 15.0 && $"punct_ratio" <= 0.2, 1L).otherwise(0L))
+      .withColumn("curated",
+        (($"is_dup" === 0) && ($"is_neardup" === 0) &&
+          ($"quality_keep" === 1)).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   /** Row ceiling for the exact O(n²) cosine path. Configurable via
     * `spark.graft.dedup.exactCosineMaxRows`; past it [[embedCosine]] fails
     * fast and names the LSH scale path, so the cartesian baseline can't be

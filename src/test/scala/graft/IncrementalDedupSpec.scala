@@ -32,6 +32,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.unpersistIntermediates(spark)
   }
 
+  test("day-2 accounting entry: one row per delta doc, stages non-vacuous, flag law holds") {
+    // corpus_funnel_accounting_delta's REAL gate is its DuckDB oracle
+    // (the full arrival-ordered recompute restricted to delta docs —
+    // the DICOM delta twins' law, cross-engine); this pins the
+    // structural invariants at sf0.001: every %10==7 doc accounted
+    // exactly once, the near-dup stage non-vacuous (4 drops at this
+    // corpus), and the flag lattice (a dup is never also a near-dup;
+    // curated ⟺ all three stages passed). Exact-dup non-vacuity is
+    // corpus-dependent (first dup pair appears at sf0.1 — covered by
+    // the ×3-SF verify), so it is not gated here.
+    val rows = Dedup.corpusFunnelAccountingDelta(spark, sf).collect()
+    val nDelta = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 7).count()
+    assert(rows.length == nDelta.toInt,
+      s"accounting must emit one row per delta doc: ${rows.length} vs $nDelta")
+    assert(rows.exists(_.getAs[Long]("is_neardup") == 1L),
+      "near-dup stage vacuous on the sf0.001 delta slice")
+    rows.foreach { r =>
+      val (dup, nd, qk, cur) = (r.getAs[Long]("is_dup"), r.getAs[Long]("is_neardup"),
+        r.getAs[Long]("quality_keep"), r.getAs[Long]("curated"))
+      assert(!(dup == 1L && nd == 1L), s"dup flagged as near-dup too: $r")
+      assert((cur == 1L) == (dup == 0L && nd == 0L && qk == 1L), s"curated flag law broken: $r")
+    }
+    Dedup.unpersistIntermediates(spark)
+  }
+
   test("index-only duplicates are invisible to the incremental run") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-inc-dedup")
