@@ -46,6 +46,20 @@ def spread_of(passes):
     return (max(passes) - min(passes)) if passes else -1.0
 
 
+# r15 promotion rule (VERDICT r14 #3): a valid-only floor within this
+# envelope of the raw any-source floor becomes the HEADLINE floor.
+# Three rounds of "[new floor from invalid run]" disclosures were stamp
+# technicalities (warm-descent sweep processes self-stamped invalid by
+# box load while dedicated valid processes bracketed the same value —
+# the r14 stream_pq_index_refresh 0.01s flag tie the comic extreme),
+# not measurement doubt. ε = max(2% relative, 0.05s absolute — the
+# latter is compare()'s own noise cutoff, below which no delta is ever
+# adjudicated anyway). The raw any-source floor is preserved per query
+# in queries_any_source.
+PROMOTE_EPS_REL = 0.02
+PROMOTE_EPS_ABS = 0.05
+
+
 def merge(files, out_path="target/bench_floor.json"):
     runs = [json.load(open(f)) for f in files]
     names = sorted(set().union(*[r["queries"].keys() for r in runs]))
@@ -56,7 +70,8 @@ def merge(files, out_path="target/bench_floor.json"):
     # code regression. Record, per query, whether its floor came from a
     # self-stamped-valid process, and the valid-only floor alongside, so
     # `compare` adjudicates movers against measurements, not load.
-    floor_from_valid, floor_valid_only = {}, {}
+    floor_from_valid, floor_valid_only, any_source = {}, {}, {}
+    promoted = []
     valids = [bool(r.get("valid")) for r in runs]
     for q in names:
         mins = [(r["queries"][q], valids[i]) for i, r in enumerate(runs)
@@ -65,15 +80,24 @@ def merge(files, out_path="target/bench_floor.json"):
             floor[q], xspread[q] = -1.0, -1.0
             continue
         vals = [m for m, _ in mins]
-        floor[q] = min(vals)
+        raw = min(vals)
         xspread[q] = max(vals) - min(vals)
         per_run[q] = vals
+        any_source[q] = raw
         # a floor counts as valid-sourced if ANY valid process achieved
         # it — min() over (value, valid) tuples would break ties toward
         # False (False < True) and mislabel a tie as invalid-sourced
-        floor_from_valid[q] = any(ok for m, ok in mins if m == floor[q])
+        raw_is_valid = any(ok for m, ok in mins if m == raw)
         vmins = [m for m, ok in mins if ok]
-        floor_valid_only[q] = min(vmins) if vmins else -1.0
+        vfloor = min(vmins) if vmins else -1.0
+        floor_valid_only[q] = vfloor
+        promote = bool(not raw_is_valid and vmins and
+                       (vfloor - raw) <= max(PROMOTE_EPS_REL * vfloor,
+                                             PROMOTE_EPS_ABS))
+        if promote:
+            promoted.append(q)
+        floor[q] = vfloor if promote else raw
+        floor_from_valid[q] = raw_is_valid or promote
     merged = {
         "metric": "total_floor",
         "value": sum(v for v in floor.values() if v >= 0),
@@ -84,6 +108,8 @@ def merge(files, out_path="target/bench_floor.json"):
         "per_process_mins": per_run,
         "floor_from_valid": floor_from_valid,
         "queries_valid_only": floor_valid_only,
+        "queries_any_source": any_source,
+        "promoted_to_valid": sorted(promoted),
         "sf": runs[0].get("sf", "?"),
         "valid_runs": valids,
     }
@@ -94,7 +120,8 @@ def merge(files, out_path="target/bench_floor.json"):
     print(f"wrote {out_path}: {len(names)} queries, "
           f"summed floor {merged['value']:.1f}s over {len(runs)} processes "
           f"({sum(valids)} valid); {n_invalid_floor} floors from "
-          f"invalid-stamped processes")
+          f"invalid-stamped processes; {len(promoted)} promoted to their "
+          f"valid-only floor (within ε)")
     return merged
 
 

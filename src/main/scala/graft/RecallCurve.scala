@@ -125,10 +125,15 @@ object RecallCurve {
     // no dial at this corpus — record the chosen nprobe per SF next to
     // its dense recall@100 and fused overlap@20, so the auto dial's
     // operating point is a recorded artifact row, not an inference
+    // geometry + rerank come from the SHARED constants the production
+    // hybridSearch resolves (ADVICE r14: literal 10/200 here would
+    // silently measure a different operating point if PqCoarseLists or
+    // the rerank conf ever moved)
     val nVecs = e100.count()
-    val autoNp = Similarity.autoNprobe(nVecs, 10, 200)
+    val autoRr = Similarity.hybridRerank(spark)
+    val autoNp = Similarity.autoNprobe(nVecs, Similarity.PqCoarseLists, autoRr)
     val autoDense = Similarity.ivfPqTopk(spark, sfDir, nprobe = autoNp,
-        rerank = 200, topN = 100)
+        rerank = autoRr, topN = 100)
       .collect().map(_.getAs[Long]("vec_id")).toSet
     val autoDenseRecall = (autoDense & brute100).size.toDouble / brute100.size
     spark.conf.set("spark.graft.hybrid.denseArm", "ivf_pq")
@@ -172,7 +177,7 @@ object RecallCurve {
     }.mkString(",")
     val json = s"""{"metric":"recall_curve","sf":"$sfDir","passes":$passes,""" +
       s""""hybrid_fusion":{"overlap_at_20":${fmt(overlap)},"sec":${fmt(pqSec)}},""" +
-      s""""auto_dial":{"n_vectors":$nVecs,"nprobe":$autoNp,"rerank":200,""" +
+      s""""auto_dial":{"n_vectors":$nVecs,"nprobe":$autoNp,"rerank":$autoRr,""" +
       s""""dense_recall_at_100":${fmt(autoDenseRecall)},""" +
       s""""fused_overlap_at_20":${fmt(autoOverlap)}},""" +
       s""""hybrid_dials":{${dialRows.mkString(",")}},""" +

