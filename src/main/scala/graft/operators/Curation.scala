@@ -654,15 +654,23 @@ object Curation {
     * the final plan documents-scan-free), and the (doc, label, word)
     * count grain checkpoints off it. Shared by the full-corpus trainer
     * and the per-batch count writer of the day-2 lifecycle. */
-  private def nbGrainOf(s: SparkSession, d: DataFrame)
+  private def nbGrainOf(s: SparkSession, d: DataFrame,
+                        needLabels: Boolean = true)
       : (DataFrame, DataFrame) = {
     import s.implicits._
-    val lab = Dedup.trackCheckpoint(d.select($"doc_id",
+    val labRaw = d.select($"doc_id",
       when(expr("size(filter(split(lower(text), ' '), x -> x = 'hash'))") * 25 >=
            expr("size(filter(split(text, ' '), x -> length(x) > 0))"), 1)
         .otherwise(0).as("y"),
       expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("tk"))
-      .localCheckpoint())
+    // the label relation is checkpointed only when the caller consumes
+    // it as a SECOND branch (the full trainer's keep-everything label
+    // side); the count-only writers (per-micro-batch sinks) read just
+    // `cnt`, and an eager label materialization per batch is pure
+    // overhead — same values either way (cnt derives from the identical
+    // expressions, checkpointed itself below)
+    val lab = if (needLabels) Dedup.trackCheckpoint(labRaw.localCheckpoint())
+              else labRaw
     val cnt = Dedup.trackCheckpoint(lab
       .select($"doc_id", $"y", explode($"tk").as("w"))
       .groupBy($"doc_id", $"y", $"w").agg(count(lit(1)).as("n"))
@@ -724,7 +732,7 @@ object Curation {
   def writeNbCounts(s: SparkSession, d: DataFrame, path: String,
                     mode: String): Unit = {
     import s.implicits._
-    val train = nbGrainOf(s, d)._2.filter($"doc_id" % 2 === 0)
+    val train = nbGrainOf(s, d, needLabels = false)._2.filter($"doc_id" % 2 === 0)
     train.groupBy($"w").agg(
         sum(when($"y" === 1, $"n").otherwise(lit(0L))).as("c1"),
         sum(when($"y" === 0, $"n").otherwise(lit(0L))).as("c0"))
@@ -753,7 +761,7 @@ object Curation {
   def writeNbCountsBatch(s: SparkSession, d: DataFrame, path: String,
                          batchId: Long): Unit = {
     import s.implicits._
-    val train = nbGrainOf(s, d)._2.filter($"doc_id" % 2 === 0)
+    val train = nbGrainOf(s, d, needLabels = false)._2.filter($"doc_id" % 2 === 0)
     train.groupBy($"w").agg(
         sum(when($"y" === 1, $"n").otherwise(lit(0L))).as("c1"),
         sum(when($"y" === 0, $"n").otherwise(lit(0L))).as("c0"))

@@ -1051,14 +1051,32 @@ object Similarity {
     val dim = e.head()._2.length
     require(dim % pqM == 0, s"pqM=$pqM must divide dim=$dim")
     val sub = dim / pqM
-    // per-subspace codebooks: ksub centroids over the slice
-    val books: Array[Array[Array[Double]]] = (0 until pqM).toArray.map { m =>
-      kmeansOnVecs(s,
-        e.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub)) },
-        ksub, iters = 3)
-    }
-    // coarse quantizer over the unit vectors (reuses the same trainer)
-    PqModel(books, kmeansOnVecs(s, e, k = PqCoarseLists, iters = 3))
+    // The pqM subspace trainings + the coarse quantizer are INDEPENDENT
+    // deterministic jobs over the same (caller-cached) corpus, so they
+    // are submitted from a driver thread pool and run CONCURRENTLY
+    // (guide §2.6, overlap independent jobs): each training's per-pass
+    // jobs are tiny and latency-bound, and sequential submission was
+    // paying 9 × (init + 3 Lloyd passes) of back-to-back job latency.
+    // Results are bit-identical to the sequential run — no training
+    // reads another's state, each persists/unpersists only its own
+    // sliced dataset, and kmeansOnVecs' arithmetic is untouched.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(pqM + 1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val bookFs = (0 until pqM).map { m =>
+        scala.concurrent.Future(kmeansOnVecs(s,
+          e.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub)) },
+          ksub, iters = 3))
+      }
+      // coarse quantizer over the unit vectors (reuses the same trainer)
+      val coarseF = scala.concurrent.Future(
+        kmeansOnVecs(s, e, k = PqCoarseLists, iters = 3))
+      val wait = scala.concurrent.duration.Duration(10, "min")
+      val books: Array[Array[Array[Double]]] =
+        bookFs.map(scala.concurrent.Await.result(_, wait)).toArray
+      PqModel(books, scala.concurrent.Await.result(coarseF, wait))
+    } finally pool.shutdown()
   }
 
   /** The PQ tier's coarse list count — shared with [[autoNprobe]]'s
@@ -1242,12 +1260,23 @@ object Similarity {
     val dim = first.head._2.length
     require(dim % pqM == 0, s"pqM=$pqM must divide dim=$dim")
     val sub = dim / pqM
-    val books: Array[Array[Array[Long]]] = (0 until pqM).toArray.map { m =>
-      quantizedKmeansCentroids(s,
-        data.map { case (id, q) =>
-          (id, java.util.Arrays.copyOfRange(q, m * sub, (m + 1) * sub)) },
-        ksub, iters)
-    }
+    // independent per-subspace trainings submitted concurrently — the
+    // trainPq pattern (guide §2.6): same integer arithmetic per slice,
+    // bit-identical books, wall-clock = the longest chain not the sum
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(pqM)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val books: Array[Array[Array[Long]]] =
+      try {
+        val fs = (0 until pqM).map { m =>
+          scala.concurrent.Future(quantizedKmeansCentroids(s,
+            data.map { case (id, q) =>
+              (id, java.util.Arrays.copyOfRange(q, m * sub, (m + 1) * sub)) },
+            ksub, iters))
+        }
+        fs.map(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration(10, "min"))).toArray
+      } finally pool.shutdown()
     val qv = data.filter(_._1 == 0L).head(1).headOption.getOrElse(
       sys.error("sim_pq_exact: query vector vec_id=0 absent from the " +
         "quantized corpus (missing or zero-norm) — the learned entries " +
@@ -1345,7 +1374,19 @@ object Similarity {
     * every batch, and the extra `batch` column is dropped by the
     * probe's projection. */
   private[graft] def writePqCodesBatch(s: SparkSession, indexPath: String,
-      rawBatch: DataFrame, batchId: Long): Unit = {
+      rawBatch: DataFrame, batchId: Long): Unit =
+    writePqCodesBatchWith(s, readPqModel(s, indexPath), indexPath,
+      rawBatch, batchId)
+
+  /** [[writePqCodesBatch]] against an ALREADY-LOADED frozen sidecar —
+    * the streaming drain loads the day-0 model once and encodes every
+    * micro-batch with it, instead of re-reading + re-collecting the
+    * same immutable parquet sidecar per batch (the model is frozen by
+    * contract, so load-once ≡ load-per-batch value-for-value; a
+    * checkpointed RESTART in a fresh process still reads the persisted
+    * artifact at stream start). */
+  private[graft] def writePqCodesBatchWith(s: SparkSession, model: PqModel,
+      indexPath: String, rawBatch: DataFrame, batchId: Long): Unit = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
     val batch = rawBatch
@@ -1354,7 +1395,7 @@ object Similarity {
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x / nrm as float))").as("unit"))
       .as[(Long, Array[Float])]
-    encodePq(s, batch, readPqModel(s, indexPath))
+    encodePq(s, batch, model)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexPath/codes/batch=$batchId")

@@ -1702,14 +1702,20 @@ object StreamQueries {
   private def streamPqCodes(s: SparkSession, dir: String,
       base: java.nio.file.Path): Unit = {
     graft.operators.Similarity.writePqCodebooks(s, dir, s"$base/idx")
+    // load the frozen day-0 sidecar ONCE for the whole drain: every
+    // micro-batch encodes against the same immutable coordinate system,
+    // so a per-batch parquet read + collect of the identical model was
+    // pure fixed cost (a restarted drain in a fresh process still reads
+    // the persisted artifact here, at stream start)
+    val model = graft.operators.Similarity.readPqModel(s, s"$base/idx")
     val embDf = s.read.parquet(s"$dir/embeddings.parquet")
     embDf.repartition(8).write.mode("overwrite").parquet(s"$base/arrivals")
     val src = s.readStream.schema(embDf.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/arrivals")
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.writePqCodesBatch(
-          s, s"$base/idx", batch, batchId)
+        graft.operators.Similarity.writePqCodesBatchWith(
+          s, model, s"$base/idx", batch, batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -108,6 +108,30 @@ class ScaleGuardSpec extends AnyFunSuite {
       "the exact length bound must precede (and gate) the intersection")
   }
 
+  test("widened: narrow-heavy passes never inherit a single-split scan's width") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+      "fixture precondition: one small parquet file must read as fewer splits than cores")
+    // a below-cores input widens to the session's parallelism — the
+    // verify-relation materializations (jaccardPrefix/containment word
+    // sets, shingle hashing) are no longer fixed-width (VERDICT r15 #2)
+    assert(Dedup.widened(docs).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // an input already at/above cores passes through UNCHANGED — the
+    // rule never adds an exchange to a production-scale scan
+    val already = docs.repartition(spark.sparkContext.defaultParallelism + 2)
+    assert(Dedup.widened(already) eq already)
+    // the heavy projection must evaluate ABOVE (after) the round-robin
+    // exchange — widening moves raw rows, never precomputed results
+    val p = Dedup.widened(docs).select(md5(col("text")).as("h"))
+      .queryExecution.executedPlan.toString
+    val proj = p.indexOf("md5")
+    val ex = p.indexOf("Exchange RoundRobinPartitioning")
+    assert(proj >= 0 && ex > proj,
+      s"md5 projection must sit above the widening exchange:\n$p")
+  }
+
   test("ngramJaccard: df filter precedes doc-list collection, same shuffle") {
     // Inspect the UN-checkpointed candidate relation: ngramJaccard's
     // localCheckpoint truncates this subtree to a Scan ExistingRDD in the
