@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print ONE machine-parsed JSON line on stdout.
+// sbt's default LoggedOutput prefixes every forked-run stdout line with
+// "[info] ", which breaks any per-line JSON parse of the captured log
+// (r1-r16 driver artifacts all carry `parsed: null`; the r1 tail shows
+// the complete line present but prefixed). StdoutOutput passes the
+// child's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

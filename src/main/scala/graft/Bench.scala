@@ -226,6 +226,17 @@ object Bench {
       flagged.isEmpty
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$passes,"spread":${fmt(spread)},"steady_spread":${fmt(steadySpread)},"valid":$valid,"flagged":$flaggedJson,"reran":${rerun.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"queries":$qs,"passes":$allPasses,"spread_q":$spreadQJson,"materialized":$materializedJson,"sf":"$sfDir"}"""
     println(json)
+    // VERDICT r16 measurement-trust item: the full line above (~26 KB with
+    // the per-query `passes`/`spread_q` arrays) overflows the driver's
+    // stdout-tail capture, so PERF per_query came back empty two rounds
+    // running. Emit a SECOND, mins-only compact line LAST (same metric /
+    // value / unit / queries / sf contract, ~5 KB) so a tail-bounded
+    // capture still sees one complete parseable object. The full line and
+    // the file artifact below keep every pass sample — nothing is dropped.
+    def fmt3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qsCompact = mins.map { case (k, v) => jstr(k) + ":" + fmt3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n":$passes,"valid":$valid,"queries":$qsCompact,"sf":"$sfDir"}""")
     // also land the artifact on disk: the stdout line has been lost to
     // log-tail truncation before; the file copy always parses standalone.
     // Path is overridable (SPARK_GRAFT_BENCH_OUT) and otherwise resolved

@@ -70,6 +70,14 @@ object Bpe {
     var words: Dataset[BpeWord] = wordFreq(s, dir).as[(String, Long)]
       .map { case (w, f) => BpeWord(w.map(_.toString) :+ Eow, f) }
       .persist()
+    // lineage defense with one job per round instead of two: round r's
+    // argmax job is ALSO the action that materializes round r's persisted
+    // working set, so the explicit `next.count()` materialization job is
+    // redundant — the parent is released one round LATE (after the argmax
+    // has filled the child's cache), never before, so no round ever
+    // recomputes more than one narrow map. Peak cache is two vocab-sized
+    // rounds instead of one.
+    var parent: Option[Dataset[BpeWord]] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var rank = 1
@@ -85,19 +93,24 @@ object Bpe {
           .limit(1)
           .as[(String, String, Long)]
           .collect()
+        // the argmax above materialized `words`; its parent is now safe to drop
+        parent.foreach(_.unpersist(false))
+        parent = None
         best.headOption match {
           case None => exhausted = true
           case Some((a, b, cnt)) =>
             merges += ((rank, a, b, cnt))
             val next = words.map(w => BpeWord(mergeOnce(w.syms, a, b), w.freq))
               .persist()
-            next.count() // materialize before dropping the parent
-            words.unpersist(false)
+            parent = Some(words)
             words = next
             rank += 1
         }
       }
-    } finally words.unpersist(false)
+    } finally {
+      words.unpersist(false)
+      parent.foreach(_.unpersist(false))
+    }
     s.createDataFrame(merges.toSeq)
       .toDF("rank", "left", "right", "pair_freq")
       .withColumn("rank", col("rank").cast("long"))

@@ -116,9 +116,16 @@ object Dedup {
     * stored); the threshold keeps the hint honest at 100 TB, where these
     * relations exceed driver memory and MUST shuffle. */
   private[operators] def ckptHinted(
-      df: DataFrame, maxBroadcastRows: Long = 4000000): DataFrame = {
+      df: DataFrame, maxBroadcastRows: Long = 4000000): DataFrame =
+    ckptBoth(df, maxBroadcastRows)._2
+
+  /** [[ckptHinted]] exposing BOTH handles: the raw checkpoint (for a
+    * consumer that must re-widen it — see [[widenedBy]]) and the
+    * broadcast-hinted view (for build sides). One checkpoint, one count. */
+  private[operators] def ckptBoth(
+      df: DataFrame, maxBroadcastRows: Long = 4000000): (DataFrame, DataFrame) = {
     val ck = trackCheckpoint(df.localCheckpoint())
-    if (ck.count() <= maxBroadcastRows) broadcast(ck) else ck
+    (ck, if (ck.count() <= maxBroadcastRows) broadcast(ck) else ck)
   }
 
   /** Broadcast row cap for ARRAY-BEARING checkpoint leaves (per-doc
@@ -148,6 +155,29 @@ object Dedup {
       return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** [[widened]] with a HASH key instead of round robin — for relations
+    * whose downstream partial aggregation depends on co-locating rows of
+    * one key (e.g. the prefix-join probe sides: all of doc b's token rows
+    * must share a map task so the partial distinct collapses a pair's
+    * duplicate emissions before the exchange). Same adaptive rule and
+    * dial as [[widened]]: widen ONLY a below-cores input; pass-through at
+    * scale, so no exchange is ever added to a production-width relation.
+    *
+    * Why this exists (r17 finding): localCheckpoint MATERIALIZES whatever
+    * partitioning AQE last chose — at small SFs AQE coalesces the
+    * window/aggregate exchanges to ONE partition, and every downstream
+    * heavy stage (the candidate join + partial distinct, ~13 s of
+    * single-core CPU at sf0.1) inherits that width from the checkpointed
+    * leaf. The scan-side [[widened]] cannot see this; the consumer of the
+    * checkpoint must re-widen. */
+  private[graft] def widenedBy(df: DataFrame,
+                               key: org.apache.spark.sql.Column): DataFrame = {
+    if (!df.sparkSession.conf.get("spark.graft.scan.widen", "true").toBoolean)
+      return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
   }
 
   /** Exact dedup: group documents by content digest; keep the lowest
@@ -903,12 +933,19 @@ object Dedup {
   /** Per-doc DISTINCT gram set built NARROWLY in the scan projection
     * (native one-pass [[graft.functions.CharGrams]] — no interpreted
     * per-gram lambdas). */
-  private def ngramGramSets(s: SparkSession, in: DataFrame): DataFrame = {
+  private def ngramGramSets(s: SparkSession, in: DataFrame,
+                            widen: Boolean = true): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
     // widened: the one-pass gram extraction is the family's heavy narrow
-    // work and must not inherit a single-split scan's parallelism
-    widened(in).select($"doc_id",
+    // work and must not inherit a single-split scan's parallelism.
+    // `widen = false` for CANDIDATE-BOUND inputs (ADVICE r16): the verify
+    // site's downstream coalesce(4) collapses the post-shuffle narrow
+    // chain back to 4 tasks, so the added round-robin exchange is pure
+    // overhead there — and widened's df.rdd planning probe eagerly fires
+    // the caller's broadcast job before the repartition re-plans it.
+    val src = if (widen) widened(in) else in
+    src.select($"doc_id",
       call_function("graft_char_grams", $"text", lit(5)).as("g_set"))
   }
 
@@ -990,7 +1027,6 @@ object Dedup {
     // at 100 TB) — candidate generation consumes it lazily once, and the
     // verify stage re-derives gram sets for CANDIDATE docs only.
     val d = ngramDocs(s, dir)
-    def gramSets(in: DataFrame): DataFrame = ngramGramSets(s, in)
     val cand = ckptHinted(ngramCandidates(s, dir))
     val candIds = cand.select($"doc_a".as("doc_id"))
       .union(cand.select($"doc_b".as("doc_id"))).distinct()
@@ -999,7 +1035,8 @@ object Dedup {
     // build — sf1 profile: the per-pair array_intersect churn was the
     // whole verify cost, ~14 s of the 23 s query
     val candSets = ckptHinted(
-      gramSets(d.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      ngramGramSets(s, d.join(broadcast(candIds), Seq("doc_id"), "left_semi"),
+          widen = false) // candidate-bound input; coalesce(4) below caps width anyway
         .select($"doc_id", sort_array($"g_set").as("g_set"))
         .withColumn("n_g", size($"g_set").cast("long"))
         .coalesce(4), // candidate-bound: semi-joined to candIds — 4 tasks safe
@@ -1111,8 +1148,18 @@ object Dedup {
 
     // prefix_len = n − ceil(4n/5) + 1, all integer (div, not /:
     // Column./ is double division)
-    val prefixes = ckptHinted(
+    val (prefixCk, prefixes) = ckptBoth(
       rankedTokens(d).filter($"rk" <= expr("n_w - (n_w * 4 + 4) div 5 + 1")))
+    // PROBE side re-widened off the checkpoint (r17): the window
+    // exchanges above the checkpoint are AQE-coalesced to ~1 partition
+    // at small SFs, and the checkpoint BAKES that width in — the
+    // candidate join + partial distinct (the query's dominant stage, ~9 s
+    // single-core at sf0.1) inherited it and ran single-threaded on a
+    // 32-core box. Hash-keyed on the probe doc so all of one doc's token
+    // rows share a map task: every duplicate emission of a pair (same
+    // doc_b, different shared token) dies in the partial distinct BEFORE
+    // the exchange. Pass-through at production width ([[widenedBy]]).
+    val probe = widenedBy(prefixCk, $"doc_id")
 
     // candidate pairs STREAM from the join through one distinct into
     // the verify — never checkpointed, never consumed twice (the ngram
@@ -1121,7 +1168,7 @@ object Dedup {
     // hinted (ckptHinted), so the self-join is a BHJ whose probe side
     // spreads a hot token's rows across all partitions — no skewed SMJ
     // task ever owns a token's full pair block.
-    val cand = prefixes.as("pa").join(prefixes.as("pb"),
+    val cand = prefixes.as("pa").join(probe.as("pb"),
         $"pa.w" === $"pb.w" && $"pa.doc_id" < $"pb.doc_id" &&
         // length gate: J ≥ 4/5 needs 5·min ≥ 4·max — inside the join
         // condition so incompatible pairs never leave the build
@@ -1191,11 +1238,19 @@ object Dedup {
     val d = ckptHinted(hashedWordSets(s, dir),
       maxBroadcastRows = HeavyRowBroadcastCap)
 
-    val ranked = ckptHinted(rankedTokens(d))
+    val (rankedCk, ranked) = ckptBoth(rankedTokens(d))
     // a-side: rare-first prefix of length n − ceil(9n/10) + 1
     val prefixes = ranked.filter($"rk" <= expr("n_w - (n_w * 9 + 9) div 10 + 1"))
+    // PROBE side (b's FULL token relation) re-widened off the checkpoint,
+    // hash-keyed on doc_id — same r17 single-task-stage fix as
+    // [[jaccardPrefix]] (the checkpoint bakes in AQE's 1-partition
+    // coalesce at small SFs; the candidate join + partial distinct, ~13 s
+    // single-core at sf0.1, inherited it). Keying by the probe doc keeps
+    // a pair's duplicate emissions in one map task so the partial
+    // distinct kills them before the exchange; pass-through at scale.
+    val probe = widenedBy(rankedCk, $"doc_id")
 
-    val cand = prefixes.as("pa").join(ranked.as("pb"),
+    val cand = prefixes.as("pa").join(probe.as("pb"),
         $"pa.w" === $"pb.w" && $"pa.doc_id" =!= $"pb.doc_id" &&
         // strict excerpt shape (which also guarantees b has room for
         // the required overlap: n_b > n_a ≥ ceil(9·n_a/10))

@@ -1060,7 +1060,12 @@ object Similarity {
     // Results are bit-identical to the sequential run — no training
     // reads another's state, each persists/unpersists only its own
     // sliced dataset, and kmeansOnVecs' arithmetic is untouched.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(pqM + 1)
+    // Concurrency footprint note (ADVICE r16): each in-flight training
+    // persists its own slice inside kmeansOnVecs, so peak cache is all
+    // pqM+1 slices (~one corpus copy in float) instead of one at a time;
+    // bound the pool below pqM+1 if slice size × pqM approaches executor
+    // storage memory at large scale.
+    val pool = daemonPool(pqM + 1)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
@@ -1076,8 +1081,18 @@ object Similarity {
       val books: Array[Array[Array[Double]]] =
         bookFs.map(scala.concurrent.Await.result(_, wait)).toArray
       PqModel(books, scala.concurrent.Await.result(coarseF, wait))
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
   }
+
+  /** Fixed pool of DAEMON threads for the concurrent-training blocks
+    * (ADVICE r16): if an Await times out or a training throws, the
+    * orphaned threads must neither hold the JVM alive (daemon) nor keep
+    * grinding (the failure path's shutdownNow interrupts them); on the
+    * success path every future is already complete, so shutdownNow
+    * degenerates to shutdown. */
+  private def daemonPool(n: Int): java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(n,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
 
   /** The PQ tier's coarse list count — shared with [[autoNprobe]]'s
     * callers so the geometry-driven probe dial sees the index geometry
@@ -1263,7 +1278,7 @@ object Similarity {
     // independent per-subspace trainings submitted concurrently — the
     // trainPq pattern (guide §2.6): same integer arithmetic per slice,
     // bit-identical books, wall-clock = the longest chain not the sum
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(pqM)
+    val pool = daemonPool(pqM)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val books: Array[Array[Array[Long]]] =
@@ -1276,7 +1291,7 @@ object Similarity {
         }
         fs.map(scala.concurrent.Await.result(_,
           scala.concurrent.duration.Duration(10, "min"))).toArray
-      } finally pool.shutdown()
+      } finally pool.shutdownNow()
     val qv = data.filter(_._1 == 0L).head(1).headOption.getOrElse(
       sys.error("sim_pq_exact: query vector vec_id=0 absent from the " +
         "quantized corpus (missing or zero-norm) — the learned entries " +

@@ -111,7 +111,11 @@ class ScaleGuardSpec extends AnyFunSuite {
   test("widened: narrow-heavy passes never inherit a single-split scan's width") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    assert(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+    // assume(), not assert (ADVICE r16): the precondition depends on the
+    // box's core count — on a 1-2 core runner the single-file scan is not
+    // below defaultParallelism, which is an environment shape, not a code
+    // defect; cancel instead of failing there
+    assume(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
       "fixture precondition: one small parquet file must read as fewer splits than cores")
     // a below-cores input widens to the session's parallelism — the
     // verify-relation materializations (jaccardPrefix/containment word
