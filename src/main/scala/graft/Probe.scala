@@ -182,6 +182,23 @@ object Probe {
       }
     }
 
+    // generic: q:<queryName> runs that SparkEntry query (with stage stats
+    // when "stages" is also passed)
+    which.filter(_.startsWith("q:")).map(_.drop(2)).foreach { name =>
+      for (pass <- 1 to (if (which("stages")) 2 else 3)) {
+        t(s"[$pass] full $name") {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          if (Set("dedup_substring_scrub", "text_scrub", "text_normalize")(name))
+            df.write.format("noop").mode("overwrite").save()
+          else df.count()
+        }
+        if (which("stages")) stats.dumpAndReset()
+        spark.catalog.clearCache()
+        graft.operators.Dedup.unpersistIntermediates(spark)
+        System.gc()
+      }
+    }
+
     if (which("bpe")) {
       for (pass <- 1 to 3) {
         println(s"--- pass $pass ---")

@@ -268,3 +268,78 @@ object SortedInterCount {
     n
   }
 }
+
+/** Native expression for the BPE ENCODE dictionary build: symbol count of
+  * one word after applying a learned merge table in rank order
+  * (`graft.operators.Bpe.mergeOnce` folded over `(chars :+ "</w>")`).
+  *
+  * The r16 shape was a TYPED Dataset map (`wordFreq.as[(String, Long)]
+  * .map { fold }`) — a Deserialize→MapElements→Serialize sandwich in the
+  * physical plan that breaks whole-stage codegen and pays an encoder
+  * round-trip per distinct word (guide §4: prefer codegen expressions in
+  * hot paths; at 100 TB the distinct-word relation is millions of rows).
+  * This expression runs the same leftmost-first non-overlapping greedy
+  * scan natively under codegen. `right` is the merge table as a foldable
+  * `array<array<string>>` literal in rank order ([[left, right], …]) —
+  * k ≤ 8 pairs, collected on the driver by the trainer exactly as
+  * before. Bit-identical to the typed fold (same char split, same
+  * sentinel, same greedy rule — pinned against the BpeSpec reference). */
+case class BpeSymLen(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(ArrayType(StringType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bpe_sym_len expects (string, array<array<string>>), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    BpeSymLen.symLen(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, m) => {
+      s"${ev.value} = graft.functions.BpeSymLen.symLen($w, $m);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BpeSymLen {
+  /** The trainer's greedy scan, natively: split into UTF-16 chars (the
+    * exact semantics of Scala's `w.map(_.toString)` in the reference
+    * fold), append the end-of-word sentinel, apply each merge pair
+    * leftmost-first non-overlapping, return the surviving symbol count. */
+  def symLen(word: UTF8String,
+             merges: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val w = word.toString
+    var syms = new java.util.ArrayList[String](w.length + 1)
+    var i = 0
+    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    syms.add(graft.operators.Bpe.Eow)
+    var m = 0
+    val nm = merges.numElements()
+    while (m < nm) {
+      val pair = merges.getArray(m)
+      val a = pair.getUTF8String(0).toString
+      val b = pair.getUTF8String(1).toString
+      val out = new java.util.ArrayList[String](syms.size)
+      var j = 0
+      while (j < syms.size) {
+        if (j + 1 < syms.size && syms.get(j) == a && syms.get(j + 1) == b) {
+          out.add(a + b); j += 2
+        } else { out.add(syms.get(j)); j += 1 }
+      }
+      syms = out
+      m += 1
+    }
+    syms.size.toLong
+  }
+}

@@ -162,6 +162,7 @@ object VectorExpressions {
     once("graft_gram_min_md5", exprs => GramMinMd5(exprs(0), exprs(1)))
     once("graft_char_grams", exprs => CharGrams(exprs(0), exprs(1)))
     once("graft_sorted_inter", exprs => SortedInterCount(exprs(0), exprs(1)))
+    once("graft_bpe_sym_len", exprs => BpeSymLen(exprs(0), exprs(1)))
     once("graft_pq_adc", exprs => PqAdc(exprs(0), exprs(1)))
   }
 }

@@ -233,17 +233,20 @@ object Bpe {
     * (n_words ≤ n_tokens ≤ chars + words). */
   def encode(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
+    graft.functions.VectorExpressions.register(s)
     val merges = learn(s, dir, k)
       .select($"left", $"right").as[(String, String)].collect()
 
-    val dict = wordFreq(s, dir).as[(String, Long)]
-      .map { case (w, _) =>
-        val syms = merges.foldLeft(w.map(_.toString) :+ Eow: Seq[String]) {
-          case (ss, (a, b)) => mergeOnce(ss, a, b)
-        }
-        (w, syms.length.toLong)
-      }
-      .toDF("word", "n_sym")
+    // per-distinct-word encode as a CODEGEN expression (r17, guide §4):
+    // the former typed `.map` fold planned as Deserialize→MapElements→
+    // Serialize — an encoder round-trip per distinct word that broke the
+    // whole-stage-codegen span. graft_bpe_sym_len runs the identical
+    // greedy merge fold natively; the merge table rides as a k-row
+    // foldable literal (rank order preserved).
+    val mergesLit = typedLit[Seq[Seq[String]]](
+      merges.toSeq.map { case (a, b) => Seq(a, b) })
+    val dict = wordFreq(s, dir).select($"word",
+      call_function("graft_bpe_sym_len", $"word", mergesLit).as("n_sym"))
 
     // (doc, word) pre-agg BEFORE the dictionary join: the partial agg
     // collapses repeated words map-side, so the join and both exchanges

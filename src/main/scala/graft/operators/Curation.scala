@@ -712,9 +712,11 @@ object Curation {
     // dial: spark.graft.nb.cap (oracle + driver gate run the default)
     val c = if (cap > 0) cap else s.conf.get("spark.graft.nb.cap", "4096").toInt
     val (_, _, lw, pri) = nbCore(s, dir)
-    lw.orderBy(abs($"wq").desc, $"w").limit(c)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
-    pri.coalesce(1).write.mode("overwrite").parquet(s"$path/prior")
+    // independent writes off the shared checkpointed grain (§2.6)
+    graft.util.Par.run(Seq(
+      () => lw.orderBy(abs($"wq").desc, $"w").limit(c)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/weights"),
+      () => pri.coalesce(1).write.mode("overwrite").parquet(s"$path/prior")))
     Dedup.unpersistIntermediates(s)
   }
 
@@ -733,16 +735,21 @@ object Curation {
                     mode: String): Unit = {
     import s.implicits._
     val train = nbGrainOf(s, d, needLabels = false)._2.filter($"doc_id" % 2 === 0)
-    train.groupBy($"w").agg(
-        sum(when($"y" === 1, $"n").otherwise(lit(0L))).as("c1"),
-        sum(when($"y" === 0, $"n").otherwise(lit(0L))).as("c0"))
-      .write.mode(mode).parquet(s"$path/cby")
-    train.agg(
-        coalesce(sum(when($"y" === 1, $"n")), lit(0L)).as("n1"),
-        coalesce(sum(when($"y" === 0, $"n")), lit(0L)).as("n0"),
-        countDistinct(when($"y" === 1, $"doc_id")).as("d1"),
-        countDistinct(when($"y" === 0, $"doc_id")).as("d0"))
-      .coalesce(1).write.mode(mode).parquet(s"$path/cls")
+    // the two count relations read the SAME checkpointed grain and land at
+    // disjoint paths — independent jobs, submitted concurrently (§2.6);
+    // per call this halves the write-wave latency, which at one call per
+    // micro-batch is the dominant per-batch fixed cost
+    graft.util.Par.run(Seq(
+      () => train.groupBy($"w").agg(
+          sum(when($"y" === 1, $"n").otherwise(lit(0L))).as("c1"),
+          sum(when($"y" === 0, $"n").otherwise(lit(0L))).as("c0"))
+        .write.mode(mode).parquet(s"$path/cby"),
+      () => train.agg(
+          coalesce(sum(when($"y" === 1, $"n")), lit(0L)).as("n1"),
+          coalesce(sum(when($"y" === 0, $"n")), lit(0L)).as("n0"),
+          countDistinct(when($"y" === 1, $"doc_id")).as("d1"),
+          countDistinct(when($"y" === 0, $"doc_id")).as("d0"))
+        .coalesce(1).write.mode(mode).parquet(s"$path/cls")))
     Dedup.unpersistIntermediates(s)
   }
 
@@ -762,16 +769,19 @@ object Curation {
                          batchId: Long): Unit = {
     import s.implicits._
     val train = nbGrainOf(s, d, needLabels = false)._2.filter($"doc_id" % 2 === 0)
-    train.groupBy($"w").agg(
-        sum(when($"y" === 1, $"n").otherwise(lit(0L))).as("c1"),
-        sum(when($"y" === 0, $"n").otherwise(lit(0L))).as("c0"))
-      .write.mode("overwrite").parquet(s"$path/cby/batch=$batchId")
-    train.agg(
-        coalesce(sum(when($"y" === 1, $"n")), lit(0L)).as("n1"),
-        coalesce(sum(when($"y" === 0, $"n")), lit(0L)).as("n0"),
-        countDistinct(when($"y" === 1, $"doc_id")).as("d1"),
-        countDistinct(when($"y" === 0, $"doc_id")).as("d0"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/cls/batch=$batchId")
+    // same concurrent-submission shape as [[writeNbCounts]] (§2.6): both
+    // relations read the checkpointed grain, write to disjoint batch dirs
+    graft.util.Par.run(Seq(
+      () => train.groupBy($"w").agg(
+          sum(when($"y" === 1, $"n").otherwise(lit(0L))).as("c1"),
+          sum(when($"y" === 0, $"n").otherwise(lit(0L))).as("c0"))
+        .write.mode("overwrite").parquet(s"$path/cby/batch=$batchId"),
+      () => train.agg(
+          coalesce(sum(when($"y" === 1, $"n")), lit(0L)).as("n1"),
+          coalesce(sum(when($"y" === 0, $"n")), lit(0L)).as("n0"),
+          countDistinct(when($"y" === 1, $"doc_id")).as("d1"),
+          countDistinct(when($"y" === 0, $"doc_id")).as("d0"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/cls/batch=$batchId")))
     Dedup.unpersistIntermediates(s)
   }
 
@@ -799,9 +809,12 @@ object Curation {
         sum($"d0").cast("double").as("d0"))
       .crossJoin(cby.agg(count(lit(1)).cast("double").as("v")))
     val (lw, pri) = nbWeightsOf(cby, tots)
-    lw.orderBy(abs($"wq").desc, $"w").limit(c)
-      .coalesce(1).write.mode("overwrite").parquet(s"$modelPath/weights")
-    pri.coalesce(1).write.mode("overwrite").parquet(s"$modelPath/prior")
+    // weights and prior are independent consumers of the merged counts —
+    // two small write jobs submitted concurrently (§2.6)
+    graft.util.Par.run(Seq(
+      () => lw.orderBy(abs($"wq").desc, $"w").limit(c)
+        .coalesce(1).write.mode("overwrite").parquet(s"$modelPath/weights"),
+      () => pri.coalesce(1).write.mode("overwrite").parquet(s"$modelPath/prior")))
   }
 
   /** `corpus_nb_day2`: the full day-2 lifecycle of the quality model —

@@ -416,25 +416,39 @@ object TextAnalysis {
     * by the day-1 build and the day-2 batch append, so the two paths'
     * posting shape cannot drift. Alongside the postings it lands the
     * DOC-LENGTH SIDECAR (`<path>_doclen`: doc_id → total tokens) every
-    * scoring consumer needs — derived by re-aggregating the just-written
-    * INDEX bytes (Σ len(positions) per doc), not by a second corpus
-    * pass, so the sidecar inherits the append lifecycle for free:
-    * disjoint doc_ids ⇒ disjoint sidecar rows. */
+    * scoring consumer needs — derived by re-aggregating the POSTING
+    * RELATION (Σ len(positions) per doc), not by a second corpus pass,
+    * so the sidecar inherits the append lifecycle for free: disjoint
+    * doc_ids ⇒ disjoint sidecar rows.
+    *
+    * r17: the postings aggregate is checkpointed ONCE and both writes
+    * read it concurrently (§2.6). The r16 shape wrote the index, then
+    * RE-READ the just-written parquet to derive the sidecar — one extra
+    * sequential job + a full index decode per call, which at one call
+    * per micro-batch was the streamed lifecycle's dominant fixed cost.
+    * Same sidecar values (the rewrite never changes posting rows); the
+    * checkpoint is batch-index-sized and released before return. */
   private[graft] def writePositionalIndexOf(s: SparkSession, d: DataFrame, path: String): Unit = {
     import s.implicits._
-    d.select($"doc_id",
-        posexplode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
-          .as(Seq("pos", "word")))
-      .groupBy($"word", $"doc_id")
-      .agg(sort_array(collect_list($"pos".cast("long"))).as("positions"))
-      .repartition($"word")
-      .sortWithinPartitions($"word", $"doc_id")
-      .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-      .select($"doc_id", size($"positions").cast("long").as("tf"))
-      .groupBy($"doc_id")
-      .agg(sum($"tf").cast("long").as("dl"))
-      .write.mode("overwrite").parquet(doclenPath(path))
+    val postings = Dedup.trackCheckpoint(
+      d.select($"doc_id",
+          posexplode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
+            .as(Seq("pos", "word")))
+        .groupBy($"word", $"doc_id")
+        .agg(sort_array(collect_list($"pos".cast("long"))).as("positions"))
+        .localCheckpoint())
+    try {
+      graft.util.Par.run(Seq(
+        () => postings
+          .repartition($"word")
+          .sortWithinPartitions($"word", $"doc_id")
+          .write.mode("overwrite").parquet(path),
+        () => postings
+          .select($"doc_id", size($"positions").cast("long").as("tf"))
+          .groupBy($"doc_id")
+          .agg(sum($"tf").cast("long").as("dl"))
+          .write.mode("overwrite").parquet(doclenPath(path))))
+    } finally Dedup.releaseCheckpoint(postings)
   }
 
   private def doclenPath(indexPath: String): String = s"${indexPath}_doclen"
@@ -569,14 +583,17 @@ object TextAnalysis {
       outPath: String): Unit = {
     import s.implicits._
     val gone = broadcast(retired.select($"doc_id").distinct())
-    s.read.parquet(indexPaths: _*)
-      .join(gone, Seq("doc_id"), "left_anti")
-      .repartition($"word")
-      .sortWithinPartitions($"word", $"doc_id")
-      .write.mode("overwrite").parquet(outPath)
-    s.read.parquet(indexPaths.map(doclenPath): _*)
-      .join(gone, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(doclenPath(outPath))
+    // postings and sidecar compactions read disjoint inputs and write
+    // disjoint outputs — concurrent submission (§2.6)
+    graft.util.Par.run(Seq(
+      () => s.read.parquet(indexPaths: _*)
+        .join(gone, Seq("doc_id"), "left_anti")
+        .repartition($"word")
+        .sortWithinPartitions($"word", $"doc_id")
+        .write.mode("overwrite").parquet(outPath),
+      () => s.read.parquet(indexPaths.map(doclenPath): _*)
+        .join(gone, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(doclenPath(outPath))))
   }
 
   /** `text_search_compact`: the full deletion lifecycle of the
