@@ -136,6 +136,28 @@ class ScaleGuardSpec extends AnyFunSuite {
       s"md5 projection must sit above the widening exchange:\n$p")
   }
 
+  test("widenedBy: checkpoint-fed probe sides re-widen keyed, pass through at scale") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // r17: localCheckpoint BAKES IN whatever partitioning AQE last chose
+    // (1 partition at small SFs), so the prefix-join candidate stages ran
+    // single-threaded; the consumer re-widens the checkpointed leaf.
+    assume(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+      "fixture precondition: single small parquet reads as fewer splits than cores")
+    val w = Dedup.widenedBy(docs, col("doc_id"))
+    // below-cores input widens to session parallelism…
+    assert(w.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // …via HASH partitioning on the key (not round robin), so a downstream
+    // partial distinct still co-locates one probe doc's rows in one task
+    val p = w.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"widenedBy must hash-partition on the key:\n$p")
+    // an input already at/above cores passes through UNCHANGED — the rule
+    // never adds an exchange to a production-scale relation
+    val already = docs.repartition(spark.sparkContext.defaultParallelism + 2)
+    assert(Dedup.widenedBy(already, col("doc_id")) eq already)
+  }
+
   test("ngramJaccard: df filter precedes doc-list collection, same shuffle") {
     // Inspect the UN-checkpointed candidate relation: ngramJaccard's
     // localCheckpoint truncates this subtree to a Scan ExistingRDD in the
